@@ -1,0 +1,221 @@
+package graft
+
+/** DuckDB oracle SQL for `SparkEntry.queries` (driver contract).
+  *
+  * Dialect notes (DuckDB vs Spark):
+  *   - `regexp_replace` needs the `'g'` flag to match Spark's
+  *     replace-all semantics;
+  *   - Java's `[\p{Punct}&&[^a-zA-Z]]]` (class-intersection, a no-op
+  *     here) is written for RE2 as `[[:punct:]]\]`;
+  *   - `string_split` keeps trailing empty fields like Spark's `split`;
+  *     Java-split semantics (reference) are emulated on both sides by
+  *     stripping trailing commas first;
+  *   - double aggregates are either exact (integer-valued doubles, or
+  *     per-row-rounded integer cents summed as BIGINT) or rounded, so
+  *     partial-aggregation order can never flip the hash compare.
+  */
+object Oracles {
+
+  /** Sentiment lexicon — keep in sync with `graft.functions.Sentiment`. */
+  private val Pos = "('fast','big','value')"
+  private val Neg = "('slow','small','dup')"
+
+  /** Per-sentence lexicon score for sentence expr `s` (0–4, neutral 2). */
+  private def score(s: String): String =
+    s"""least(4.0::DOUBLE, greatest(0.0::DOUBLE, 2.0::DOUBLE
+       |  + len(list_filter(string_split($s, ' '), t -> t IN $Pos))::DOUBLE
+       |  - len(list_filter(string_split($s, ' '), t -> t IN $Neg))::DOUBLE))""".stripMargin
+
+  /** P-7 cleaning chain over text expr `x`. */
+  private def cleanText(x: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($x,
+       |  '(\\b\\w*RT)|[^a-zA-Z0-9\\s.,!@]', '', 'g'),
+       |  '(http\\S+)', '', 'g'),
+       |  '(@\\w+)', 'Foo', 'g'),
+       |  '^(Foo)', '')""".stripMargin
+
+  /** Sentence list of a cleaned text expr. */
+  private def sents(x: String): String =
+    s"list_filter([trim(q) for q in string_split_regex($x, '[.!?]')], q -> length(q) > 0)"
+
+  /** A-4 weighted mean over a sentence-list expr (−1 when empty). */
+  private def wscore(ss: String): String =
+    s"""CASE WHEN len($ss) = 0 THEN -1.0::DOUBLE
+       |  ELSE list_sum([${score("s")} * length(s)::DOUBLE for s in $ss])
+       |     / list_sum([length(s)::DOUBLE for s in $ss]) END""".stripMargin
+
+  /** U-2 bucketing over a score expr (labels already lowercase). */
+  private def bucket(s: String): String =
+    s"""CASE WHEN $s <= 0.0 THEN 'not_understood'
+       |  WHEN $s < 1.0 THEN 'very_negative'
+       |  WHEN $s < 2.0 THEN 'negative'
+       |  WHEN $s < 3.0 THEN 'neutral'
+       |  WHEN $s < 4.0 THEN 'positive'
+       |  WHEN $s < 5.0 THEN 'very_positive'
+       |  ELSE 'not_understood' END""".stripMargin
+
+  /** P-8 country heuristic over `location` with `parts` precomputed. */
+  private val countryExpr: String =
+    s"""CASE WHEN contains(location, ',') THEN
+       |  upper(trim(CASE WHEN length(trim(regexp_replace(
+       |                     parts[len(parts)], '[[:punct:]]\\]', '', 'g'))) = 2
+       |                   AND len(parts) = 2
+       |             THEN 'USA' ELSE parts[len(parts)] END))
+       |ELSE 'NULL' END""".stripMargin
+
+  /** Shared prefix: documents → synthetic wire lines → parsed → country →
+    * sentiment → exploded per-hashtag rows `trows(doc_id, ts, hashtag,
+    * sentiment_score, sentiment_type, country)`. Mirrors
+    * `TrendPipeline.trendRows`. */
+  val trendRowsCte: String =
+    s"""WITH tw AS (
+       |  SELECT doc_id,
+       |         (1700000000 + (doc_id % 10) * 15)::INTEGER AS ts,
+       |         (CASE doc_id % 5
+       |            WHEN 0 THEN 'San Francisco, CA'
+       |            WHEN 1 THEN 'Toronto, Ontario'
+       |            WHEN 2 THEN 'Paris'
+       |            WHEN 3 THEN 'Austin, TX'
+       |            ELSE 'Berlin, Germany, EU' END) || ' /TLOC/ ' ||
+       |         regexp_replace(regexp_replace(regexp_replace(text,
+       |           '\\bspark\\b', '#spark', 'g'),
+       |           '\\bdata\\b', '#data', 'g'),
+       |           '\\bstream\\b', '#stream', 'g') AS line
+       |  FROM documents
+       |), parsed AS (
+       |  SELECT doc_id, ts,
+       |         string_split(line, ' /TLOC/ ')[1] AS location,
+       |         string_split(line, ' /TLOC/ ')[2] AS txt
+       |  FROM tw
+       |), located AS (
+       |  SELECT *, string_split(regexp_replace(location, ',+$$', ''), ',') AS parts
+       |  FROM parsed
+       |), countried AS (
+       |  SELECT doc_id, ts, txt, $countryExpr AS country FROM located
+       |), sentd AS (
+       |  SELECT *, ${sents(cleanText("txt"))} AS ss FROM countried
+       |), scored AS (
+       |  SELECT doc_id, ts, txt, country, ${wscore("ss")} AS sentiment_score
+       |  FROM sentd
+       |), typed AS (
+       |  SELECT *, lower(${bucket("sentiment_score")}) AS sentiment_type
+       |  FROM scored
+       |), trows AS (
+       |  SELECT doc_id, ts,
+       |         regexp_replace(tag, '(\\w*RT)|[^a-zA-Z0-9#]', '', 'g') AS hashtag,
+       |         sentiment_score, sentiment_type, country
+       |  FROM (SELECT *, unnest(list_filter(string_split(txt, ' '),
+       |          t -> t LIKE '#%'
+       |           AND length(regexp_replace(t, '\\s', '', 'g')) > 1)) AS tag
+       |        FROM typed))""".stripMargin
+
+  val trendRows: String =
+    s"""$trendRowsCte
+       |SELECT ts, hashtag, sentiment_score, sentiment_type, country
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY ts, hashtag, country ORDER BY sentiment_score) rn
+       |      FROM trows)
+       |WHERE rn = 1""".stripMargin
+
+  val hashtagCounts: String =
+    s"""$trendRowsCte
+       |SELECT hashtag, count(*) AS cnt FROM trows GROUP BY hashtag""".stripMargin
+
+  val meanSentiment: String =
+    s"""$trendRowsCte
+       |SELECT hashtag, round(avg(sentiment_score), 4) AS avg_sentiment
+       |FROM trows GROUP BY hashtag""".stripMargin
+
+  val countJoinSentiment: String =
+    s"""$trendRowsCte
+       |SELECT hashtag, count(*) AS cnt,
+       |       round(avg(sentiment_score), 4) AS avg_sentiment
+       |FROM trows GROUP BY hashtag""".stripMargin
+
+  val topnTrends: String =
+    s"""$trendRowsCte
+       |SELECT ts, hashtag, cnt, rank FROM (
+       |  SELECT ts, hashtag, count(*) AS cnt,
+       |         row_number() OVER (PARTITION BY ts
+       |           ORDER BY count(*) DESC, hashtag) AS rank
+       |  FROM trows GROUP BY ts, hashtag)
+       |WHERE rank <= 3""".stripMargin
+
+  val countryExtract: String =
+    s"""$trendRowsCte
+       |SELECT doc_id, country FROM countried""".stripMargin
+
+  val cleanTextQ: String =
+    s"""SELECT doc_id,
+       |  ${cleanText("'Check http://t.co/x ' || text || ' @' || source")} AS clean
+       |FROM documents""".stripMargin
+
+  val sentimentScore: String =
+    s"""WITH sentd AS (
+       |  SELECT doc_id, ${sents(cleanText("text"))} AS ss FROM documents
+       |), scored AS (
+       |  SELECT doc_id, ${wscore("ss")} AS sentiment_score FROM sentd)
+       |SELECT doc_id, sentiment_score,
+       |       lower(${bucket("sentiment_score")}) AS sentiment_type
+       |FROM scored""".stripMargin
+
+  val weightedSentiment: String =
+    s"""WITH sentd AS (
+       |  SELECT doc_id,
+       |         ${sents("regexp_replace(text, '\\bbatch\\b', '.', 'g')")} AS ss
+       |  FROM documents)
+       |SELECT doc_id, ${wscore("ss")} AS wscore FROM sentd""".stripMargin
+
+  val wireRoundtrip: String =
+    s"""$trendRowsCte
+       |SELECT doc_id, hashtag, sentiment_score, sentiment_type, country
+       |FROM trows""".stripMargin
+
+  val windowedCounts: String =
+    s"""SELECT sec - (sec % 60) AS window_start, event_type, count(*) AS cnt
+       |FROM (SELECT floor(epoch(ts))::BIGINT AS sec, event_type FROM events)
+       |GROUP BY 1, 2""".stripMargin
+
+  val slidingCounts: String =
+    s"""SELECT (sec - off) - ((sec - off) % 60) + off AS window_start,
+       |       event_type, count(*) AS cnt
+       |FROM (SELECT floor(epoch(ts))::BIGINT AS sec, event_type,
+       |             unnest([0, 15, 30, 45]::BIGINT[]) AS off
+       |      FROM events)
+       |GROUP BY 1, 2""".stripMargin
+
+  val streamCount: String = "SELECT count(*) AS n FROM events"
+
+  val q1Agg: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
+       |  sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
+       |  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |    / 10000.0 AS sum_disc_price,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= DATE '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val q3Join: String =
+    s"""SELECT o_orderkey, revenue_c / 10000.0 AS revenue, o_orderdate
+       |FROM (
+       |  SELECT o_orderkey, o_orderdate,
+       |         sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |           AS revenue_c
+       |  FROM customer, orders, lineitem
+       |  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |    AND c_mktsegment = 'BUILDING'
+       |    AND o_orderdate < DATE '1995-03-15'
+       |    AND l_shipdate > DATE '1995-03-15'
+       |  GROUP BY o_orderkey, o_orderdate)
+       |ORDER BY revenue_c DESC, o_orderkey
+       |LIMIT 10""".stripMargin
+
+  val customersByRegion: String =
+    s"""SELECT r_name, count(*) AS n_customers,
+       |       sum(round(c_acctbal * 100)::BIGINT) / 100.0 AS sum_acctbal
+       |FROM customer, nation, region
+       |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |GROUP BY r_name""".stripMargin
+}

@@ -1,13 +1,117 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Country, Sentiment}
+import graft.model.WireCodec
+import graft.ops.{Relational, TrendPipeline, Windows}
+import graft.text.TextOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed as a named
+  * query over the driver's parquet tables, with equivalent DuckDB SQL in
+  * [[Oracles]]. Column names/aliases are identical on both sides (the
+  * driver's compare sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  /** Flagship (SURVEY §7.2): top hashtags per 15 s batch bucket with mean
+    * sentiment — the reference's whole product as one batch query.
+    * Driver smoke-checks rows > 0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val rows = TrendPipeline.trendRows(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    TrendPipeline.topNTrends(rows, 3)
+      .join(TrendPipeline.meanSentiment(rows), Seq("hashtag"), "inner")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference-parity: trend pipeline over `documents` ----
+    // T-1/T-2 + D-1 (flagship row set; deterministic dedup keep rule)
+    "trend_rows" -> ((s, dir) =>
+      TrendPipeline.dedupTrends(TrendPipeline.trendRows(docs(s, dir)))),
+    // P-3/P-4/P-5b + A-1 batch analog
+    "hashtag_counts" -> ((s, dir) =>
+      TrendPipeline.hashtagCounts(TrendPipeline.trendRows(docs(s, dir)))),
+    // A-2
+    "mean_sentiment" -> ((s, dir) =>
+      TrendPipeline.meanSentiment(TrendPipeline.trendRows(docs(s, dir)))),
+    // J-1
+    "count_join_sentiment" -> ((s, dir) =>
+      TrendPipeline.countJoinSentiment(TrendPipeline.trendRows(docs(s, dir)))),
+    // §3.3 dashboard top-N per bucket
+    "topn_trends" -> ((s, dir) =>
+      TrendPipeline.topNTrends(TrendPipeline.trendRows(docs(s, dir)), 3)),
+    // P-8 / U-3
+    "country_extract" -> ((s, dir) =>
+      TrendPipeline.syntheticTweets(docs(s, dir)).select(
+        col("doc_id"),
+        Country.extractCountry(WireCodec.tweetLocation(col("line")))
+          .as("country"))),
+    // P-7 (URL/mention injected to exercise the whole chain)
+    "clean_text" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.cleanTweetText(
+          concat(lit("Check http://t.co/x "), col("text"),
+            lit(" @"), col("source"))).as("clean"))),
+    // U-1 + U-2
+    "sentiment_score" -> ((s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          Sentiment.weightedScore(TextOps.cleanTweetText(col("text")))
+            .as("sentiment_score"))
+        .withColumn("sentiment_type",
+          lower(Sentiment.bucket(col("sentiment_score"))))),
+    // A-4 (multi-sentence weighted mean; '.'-injection makes real sentences)
+    "weighted_sentiment" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        Sentiment.weightedScore(
+          regexp_replace(col("text"), "\\bbatch\\b", ".")).as("wscore"))),
+    // P-6 / P-10 / T-2: encode → decode must be the identity
+    "wire_roundtrip" -> ((s, dir) => {
+      val rows = TrendPipeline.trendRows(docs(s, dir))
+      rows
+        .select(col("doc_id"), WireCodec.decodeMetric(
+          WireCodec.encodeMetric(
+            col("hashtag"), col("sentiment_score"),
+            col("sentiment_type"), col("country"))).as("dec"))
+        .select(col("doc_id"), col("dec.*"))
+    }),
+    // ---- A-1 / A-3 event-time analogs over `events` ----
+    "windowed_counts" -> ((s, dir) => Windows.tumblingCounts(events(s, dir))),
+    "sliding_counts" -> ((s, dir) => Windows.slidingCounts(events(s, dir))),
+    "stream_count" -> ((s, dir) => Windows.streamCount(events(s, dir))),
+    // ---- §3.3 analyst queries over the TPC-H-ish tables ----
+    "q1_agg" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "q3_join" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
+    "customers_by_region" -> ((s, dir) => Relational.customersByRegion(s, dir)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "trend_rows" -> Oracles.trendRows,
+    "hashtag_counts" -> Oracles.hashtagCounts,
+    "mean_sentiment" -> Oracles.meanSentiment,
+    "count_join_sentiment" -> Oracles.countJoinSentiment,
+    "topn_trends" -> Oracles.topnTrends,
+    "country_extract" -> Oracles.countryExtract,
+    "clean_text" -> Oracles.cleanTextQ,
+    "sentiment_score" -> Oracles.sentimentScore,
+    "weighted_sentiment" -> Oracles.weightedSentiment,
+    "wire_roundtrip" -> Oracles.wireRoundtrip,
+    "windowed_counts" -> Oracles.windowedCounts,
+    "sliding_counts" -> Oracles.slidingCounts,
+    "stream_count" -> Oracles.streamCount,
+    "q1_agg" -> Oracles.q1Agg,
+    "q3_join" -> Oracles.q3Join,
+    "customers_by_region" -> Oracles.customersByRegion)
 }

@@ -21,7 +21,18 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) — a type Spark's vectorized
+    * reader rejects outright. With `spark.sql.legacy.parquet.nanosAsLong`
+    * (set in every session builder here) it arrives as LongType nanos;
+    * normalize to TimestampType via exact integer division (a double
+    * detour would lose precision: 1.7e18 ns > 2^53). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = apply(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("ts div 1000000000").cast("timestamp"))
+    else raw
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 }

@@ -65,26 +65,41 @@ object Model {
 object WireCodec {
   val Delim = " /TLOC/ "
 
-  /** P-10: producer-side encode (KafkaTwitterProducer.java:108). */
+  /** P-10: producer-side encode (KafkaTwitterProducer.java:108).
+    * Inputs are null-coalesced so the delimiter is always emitted —
+    * `concat_ws` would otherwise silently *skip* a NULL location and the
+    * text would land in the location slot on decode (the reference
+    * producer null-guards location before concatenating,
+    * KafkaTwitterProducer.java:102). */
   def encodeTweet(location: Column, text: Column): Column =
-    concat_ws(Delim, location, text)
+    concat_ws(Delim, coalesce(location, lit("")), coalesce(text, lit("")))
 
-  /** P-6: `line.split(" /TLOC/ ")(0)` / `(1)` (KafkaSparkProcessor.scala:219). */
-  def tweetLocation(line: Column): Column = element_at(split(line, Delim), 1)
-  def tweetText(line: Column): Column = element_at(split(line, Delim), 2)
+  /** P-6: `line.split(" /TLOC/ ")(0)` / `(1)` (KafkaSparkProcessor.scala:219).
+    * `try_element_at` so a malformed line (missing delimiter) yields NULL
+    * instead of killing the job under ANSI mode — the reference's
+    * `tweetObj(1)` throws per-row and relies on an outer catch. Like the
+    * reference, text embedding the delimiter is truncated at its first
+    * occurrence (wire fidelity). */
+  def tweetLocation(line: Column): Column = try_element_at(split(line, Delim), lit(1))
+  def tweetText(line: Column): Column = try_element_at(split(line, Delim), lit(2))
 
   /** P-10: metric-line encode (KafkaSparkProcessor.scala:232-233). */
   def encodeMetric(tag: Column, score: Column, tpe: Column, country: Column): Column =
     concat_ws(Delim, tag, score.cast(StringType), tpe, country)
 
+  /** ANSI-safe numeric parse: NULL (not a thrown error) on a malformed
+    * field — one bad record must not fail a 100 TB job. */
+  private def safeDouble(c: Column): Column =
+    when(c.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"), c.cast(DoubleType))
+
   /** T-2: metric-line 4-way decode (KafkaSparkProcessor.scala:243-245). */
   def decodeMetric(line: Column): Column = {
     val parts = split(line, Delim)
     struct(
-      element_at(parts, 1).as("hashtag"),
-      element_at(parts, 2).cast(DoubleType).as("sentiment_score"),
-      element_at(parts, 3).as("sentiment_type"),
-      element_at(parts, 4).as("country"))
+      try_element_at(parts, lit(1)).as("hashtag"),
+      safeDouble(try_element_at(parts, lit(2))).as("sentiment_score"),
+      try_element_at(parts, lit(3)).as("sentiment_type"),
+      try_element_at(parts, lit(4)).as("country"))
   }
 
   /** Decode a DataFrame of wire lines into (location, text). */

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Country, Sentiment}
+import graft.model.WireCodec
+import graft.text.TextOps
+
+/** The reference's core dataflow (SURVEY.md §2.3-2.6) in batch form:
+  * tweet wire lines → per-hashtag sentiment rows → dedup → trend analytics.
+  *
+  * Maps T-1/T-2 (`KafkaSparkProcessor.scala:212-246`), D-1 (`:115`),
+  * A-1 (`:131-140`), A-2 (`:247-255`), J-1 (`:93`) and the Drill/Tableau
+  * top-N queries (`README.md:18-28`).
+  *
+  * Scale notes (the 100 TB story):
+  *   - Sentiment is computed once per *tweet* before the hashtag explode;
+  *     the reference recomputes it per hashtag inside the flatMap loop
+  *     (`:217-231`) — at N hashtags/tweet that's an N× saving on the
+  *     dominant cost, with identical semantics (the score never depends
+  *     on the tag).
+  *   - All aggregations are plain `groupBy` → Catalyst partial+final hash
+  *     aggregate (map-side combine), so a hot hashtag costs one shuffled
+  *     row per upstream partition, not one per occurrence. AQE (on by
+  *     default in Spark 4) re-splits skewed post-shuffle partitions.
+  *   - Top-N is `Window.partitionBy(bucket)` + `row_number <= N` — never a
+  *     global sort, never a driver-side collect.
+  */
+object TrendPipeline {
+
+  /** Deterministic tweet-wire synthesis over the `documents` table: marks
+    * `spark|data|stream` tokens as hashtags, assigns a location cycling
+    * through the country-heuristic equivalence classes (USA / verbatim /
+    * no-comma / 3-field), and a 15 s-granular batch timestamp — the batch
+    * analog of the producer (`KafkaTwitterProducer.java:102-110`). */
+  def syntheticTweets(docs: DataFrame): DataFrame = {
+    val ht = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), "\\bspark\\b", "#spark"),
+        "\\bdata\\b", "#data"),
+      "\\bstream\\b", "#stream")
+    val location = when(pmod(col("doc_id"), lit(5)) === 0, "San Francisco, CA")
+      .when(pmod(col("doc_id"), lit(5)) === 1, "Toronto, Ontario")
+      .when(pmod(col("doc_id"), lit(5)) === 2, "Paris")
+      .when(pmod(col("doc_id"), lit(5)) === 3, "Austin, TX")
+      .otherwise("Berlin, Germany, EU")
+    val ts = (lit(1700000000L) + pmod(col("doc_id"), lit(10)) * 15)
+      .cast("int")
+    docs.select(
+      col("doc_id"),
+      ts.as("ts"),
+      WireCodec.encodeTweet(location, ht).as("line"))
+  }
+
+  /** T-1, pre-dedup: one row per hashtag occurrence per tweet, with the
+    * tweet's sentiment and country. Sentiment/country are computed on the
+    * tweet projection (once), then the hashtag array is exploded. */
+  def hashtagRows(tweets: DataFrame): DataFrame = {
+    val text = WireCodec.tweetText(col("line"))
+    val loc = WireCodec.tweetLocation(col("line"))
+    val cleanText = TextOps.cleanTweetText(text)
+    val score = Sentiment.weightedScore(cleanText)
+    tweets
+      .select(
+        col("doc_id"),
+        col("ts"),
+        Country.extractCountry(loc).as("country"),
+        score.as("sentiment_score"),
+        TextOps.extractHashtags(text).as("tags"))
+      .withColumn("sentiment_type",
+        lower(Sentiment.bucket(col("sentiment_score"))))
+      .select(
+        col("doc_id"), col("ts"),
+        explode(col("tags")).as("tag"),
+        col("sentiment_score"), col("sentiment_type"), col("country"))
+      // T-2 re-clean (`KafkaSparkProcessor.scala:244`)
+      .withColumn("hashtag", TextOps.cleanHashtag(col("tag")))
+      .select("doc_id", "ts", "hashtag",
+        "sentiment_score", "sentiment_type", "country")
+  }
+
+  /** Full pre-dedup trend rows over `documents`. */
+  def trendRows(docs: DataFrame): DataFrame = hashtagRows(syntheticTweets(docs))
+
+  /** D-1 (`KafkaSparkProcessor.scala:115`) with a deterministic keep rule:
+    * the reference's `dropDuplicates(timestamp, hashtag, country)` keeps an
+    * arbitrary row; for oracle comparability we keep the minimum
+    * sentiment-score row.
+    *
+    * Implemented as a hash aggregate (`min`), NOT a
+    * `row_number() over (partition by key)` window: the distinct-key space
+    * can be tiny relative to the data (a viral hashtag IS a hot key), and a
+    * window funnels every row of a key into one sorted task — measured 33 s
+    * vs <1 s at sf0.1. `min` partial-aggregates map-side, so a hot key
+    * costs one shuffled row per upstream partition. `sentiment_type` is a
+    * pure function of the score, so recomputing it from the min preserves
+    * row semantics exactly. */
+  def dedupTrends(rows: DataFrame): DataFrame =
+    rows
+      .groupBy("ts", "hashtag", "country")
+      .agg(min("sentiment_score").as("sentiment_score"))
+      .withColumn("sentiment_type",
+        lower(Sentiment.bucket(col("sentiment_score"))))
+      .select("ts", "hashtag", "sentiment_score", "sentiment_type", "country")
+
+  /** A-1 batch analog: hashtag occurrence counts. */
+  def hashtagCounts(rows: DataFrame): DataFrame =
+    rows.groupBy("hashtag").agg(count(lit(1)).as("cnt"))
+
+  /** A-2: per-hashtag mean sentiment (partial+final hash agg; rounded so
+    * float summation order can never flip the oracle compare). */
+  def meanSentiment(rows: DataFrame): DataFrame =
+    rows.groupBy("hashtag")
+      .agg(round(avg("sentiment_score"), 4).as("avg_sentiment"))
+
+  /** J-1 (`KafkaSparkProcessor.scala:93`): counts ⋈ mean sentiment.
+    * Both sides are post-aggregation (tiny vs the input), so Catalyst
+    * broadcast-joins them; at 100 TB the join key space is the distinct
+    * hashtag set, not the event volume. */
+  def countJoinSentiment(rows: DataFrame): DataFrame =
+    hashtagCounts(rows).join(meanSentiment(rows), Seq("hashtag"), "inner")
+
+  /** Dashboard top-N (`README.md:18-28`): top `n` hashtags per time
+    * bucket by count, hashtag as deterministic tiebreak. */
+  def topNTrends(rows: DataFrame, n: Int): DataFrame = {
+    val counts = rows.groupBy("ts", "hashtag").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("ts").orderBy(col("cnt").desc, col("hashtag"))
+    counts
+      // long to match the BIGINT every SQL engine returns for row_number
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+}
