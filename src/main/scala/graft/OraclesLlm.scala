@@ -1,0 +1,209 @@
+package graft
+
+/** DuckDB oracle SQL for the LLM-data-pipeline queries (`graft.llm`).
+  *
+  * Everything hash-like is exact integer arithmetic (see
+  * `graft.llm.TextFns`), so the oracle reproduces Spark bit-for-bit:
+  *   - polynomial hash = `list_reduce` over char codes (no-init
+  *     `list_reduce` seeds with the first element, which equals a 0-init
+  *     fold for `acc*31+x`);
+  *   - embedding quantization = `floor(x::DOUBLE * 8192)` — float→double
+  *     and a power-of-two scale are exact, so both engines floor the
+  *     same value;
+  *   - `list_sum` returns HUGEINT → always cast `::BIGINT`;
+  *     `bit_count` returns TINYINT → cast; Spark sizes are cast to long.
+  *
+  * Composition hazard: these strings are single-`stripMargin` only —
+  * never interpolate one inside another `.stripMargin` block (a leading
+  * `||` on a line would lose a `|`).
+  */
+object OraclesLlm {
+
+  private val P = "1000000007"
+
+  /** Whitespace tokens, empties dropped. */
+  private def toksE(x: String): String =
+    s"list_filter(string_split_regex($x, '\\s+'), w -> length(w) > 0)"
+
+  /** Polynomial rolling hash of a (non-empty) string expr. */
+  private def polyE(x: String): String =
+    s"list_reduce([unicode(c)::BIGINT for c in string_split($x, '')], (acc, ch) -> (acc*31 + ch) % $P)"
+
+  /** Distinct shingle-hash set (k=3) of a token-hash-list expr: the
+    * polynomial combine of 3 consecutive token hashes (mirrors
+    * `TextFns.shingleHashSet` — each char hashed once per doc). */
+  private def shSetE(ths: String): String =
+    s"""list_distinct(CASE WHEN len($ths) < 3 THEN []::BIGINT[]
+       |  ELSE [list_reduce([$ths[i+1], $ths[i+2], $ths[i+3]],
+       |          (acc, x) -> (acc*31 + x) % $P)
+       |        for i in range(len($ths)-2)] END)""".stripMargin
+
+  /** MinHash signature (16 hashes) of a shingle-hash-set expr. */
+  private def sigE(sh: String): String =
+    s"""[coalesce(list_min([((2654435761*(j+1)+104729) % $P * h +
+       |    (97531*(j+1)+12345) % $P) % $P for h in $sh]), $P)
+       |  for j in range(16)]""".stripMargin
+
+  /** Quantized integer embedding. */
+  private def quantE(e: String): String =
+    s"[floor(x::DOUBLE * 8192)::BIGINT for x in $e]"
+
+  /** Exact integer dot product of two quantized-list exprs, as DOUBLE. */
+  private def dotE(a: String, b: String): String =
+    s"list_sum([$a[i+1] * $b[i+1] for i in range(len($a))])::BIGINT::DOUBLE"
+
+  private def normE(a: String): String =
+    s"sqrt(list_sum([x*x for x in $a])::BIGINT::DOUBLE)"
+
+  private def cosE(a: String, b: String): String =
+    s"${dotE(a, b)} / (${normE(a)} * ${normE(b)})"
+
+  /** Near-dup corpus: doc_id ≡ 0 (mod 10) re-inserted with a prepended
+    * token under doc_id+100000. */
+  private val nearDupCorpus: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents UNION ALL
+       |  SELECT doc_id + 100000, 'dup ' || text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  val tokenStats: String =
+    s"""SELECT doc_id,
+       |  len(${toksE("text")})::BIGINT AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+       |  length(text)::BIGINT AS n_chars
+       |FROM documents""".stripMargin
+
+  val langId: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('the','a','of','and','is'))) AS en,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('el','la','los','de','que'))) AS es,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('der','die','und','das','ist'))) AS de,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('le','les','et','une','est'))) AS fr
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN cjk*10 > n*3 THEN 'zh'
+       |       WHEN en+es+de+fr = 0 THEN 'und'
+       |       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+       |       WHEN es >= de AND es >= fr THEN 'es'
+       |       WHEN de >= fr THEN 'de'
+       |       ELSE 'fr' END AS pred_lang
+       |FROM c""".stripMargin
+
+  val qualityScore: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, len(${toksE("text")})::BIGINT AS wc,
+       |    len(list_distinct(${toksE("text")}))::BIGINT AS uniq,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('the','a','of','and','is')))::BIGINT AS stop
+       |  FROM documents),
+       |pm AS (
+       |  SELECT doc_id, wc AS word_count,
+       |    least(1000, wc * 20) AS length_pm,
+       |    CASE WHEN wc = 0 THEN 0 ELSE (1000 * uniq) // wc END AS unique_pm,
+       |    CASE WHEN wc = 0 THEN 0 ELSE (1000 * stop) // wc END AS stop_pm
+       |  FROM s)
+       |SELECT doc_id, word_count, length_pm, unique_pm, stop_pm,
+       |  (length_pm + unique_pm + stop_pm) // 3 AS quality
+       |FROM pm""".stripMargin
+
+  val docFingerprint: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN length(n) = 0 THEN 0::BIGINT ELSE ${polyE("n")} END AS fp
+       |FROM (SELECT doc_id,
+       |        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+       |      FROM documents)""".stripMargin
+
+  val ngramCounts: String =
+    s"""WITH t AS (SELECT ${toksE("text")} AS toks FROM documents),
+       |g AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+       |        ELSE [toks[i+1] || ' ' || toks[i+2] for i in range(len(toks)-1)] END) AS ngram
+       |      FROM t)
+       |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram""".stripMargin
+
+  val dedupDocs: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+       |SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
+       |  min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM corpus GROUP BY 1""".stripMargin
+
+  val minhashDedup: String =
+    s"""WITH $nearDupCorpus,
+       |th AS (SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM corpus),
+       |sets AS (SELECT doc_id, ${shSetE("ths")} AS sh FROM th),
+       |sigs AS (SELECT doc_id, ${sigE("sh")} AS sig FROM sets),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    list_reduce([sig[4*b + r + 1] for r in range(4)],
+       |      (acc, x) -> (acc*31 + x) % $P) AS band_key
+       |  FROM sigs, range(4) t(b)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(s1.sh, s2.sh))::BIGINT AS inter_size,
+       |    len(list_distinct(s1.sh || s2.sh))::BIGINT AS union_size
+       |  FROM cands
+       |  JOIN sets s1 ON s1.doc_id = doc_a
+       |  JOIN sets s2 ON s2.doc_id = doc_b)
+       |SELECT doc_a, doc_b, inter_size, union_size
+       |FROM scored WHERE inter_size * 1000 >= union_size * 800""".stripMargin
+
+  val simhashDedup: String =
+    s"""WITH $nearDupCorpus,
+       |th AS (SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM corpus),
+       |sk AS (
+       |  SELECT doc_id,
+       |    list_sum([CASE WHEN coalesce(list_sum([CASE WHEN (h >> j) & 1 = 1
+       |          THEN 1 ELSE -1 END for h in ths])::BIGINT, 0) >= 0
+       |        THEN (1::BIGINT << j) ELSE 0::BIGINT END
+       |      for j in range(32)])::BIGINT AS sh
+       |  FROM th),
+       |banded AS (
+       |  SELECT doc_id, sh, b AS band, (sh >> (8*b)::INT) & 255 AS nibble
+       |  FROM sk, range(4) t(b)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sh AS sh_a, b.sh AS sh_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+       |FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
+
+  val cosineTopK: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, ${quantE("embedding")} AS qv
+       |           FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id, ${quantE("embedding")} AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, vec_id, ${cosE("qv", "cv")} AS cos
+       |  FROM c, q WHERE vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, round(cos, 6) AS score, rank
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
+  val embeddingNearDup: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |qv AS (SELECT vec_id, ${quantE("embedding")} AS v FROM corpus),
+       |sk AS (
+       |  SELECT vec_id, v,
+       |    list_sum([CASE WHEN coalesce(list_sum([v[d+1] *
+       |          (CASE WHEN ((j*1000003 + d) * 2654435761) % 97 < 48
+       |                THEN 1 ELSE -1 END) for d in range(len(v))])::BIGINT, 0) >= 0
+       |        THEN (1::BIGINT << j) ELSE 0::BIGINT END
+       |      for j in range(8)])::BIGINT AS bucket
+       |  FROM qv),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+       |  FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (SELECT vec_a, vec_b, ${cosE("va", "vb")} AS cos FROM pairs)
+       |SELECT vec_a, vec_b, round(cos, 6) AS score
+       |FROM scored WHERE cos >= 0.99""".stripMargin
+}

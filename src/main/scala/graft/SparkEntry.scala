@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Country, Sentiment}
+import graft.llm.{Dedup, Similarity, TextAnalysis}
 import graft.model.WireCodec
 import graft.ops.{Relational, TrendPipeline, Windows}
 import graft.text.TextOps
@@ -93,7 +94,24 @@ object SparkEntry {
     // ---- §3.3 analyst queries over the TPC-H-ish tables ----
     "q1_agg" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_join" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
-    "customers_by_region" -> ((s, dir) => Relational.customersByRegion(s, dir)))
+    "customers_by_region" -> ((s, dir) => Relational.customersByRegion(s, dir)),
+    // ---- LLM-data-pipeline operators (graft.llm) ----
+    "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
+    "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    "ngram_counts" -> ((s, dir) => TextAnalysis.ngramCounts(docs(s, dir))),
+    "dedup_docs" -> ((s, dir) =>
+      Dedup.exactDedup(Dedup.withExactDups(docs(s, dir)))),
+    "minhash_dedup" -> ((s, dir) =>
+      Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir)))),
+    "simhash_dedup" -> ((s, dir) =>
+      Dedup.simhashDedup(Dedup.withNearDups(docs(s, dir)))),
+    "cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    "embedding_near_dup" -> ((s, dir) =>
+      Similarity.embeddingNearDup(
+        Similarity.withDupVectors(Tables.embeddings(s, dir)))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -113,5 +131,15 @@ object SparkEntry {
     "stream_count" -> Oracles.streamCount,
     "q1_agg" -> Oracles.q1Agg,
     "q3_join" -> Oracles.q3Join,
-    "customers_by_region" -> Oracles.customersByRegion)
+    "customers_by_region" -> Oracles.customersByRegion,
+    "token_stats" -> OraclesLlm.tokenStats,
+    "lang_id" -> OraclesLlm.langId,
+    "quality_score" -> OraclesLlm.qualityScore,
+    "doc_fingerprint" -> OraclesLlm.docFingerprint,
+    "ngram_counts" -> OraclesLlm.ngramCounts,
+    "dedup_docs" -> OraclesLlm.dedupDocs,
+    "minhash_dedup" -> OraclesLlm.minhashDedup,
+    "simhash_dedup" -> OraclesLlm.simhashDedup,
+    "cosine_topk" -> OraclesLlm.cosineTopK,
+    "embedding_near_dup" -> OraclesLlm.embeddingNearDup)
 }

@@ -1,0 +1,174 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFns._
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * Three tiers, all shuffle-bounded (never an all-pairs cartesian):
+  *   - exact:   hash-groupBy on a digest of the normalized text;
+  *   - MinHash: shingle → signature → LSH band buckets → bucket join →
+  *              exact n-gram-Jaccard verify on candidates only;
+  *   - SimHash: token-hash sign sums → 16-bit sketch → nibble-band
+  *              buckets → bucket join → Hamming verify.
+  *
+  * At 100 TB: the exact pass shuffles one (digest, id) pair per doc —
+  * never the text itself. The LSH joins shuffle (band, key, id) tuples;
+  * candidate volume is bounded by bucket sizes, and the expensive
+  * verification (Jaccard over shingle sets) runs only on candidates.
+  * All hashing is exact integer arithmetic (see [[TextFns]]) so a SQL
+  * oracle replays it bit-for-bit.
+  */
+object Dedup {
+
+  // ---- exact dedup (hash-groupBy) ----
+
+  /** Exact dedup over normalized text: one row per distinct content,
+    * keeping the smallest doc_id (deterministic). Groups by a sha256
+    * digest, not the text — at scale the shuffle carries 32 bytes + id
+    * per row instead of whole documents. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        sha2(TextAnalysis.normalize(col("text")), 256).as("content_key"))
+      .groupBy("content_key")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH ----
+
+  /** MinHash parameters: H hashes in B bands of R rows (H = B*R).
+    * With shingle size K=3, the LSH S-curve puts the detection knee
+    * around Jaccard ≈ (1/B)^(1/R) ≈ 0.7. */
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val ShingleK = 3
+
+  private def hashA(j: Int): Long = Math.floorMod(2654435761L * (j + 1) + 104729L, Prime)
+  private def hashB(j: Int): Long = Math.floorMod(97531L * (j + 1) + 12345L, Prime)
+
+  /** MinHash signature of a distinct-shingle-hash array: for each of the
+    * H universal-hash functions `(a_j*x + b_j) mod P`, the min over the
+    * set. NULL-free: empty shingle sets get signature value P (out of
+    * band of any real hash). */
+  def signature(shingleHashes: Column): Column =
+    array((0 until NumHashes).map { j =>
+      coalesce(
+        array_min(transform(shingleHashes,
+          h => pmod(lit(hashA(j)) * h + lit(hashB(j)), lit(Prime)))),
+        lit(Prime))
+    }: _*)
+
+  /** Band keys: the R signature values of each band folded into one long
+    * (polynomial combine mod P), so a band compares as a single key. */
+  def bandKeys(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      (0 until RowsPerBand).foldLeft(lit(0L): Column) { (acc, r) =>
+        pmod(acc * 31L + element_at(sig, b * RowsPerBand + r + 1), lit(Prime))
+      }
+    }: _*)
+
+  /** doc_id → exploded (band, band_key) plus the shingle set, ready for
+    * the LSH bucket self-join.
+    *
+    * Each derived array (token hashes → shingle set → signature) is
+    * staged through its own projection so it is materialized once per
+    * row; inlining them (e.g. `bandKeys(signature(col("sh")))`) makes
+    * every `element_at`/`transform` reference recompute the whole
+    * upstream array — Catalyst has no CSE inside higher-order lambdas. */
+  def lshBands(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"),
+        shingleHashSetFromTokenHashes(col("ths"), ShingleK).as("sh"))
+      .select(col("doc_id"), col("sh"), signature(col("sh")).as("sig"))
+      .select(col("doc_id"), col("sh"), posexplode(bandKeys(col("sig"))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+
+  /** MinHash near-dup pairs: candidates from LSH bucket join, verified
+    * with exact n-gram Jaccard ≥ minJaccardPm/1000 (integer
+    * cross-multiplied — no float compare). Output one row per pair with
+    * the exact intersection/union sizes. */
+  def minhashDedup(docs: DataFrame, minJaccardPm: Int = 800): DataFrame = {
+    // Self-join the *same* plan (aliases only) so Spark reuses one
+    // shuffle exchange for both sides instead of recomputing the
+    // signature stage twice (ReusedExchange in the physical plan).
+    val bands = lshBands(docs)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("inter_size"),
+        size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("union_size"))
+      .filter(col("inter_size") * 1000L >= col("union_size") * minJaccardPm)
+      // a pair may collide in several bands; dedup AFTER the cheap
+      // verify filter, on scalar keys only
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  // ---- SimHash ----
+
+  val SimHashBits = 32
+  val ByteBands = 4 // 4 bands of 8 bits
+
+  /** 32-bit SimHash from a *materialized* token-hash array column: bit j
+    * is the sign of `sum over tokens of (bit_j(hash) ? +1 : -1)` —
+    * occurrence-weighted (classic SimHash). `ths` must be an attribute
+    * (see [[TextFns.shingleHashSetFromTokenHashes]]): the 32 per-bit
+    * votes each scan it. Note: on a corpus with a shared small
+    * vocabulary, sketches genuinely cluster (documents ARE similar as
+    * bags of words) — banding bounds the join but candidate counts track
+    * the real similarity structure. */
+  def simhashFromTokenHashes(ths: Column): Column =
+    (0 until SimHashBits).foldLeft(lit(0L): Column) { (acc, j) =>
+      val vote = aggregate(ths, lit(0L),
+        (a, h) => a + when(pmod(shiftright(h, j), lit(2L)) === 1L, 1L).otherwise(-1L))
+      acc + when(vote >= 0, lit(1L << j)).otherwise(0L)
+    }
+
+  /** SimHash near-dup pairs: candidates share at least one of the 4
+    * byte-wide bands; verified with Hamming distance ≤ maxHamming. */
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sketched = docs
+      .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"), simhashFromTokenHashes(col("ths")).as("sh"))
+    val banded = sketched.select(
+      col("doc_id"), col("sh"),
+      posexplode(array((0 until ByteBands).map { b =>
+        pmod(shiftright(col("sh"), 8 * b), lit(256L))
+      }: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "nibble"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.nibble") === col("b.nibble") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // verify BEFORE the pair dedup
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  // ---- duplicate-injection fixtures ----
+
+  /** Corpus with injected EXACT duplicates: every doc_id ≡ 0 (mod 10) is
+    * copied verbatim under doc_id+100000. */
+  def withExactDups(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text").unionAll(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+
+  /** Corpus with injected NEAR duplicates: every doc_id ≡ 0 (mod 10) is
+    * copied with one prepended token (shingle Jaccard ≈ 0.9 for typical
+    * lengths). */
+  def withNearDups(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text").unionAll(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("dup "), col("text")).as("text")))
+}

@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Cross-engine determinism: embeddings are quantized by
+  * `floor(x * 8192)` — float→double widening and a power-of-two scale
+  * are both EXACT in IEEE arithmetic, so Spark and any SQL oracle
+  * compute identical integer vectors, exact integer dot products, and
+  * bit-identical cosines (sqrt/÷ are correctly rounded on both).
+  *
+  * Scale design:
+  *   - brute-force top-k: the query set is broadcast (it is small by
+  *     definition); the corpus is scanned once, partial top-k per
+  *     partition via window rank — no corpus shuffle beyond the rank.
+  *   - LSH: sign-random-projection buckets from deterministic integer
+  *     hyperplanes; the self-join is per-bucket, never all-pairs. The
+  *     same recipe is the building block of an IVF index (bucket =
+  *     coarse centroid id).
+  */
+object Similarity {
+
+  val QuantScale = 8192d // power of two ⇒ exact product in double
+
+  /** Quantized integer vector of a float-array column. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(QuantScale)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Squared L2 norm of a quantized vector (exact integer). */
+  def norm2Q(a: Column): Column =
+    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+
+  /** Cosine of two quantized vectors: exact integer dot over the product
+    * of correctly-rounded square roots — deterministic double. */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(norm2Q(a).cast("double")) * sqrt(norm2Q(b).cast("double")))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest corpus vectors by cosine (excluding self), rank and a
+    * 6-dp score. Ranking uses the full-precision cosine with vec_id
+    * tiebreak, so order is engine-independent. */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+    val c = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineQ(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos"), 6).as("score"), col("rank"))
+  }
+
+  // ---- sign-random-projection LSH ----
+
+  val LshBits = 8
+
+  /** Deterministic ±1 hyperplane weight for (plane j, dimension d):
+    * integer hash, identical in any engine. */
+  private def weight(j: Int, d: Column): Column =
+    when(pmod((lit(j * 1000003L) + d) * 2654435761L, lit(97L)) < 48L, 1L)
+      .otherwise(-1L)
+
+  /** LSH bucket id of a quantized vector: [[LshBits]] sign bits of
+    * deterministic random projections (exact integer sums). */
+  def lshBucket(qv: Column): Column =
+    (0 until LshBits).foldLeft(lit(0L): Column) { (acc, j) =>
+      val proj = aggregate(
+        zip_with(qv, sequence(lit(0L), size(qv).cast("long") - 1L),
+          (x, d) => x * weight(j, d)),
+        lit(0L), (a, v) => a + v)
+      acc + when(proj >= 0, lit(1L << j)).otherwise(0L)
+    }
+
+  /** Embedding near-dup pairs via LSH: bucket self-join (identical
+    * vectors always collide — every projection is equal), then exact
+    * cosine ≥ minCosine verify on candidates only. */
+  def embeddingNearDup(embeddings: DataFrame, minCosine: Double = 0.99): DataFrame = {
+    val sketched = embeddings.select(
+      col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv")))
+    // identical plan on both sides → one exchange, reused
+    sketched.as("a")
+      .join(sketched.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosineQ(col("a.qv"), col("b.qv")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("score"))
+  }
+
+  /** Corpus with injected identical vectors (vec_id ≡ 0 mod 10 copied
+    * under vec_id+100000) — near-dup ground truth for the LSH pipeline. */
+  def withDupVectors(embeddings: DataFrame): DataFrame =
+    embeddings.select("vec_id", "embedding").unionAll(
+      embeddings.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+}

@@ -1,0 +1,128 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFns._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * language ID, quality scoring, fingerprinting, n-gram counts.
+  *
+  * Design for 100 TB: every operator is a stateless per-row projection
+  * (no shuffle at all) except the n-gram count, which is one partial+final
+  * hash aggregate. Integer outputs everywhere — ratios are permille
+  * (`1000*x div y`) so results are engine-independent exact.
+  */
+object TextAnalysis {
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+    * the shape of a GPT-2-style pre-tokenization pass. */
+  val BpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Token/char counting: whitespace tokens, BPE-ish tokens, chars. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** Per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic (tiny, constant-folded into the plan — at scale this is a
+    * broadcast-free projection). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "une", "est"))
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  /** Language ID: argmax of marker-word hits with a fixed priority order
+    * (en > es > de > fr) on ties; `und` when nothing matches, `zh` when
+    * CJK characters dominate. */
+  def langId(docs: DataFrame): DataFrame = {
+    // stage the token array once — the 4 marker counts each scan it
+    val staged = docs.select(
+      col("doc_id"), length(col("text")).as("n"),
+      size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+        .as("cjk"),
+      tokens(col("text")).as("toks"))
+    val counts = LangMarkers.map { case (_, ws) => markerCount(col("toks"), ws) }
+    val Seq(en, es, de, fr) = counts
+    val pred =
+      when(col("cjk") * 10 > col("n") * 3, "zh")
+        .when(en + es + de + fr === 0, "und")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    staged.select(col("doc_id"), pred.as("pred_lang"))
+  }
+
+  /** Stopwords used by the quality heuristic. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
+  /** Quality scoring in exact integer permille:
+    *   - length_pm:   min(1000, 20 * word_count)        (saturates at 50 words)
+    *   - unique_pm:   1000 * distinct_tokens / tokens   (lexical diversity)
+    *   - stop_pm:     1000 * stopword_tokens / tokens   (naturalness)
+    * quality = (length_pm + unique_pm + stop_pm) div 3.
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("wc"),
+        size(array_distinct(col("toks"))).cast("long").as("uniq"),
+        size(filter(col("toks"), t => t.isInCollection(Stopwords)))
+          .cast("long").as("stop"))
+      .select(
+        col("doc_id"),
+        col("wc").as("word_count"),
+        least(lit(1000L), col("wc") * 20L).as("length_pm"),
+        when(col("wc") === 0, 0L)
+          .otherwise(expr("(1000 * uniq) div wc")).as("unique_pm"),
+        when(col("wc") === 0, 0L)
+          .otherwise(expr("(1000 * stop) div wc")).as("stop_pm"))
+      .withColumn("quality", expr("(length_pm + unique_pm + stop_pm) div 3"))
+
+  /** Document fingerprint: polynomial rolling hash of the
+    * whitespace-normalized lowercase text — the cheap first-pass identity
+    * key for exact dedup at scale (collision-checked by the exact
+    * pipeline; 64-bit variants just change [[TextFns.Prime]]). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      polyHash(normalize(col("text"))).as("fp"))
+
+  /** Normalization used by fingerprint/exact-dedup: lowercase + collapse
+    * runs of whitespace + trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Word-bigram counts — one hash aggregate; `approx_count_distinct`
+    * (HLL) of bigrams is exposed in the library for the 100 TB path where
+    * an exact distinct would shuffle the full n-gram space. */
+  def ngramCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(tokens(col("text")).as("toks")) // stage: element_at refs below
+      .select(explode(bigrams(col("toks"))).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Word bigrams of a *materialized* token-array column. */
+  private def bigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+
+  /** HLL distinct n-grams — the scale path (no exact distinct shuffle). */
+  def approxDistinctNgrams(docs: DataFrame): DataFrame =
+    docs.select(tokens(col("text")).as("toks"))
+      .select(explode(bigrams(col("toks"))).as("ngram"))
+      .agg(approx_count_distinct(col("ngram")).as("approx_distinct"))
+}
