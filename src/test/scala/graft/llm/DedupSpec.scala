@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** LLM dedup tier tests: exact, MinHash+LSH+Jaccard, SimHash. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "pack my box with five dozen liquor jugs before the night falls"),
+    (2L, "completely different words about streaming engines and shuffles here"),
+    (10L, "the quick brown fox jumps over the lazy dog again and again today"))
+
+  test("exactDedup groups identical normalized text, keeps min doc_id") {
+    val docs = (base :+ (20L, "THE  quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDedup(docs).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).sortBy(_._1)
+    // 0,10,20 collapse (case+whitespace normalize); 1 and 2 singletons
+    assert(got.toSeq == Seq((0L, 3L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("minhashDedup finds the near-identical pair and only it") {
+    val docs = (base.take(3) :+
+      (10L, "dup the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashDedup(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(got.toSeq == Seq((0L, 10L)))
+  }
+
+  test("minhash jaccard sizes are exact shingle-set set-ops") {
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.minhashDedup(docs).collect().head
+    // identical docs: 3 shingles each, inter = union = 3
+    assert(got.getAs[Long]("inter_size") == 3L)
+    assert(got.getAs[Long]("union_size") == 3L)
+  }
+
+  test("simhash of identical docs is identical; hamming 0 pair found") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "the quick brown fox jumps over the lazy dog"),
+      (9L, "totally unrelated content with other words entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashDedup(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 5L && p._3 == 0L))
+  }
+
+  test("withNearDups injects doc_id+100000 prepend-mutated copies") {
+    val docs = base.take(3).toDF("doc_id", "text")
+    val corpus = Dedup.withNearDups(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(corpus.size == 4 && corpus(100000L).startsWith("dup the quick"))
+  }
+}

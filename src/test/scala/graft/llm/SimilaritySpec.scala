@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Similarity search: quantized cosine, brute top-k, LSH buckets. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("cosineQ: identical vectors score 1, orthogonal 0, opposite -1") {
+    val df = Seq(
+      (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (Seq(1f, 1f, 0f), Seq(-1f, -1f, 0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosineQ(
+      Similarity.quantize(col("a")), Similarity.quantize(col("b"))).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-9)
+    assert(math.abs(got(1)) < 1e-9)
+    assert(math.abs(got(2) + 1.0) < 1e-9)
+  }
+
+  test("cosineTopK: nearest neighbor of a duplicate vector ranks first with score 1") {
+    val df = emb(
+      (0L, Seq(1f, 2f, 3f, 4f)),
+      (1L, Seq(1f, 2f, 3f, 4f)),     // duplicate of query 0
+      (2L, Seq(-4f, 3f, -2f, 1f)),
+      (3L, Seq(0.5f, 1f, 1.5f, 2f))) // colinear with query 0
+    val got = Similarity.cosineTopK(df, nQueries = 1, k = 3).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score"), r.getAs[Long]("rank")))
+      .sortBy(_._3)
+    assert(got.head._1 == 1L && math.abs(got.head._2 - 1.0) < 1e-6)
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    // colinear vector also ~1 (quantization permitting), ranks second
+    assert(got(1)._1 == 3L && got(1)._2 > 0.999)
+  }
+
+  test("lshBucket is equal for identical vectors, and near-dup finds them") {
+    val df = emb(
+      (0L, Seq(1f, 2f, 3f, 4f)),
+      (10L, Seq(1f, 2f, 3f, 4f)),
+      (2L, Seq(-4f, 3f, -2f, 1f)))
+    val buckets = df.select(col("vec_id"),
+      Similarity.lshBucket(Similarity.quantize(col("embedding"))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) == buckets(10L))
+    val pairs = Similarity.embeddingNearDup(df).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("score")))
+    assert(pairs.toSeq == Seq((0L, 10L, 1.0)))
+  }
+
+  test("quantize floors on exact float->double widening") {
+    val got = spark.range(1).select(
+      Similarity.quantize(array(lit(0.5f), lit(-0.5f), lit(0.0001f))).as("q"))
+      .collect().head.getAs[collection.Seq[Long]]("q")
+    assert(got == Seq(4096L, -4096L, 0L))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** P-3/P-4/P-5/P-7 cleaning chains vs FIXTURES.md A.1 hand fixtures. */
+class TextOpsSpec extends SparkSpec {
+
+  test("cleanTweetText: strip non-ascii, URLs after punct-strip, @mention->Foo, leading Foo") {
+    val in = Seq(
+      "Loving the new #Spark release! @databricks rocks http://t.co/x RT",
+      "@lead hello",
+      "#AI. Is this good? Maybe. #ml #AI",
+      "#copa final tonight!! 🎉🎉 #футбол")
+    val got = evalText[String](in)(TextOps.cleanTweetText(col("text")))
+    // step-1 strips '#', '/', ':', '?' and emoji (class keeps [a-zA-Z0-9\s.,!@]);
+    // RT-words die; URL remnant "httpt.cox" -> step-2 kills http\S+.
+    // NOTE '#' is stripped from TEXT — hashtags are extracted from the RAW
+    // text before cleaning, exactly like the reference (:217 vs :224).
+    assert(got(0) == "Loving the new Spark release! Foo rocks  ")
+    assert(got(1) == " hello") // @lead -> Foo, then leading Foo stripped
+    assert(got(2) == "AI. Is this good Maybe. ml AI")
+    assert(got(3) == "copa final tonight!!  ")
+  }
+
+  test("extractHashtags keeps only #-tokens longer than 1 char") {
+    val got = evalText[collection.Seq[String]](Seq(
+      "a #tag #x ## # b #mid,dle", "no tags", "#solo"))(
+      TextOps.extractHashtags(col("text")))
+    assert(got(0) == Seq("#tag", "#x", "##", "#mid,dle"))
+    assert(got(1) == Seq())
+    assert(got(2) == Seq("#solo"))
+  }
+
+  test("cleanHashtag strips RT-words and non-alphanumerics, keeps #") {
+    val got = evalText[String](Seq("#mid,dle!", "#startRT", "#fooRTbar", "#ok"))(
+      TextOps.cleanHashtag(col("text")))
+    // \w*RT eats the whole prefix through RT; remaining chars filtered
+    assert(got == Seq("#middle", "#", "#bar", "#ok"))
+  }
+
+  test("cleanHashtagSimple is the reference's near-no-op literal sequence") {
+    val got = evalText[String](Seq("#a:b,c!", "#a \t\n:,!b"))(
+      TextOps.cleanHashtagSimple(col("text")))
+    assert(got(0) == "#a:b,c!") // pattern never matches a lone ':' etc.
+    // \s (class) + literal "\t\n:,!" — only the full 6-char sequence dies
+    assert(got(1) == "#ab")
+  }
+
+  test("property: extracted hashtags all start with '#' and survive re-cleaning") {
+    val tok = Gen.oneOf("#tag", "word", "#a", "#", "x#y", "#B2", "RT")
+    val text = Gen.listOf(tok).map(_.mkString(" "))
+    val samples = Gen.listOfN(200, text).apply(Gen.Parameters.default, Seed(11L)).get
+    val got = evalText[collection.Seq[String]](samples)(TextOps.extractHashtags(col("text")))
+    assert(got.flatten.forall(t => t.startsWith("#") && t.length > 1))
+  }
+
+  test("property: tokenize+filter row count equals hashtag occurrences") {
+    val samples = Gen.listOfN(100,
+      Gen.listOf(Gen.oneOf("#t1", "#t2", "w")).map(_.mkString(" ")))
+      .apply(Gen.Parameters.default, Seed(13L)).get
+    val expected = samples.map(_.split(" ").count(t => t.startsWith("#") && t.length > 1))
+    val got = evalText[collection.Seq[String]](samples)(TextOps.extractHashtags(col("text")))
+    assert(got.map(_.size) == expected)
+  }
+}
