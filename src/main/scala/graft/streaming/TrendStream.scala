@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.functions.{Country, Sentiment}
+import graft.model.WireCodec
+import graft.text.TextOps
+
+/** The streaming assembly (SURVEY §2.9, `KafkaSparkProcessor.scala:71-128`):
+  * wire lines → per-hashtag sentiment rows → per-batch dedup → sinks, on a
+  * 15 s processing-time trigger; plus the idiomatic event-time upgrades
+  * (watermarked sliding window A-1, `dropDuplicatesWithinWatermark`).
+  *
+  * Scale: the per-batch path is stateless row ops + one dedup aggregate
+  * per micro-batch; the windowed path keeps bounded state (watermark
+  * evicts). Nothing collects to the driver.
+  */
+object TrendStream {
+
+  val DefaultTrigger: Trigger = Trigger.ProcessingTime("15 seconds")
+
+  /** T-1/T-2 on a streaming frame of `value` wire lines: parse, clean,
+    * score once per tweet, explode hashtags. `timestamp` is the
+    * processing-time batch second — the reference stamps batch time
+    * (`KafkaSparkProcessor.scala:109`), we stamp arrival time. */
+  def trendRows(lines: DataFrame): DataFrame = {
+    val loc = WireCodec.tweetLocation(col("value"))
+    val text = WireCodec.tweetText(col("value"))
+    lines
+      .select(
+        unix_timestamp(current_timestamp()).cast("int").as("timestamp"),
+        Country.extractCountry(loc).as("country"),
+        TextOps.cleanTweetText(text).as("clean"),
+        TextOps.extractHashtags(text).as("tags"))
+      .withColumn("sentiment_score", Sentiment.weightedScore(col("clean")))
+      .withColumn("sentiment_type",
+        lower(Sentiment.bucket(col("sentiment_score"))))
+      .select(
+        col("timestamp"),
+        explode(col("tags")).as("tag"),
+        col("sentiment_score"), col("sentiment_type"), col("country"))
+      .withColumn("hashtag", TextOps.cleanHashtag(col("tag")))
+      .select("timestamp", "hashtag", "sentiment_score", "sentiment_type", "country")
+  }
+
+  /** D-1 per micro-batch (the reference dedups inside foreachRDD,
+    * `KafkaSparkProcessor.scala:115`): deterministic min-score keep. */
+  def dedupBatch(df: DataFrame): DataFrame =
+    df.groupBy("timestamp", "hashtag", "country")
+      .agg(min("sentiment_score").as("sentiment_score"))
+      .withColumn("sentiment_type",
+        lower(Sentiment.bucket(col("sentiment_score"))))
+      .select("timestamp", "hashtag", "sentiment_score", "sentiment_type", "country")
+
+  /** S-2: the foreachBatch output loop — dedup then fan out to sinks,
+    * swallowing per-batch errors like the reference's try/catch
+    * (`KafkaSparkProcessor.scala:107-124`) but logging them. */
+  def writer(rows: DataFrame, sink: TrendSink,
+             trigger: Trigger = DefaultTrigger,
+             checkpoint: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = rows.writeStream
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        try sink.write(dedupBatch(df), batchId)
+        catch { case e: Throwable =>
+          System.err.println(s"[trend-stream] batch $batchId failed: ${e.getMessage}")
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+  }
+
+  /** End-to-end: source → rows (+A-3 observe counter) → sinks. */
+  def start(spark: org.apache.spark.sql.SparkSession,
+            source: TweetSource, sink: TrendSink,
+            trigger: Trigger = DefaultTrigger,
+            checkpoint: Option[String] = None): StreamingQuery =
+    writer(observed(trendRows(source.load(spark))), sink, trigger, checkpoint).start()
+
+  /** A-3 (`tweets.count().print()`, `KafkaSparkProcessor.scala:126`): the
+    * per-batch record count as an `observe` metric — readable from a
+    * `StreamingQueryListener` without a second aggregation query. */
+  def observed(rows: DataFrame): DataFrame =
+    rows.observe("trend_metrics", count(lit(1)).as("batch_rows"))
+
+  /** A-1 streaming: 60 s window sliding 15 s, counts per (window, hashtag),
+    * watermarked event time so state is bounded and late rows beyond the
+    * watermark drop (the DStream original has no late handling at all). */
+  def windowedHashtagCounts(rows: DataFrame,
+                            watermark: String = "2 minutes"): DataFrame =
+    rows
+      .withColumn("event_time", col("timestamp").cast("timestamp"))
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        window(col("event_time"), "60 seconds", "15 seconds"),
+        col("hashtag"))
+      .count()
+
+  /** Streaming-native dedup upgrade: state-backed within-watermark
+    * dedup on the composite key (vs the per-batch D-1). */
+  def dedupWithinWatermark(rows: DataFrame,
+                           watermark: String = "2 minutes"): DataFrame =
+    rows
+      .withColumn("event_time", col("timestamp").cast("timestamp"))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("timestamp", "hashtag", "country")
+}

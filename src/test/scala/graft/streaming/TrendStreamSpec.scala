@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Streaming assembly tests over MemoryStream (SURVEY §5.4): per-batch
+  * dedup, first-batch truncation (A-5/S-6/S-7), append (S-4),
+  * repartition (S-8), observe counter (A-3), windowed counts (A-1),
+  * source trait + synthetic generator (SRC-1/P-12). */
+class TrendStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def processBatches(batches: Seq[Seq[String]], sink: TrendSink): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val rows = TrendStream.trendRows(mem.toDF().select(col("value")))
+    val q = TrendStream.writer(rows, sink, Trigger.AvailableNow(),
+      Some(Files.createTempDirectory("ckpt").toString))
+    batches.foreach(mem.addData(_: _*))
+    // AvailableNow processes all pending data then stops; each addData
+    // call lands in its own micro-batch only with per-batch triggers, so
+    // feed batches through separate restarts for batch-id semantics.
+    val query = q.start()
+    query.awaitTermination(60000)
+  }
+
+  test("foreachBatch pipeline: parse -> sentiment -> explode -> dedup -> sink") {
+    val sink = new TrendSink.MemoryProducerSink()
+    processBatches(Seq(Seq(
+      "Boston, MA /TLOC/ fast #a #a #b",
+      "Paris /TLOC/ slow slow #a")), sink)
+    val rows = sink.buffer.values.flatten.toSeq
+    // dedup collapses the two #a from doc 1; #a from Paris has country NULL
+    assert(rows.length == 3)
+    val byKey = rows.map(r => (r.getAs[String]("hashtag"), r.getAs[String]("country"))).toSet
+    assert(byKey == Set(("#a", "USA"), ("#b", "USA"), ("#a", "NULL")))
+    val scores = rows.map(r =>
+      (r.getAs[String]("hashtag"), r.getAs[String]("country")) -> r.getAs[Double]("sentiment_score")).toMap
+    assert(scores(("#b", "USA")) == 3.0) // "fast a a b": neutral 2 + 1
+    assert(scores(("#a", "NULL")) == 0.0) // "slow slow a": 2 - 2
+  }
+
+  test("ParquetSink: batch 0 truncates, later batches append, repartition honored") {
+    val dir = Files.createTempDirectory("trendsink").toString + "/out"
+    val sink = TrendSink.ParquetSink(dir, repartition = Some(2))
+    val df1 = Seq((100, "#a", 2.0, "neutral", "USA"))
+      .toDF("timestamp", "hashtag", "sentiment_score", "sentiment_type", "country")
+    val df2 = Seq((200, "#b", 3.0, "positive", "USA"))
+      .toDF("timestamp", "hashtag", "sentiment_score", "sentiment_type", "country")
+    sink.write(df1, 0L)
+    sink.write(df2, 1L)
+    assert(spark.read.parquet(dir).count() == 2)
+    // first batch again (restart semantics): truncate back to 1 row
+    sink.write(df1, 0L)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("observe metric exposes per-batch row count (A-3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val counted = new java.util.concurrent.atomic.AtomicLong(-1)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get("trend_metrics")
+        if (m != null) counted.set(m.getAs[Long]("batch_rows"))
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val sink = new TrendSink.MemoryProducerSink()
+      val rows = TrendStream.observed(TrendStream.trendRows(mem.toDF()))
+      val q = TrendStream.writer(rows, sink, Trigger.AvailableNow(),
+        Some(Files.createTempDirectory("ckpt").toString)).start()
+      mem.addData("Boston, MA /TLOC/ fast #a #b")
+      q.awaitTermination(60000)
+      // explode produced 2 rows pre-dedup
+      var waited = 0
+      while (counted.get() == -1 && waited < 100) { Thread.sleep(100); waited += 1 }
+      assert(counted.get() == 2L)
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("windowedHashtagCounts: 60s/15s sliding event-time windows with watermark") {
+    val rows = Seq(
+      (1000, "#a"), (1010, "#a"), (1059, "#a"), (1060, "#b"))
+      .toDF("timestamp", "hashtag")
+    // batch-mode evaluation of the same streaming expression
+    val got = TrendStream.windowedHashtagCounts(rows)
+      .select(col("window.start").cast("long").as("ws"), col("hashtag"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // event 1000 is in the 4 windows starting 945,960,975,990
+    assert(got.contains((990L, "#a", 2L)))  // [990,1050) covers 1000,1010
+    assert(got.contains((1005L, "#a", 2L))) // [1005,1065) covers 1010,1059
+    assert(got.contains((1050L, "#a", 1L)) && got.contains((1050L, "#b", 1L)))
+    assert(got.count(_._2 == "#b") == 4)    // 1060 sits in exactly 4 windows
+  }
+
+  test("SyntheticTweets: P-12 filter drops null-location and tag-less rows") {
+    val ids = spark.range(0, 105).select(col("id"))
+    val raw = SyntheticTweets.rawTweets(ids).collect()
+    val lines = SyntheticTweets.wireLines(ids).collect().map(_.getString(0))
+    assert(raw.length == 105 && lines.length < 105)
+    assert(lines.forall(_.contains(" /TLOC/ ")))
+    assert(lines.forall(l => l.split(" ").exists(t => t.startsWith("#") && t.length > 1)))
+    // no emitted line has an empty location slot
+    assert(lines.forall(l => l.split(" /TLOC/ ")(0).nonEmpty))
+  }
+
+  test("FileSource streams text files as Kafka-value records") {
+    val dir = Files.createTempDirectory("tweets").toString
+    Files.writeString(java.nio.file.Path.of(dir, "b0.txt"),
+      "Boston, MA /TLOC/ fast #x\nParis /TLOC/ slow #y")
+    val sink = new TrendSink.MemoryProducerSink()
+    val rows = TrendStream.trendRows(TweetSource.FileSource(dir).load(spark))
+    val q = TrendStream.writer(rows, sink, Trigger.AvailableNow(),
+      Some(Files.createTempDirectory("ckpt").toString)).start()
+    q.awaitTermination(60000)
+    val got = sink.buffer.values.flatten.map(_.getAs[String]("hashtag")).toSet
+    assert(got == Set("#x", "#y"))
+  }
+
+  test("dedupWithinWatermark drops the in-watermark duplicate (streaming-native D-1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val base = TrendStream.trendRows(mem.toDF())
+    val out = new TrendSink.MemoryProducerSink()
+    val dedup = TrendStream.dedupWithinWatermark(base)
+      .select("timestamp", "hashtag", "sentiment_score", "sentiment_type", "country")
+    val q = dedup.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => out.write(df, id))
+      .start()
+    mem.addData("Boston, MA /TLOC/ fast #a #a") // same key twice in one batch
+    q.awaitTermination(60000)
+    assert(out.buffer.values.flatten.size == 1)
+  }
+}
