@@ -187,6 +187,48 @@ object OraclesLlm {
        |SELECT query_id, vec_id, round(cos, 6) AS score, rank
        |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** Synthetic media columns derived from documents (mirrors
+    * `Multimodal.syntheticMedia` arithmetic). */
+  private val mediaCte: String =
+    s"""media AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    (doc_id % 4)::INT * 160 + 320 AS width,
+       |    (doc_id % 4)::INT * 90 + 180 AS height,
+       |    (CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END)::INT AS sample_rate,
+       |    (doc_id % 30) * 1000 + 1000 AS duration_ms,
+       |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+       |    octet_length(encode(text)) AS n_bytes
+       |  FROM documents)""".stripMargin
+
+  val mediaMeta: String =
+    s"""WITH $mediaCte
+       |SELECT media_id, kind, width, height, sample_rate, duration_ms, format
+       |FROM media""".stripMargin
+
+  /** The decode stub's invariant: the byte-histogram features sum to the
+    * payload length — the oracle checks the whole mapPartitions plumbing
+    * without re-implementing the codec. */
+  val mediaFeatures: String =
+    s"""WITH $mediaCte
+       |SELECT media_id, kind, n_bytes::BIGINT AS n_bytes,
+       |  16::BIGINT AS n_features, n_bytes::BIGINT AS feat_sum
+       |FROM media""".stripMargin
+
+  val frameSample: String =
+    s"""WITH $mediaCte
+       |SELECT media_id, unnest(range(0, duration_ms, 1000)) AS frame_ts_ms
+       |FROM media WHERE kind = 'video'""".stripMargin
+
+  val resizePlan: String =
+    s"""WITH $mediaCte
+       |SELECT media_id, kind,
+       |  CASE WHEN 640 * height::BIGINT <= 360 * width::BIGINT
+       |       THEN 640::BIGINT ELSE (width::BIGINT * 360) // height END AS target_width,
+       |  CASE WHEN 640 * height::BIGINT <= 360 * width::BIGINT
+       |       THEN (height::BIGINT * 640) // width ELSE 360::BIGINT END AS target_height
+       |FROM media""".stripMargin
+
   val embeddingNearDup: String =
     s"""WITH corpus AS (
        |  SELECT vec_id, embedding FROM embeddings UNION ALL

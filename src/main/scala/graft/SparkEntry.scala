@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Country, Sentiment}
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.model.WireCodec
 import graft.ops.{Relational, TrendPipeline, Windows}
 import graft.text.TextOps
@@ -111,7 +111,23 @@ object SparkEntry {
       Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
-        Similarity.withDupVectors(Tables.embeddings(s, dir)))))
+        Similarity.withDupVectors(Tables.embeddings(s, dir)))),
+    // ---- multimodal columns (binary payload + typed metadata) ----
+    "media_meta" -> ((s, dir) =>
+      Multimodal.syntheticMedia(docs(s, dir)).select(
+        col("media_id"), col("kind"), col("meta.width"), col("meta.height"),
+        col("meta.sample_rate"), col("meta.duration_ms"), col("meta.format"))),
+    "media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          size(col("features")).cast("long").as("n_features"),
+          aggregate(col("features"), lit(0L),
+            (acc, x) => acc + x.cast("long")).as("feat_sum"))),
+    "frame_sample" -> ((s, dir) =>
+      Multimodal.frameSamplePlan(Multimodal.syntheticMedia(docs(s, dir)))),
+    "resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(Multimodal.syntheticMedia(docs(s, dir)), 640, 360)
+        .select("media_id", "kind", "target_width", "target_height")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -141,5 +157,9 @@ object SparkEntry {
     "minhash_dedup" -> OraclesLlm.minhashDedup,
     "simhash_dedup" -> OraclesLlm.simhashDedup,
     "cosine_topk" -> OraclesLlm.cosineTopK,
-    "embedding_near_dup" -> OraclesLlm.embeddingNearDup)
+    "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
+    "media_meta" -> OraclesLlm.mediaMeta,
+    "media_features" -> OraclesLlm.mediaFeatures,
+    "frame_sample" -> OraclesLlm.frameSample,
+    "resize_plan" -> OraclesLlm.resizePlan)
 }
