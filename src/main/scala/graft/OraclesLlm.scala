@@ -187,6 +187,16 @@ object OraclesLlm {
        |SELECT query_id, vec_id, round(cos, 6) AS score, rank
        |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** Signatures via the typed Aggregator path — same math as the
+    * expression form; docs with no shingles are absent (no rows to
+    * aggregate). */
+  val minhashSignatures: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM documents),
+       |sets AS (SELECT doc_id, ${shSetE("ths")} AS sh FROM th),
+       |sigs AS (SELECT doc_id, ${sigE("sh")} AS sig FROM sets WHERE len(sh) > 0)
+       |SELECT doc_id, j, sig[j+1] AS sig_value FROM sigs, range(16) t(j)""".stripMargin
+
   /** Synthetic media columns derived from documents (mirrors
     * `Multimodal.syntheticMedia` arithmetic). */
   private val mediaCte: String =

@@ -105,6 +105,8 @@ object SparkEntry {
       Dedup.exactDedup(Dedup.withExactDups(docs(s, dir)))),
     "minhash_dedup" -> ((s, dir) =>
       Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir)))),
+    "minhash_signatures" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir))),
     "simhash_dedup" -> ((s, dir) =>
       Dedup.simhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "cosine_topk" -> ((s, dir) =>
@@ -155,6 +157,7 @@ object SparkEntry {
     "ngram_counts" -> OraclesLlm.ngramCounts,
     "dedup_docs" -> OraclesLlm.dedupDocs,
     "minhash_dedup" -> OraclesLlm.minhashDedup,
+    "minhash_signatures" -> OraclesLlm.minhashSignatures,
     "simhash_dedup" -> OraclesLlm.simhashDedup,
     "cosine_topk" -> OraclesLlm.cosineTopK,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,

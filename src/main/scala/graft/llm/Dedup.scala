@@ -70,6 +70,56 @@ object Dedup {
       }
     }: _*)
 
+  /** A-4-style typed-UDAF surface for MinHash (SURVEY §7.4): aggregates
+    * a document's shingle hashes into its H-value signature. The buffer
+    * is the running element-wise min — `reduce` folds one shingle through
+    * all H universal hashes, `merge` is element-wise min, so the
+    * aggregation is associative/commutative and map-side combines: at
+    * scale each partition ships one H-long buffer per doc, not its
+    * shingles. Output equals [[signature]] exactly (tested). */
+  object MinHashAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(NumHashes)(Prime)
+    def reduce(b: Array[Long], sh: Long): Array[Long] = {
+      var j = 0
+      while (j < NumHashes) {
+        val h = Math.floorMod(hashA(j) * sh + hashB(j), Prime)
+        if (h < b(j)) b(j) = h
+        j += 1
+      }
+      b
+    }
+    def merge(l: Array[Long], r: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < NumHashes) { if (r(j) < l(j)) l(j) = r(j); j += 1 }
+      l
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** MinHash signatures through the typed-Aggregator path: explode the
+    * shingle set to (doc_id, shingle) rows, aggregate per doc. One
+    * shuffle of H-long buffers (partial aggregation pre-shuffle). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"),
+        explode(shingleHashSetFromTokenHashes(col("ths"), ShingleK)).as("sh"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(MinHashAgg.toColumn.name("sig"))
+      .toDF("doc_id", "sig")
+      .select(col("doc_id"), posexplode(col("sig")))
+      .select(col("doc_id"), col("pos").cast("long").as("j"),
+        col("col").as("sig_value"))
+  }
+
   /** doc_id → exploded (band, band_key) plus the shingle set, ready for
     * the LSH bucket self-join.
     *

@@ -24,9 +24,19 @@ object TextFns {
     filter(split(s, ""), c => length(c) > 0)
 
   /** Deterministic polynomial rolling hash: fold `acc*31 + codepoint`
-    * mod [[Prime]] over the characters. Same fold is expressible in any
-    * SQL engine with list folds (`list_reduce` in DuckDB). */
+    * mod [[Prime]] over the code points. Same fold is expressible in any
+    * SQL engine with list folds (`list_reduce` in DuckDB).
+    *
+    * Planned as the native codegen'd
+    * [[graft.functions.PolyHashExpression]] — a tight generated-Java
+    * loop; [[polyHashHof]] is the pure-column twin kept for
+    * cross-checking the two implementations in tests. */
   def polyHash(s: Column): Column =
+    graft.functions.GraftExtensions.polyhashCol(s)
+
+  /** Higher-order-function twin of [[polyHash]] (interpreted; reference
+    * implementation for equivalence tests). */
+  def polyHashHof(s: Column): Column =
     aggregate(chars(s), lit(0L),
       (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(Prime)))
 

@@ -52,6 +52,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 5L && p._3 == 0L))
   }
 
+  test("MinHashAgg typed aggregator equals the expression-form signature") {
+    val docs = base.take(3).toDF("doc_id", "text")
+    val viaAgg = Dedup.minhashSignatures(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaExpr = docs
+      .select(col("doc_id"), TextFns.tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"),
+        TextFns.shingleHashSetFromTokenHashes(col("ths"), Dedup.ShingleK).as("sh"))
+      .select(col("doc_id"), posexplode(Dedup.signature(col("sh"))))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+    assert(viaAgg == viaExpr && viaAgg.size == 3 * Dedup.NumHashes)
+  }
+
   test("withNearDups injects doc_id+100000 prepend-mutated copies") {
     val docs = base.take(3).toDF("doc_id", "text")
     val corpus = Dedup.withNearDups(docs).collect()
