@@ -47,14 +47,21 @@ object Sentiment {
 
   /** U-1 + A-4: length-weighted mean of per-sentence scores,
     * `sum(score_i * len_i) / sum(len_i)`; −1 when there are no sentences
-    * (`KafkaSparkProcessor.scala:166-177`). */
-  def weightedScore(text: Column): Column = {
-    val ss = sentences(text)
-    val num = aggregate(ss, lit(0.0),
-      (acc, s) => acc + sentenceScore(s) * length(s).cast("double"))
-    val den = aggregate(ss, lit(0.0), (acc, s) => acc + length(s).cast("double"))
-    when(size(ss) === 0, lit(-1.0)).otherwise(num / den)
-  }
+    * (`KafkaSparkProcessor.scala:166-177`).
+    *
+    * Single `aggregate` with a (num, den) struct accumulator: the
+    * sentence array is split/trimmed/filtered exactly once per row —
+    * three separate folds would re-evaluate [[sentences]] each (no CSE
+    * inside higher-order lambdas). */
+  def weightedScore(text: Column): Column =
+    aggregate(
+      sentences(text),
+      struct(lit(0.0).as("num"), lit(0.0).as("den")),
+      (acc, s) => struct(
+        (acc("num") + sentenceScore(s) * length(s).cast("double")).as("num"),
+        (acc("den") + length(s).cast("double")).as("den")),
+      acc => when(acc("den") === 0.0, lit(-1.0))
+        .otherwise(acc("num") / acc("den")))
 
   /** U-2 (`KafkaSparkProcessor.scala:186-194`): threshold bucketing.
     * The reference's `match` has no case for exactly 5.0 (`MatchError`);

@@ -58,17 +58,21 @@ object TrendPipeline {
     * tweet's sentiment and country. Sentiment/country are computed on the
     * tweet projection (once), then the hashtag array is exploded. */
   def hashtagRows(tweets: DataFrame): DataFrame = {
-    val text = WireCodec.tweetText(col("line"))
-    val loc = WireCodec.tweetLocation(col("line"))
-    val cleanText = TextOps.cleanTweetText(text)
-    val score = Sentiment.weightedScore(cleanText)
     tweets
+      // stage the parsed text: the wire-line split feeds three consumers
+      // (clean chain, hashtag extract, country) and would otherwise be
+      // re-evaluated per reference (no CSE across expression copies)
+      .select(
+        col("doc_id"), col("ts"),
+        WireCodec.tweetText(col("line")).as("text"),
+        WireCodec.tweetLocation(col("line")).as("loc"))
       .select(
         col("doc_id"),
         col("ts"),
-        Country.extractCountry(loc).as("country"),
-        score.as("sentiment_score"),
-        TextOps.extractHashtags(text).as("tags"))
+        Country.extractCountry(col("loc")).as("country"),
+        Sentiment.weightedScore(TextOps.cleanTweetText(col("text")))
+          .as("sentiment_score"),
+        TextOps.extractHashtags(col("text")).as("tags"))
       .withColumn("sentiment_type",
         lower(Sentiment.bucket(col("sentiment_score"))))
       .select(
