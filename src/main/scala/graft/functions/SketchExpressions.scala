@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native sketch expressions: the hot inner loops of SimHash and MinHash
+  * as tight JVM loops invoked from generated code, replacing 32 (resp.
+  * 16) interpreted higher-order `aggregate`/`transform` passes per row.
+  * Results are bit-identical to the HOF forms (tested) and to the DuckDB
+  * oracle's list-comprehension math.
+  */
+object SketchOps {
+
+  /** 32-bit SimHash of token hashes: bit j = sign of the ±1 votes of
+    * bit j across the hashes (empty input votes 0 ⇒ all bits set, same
+    * as the HOF fold). */
+  def simhash(ths: ArrayData, bits: Int): Long = {
+    val n = ths.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = ths.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sketch = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) >= 0) sketch |= (1L << j)
+      j += 1
+    }
+    sketch
+  }
+
+  /** MinHash signature of (distinct) shingle hashes under H universal
+    * hashes `(a_j*x + b_j) mod P`; empty input ⇒ all-P signature. */
+  def minhashSig(sh: ArrayData, numHashes: Int, prime: Long,
+                 as: Array[Long], bs: Array[Long]): ArrayData = {
+    val sig = Array.fill(numHashes)(prime)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val x = sh.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = Math.floorMod(as(j) * x + bs(j), prime)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Exact integer dot product over the common prefix length. */
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+}
+
+/** `dot_q(array<bigint>, array<bigint>) -> bigint`: exact integer dot
+  * product of two quantized vectors — the ANN hot loop as generated
+  * code instead of an interpreted zip_with/aggregate chain. */
+case class DotQExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_q"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotQExpression =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchOps.dot($a, $b);")
+}
+
+/** `simhash(array<bigint>) -> bigint` — see [[SketchOps.simhash]]. */
+case class SimHashExpression(child: Expression, bits: Int = 32) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires array<bigint>, got $t")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.simhash(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchOps.simhash($c, $bits);")
+}
+
+/** `minhash_sig(array<bigint>) -> array<bigint>` — see
+  * [[SketchOps.minhashSig]]. The hash-family constants are baked in as
+  * two static arrays referenced from generated code. */
+case class MinHashSigExpression(
+    child: Expression,
+    numHashes: Int,
+    prime: Long,
+    as: Seq[Long],
+    bs: Seq[Long]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires array<bigint>, got $t")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpression =
+    copy(child = newChild)
+
+  @transient private lazy val asArr = as.toArray
+  @transient private lazy val bsArr = bs.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.minhashSig(input.asInstanceOf[ArrayData], numHashes, prime, asArr, bsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", asArr, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.SketchOps.minhashSig(
+         |  $c, $numHashes, ${prime}L, $asRef, $bsRef);""".stripMargin)
+  }
+}
+
+object SketchExpressions {
+  import org.apache.spark.sql.GraftColumnBridge._
+
+  def simhashCol(ths: Column, bits: Int = 32): Column =
+    column(SimHashExpression(expression(ths), bits))
+
+  def minhashSigCol(sh: Column, numHashes: Int, prime: Long,
+                    as: Seq[Long], bs: Seq[Long]): Column =
+    column(MinHashSigExpression(expression(sh), numHashes, prime, as, bs))
+
+  def dotQCol(a: Column, b: Column): Column =
+    column(DotQExpression(expression(a), expression(b)))
+}

@@ -52,8 +52,16 @@ object Dedup {
   /** MinHash signature of a distinct-shingle-hash array: for each of the
     * H universal-hash functions `(a_j*x + b_j) mod P`, the min over the
     * set. NULL-free: empty shingle sets get signature value P (out of
-    * band of any real hash). */
+    * band of any real hash). Planned as the native
+    * [[graft.functions.MinHashSigExpression]] (one tight loop instead of
+    * H interpreted transform+array_min passes); [[signatureHof]] is the
+    * column-form twin for equivalence tests. */
   def signature(shingleHashes: Column): Column =
+    graft.functions.SketchExpressions.minhashSigCol(
+      shingleHashes, NumHashes, Prime,
+      (0 until NumHashes).map(hashA), (0 until NumHashes).map(hashB))
+
+  def signatureHof(shingleHashes: Column): Column =
     array((0 until NumHashes).map { j =>
       coalesce(
         array_min(transform(shingleHashes,
@@ -175,6 +183,10 @@ object Dedup {
     * bags of words) — banding bounds the join but candidate counts track
     * the real similarity structure. */
   def simhashFromTokenHashes(ths: Column): Column =
+    graft.functions.SketchExpressions.simhashCol(ths, SimHashBits)
+
+  /** Column-form twin of [[simhashFromTokenHashes]] for tests. */
+  def simhashFromTokenHashesHof(ths: Column): Column =
     (0 until SimHashBits).foldLeft(lit(0L): Column) { (acc, j) =>
       val vote = aggregate(ths, lit(0L),
         (a, h) => a + when(pmod(shiftright(h, j), lit(2L)) === 1L, 1L).otherwise(-1L))

@@ -29,8 +29,13 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * lit(QuantScale)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — planned as the
+    * native [[graft.functions.DotQExpression]] (generated tight loop);
+    * [[dotQHof]] is the column-form twin for equivalence tests. */
   def dotQ(a: Column, b: Column): Column =
+    graft.functions.SketchExpressions.dotQCol(a, b)
+
+  def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Squared L2 norm of a quantized vector (exact integer). */
@@ -48,13 +53,18 @@ object Similarity {
     * 6-dp score. Ranking uses the full-precision cosine with vec_id
     * tiebreak, so order is engine-independent. */
   def cosineTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    // norms staged per vector — recomputing them per (query, candidate)
+    // pair would redo a 64-element fold n_queries times per corpus row
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(norm2Q(col("qv")).cast("double")))
     val c = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn", sqrt(norm2Q(col("cv")).cast("double")))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosineQ(col("qv"), col("cv")).as("cos"))
+        (dotQ(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn")))
+          .as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
     scored
@@ -92,13 +102,16 @@ object Similarity {
     val sketched = embeddings.select(
       col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("bucket", lshBucket(col("qv")))
-    // identical plan on both sides → one exchange, reused
+      .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
+    // identical plan on both sides → one exchange, reused; norms staged
+    // so each candidate pair only pays the dot product
     sketched.as("a")
       .join(sketched.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosineQ(col("a.qv"), col("b.qv")).as("cos"))
+        (dotQ(col("a.qv"), col("b.qv")).cast("double") /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("score"))
   }

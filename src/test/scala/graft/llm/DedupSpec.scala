@@ -65,6 +65,30 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg == viaExpr && viaAgg.size == 3 * Dedup.NumHashes)
   }
 
+  test("native sketch expressions equal their HOF column twins") {
+    val docs = base.toDF("doc_id", "text")
+      .select(col("doc_id"), TextFns.tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"), col("ths"),
+        TextFns.shingleHashSetFromTokenHashes(col("ths"), 3).as("sh"))
+    val rows = docs.select(
+      Dedup.simhashFromTokenHashes(col("ths")).as("native_sim"),
+      Dedup.simhashFromTokenHashesHof(col("ths")).as("hof_sim"),
+      Dedup.signature(col("sh")).as("native_sig"),
+      Dedup.signatureHof(col("sh")).as("hof_sig")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getAs[collection.Seq[Long]](2) == r.getAs[collection.Seq[Long]](3))
+    }
+    // empty-input conventions match too
+    val empty = spark.sql("SELECT array()").select(
+      Dedup.simhashFromTokenHashes(expr("cast(array() as array<bigint>)")).as("s"),
+      Dedup.signature(expr("cast(array() as array<bigint>)")).as("g"),
+      Dedup.simhashFromTokenHashesHof(expr("cast(array() as array<bigint>)")).as("sh"),
+      Dedup.signatureHof(expr("cast(array() as array<bigint>)")).as("gh")).collect().head
+    assert(empty.getLong(0) == empty.getLong(2))
+    assert(empty.getAs[collection.Seq[Long]](1) == empty.getAs[collection.Seq[Long]](3))
+  }
+
   test("withNearDups injects doc_id+100000 prepend-mutated copies") {
     val docs = base.take(3).toDF("doc_id", "text")
     val corpus = Dedup.withNearDups(docs).collect()

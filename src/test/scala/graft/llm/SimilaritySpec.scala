@@ -53,6 +53,16 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 10L, 1.0)))
   }
 
+  test("native dot expression equals the HOF fold") {
+    val df = Seq(
+      (Seq(1L, -2L, 3L, 100L), Seq(7L, 5L, -1L, 2L)),
+      (Seq(0L, 0L), Seq(0L, 9L))).toDF("a", "b")
+    val rows = df.select(
+      Similarity.dotQ(col("a"), col("b")).as("n"),
+      Similarity.dotQHof(col("a"), col("b")).as("h")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("quantize floors on exact float->double widening") {
     val got = spark.range(1).select(
       Similarity.quantize(array(lit(0.5f), lit(-0.5f), lit(0.0001f))).as("q"))
