@@ -187,6 +187,32 @@ object OraclesLlm {
        |SELECT query_id, vec_id, round(cos, 6) AS score, rank
        |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** IVF: deterministic first-N "centroids", max-cosine assignment,
+    * probe within the query's cell only. */
+  val ivfTopK: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, ${quantE("embedding")} AS qv FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, qv, cent_id FROM (
+       |    SELECT v.vec_id, v.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosE("v.qv", "c.cv")} DESC, c.cent_id) AS rn
+       |    FROM vecs v, cents c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, qv AS qqv, cent_id AS qcent
+       |      FROM assigned WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT query_id, a.vec_id, ${cosE("qqv", "a.qv")} AS cos
+       |  FROM assigned a JOIN q
+       |    ON a.cent_id = q.qcent AND a.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, round(cos, 6) AS score, rank
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** Signatures via the typed Aggregator path — same math as the
     * expression form; docs with no shingles are absent (no rows to
     * aggregate). */

@@ -87,10 +87,18 @@ object SparkEntry {
             col("sentiment_type"), col("country"))).as("dec"))
         .select(col("doc_id"), col("dec.*"))
     }),
+    // ---- §3.3 dashboard queries over trend rows ----
+    "sentiment_distribution" -> ((s, dir) =>
+      TrendPipeline.sentimentDistribution(TrendPipeline.trendRows(docs(s, dir)))),
+    "counts_by_country" -> ((s, dir) =>
+      TrendPipeline.countsByCountry(TrendPipeline.trendRows(docs(s, dir)))),
+    "hashtag_timeseries" -> ((s, dir) =>
+      TrendPipeline.hashtagTimeseries(TrendPipeline.trendRows(docs(s, dir)))),
     // ---- A-1 / A-3 event-time analogs over `events` ----
     "windowed_counts" -> ((s, dir) => Windows.tumblingCounts(events(s, dir))),
     "sliding_counts" -> ((s, dir) => Windows.slidingCounts(events(s, dir))),
     "stream_count" -> ((s, dir) => Windows.streamCount(events(s, dir))),
+    "user_sessions" -> ((s, dir) => Windows.userSessions(events(s, dir))),
     // ---- §3.3 analyst queries over the TPC-H-ish tables ----
     "q1_agg" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_join" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
@@ -111,6 +119,8 @@ object SparkEntry {
       Dedup.simhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    "ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
@@ -144,9 +154,13 @@ object SparkEntry {
     "sentiment_score" -> Oracles.sentimentScore,
     "weighted_sentiment" -> Oracles.weightedSentiment,
     "wire_roundtrip" -> Oracles.wireRoundtrip,
+    "sentiment_distribution" -> Oracles.sentimentDistribution,
+    "counts_by_country" -> Oracles.countsByCountry,
+    "hashtag_timeseries" -> Oracles.hashtagTimeseries,
     "windowed_counts" -> Oracles.windowedCounts,
     "sliding_counts" -> Oracles.slidingCounts,
     "stream_count" -> Oracles.streamCount,
+    "user_sessions" -> Oracles.userSessions,
     "q1_agg" -> Oracles.q1Agg,
     "q3_join" -> Oracles.q3Join,
     "customers_by_region" -> Oracles.customersByRegion,
@@ -160,6 +174,7 @@ object SparkEntry {
     "minhash_signatures" -> OraclesLlm.minhashSignatures,
     "simhash_dedup" -> OraclesLlm.simhashDedup,
     "cosine_topk" -> OraclesLlm.cosineTopK,
+    "ivf_topk" -> OraclesLlm.ivfTopK,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "media_meta" -> OraclesLlm.mediaMeta,
     "media_features" -> OraclesLlm.mediaFeatures,

@@ -116,6 +116,46 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("score"))
   }
 
+  /** IVF-style ANN: the bucketed scale path with *learned-ish* coarse
+    * cells instead of hash planes. "Centroids" are the first nCentroids
+    * corpus vectors (deterministic stand-in for a k-means pass — the
+    * plumbing, assignment, and probe are the real thing):
+    *   1. assign: every vector joins the broadcast centroid set and
+    *      keeps its max-cosine cell (argmax via window, cent_id tiebreak);
+    *   2. probe: a query searches only its own cell's bucket.
+    * One broadcast join + one bucket-bounded join — never all-pairs. */
+  def ivfTopK(embeddings: DataFrame, nCentroids: Int = 16,
+              nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
+    val cents = vecs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cent_id"),
+        (dotQ(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
+          .as("cos_c"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select("vec_id", "qv", "nrm", "cent_id")
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nrm").as("qnrm"), col("cent_id").as("qcent"))
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(queries),
+        col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotQ(col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos"), 6).as("score"), col("rank"))
+  }
+
   /** Corpus with injected identical vectors (vec_id ≡ 0 mod 10 copied
     * under vec_id+100000) — near-dup ground truth for the LSH pipeline. */
   def withDupVectors(embeddings: DataFrame): DataFrame =

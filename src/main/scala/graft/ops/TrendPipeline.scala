@@ -126,6 +126,22 @@ object TrendPipeline {
   def countJoinSentiment(rows: DataFrame): DataFrame =
     hashtagCounts(rows).join(meanSentiment(rows), Seq("hashtag"), "inner")
 
+  /** Dashboard (`README.md:18-28`): sentiment-type distribution per
+    * hashtag — one partial+final hash agg. */
+  def sentimentDistribution(rows: DataFrame): DataFrame =
+    rows.groupBy("hashtag", "sentiment_type").agg(count(lit(1)).as("cnt"))
+
+  /** Dashboard: trend-row counts by country. */
+  def countsByCountry(rows: DataFrame): DataFrame =
+    rows.groupBy("country").agg(count(lit(1)).as("cnt"))
+
+  /** Dashboard: per-hashtag time series (count + mean sentiment per
+    * 15 s bucket). */
+  def hashtagTimeseries(rows: DataFrame): DataFrame =
+    rows.groupBy("ts", "hashtag").agg(
+      count(lit(1)).as("cnt"),
+      round(avg("sentiment_score"), 4).as("avg_sentiment"))
+
   /** Dashboard top-N (`README.md:18-28`): top `n` hashtags per time
     * bucket by count, hashtag as deterministic tiebreak. */
   def topNTrends(rows: DataFrame, n: Int): DataFrame = {

@@ -51,4 +51,40 @@ object Windows {
     * batch form. */
   def streamCount(events: DataFrame): DataFrame =
     events.agg(count(lit(1)).as("n"))
+
+  /** Per-user sessionization with a gap timeout (the session-window
+    * extension from SURVEY §2.9), in the lag/cumsum form every SQL
+    * engine shares: a session starts where the gap to the previous
+    * event exceeds `gapSec`.
+    *
+    * Scale: one shuffle on user_id; the two window passes and the final
+    * aggregate all share that partitioning (no re-shuffle). Per-user
+    * event counts bound the window state — the standard sessionization
+    * shape. Order is (sec, event_id) so ties are deterministic. */
+  def userSessions(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+      .withColumn("prev", lag("sec", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("sec").as("session_start"),
+        max("sec").as("session_end"))
+  }
+
+  /** The native Structured-Streaming-ready form of [[userSessions]]
+    * (`session_window` merges state incrementally with a watermark);
+    * batch-evaluable too — tests cross-validate it against the lag/cumsum
+    * form. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
 }
