@@ -22,6 +22,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
     // Steady-state warmup: one pass of every query at the smallest scale
     // factor, so JIT/codegen/classloading cost doesn't land on whichever
     // query happens to run first. Nothing from the measured SF is cached.

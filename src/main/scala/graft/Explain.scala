@@ -16,6 +16,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftExtensions.register(spark)
     names.foreach { name =>
       println(s"==== $name ====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -15,6 +15,7 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
     val df = SparkEntry.entry(spark)
     df.show(10, false)
     println(s"ENTRY_ROWS=${df.count()}")
