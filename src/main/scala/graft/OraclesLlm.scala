@@ -131,7 +131,8 @@ object OraclesLlm {
   val minhashDedup: String =
     s"""WITH $nearDupCorpus,
        |th AS (SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM corpus),
-       |sets AS (SELECT doc_id, ${shSetE("ths")} AS sh FROM th),
+       |sets AS (SELECT doc_id, sh FROM
+       |  (SELECT doc_id, ${shSetE("ths")} AS sh FROM th) WHERE len(sh) > 0),
        |sigs AS (SELECT doc_id, ${sigE("sh")} AS sig FROM sets),
        |bands AS (
        |  SELECT doc_id, b AS band,

@@ -20,7 +20,11 @@ object GraftExtensions {
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_polyhash"),
     new ExpressionInfo(classOf[PolyHashExpression].getName, "graft_polyhash"),
-    (children: Seq[Expression]) => PolyHashExpression(children.head))
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"graft_polyhash expects exactly 1 argument, got ${children.length}")
+      PolyHashExpression(children.head)
+    })
 
   /** Imperative registration on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

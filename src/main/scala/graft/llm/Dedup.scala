@@ -11,13 +11,14 @@ import TextFns._
   *   - exact:   hash-groupBy on a digest of the normalized text;
   *   - MinHash: shingle → signature → LSH band buckets → bucket join →
   *              exact n-gram-Jaccard verify on candidates only;
-  *   - SimHash: token-hash sign sums → 16-bit sketch → nibble-band
+  *   - SimHash: token-hash sign sums → 32-bit sketch → byte-band
   *              buckets → bucket join → Hamming verify.
   *
   * At 100 TB: the exact pass shuffles one (digest, id) pair per doc —
   * never the text itself. The LSH joins shuffle (band, key, id) tuples;
   * candidate volume is bounded by bucket sizes, and the expensive
-  * verification (Jaccard over shingle sets) runs only on candidates.
+  * verification (Jaccard over shingle sets) runs only on distinct
+  * candidate pairs, via a join back to the per-doc shingle sets.
   * All hashing is exact integer arithmetic (see [[TextFns]]) so a SQL
   * oracle replays it bit-for-bit.
   */
@@ -114,10 +115,13 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
-      .select(col("doc_id"),
-        explode(shingleHashSetFromTokenHashes(col("ths"), ShingleK)).as("sh"))
+    shingleSets(docs)
+      // explode_outer, deliberately: InferFiltersFromGenerate synthesizes
+      // `size(sh) > 0` from a plain explode and predicate pushdown then
+      // inlines the whole shingle pipeline into a scan-level filter
+      // (measured 25× blow-up). shingleSets already guarantees non-empty
+      // arrays, so outer ≡ inner here and no filter is inferred.
+      .select(col("doc_id"), explode_outer(col("sh")).as("sh"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)
@@ -128,21 +132,38 @@ object Dedup {
         col("col").as("sig_value"))
   }
 
-  /** doc_id → exploded (band, band_key) plus the shingle set, ready for
-    * the LSH bucket self-join.
+  /** doc_id → distinct shingle-hash set. Documents with no shingles
+    * (fewer than [[ShingleK]] tokens) are dropped: they have no defined
+    * n-gram Jaccard, and keeping them would give every such doc the
+    * all-[[Prime]] signature — i.e. all of them colliding in every band
+    * and passing the Jaccard filter vacuously at 0/0. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs
+      // equivalent to size(sh) > 0, but checked on the raw token count
+      // BEFORE any hashing: a filter on the projected `sh` would be
+      // predicate-pushed below the projection, re-inlining the whole
+      // shingle expression into the condition (the HOF no-CSE trap —
+      // measured as a 20× blow-up)
+      .filter(size(tokens(col("text"))) >= ShingleK)
+      .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"),
+        shingleHashSetFromTokenHashes(col("ths"), ShingleK).as("sh"))
+
+  /** doc_id → exploded (band, band_key), SLIM — the shingle set is NOT
+    * carried through the band explode: at scale the bucket self-join
+    * must shuffle (band, key, id) tuples only, never ×4-replicated
+    * shingle arrays. Candidate pairs join back to [[shingleSets]] for
+    * verification.
     *
     * Each derived array (token hashes → shingle set → signature) is
     * staged through its own projection so it is materialized once per
     * row; inlining them (e.g. `bandKeys(signature(col("sh")))`) makes
     * every `element_at`/`transform` reference recompute the whole
     * upstream array — Catalyst has no CSE inside higher-order lambdas. */
-  def lshBands(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
-      .select(col("doc_id"),
-        shingleHashSetFromTokenHashes(col("ths"), ShingleK).as("sh"))
-      .select(col("doc_id"), col("sh"), signature(col("sh")).as("sig"))
-      .select(col("doc_id"), col("sh"), posexplode(bandKeys(col("sig"))))
+  def lshBands(sets: DataFrame): DataFrame =
+    sets
+      .select(col("doc_id"), signature(col("sh")).as("sig"))
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
 
   /** MinHash near-dup pairs: candidates from LSH bucket join, verified
@@ -150,23 +171,27 @@ object Dedup {
     * cross-multiplied — no float compare). Output one row per pair with
     * the exact intersection/union sizes. */
   def minhashDedup(docs: DataFrame, minJaccardPm: Int = 800): DataFrame = {
-    // Self-join the *same* plan (aliases only) so Spark reuses one
-    // shuffle exchange for both sides instead of recomputing the
-    // signature stage twice (ReusedExchange in the physical plan).
-    val bands = lshBands(docs)
-    bands.as("a")
+    val sets = shingleSets(docs)
+    // Self-join the *same* slim plan (aliases only) — scalar columns
+    // through the shuffle; a pair colliding in several bands is deduped
+    // BEFORE the Jaccard verification so set-intersection runs once per
+    // candidate pair, not once per band collision.
+    val bands = lshBands(sets)
+    val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("inter_size"),
-        size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("union_size"))
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter_size"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("union_size"))
       .filter(col("inter_size") * 1000L >= col("union_size") * minJaccardPm)
-      // a pair may collide in several bands; dedup AFTER the cheap
-      // verify filter, on scalar keys only
-      .dropDuplicates("doc_a", "doc_b")
   }
 
   // ---- SimHash ----
@@ -204,11 +229,11 @@ object Dedup {
       posexplode(array((0 until ByteBands).map { b =>
         pmod(shiftright(col("sh"), 8 * b), lit(256L))
       }: _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "nibble"))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
-          col("a.nibble") === col("b.nibble") &&
+          col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))

@@ -96,20 +96,27 @@ object Multimodal {
     val w = col("meta.width").cast("long")
     val h = col("meta.height").cast("long")
     // scale = min(maxW/w, maxH/h) in exact rational arithmetic:
-    // fit width iff maxW*h <= maxH*w
+    // fit width iff maxW*h <= maxH*w. A non-positive dimension (corrupt
+    // metadata) yields NULL targets instead of an ANSI division error.
+    val valid = w > 0 && h > 0
     val fitW = lit(maxW.toLong) * h <= lit(maxH.toLong) * w
     media.select(
       col("media_id"), col("kind"), col("meta"),
-      when(fitW, lit(maxW.toLong)).otherwise(expr(s"meta.width * ${maxH}L div meta.height"))
+      when(valid && fitW, lit(maxW.toLong))
+        .when(valid, expr(s"meta.width * ${maxH}L div meta.height"))
         .as("target_width"),
-      when(fitW, expr(s"meta.height * ${maxW}L div meta.width")).otherwise(lit(maxH.toLong))
+      when(valid && fitW, expr(s"meta.height * ${maxW}L div meta.width"))
+        .when(valid, lit(maxH.toLong))
         .as("target_height"))
   }
 
   /** Frame sampling plan for video rows: one row per sampled frame at
     * `everyMs` intervals — explode over a sequence(), no decode. */
   def frameSamplePlan(media: DataFrame, everyMs: Long = 1000L): DataFrame =
-    media.filter(col("kind") === "video")
+    media
+      // zero/negative duration ⇒ no frames; sequence(0, -1, +step) would
+      // otherwise throw and one bad record must not fail the job
+      .filter(col("kind") === "video" && col("meta.duration_ms") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs)))
           .as("frame_ts_ms"))

@@ -83,9 +83,17 @@ object WireCodec {
   def tweetLocation(line: Column): Column = try_element_at(split(line, Delim), lit(1))
   def tweetText(line: Column): Column = try_element_at(split(line, Delim), lit(2))
 
-  /** P-10: metric-line encode (KafkaSparkProcessor.scala:232-233). */
+  /** P-10: metric-line encode (KafkaSparkProcessor.scala:232-233).
+    * Every field is null-coalesced to "" so `concat_ws` cannot silently
+    * drop a slot and shift later fields left on decode (same hazard as
+    * [[encodeTweet]]); a NULL score round-trips as "" → NULL via
+    * [[decodeMetric]]'s safe parse. */
   def encodeMetric(tag: Column, score: Column, tpe: Column, country: Column): Column =
-    concat_ws(Delim, tag, score.cast(StringType), tpe, country)
+    concat_ws(Delim,
+      coalesce(tag, lit("")),
+      coalesce(score.cast(StringType), lit("")),
+      coalesce(tpe, lit("")),
+      coalesce(country, lit("")))
 
   /** ANSI-safe numeric parse: NULL (not a thrown error) on a malformed
     * field — one bad record must not fail a 100 TB job. */

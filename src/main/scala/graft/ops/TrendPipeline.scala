@@ -101,13 +101,13 @@ object TrendPipeline {
     * costs one shuffled row per upstream partition. `sentiment_type` is a
     * pure function of the score, so recomputing it from the min preserves
     * row semantics exactly. */
-  def dedupTrends(rows: DataFrame): DataFrame =
+  def dedupTrends(rows: DataFrame, tsCol: String = "ts"): DataFrame =
     rows
-      .groupBy("ts", "hashtag", "country")
+      .groupBy(tsCol, "hashtag", "country")
       .agg(min("sentiment_score").as("sentiment_score"))
       .withColumn("sentiment_type",
         lower(Sentiment.bucket(col("sentiment_score"))))
-      .select("ts", "hashtag", "sentiment_score", "sentiment_type", "country")
+      .select(tsCol, "hashtag", "sentiment_score", "sentiment_type", "country")
 
   /** A-1 batch analog: hashtag occurrence counts. */
   def hashtagCounts(rows: DataFrame): DataFrame =

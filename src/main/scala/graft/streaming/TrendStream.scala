@@ -26,14 +26,18 @@ object TrendStream {
     * processing-time batch second — the reference stamps batch time
     * (`KafkaSparkProcessor.scala:109`), we stamp arrival time. */
   def trendRows(lines: DataFrame): DataFrame = {
-    val loc = WireCodec.tweetLocation(col("value"))
-    val text = WireCodec.tweetText(col("value"))
     lines
+      // stage the parsed fields: the wire-line split feeds three
+      // consumers and would re-evaluate per reference otherwise (no CSE
+      // across expression copies — same staging as the batch twin)
+      .select(
+        WireCodec.tweetLocation(col("value")).as("loc"),
+        WireCodec.tweetText(col("value")).as("text"))
       .select(
         unix_timestamp(current_timestamp()).cast("int").as("timestamp"),
-        Country.extractCountry(loc).as("country"),
-        TextOps.cleanTweetText(text).as("clean"),
-        TextOps.extractHashtags(text).as("tags"))
+        Country.extractCountry(col("loc")).as("country"),
+        TextOps.cleanTweetText(col("text")).as("clean"),
+        TextOps.extractHashtags(col("text")).as("tags"))
       .withColumn("sentiment_score", Sentiment.weightedScore(col("clean")))
       .withColumn("sentiment_type",
         lower(Sentiment.bucket(col("sentiment_score"))))
@@ -46,13 +50,11 @@ object TrendStream {
   }
 
   /** D-1 per micro-batch (the reference dedups inside foreachRDD,
-    * `KafkaSparkProcessor.scala:115`): deterministic min-score keep. */
+    * `KafkaSparkProcessor.scala:115`): the batch keep-rule, on the
+    * streaming schema's `timestamp` column — one implementation shared
+    * with [[graft.ops.TrendPipeline.dedupTrends]]. */
   def dedupBatch(df: DataFrame): DataFrame =
-    df.groupBy("timestamp", "hashtag", "country")
-      .agg(min("sentiment_score").as("sentiment_score"))
-      .withColumn("sentiment_type",
-        lower(Sentiment.bucket(col("sentiment_score"))))
-      .select("timestamp", "hashtag", "sentiment_score", "sentiment_type", "country")
+    graft.ops.TrendPipeline.dedupTrends(df, tsCol = "timestamp")
 
   /** S-2: the foreachBatch output loop — dedup then fan out to sinks,
     * swallowing per-batch errors like the reference's try/catch
