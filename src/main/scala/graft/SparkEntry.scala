@@ -40,6 +40,9 @@ object SparkEntry {
     // P-3/P-4/P-5b + A-1 batch analog
     "hashtag_counts" -> ((s, dir) =>
       TrendPipeline.hashtagCounts(TrendPipeline.trendRows(docs(s, dir)))),
+    // same semantics, explicit two-phase salted plan (hot-key path)
+    "hashtag_counts_salted" -> ((s, dir) =>
+      TrendPipeline.hashtagCountsSalted(TrendPipeline.trendRows(docs(s, dir)))),
     // A-2
     "mean_sentiment" -> ((s, dir) =>
       TrendPipeline.meanSentiment(TrendPipeline.trendRows(docs(s, dir)))),
@@ -146,6 +149,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "trend_rows" -> Oracles.trendRows,
     "hashtag_counts" -> Oracles.hashtagCounts,
+    "hashtag_counts_salted" -> Oracles.hashtagCounts,
     "mean_sentiment" -> Oracles.meanSentiment,
     "count_join_sentiment" -> Oracles.countJoinSentiment,
     "topn_trends" -> Oracles.topnTrends,

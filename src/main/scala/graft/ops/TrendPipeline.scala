@@ -113,6 +113,23 @@ object TrendPipeline {
   def hashtagCounts(rows: DataFrame): DataFrame =
     rows.groupBy("hashtag").agg(count(lit(1)).as("cnt"))
 
+  /** [[hashtagCounts]] with explicit two-phase salting — the hot-key
+    * insurance for a viral hashtag. Phase 1 counts per (hashtag, salt)
+    * so one key's rows spread over `salts` reducers; phase 2 merges the
+    * partials. Result is identical to the plain aggregate (same oracle);
+    * Catalyst's partial aggregation usually makes this unnecessary, but
+    * when a single key's *post-shuffle* partial set is still too hot
+    * (e.g. high-cardinality payloads per key), this is the shape to
+    * reach for. Salt is derived from doc_id so the plan stays
+    * deterministic. */
+  def hashtagCountsSalted(rows: DataFrame, salts: Int = 16): DataFrame =
+    rows
+      .withColumn("salt", pmod(col("doc_id"), lit(salts.toLong)))
+      .groupBy("hashtag", "salt")
+      .agg(count(lit(1)).as("partial_cnt"))
+      .groupBy("hashtag")
+      .agg(sum("partial_cnt").as("cnt"))
+
   /** A-2: per-hashtag mean sentiment (partial+final hash agg; rounded so
     * float summation order can never flip the oracle compare). */
   def meanSentiment(rows: DataFrame): DataFrame =

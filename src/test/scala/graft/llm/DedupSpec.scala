@@ -89,6 +89,17 @@ class DedupSpec extends SparkSpec {
     assert(empty.getAs[collection.Seq[Long]](1) == empty.getAs[collection.Seq[Long]](3))
   }
 
+  test("docs with fewer than k tokens produce NO vacuous near-dup pairs") {
+    // regression: empty shingle sets used to share the all-Prime
+    // signature, collide in every band, and pass Jaccard at 0/0
+    val docs = Seq(
+      (0L, "one two"), (1L, "three four"), (2L, "hi"), (3L, ""),
+      (4L, "a proper document with plenty of tokens for shingling here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashDedup(docs).collect().isEmpty)
+    assert(Dedup.shingleSets(docs).collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   test("withNearDups injects doc_id+100000 prepend-mutated copies") {
     val docs = base.take(3).toDF("doc_id", "text")
     val corpus = Dedup.withNearDups(docs).collect()

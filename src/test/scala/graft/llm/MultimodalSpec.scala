@@ -56,6 +56,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq.sorted == Seq((2L, 0L), (2L, 1000L), (2L, 2000L)))
   }
 
+  test("corrupt metadata: zero dims -> NULL resize targets; zero duration -> no frames") {
+    val m = Seq((1L, "video", 0, 0, 0L), (2L, "video", 100, 50, 2500L))
+      .toDF("media_id", "kind", "w", "h", "d")
+      .select(col("media_id"), col("kind"),
+        struct(col("w").as("width"), col("h").as("height"),
+          lit(44100).as("sample_rate"), col("d").as("duration_ms"),
+          lit("mp4").as("format")).as("meta"))
+    val resized = Multimodal.resizePlan(m, 640, 360).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Any]("target_width"), r.getAs[Any]("target_height"))).toMap
+    assert(resized(1L) == ((null, null)))
+    assert(resized(2L) == ((640L, 320L)))
+    val frames = Multimodal.frameSamplePlan(m).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(frames.toSeq.sorted == Seq((2L, 0L), (2L, 1000L), (2L, 2000L)))
+  }
+
   test("mediaNearDup bridges features into embedding LSH (identical payloads pair)") {
     val pairs = Multimodal.mediaNearDup(Multimodal.syntheticMedia(docs))
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))

@@ -49,6 +49,17 @@ class WireCodecSpec extends SparkSpec {
     assert(got.getString(3) == "USA")
   }
 
+  test("encodeMetric: NULL fields keep their wire slots (no concat_ws skip-shift)") {
+    val df = Seq(Tuple1("#h")).toDF("h")
+      .select(WireCodec.encodeMetric(
+        col("h"), lit(null).cast("double"), lit(null).cast("string"),
+        lit("USA")).as("line"))
+    assert(df.collect().head.getString(0) == "#h /TLOC/  /TLOC/  /TLOC/ USA")
+    val dec = df.select(WireCodec.decodeMetric(col("line")).as("m"))
+      .select("m.*").collect().head
+    assert(dec.getString(0) == "#h" && dec.isNullAt(1) && dec.getString(3) == "USA")
+  }
+
   test("decodeMetric: non-numeric score field becomes NULL, no exception") {
     val got = textDf("text", Seq("#h /TLOC/ not-a-number /TLOC/ x /TLOC/ y"))
       .select(WireCodec.decodeMetric(col("text")).as("m"))
