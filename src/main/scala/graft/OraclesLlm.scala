@@ -214,6 +214,16 @@ object OraclesLlm {
        |SELECT query_id, vec_id, round(cos, 6) AS score, rank
        |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** All LSH-blocked candidate pairs with exact Jaccard permille at the
+    * exploratory 0.2 cutoff. */
+  val ngramJaccardPairs: String =
+    minhashDedup.replace(
+      "WHERE inter_size * 1000 >= union_size * 800",
+      "WHERE inter_size * 1000 >= union_size * 200")
+      .replace(
+        "SELECT doc_a, doc_b, inter_size, union_size",
+        "SELECT doc_a, doc_b, inter_size, union_size, (1000 * inter_size) // union_size AS jaccard_pm")
+
   /** Signatures via the typed Aggregator path — same math as the
     * expression form; docs with no shingles are absent (no rows to
     * aggregate). */

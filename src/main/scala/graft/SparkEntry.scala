@@ -118,6 +118,8 @@ object SparkEntry {
       Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "minhash_signatures" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir))),
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Dedup.withNearDups(docs(s, dir)))),
     "simhash_dedup" -> ((s, dir) =>
       Dedup.simhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "cosine_topk" -> ((s, dir) =>
@@ -176,6 +178,7 @@ object SparkEntry {
     "dedup_docs" -> OraclesLlm.dedupDocs,
     "minhash_dedup" -> OraclesLlm.minhashDedup,
     "minhash_signatures" -> OraclesLlm.minhashSignatures,
+    "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,
     "simhash_dedup" -> OraclesLlm.simhashDedup,
     "cosine_topk" -> OraclesLlm.cosineTopK,
     "ivf_topk" -> OraclesLlm.ivfTopK,

@@ -194,6 +194,17 @@ object Dedup {
       .filter(col("inter_size") * 1000L >= col("union_size") * minJaccardPm)
   }
 
+  /** Standalone n-gram Jaccard similarity: every LSH-blocked candidate
+    * pair with its exact shingle Jaccard in permille (`1000·|∩| div |∪|`,
+    * exact integer). [[minhashDedup]] is this with a 0.8 cutoff; the
+    * low default here surfaces the similarity *measure* itself (e.g. for
+    * tuning a dedup threshold on a new corpus). Blocking via MinHash
+    * bands keeps it shuffle-bounded — a direct all-pairs Jaccard is
+    * never planned. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccardPm: Int = 200): DataFrame =
+    minhashDedup(docs, minJaccardPm)
+      .withColumn("jaccard_pm", expr("(1000 * inter_size) div union_size"))
+
   // ---- SimHash ----
 
   val SimHashBits = 32
