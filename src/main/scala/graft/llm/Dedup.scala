@@ -230,26 +230,57 @@ object Dedup {
     }
 
   /** SimHash near-dup pairs: candidates share at least one of the 4
-    * byte-wide bands; verified with Hamming distance ≤ maxHamming. */
+    * byte-wide bands; verified with Hamming distance ≤ maxHamming.
+    *
+    * Runs on DISTINCT sketches, not documents: docs sharing a sketch are
+    * grouped first, the band self-join and Hamming verify happen once
+    * per sketch pair, and doc-level pairs are expanded afterwards. On a
+    * clustered corpus this collapses the candidate space (measured
+    * sf0.1: 5 500 docs → 2 610 sketches, 18.8M doc-pair band collisions
+    * → ~0.5M sketch-pair collisions). Equivalent output: a doc's bands
+    * are a function of its sketch, so doc-level band collision ⟺
+    * sketch-level collision. Caveat: a pathologically hot single sketch
+    * materializes its doc-id list in one row — cap or hierarchically
+    * expand such groups if a corpus ever produces one. */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sketched = docs
       .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
       .select(col("doc_id"), simhashFromTokenHashes(col("ths")).as("sh"))
-    val banded = sketched.select(
-      col("doc_id"), col("sh"),
+    val groups = sketched.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val bands = groups.select(
+      col("sh"),
       posexplode(array((0 until ByteBands).map { b =>
         pmod(shiftright(col("sh"), 8 * b), lit(256L))
       }: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
-    banded.as("a")
-      .join(banded.as("b"),
+    val shPairs = bands.as("a")
+      .join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming) // verify BEFORE the pair dedup
-      .dropDuplicates("doc_a", "doc_b")
+          col("a.sh") < col("b.sh"))
+      .select(col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val cross = shPairs
+      .join(groups.select(col("sh").as("sh_a"), col("ids").as("ids_a")), "sh_a")
+      .join(groups.select(col("sh").as("sh_b"), col("ids").as("ids_b")), "sh_b")
+      .select(explode(col("ids_a")).as("id_a"), col("ids_b"), col("hamming"))
+      .select(col("id_a"), explode(col("ids_b")).as("id_b"), col("hamming"))
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("hamming"))
+    val same = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(same)
   }
 
   // ---- duplicate-injection fixtures ----
