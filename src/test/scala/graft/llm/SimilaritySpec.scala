@@ -63,6 +63,19 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("IVF recall vs brute force on real embeddings (sf0.001)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def resultSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = resultSet(Similarity.cosineTopK(emb, nQueries = 5, k = 10))
+    val ivf = resultSet(Similarity.ivfTopK(emb, nCentroids = 16, nQueries = 5, k = 10))
+    assert(brute.size == 50 && ivf.size == 50)
+    val recall = (brute intersect ivf).size / 50.0
+    // IVF probes one coarse cell: recall is bounded but must be real —
+    // random 64-d embeddings give low cell purity, so a loose floor
+    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+  }
+
   test("quantize floors on exact float->double widening") {
     val got = spark.range(1).select(
       Similarity.quantize(array(lit(0.5f), lit(-0.5f), lit(0.0001f))).as("q"))
