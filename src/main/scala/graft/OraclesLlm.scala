@@ -128,8 +128,10 @@ object OraclesLlm {
        |  min(doc_id) AS keep_id, count(*) AS n_copies
        |FROM corpus GROUP BY 1""".stripMargin
 
-  val minhashDedup: String =
-    s"""WITH $nearDupCorpus,
+  /** Shared CTE chain: near-dup corpus → shingle sets → signatures →
+    * LSH bands → candidate pairs → exact Jaccard sizes (`scored`). */
+  private val minhashCtes: String =
+    s"""$nearDupCorpus,
        |th AS (SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM corpus),
        |sets AS (SELECT doc_id, sh FROM
        |  (SELECT doc_id, ${shSetE("ths")} AS sh FROM th) WHERE len(sh) > 0),
@@ -149,9 +151,30 @@ object OraclesLlm {
        |    len(list_distinct(s1.sh || s2.sh))::BIGINT AS union_size
        |  FROM cands
        |  JOIN sets s1 ON s1.doc_id = doc_a
-       |  JOIN sets s2 ON s2.doc_id = doc_b)
+       |  JOIN sets s2 ON s2.doc_id = doc_b)""".stripMargin
+
+  val minhashDedup: String =
+    s"""WITH $minhashCtes
        |SELECT doc_a, doc_b, inter_size, union_size
        |FROM scored WHERE inter_size * 1000 >= union_size * 800""".stripMargin
+
+  /** Connected components over the ≥0.8-Jaccard near-dup graph: each
+    * clustered doc mapped to its cluster's min doc_id (the canonical
+    * keeper). Transitive closure via recursive CTE — Spark's twin is a
+    * min-label-propagation fixpoint, which converges to the same
+    * min-reachable-id labeling. */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM scored
+       |          WHERE inter_size * 1000 >= union_size * 800),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS doc_id, least(src, min(dst))::BIGINT AS canonical_id
+       |FROM reach GROUP BY src""".stripMargin
 
   val simhashDedup: String =
     s"""WITH $nearDupCorpus,
@@ -233,6 +256,17 @@ object OraclesLlm {
        |sets AS (SELECT doc_id, ${shSetE("ths")} AS sh FROM th),
        |sigs AS (SELECT doc_id, ${sigE("sh")} AS sig FROM sets WHERE len(sh) > 0)
        |SELECT doc_id, j, sig[j+1] AS sig_value FROM sigs, range(16) t(j)""".stripMargin
+
+  val redactText: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(
+       |    text || ' ping admin' || doc_id || '@example.com' ||
+       |    ' via https://ex.test/' || doc_id || ' from 10.0.0.' || (doc_id % 255),
+       |    'https?://\\S+', '<URL>', 'g'),
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+       |  AS redacted
+       |FROM documents""".stripMargin
 
   /** Synthetic media columns derived from documents (mirrors
     * `Multimodal.syntheticMedia` arithmetic). */

@@ -120,6 +120,9 @@ object SparkEntry {
       Dedup.minhashSignatures(docs(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Dedup.withNearDups(docs(s, dir)))),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir))))),
+    "redact_text" -> ((s, dir) => TextAnalysis.redactedDocs(docs(s, dir))),
     "simhash_dedup" -> ((s, dir) =>
       Dedup.simhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "cosine_topk" -> ((s, dir) =>
@@ -179,6 +182,8 @@ object SparkEntry {
     "minhash_dedup" -> OraclesLlm.minhashDedup,
     "minhash_signatures" -> OraclesLlm.minhashSignatures,
     "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,
+    "dedup_clusters" -> OraclesLlm.dedupClusters,
+    "redact_text" -> OraclesLlm.redactText,
     "simhash_dedup" -> OraclesLlm.simhashDedup,
     "cosine_topk" -> OraclesLlm.cosineTopK,
     "ivf_topk" -> OraclesLlm.ivfTopK,

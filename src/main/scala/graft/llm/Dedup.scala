@@ -205,6 +205,46 @@ object Dedup {
     minhashDedup(docs, minJaccardPm)
       .withColumn("jaccard_pm", expr("(1000 * inter_size) div union_size"))
 
+  /** Near-dup CLUSTERS: connected components over the near-dup pair
+    * graph, labeling every clustered doc with its component's min doc_id
+    * (the canonical keeper — detect → cluster → pick is the full dedup
+    * story; dropping `doc_id != canonical_id` rows is the final filter).
+    *
+    * Min-label propagation to a fixpoint: labels start as own ids; each
+    * round takes the min over neighbors; terminates when no label
+    * changes (≤ graph diameter rounds). Each round is one join + one
+    * aggregate; `localCheckpoint` truncates the growing lineage. The
+    * driver-side loop condition is a `count` of changed labels — an
+    * O(rounds) control decision, not a data collect. */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid"))
+        .agg(min("label").as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.label") =!= col("l.label"))
+        .count()
+      labels = updated
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   // ---- SimHash ----
 
   val SimHashBits = 32

@@ -120,6 +120,34 @@ object TextAnalysis {
       .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
 
+  /** PII/URL scrubbing patterns (training-data hygiene). Order is
+    * load-bearing: URLs first (they may embed `@` and dots that the
+    * email/IP patterns would half-match), then emails, then IPs. Java
+    * and RE2 agree on every construct used. */
+  val UrlPattern = "https?://\\S+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact URLs/emails/IPv4s to placeholder tokens — a stateless
+    * projection (no shuffle), the scrub pass of a training pipeline. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      IpPattern, "<IP>")
+
+  /** Redaction over documents, with synthetic PII injected per row so
+    * the operator provably fires on every class. */
+  def redactedDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      redact(concat(col("text"),
+        lit(" ping admin"), col("doc_id"), lit("@example.com"),
+        lit(" via https://ex.test/"), col("doc_id"),
+        lit(" from 10.0.0."), pmod(col("doc_id"), lit(255))))
+        .as("redacted"))
+
   /** HLL distinct n-grams — the scale path (no exact distinct shuffle). */
   def approxDistinctNgrams(docs: DataFrame): DataFrame =
     docs.select(tokens(col("text")).as("toks"))

@@ -100,6 +100,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.shingleSets(docs).collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
+  test("dedupClusters: min-label propagation finds transitive components") {
+    import spark.implicits._
+    val pairs = Seq((2L, 5L), (5L, 9L), (20L, 21L)) // chain 2-5-9, pair 20-21
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("redact scrubs URLs, emails, and IPs in the right order") {
+    import graft.SparkTestSession
+    val got = Seq(
+      "see https://a.b/c?d=e and mail me bob.smith+x@corp.example.org from 192.168.1.7 ok",
+      "no pii here").toDF("text")
+      .select(TextAnalysis.redact(col("text")).as("r")).collect().map(_.getString(0))
+    assert(got(0) == "see <URL> and mail me <EMAIL> from <IP> ok")
+    assert(got(1) == "no pii here")
+  }
+
   test("withNearDups injects doc_id+100000 prepend-mutated copies") {
     val docs = base.take(3).toDF("doc_id", "text")
     val corpus = Dedup.withNearDups(docs).collect()
