@@ -240,12 +240,10 @@ object OraclesLlm {
   /** All LSH-blocked candidate pairs with exact Jaccard permille at the
     * exploratory 0.2 cutoff. */
   val ngramJaccardPairs: String =
-    minhashDedup.replace(
-      "WHERE inter_size * 1000 >= union_size * 800",
-      "WHERE inter_size * 1000 >= union_size * 200")
-      .replace(
-        "SELECT doc_a, doc_b, inter_size, union_size",
-        "SELECT doc_a, doc_b, inter_size, union_size, (1000 * inter_size) // union_size AS jaccard_pm")
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b, inter_size, union_size,
+       |  (1000 * inter_size) // union_size AS jaccard_pm
+       |FROM scored WHERE inter_size * 1000 >= union_size * 200""".stripMargin
 
   /** Signatures via the typed Aggregator path — same math as the
     * expression form; docs with no shingles are absent (no rows to
@@ -262,7 +260,7 @@ object OraclesLlm {
        |  regexp_replace(regexp_replace(regexp_replace(
        |    text || ' ping admin' || doc_id || '@example.com' ||
        |    ' via https://ex.test/' || doc_id || ' from 10.0.0.' || (doc_id % 255),
-       |    'https?://\\S+', '<URL>', 'g'),
+       |    'https?://[!-~]+', '<URL>', 'g'),
        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
        |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
        |  AS redacted

@@ -213,13 +213,20 @@ object Dedup {
     * Min-label propagation to a fixpoint: labels start as own ids; each
     * round takes the min over neighbors; terminates when no label
     * changes (≤ graph diameter rounds). Each round is one join + one
-    * aggregate; `localCheckpoint` truncates the growing lineage. The
-    * driver-side loop condition is a `count` of changed labels — an
-    * O(rounds) control decision, not a data collect. */
+    * aggregate; `localCheckpoint` truncates the growing lineage (blocks
+    * of superseded rounds are reclaimed by the ContextCleaner once
+    * unreferenced). The driver-side loop condition is a `count` of
+    * changed labels — an O(rounds) control decision, not a data collect.
+    *
+    * NOTE: iterative — building the result DataFrame RUNS the fixpoint
+    * (checkpoints + counts), unlike the lazy single-plan operators. */
   def dedupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    // checkpoint the (possibly expensive) pair plan ONCE; both edge
+    // orientations derive from the materialized result
+    val p = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -286,6 +293,9 @@ object Dedup {
     val sketched = docs
       .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
       .select(col("doc_id"), simhashFromTokenHashes(col("ths")).as("sh"))
+      // a NULL text ⇒ NULL sketch; the doc-level band join dropped those
+      // (NULL keys never equi-match) — grouping must not pair them either
+      .filter(col("sh").isNotNull)
     val groups = sketched.groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     val bands = groups.select(

@@ -122,9 +122,11 @@ object TextAnalysis {
 
   /** PII/URL scrubbing patterns (training-data hygiene). Order is
     * load-bearing: URLs first (they may embed `@` and dots that the
-    * email/IP patterns would half-match), then emails, then IPs. Java
-    * and RE2 agree on every construct used. */
-  val UrlPattern = "https?://\\S+"
+    * email/IP patterns would half-match), then emails, then IPs.
+    * The URL tail is the explicit printable-ASCII range `[!-~]` rather
+    * than `\S`: Java counts vertical tab as whitespace and RE2 does not,
+    * so `\S` is the one construct here the engines disagree on. */
+  val UrlPattern = "https?://[!-~]+"
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val IpPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 

@@ -101,7 +101,6 @@ class DedupSpec extends SparkSpec {
   }
 
   test("dedupClusters: min-label propagation finds transitive components") {
-    import spark.implicits._
     val pairs = Seq((2L, 5L), (5L, 9L), (20L, 21L)) // chain 2-5-9, pair 20-21
       .toDF("doc_a", "doc_b")
     val got = Dedup.dedupClusters(pairs).collect()
@@ -110,7 +109,6 @@ class DedupSpec extends SparkSpec {
   }
 
   test("redact scrubs URLs, emails, and IPs in the right order") {
-    import graft.SparkTestSession
     val got = Seq(
       "see https://a.b/c?d=e and mail me bob.smith+x@corp.example.org from 192.168.1.7 ok",
       "no pii here").toDF("text")

@@ -64,6 +64,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF recall vs brute force on real embeddings (sf0.001)") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def resultSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
