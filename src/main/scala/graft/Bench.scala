@@ -66,10 +66,11 @@ object Bench {
         def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
           df.write.mode("overwrite").format("noop").save()
       }
-      // rate just under the measured batch-mode capacity (~42k rows/s at
-      // local[32]) so micro-batches complete inside the window and the
-      // sum of completed-batch input rows reflects sustained throughput
-      val rows = TrendStream.trendRows(TweetSource.RateSource(35000).load(spark))
+      // rate just under the measured batch-mode capacity (~220k rows/s
+      // at local[32] with the native sentiment expression) so
+      // micro-batches complete inside the window and the sum of
+      // completed-batch input rows reflects sustained throughput
+      val rows = TrendStream.trendRows(TweetSource.RateSource(180000).load(spark))
       val t0 = System.nanoTime()
       val q = TrendStream.writer(rows, sink,
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),

@@ -10,26 +10,36 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * expression directly. [[GraftExtensions.register]] does the same
   * imperatively on an existing session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.polyhash)
+    ext.injectFunction(GraftExtensions.sentiment)
+  }
 }
 
 object GraftExtensions {
 
-  private[graft] val polyhash
+  private def unary(name: String, clazz: Class[_], build: Expression => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_polyhash"),
-    new ExpressionInfo(classOf[PolyHashExpression].getName, "graft_polyhash"),
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
       require(children.length == 1,
-        s"graft_polyhash expects exactly 1 argument, got ${children.length}")
-      PolyHashExpression(children.head)
+        s"$name expects exactly 1 argument, got ${children.length}")
+      build(children.head)
     })
+
+  private[graft] val polyhash =
+    unary("graft_polyhash", classOf[PolyHashExpression], PolyHashExpression(_))
+  private[graft] val sentiment =
+    unary("graft_sentiment", classOf[SentimentScoreExpression], SentimentScoreExpression(_))
+
+  private val all = Seq(polyhash, sentiment)
 
   /** Imperative registration on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(polyhash._1, polyhash._2, polyhash._3)
+    all.foreach { f =>
+      spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
+    }
 
   /** Column-API access to the native expression (no registration needed). */
   def polyhashCol(c: Column): Column =

@@ -49,11 +49,22 @@ object Sentiment {
     * `sum(score_i * len_i) / sum(len_i)`; −1 when there are no sentences
     * (`KafkaSparkProcessor.scala:166-177`).
     *
+    * Planned as the native codegen'd
+    * [[graft.functions.SentimentScoreExpression]] — one JVM pass per row;
+    * [[weightedScoreHof]] is the column-form twin kept for equivalence
+    * tests and as the SQL-engine-portable statement of the math. */
+  def weightedScore(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      SentimentScoreExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  /** Column-form twin of [[weightedScore]].
+    *
     * Single `aggregate` with a (num, den) struct accumulator: the
     * sentence array is split/trimmed/filtered exactly once per row —
     * three separate folds would re-evaluate [[sentences]] each (no CSE
     * inside higher-order lambdas). */
-  def weightedScore(text: Column): Column =
+  def weightedScoreHof(text: Column): Column =
     aggregate(
       sentences(text),
       struct(lit(0.0).as("num"), lit(0.0).as("den")),

@@ -67,6 +67,21 @@ class SentimentSpec extends SparkSpec {
     assert(got.forall(s => s == -1.0 || (s >= 0.0 && s <= 4.0)))
   }
 
+  test("native weightedScore equals the HOF column twin on adversarial strings") {
+    val word = Gen.oneOf("fast", "slow", "big", ".", "!", "?", "é漢",
+      "😀", "", " ", "  ", "\t", "a.b", "fast.slow")
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    val samples = Gen.listOfN(300, text).apply(Gen.Parameters.default, Seed(21L)).get ++
+      Seq("", " . ", "...", "fast", "a\tb. c", "😀 fast. slow 漢")
+    val rows = textDf("text", samples)
+      .select(Sentiment.weightedScore(col("text")).as("n"),
+        Sentiment.weightedScoreHof(col("text")).as("h"), col("text"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"mismatch for '${r.getString(2)}'")
+    }
+  }
+
   test("WeightedMean typed Aggregator matches the column math") {
     import Sentiment.Sentence
     val ds = Seq(Sentence(3.0, 4L), Sentence(0.0, 9L)).toDS()
