@@ -66,11 +66,11 @@ object Bench {
         def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
           df.write.mode("overwrite").format("noop").save()
       }
-      // rate just under the measured batch-mode capacity (~220k rows/s
-      // at local[32] with the native sentiment expression) so
+      // rate just under the measured batch-mode capacity (~250k rows/s
+      // at local[32] with the native sentiment + hashtag expressions) so
       // micro-batches complete inside the window and the sum of
       // completed-batch input rows reflects sustained throughput
-      val rows = TrendStream.trendRows(TweetSource.RateSource(180000).load(spark))
+      val rows = TrendStream.trendRows(TweetSource.RateSource(210000).load(spark))
       val t0 = System.nanoTime()
       val q = TrendStream.writer(rows, sink,
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),

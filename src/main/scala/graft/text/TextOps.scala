@@ -32,9 +32,15 @@ object TextOps {
   def isHashtag(tok: Column): Column =
     tok.startsWith("#") && length(regexp_replace(tok, "\\s", "")) > 1
 
-  /** P-3 + P-4 fused: the array of hashtag tokens of a text. Stays inside
-    * whole-stage codegen (ArrayFilter over a split — no shuffle, no UDF). */
+  /** P-3 + P-4 fused: the array of hashtag tokens of a text. Planned as
+    * the native [[ExtractHashtagsExpression]] (one generated-code pass);
+    * [[extractHashtagsHof]] is the column-form twin for tests. */
   def extractHashtags(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ExtractHashtagsExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  def extractHashtagsHof(text: Column): Column =
     filter(tokenize(text), t => isHashtag(t))
 
   def cleanHashtagSimple(tag: Column): Column =

@@ -50,6 +50,20 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) == "#ab")
   }
 
+  test("native extractHashtags equals the HOF column twin on adversarial strings") {
+    val tok = Gen.oneOf("#tag", "#", "##", "#a", "# b", "", " ", "#x\ty",
+      "x#y", "#漢字", "#😀", "#e", "plain")
+    val text = Gen.listOf(tok).map(_.mkString(" "))
+    val samples = Gen.listOfN(300, text).apply(Gen.Parameters.default, Seed(17L)).get
+    val rows = textDf("text", samples).select(
+      TextOps.extractHashtags(col("text")).as("n"),
+      TextOps.extractHashtagsHof(col("text")).as("h"), col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getAs[collection.Seq[String]](0) == r.getAs[collection.Seq[String]](1),
+        s"mismatch for '${r.getString(2)}'")
+    }
+  }
+
   test("property: extracted hashtags all start with '#' and survive re-cleaning") {
     val tok = Gen.oneOf("#tag", "word", "#a", "#", "x#y", "#B2", "RT")
     val text = Gen.listOf(tok).map(_.mkString(" "))
