@@ -201,6 +201,22 @@ object Oracles {
        |       round(avg(sentiment_score), 4) AS avg_sentiment
        |FROM trows GROUP BY ts, hashtag""".stripMargin
 
+  /** DuckDB has a native ASOF JOIN — the ideal oracle for our
+    * union+carry-forward implementation. Right side pre-aggregated to
+    * one row per (user, sec) so tie-breaking is deterministic in both
+    * engines. */
+  val asofJoin: String =
+    s"""WITH p AS (
+       |  SELECT user_id, floor(epoch(ts))::BIGINT AS sec,
+       |         max(value) AS purchase_value
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec
+       |  FROM events WHERE event_type = 'click')
+       |SELECT c.event_id, c.user_id, c.sec, p.purchase_value
+       |FROM c ASOF LEFT JOIN p
+       |  ON c.user_id = p.user_id AND c.sec >= p.sec""".stripMargin
+
   val userSessions: String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec FROM events

@@ -102,6 +102,7 @@ object SparkEntry {
     "sliding_counts" -> ((s, dir) => Windows.slidingCounts(events(s, dir))),
     "stream_count" -> ((s, dir) => Windows.streamCount(events(s, dir))),
     "user_sessions" -> ((s, dir) => Windows.userSessions(events(s, dir))),
+    "asof_join" -> ((s, dir) => Windows.clickAsofPurchase(events(s, dir))),
     // ---- §3.3 analyst queries over the TPC-H-ish tables ----
     "q1_agg" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_join" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
@@ -170,6 +171,7 @@ object SparkEntry {
     "sliding_counts" -> Oracles.slidingCounts,
     "stream_count" -> Oracles.streamCount,
     "user_sessions" -> Oracles.userSessions,
+    "asof_join" -> Oracles.asofJoin,
     "q1_agg" -> Oracles.q1Agg,
     "q3_join" -> Oracles.q3Join,
     "customers_by_region" -> Oracles.customersByRegion,

@@ -79,6 +79,50 @@ object Windows {
         max("sec").as("session_end"))
   }
 
+  /** As-of join — an operator Spark has no native form of (SURVEY §2.6
+    * notes the reference has none either; this is the extension set):
+    * for every left event, the latest right event with
+    * `right.sec <= left.sec` for the same key.
+    *
+    * Implemented as union + carry-forward window, NOT a range join: both
+    * sides shuffle once on the key, and `last(_, ignoreNulls)` over the
+    * (sec, side) order propagates the most recent right value to each
+    * left row — O(n log n) per key partition, no per-row range probe.
+    * Right rows must be unique per (key, sec) for determinism — callers
+    * pre-aggregate (e.g. max) — and sort before left rows on ties so
+    * `<=` semantics hold. */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, sec: String, rightValue: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("is_left", lit(1))
+      .withColumn(rightValue, lit(null).cast(right.schema(rightValue).dataType))
+    val r = right.select(col(key), col(sec), col(rightValue))
+      .withColumn("is_left", lit(0))
+    // left-only columns are null on right-side rows (dropped by the
+    // final is_left filter anyway)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(sec), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(rightValue, last(col(rightValue), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .drop("is_left")
+  }
+
+  /** `asof_join` query shape: each click event joined to the latest
+    * preceding purchase value of the same user. */
+  def clickAsofPurchase(events: DataFrame): DataFrame = {
+    val sec = col("ts").cast("long")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), sec.as("sec"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), sec.as("sec"), col("value"))
+      .groupBy("user_id", "sec").agg(max("value").as("purchase_value"))
+    asofJoin(clicks, purchases, "user_id", "sec", "purchase_value")
+      .select("event_id", "user_id", "sec", "purchase_value")
+  }
+
   /** The native Structured-Streaming-ready form of [[userSessions]]
     * (`session_window` merges state incrementally with a watermark);
     * batch-evaluable too — tests cross-validate it against the lag/cumsum

@@ -34,6 +34,19 @@ class WindowsSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getAs[Long]("n_events") == 2L)
   }
 
+  test("asofJoin: latest right value at or before each left row, per key") {
+    val left = Seq((1L, 7L, 100L), (2L, 7L, 200L), (3L, 7L, 50L), (4L, 9L, 100L))
+      .toDF("event_id", "user_id", "sec")
+    val right = Seq((7L, 100L, 1.5), (7L, 150L, 2.5), (9L, 90L, 9.9))
+      .toDF("user_id", "sec", "v")
+    val got = Windows.asofJoin(left, right, "user_id", "sec", "v")
+      .collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Any]("v"))).toMap
+    assert(got(1L) == Some(1.5)) // same-sec right row counts (<=)
+    assert(got(2L) == Some(2.5)) // latest prior wins
+    assert(got(3L) == None)      // nothing at or before 50
+    assert(got(4L) == Some(9.9)) // per-key isolation
+  }
+
   test("native session_window agrees with the lag/cumsum form on session counts") {
     val df = ev(
       (1L, 7L, 1000L), (2L, 7L, 1100L), (3L, 7L, 9000L),
