@@ -71,14 +71,18 @@ object Bench {
       // micro-batches complete inside the window and the sum of
       // completed-batch input rows reflects sustained throughput
       val rows = TrendStream.trendRows(TweetSource.RateSource(210000).load(spark))
-      val t0 = System.nanoTime()
       val q = TrendStream.writer(rows, sink,
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
         Some(ckpt)).start()
       try Thread.sleep(15000) finally q.stop()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val processed = q.recentProgress.map(_.numInputRows).sum
-      math.round(processed / secs * 10) / 10.0
+      // median per-batch processedRowsPerSecond (first batch dropped):
+      // robust to both the rate cap and concurrent machine load — each
+      // batch's figure is rows/batch-duration, i.e. true pipeline speed
+      // even when the source backlog grows
+      val rates = q.recentProgress.drop(1)
+        .map(_.processedRowsPerSecond).filter(r => !r.isNaN && r > 0).sorted
+      if (rates.isEmpty) 0.0
+      else math.round(rates(rates.length / 2) * 10) / 10.0
     } catch { case _: Throwable => -1.0 }
   }
 }
