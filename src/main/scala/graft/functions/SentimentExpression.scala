@@ -35,8 +35,9 @@ object SentimentOps {
     s.substring(from, until)
   }
 
+  /** Input must be non-null — `nullSafeEval` guards the Catalyst path
+    * (null in → null out, exactly like the column form). */
   def weightedScore(text: UTF8String): Double = {
-    if (text == null) return -1.0
     // java.util.regex split with limit -1 == Spark's StringSplit
     val sentences = text.toString.split("[.!?]", -1)
     var num = 0.0

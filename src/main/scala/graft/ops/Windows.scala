@@ -95,19 +95,34 @@ object Windows {
       left: DataFrame, right: DataFrame,
       key: String, sec: String, rightValue: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val l = left.withColumn("is_left", lit(1))
-      .withColumn(rightValue, lit(null).cast(right.schema(rightValue).dataType))
-    val r = right.select(col(key), col(sec), col(rightValue))
-      .withColumn("is_left", lit(0))
-    // left-only columns are null on right-side rows (dropped by the
-    // final is_left filter anyway)
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val side = "__graft_asof_side"
+    val rv = "__graft_asof_rv"
+    require(!left.columns.contains(rightValue) &&
+      !left.columns.exists(Set(side, rv)),
+      s"left side must not contain columns named $rightValue/$side/$rv")
+    // The carried payload is a STRUCT wrapper: a right row whose VALUE is
+    // NULL still carries a non-null struct, so `last(_, ignoreNulls)`
+    // matches it instead of skipping back to a stale older value (true
+    // as-of semantics; DuckDB's ASOF JOIN returns the NULL).
+    val rvType = StructType(Seq(StructField("v", right.schema(rightValue).dataType)))
+    val l = left.withColumn(side, lit(1))
+      .withColumn(rv, lit(null).cast(rvType))
+    // NULL join keys / times never match (join semantics): drop them from
+    // the right side; a left row with NULL sec sorts nulls-first and sees
+    // no right rows, and a NULL-key partition holds no right rows — both
+    // yield NULL, matching the oracle.
+    val r = right.filter(col(key).isNotNull && col(sec).isNotNull)
+      .select(col(key), col(sec), struct(col(rightValue).as("v")).as(rv))
+      .withColumn(side, lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col(sec), col("is_left"))
+    val w = Window.partitionBy(key).orderBy(col(sec), col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(rightValue, last(col(rightValue), ignoreNulls = true).over(w))
-      .filter(col("is_left") === 1)
-      .drop("is_left")
+      .withColumn(rv, last(col(rv), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .withColumn(rightValue, col(rv).getField("v"))
+      .drop(side, rv)
   }
 
   /** `asof_join` query shape: each click event joined to the latest
