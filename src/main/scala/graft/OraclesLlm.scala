@@ -245,6 +245,45 @@ object OraclesLlm {
        |  (1000 * inter_size) // union_size AS jaccard_pm
        |FROM scored WHERE inter_size * 1000 >= union_size * 200""".stripMargin
 
+  /** Recall@10 of IVF vs brute force, permille per query — both chains
+    * composed (CTEs renamed to avoid collisions). */
+  val ivfRecall: String =
+    s"""WITH bq AS (SELECT vec_id AS query_id, ${quantE("embedding")} AS qv
+       |           FROM embeddings WHERE vec_id < 5),
+       |bc AS (SELECT vec_id, ${quantE("embedding")} AS cv FROM embeddings),
+       |bscored AS (
+       |  SELECT query_id, vec_id, ${cosE("qv", "cv")} AS cos
+       |  FROM bc, bq WHERE vec_id <> query_id),
+       |brute AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM bscored) WHERE rank <= 10),
+       |vecs AS (SELECT vec_id, ${quantE("embedding")} AS qv FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, qv, cent_id FROM (
+       |    SELECT v.vec_id, v.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosE("v.qv", "c.cv")} DESC, c.cent_id) AS rn
+       |    FROM vecs v, cents c)
+       |  WHERE rn = 1),
+       |iq AS (SELECT vec_id AS query_id, qv AS qqv, cent_id AS qcent
+       |       FROM assigned WHERE vec_id < 5),
+       |iscored AS (
+       |  SELECT query_id, a.vec_id, ${cosE("qqv", "a.qv")} AS cos
+       |  FROM assigned a JOIN iq
+       |    ON a.cent_id = iq.qcent AND a.vec_id <> iq.query_id),
+       |ivf AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM iscored) WHERE rank <= 10)
+       |SELECT b.query_id, (1000 * count(i.vec_id)) // 10 AS recall_pm
+       |FROM brute b LEFT JOIN ivf i
+       |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+       |GROUP BY b.query_id""".stripMargin
+
   /** Signatures via the typed Aggregator path — same math as the
     * expression form; docs with no shingles are absent (no rows to
     * aggregate). */

@@ -130,6 +130,8 @@ object SparkEntry {
       Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    "ivf_recall" -> ((s, dir) =>
+      Similarity.ivfRecall(Tables.embeddings(s, dir))),
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
@@ -189,6 +191,7 @@ object SparkEntry {
     "simhash_dedup" -> OraclesLlm.simhashDedup,
     "cosine_topk" -> OraclesLlm.cosineTopK,
     "ivf_topk" -> OraclesLlm.ivfTopK,
+    "ivf_recall" -> OraclesLlm.ivfRecall,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "media_meta" -> OraclesLlm.mediaMeta,
     "media_features" -> OraclesLlm.mediaFeatures,

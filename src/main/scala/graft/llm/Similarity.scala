@@ -156,6 +156,25 @@ object Similarity {
         round(col("cos"), 6).as("score"), col("rank"))
   }
 
+  /** ANN evaluation: recall@k of the IVF index against the brute-force
+    * ground truth, in exact permille per query — the measurement a
+    * training pipeline runs before trusting an index at scale. Both
+    * sides are deterministic, so even this evaluation is
+    * oracle-checkable. */
+  def ivfRecall(embeddings: DataFrame, nCentroids: Int = 16,
+                nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val brute = cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id")
+    val ivf = ivfTopK(embeddings, nCentroids, nQueries, k)
+      .select(col("query_id"), col("vec_id").as("ivf_vec"))
+    brute
+      .join(ivf, brute("query_id") === ivf("query_id") &&
+        brute("vec_id") === ivf("ivf_vec"), "left")
+      .groupBy(brute("query_id"))
+      .agg(count(col("ivf_vec")).as("hits"))
+      .select(col("query_id"),
+        expr(s"(1000 * hits) div $k").as("recall_pm"))
+  }
+
   /** Corpus with injected identical vectors (vec_id ≡ 0 mod 10 copied
     * under vec_id+100000) — near-dup ground truth for the LSH pipeline. */
   def withDupVectors(embeddings: DataFrame): DataFrame =
