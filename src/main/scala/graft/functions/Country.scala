@@ -30,7 +30,16 @@ object Country {
     * here, so RE2-based oracles can use `[[:punct:]]\]`). */
   val PunctCleanPattern = "[\\p{Punct}&&[^a-zA-Z]]]"
 
-  def extractCountry(location: Column): Column = {
+  /** Planned as the native codegen'd
+    * [[graft.functions.CountryExpression]] — one JVM pass instead of two
+    * regex rewrites + a split per row; [[extractCountryHof]] is the
+    * column-form twin kept for equivalence tests. */
+  def extractCountry(location: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      CountryExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(location)))
+
+  def extractCountryHof(location: Column): Column = {
     // Java's split(",") drops trailing empty fields; Spark's keeps them.
     val parts = split(regexp_replace(location, ",+$", ""), ",")
     val last = element_at(parts, size(parts))

@@ -39,6 +39,20 @@ class CountrySpec extends SparkSpec {
     assert(got == Seq("NULL", "", ""))
   }
 
+  test("native expression equals the HOF column twin on adversarial strings") {
+    val piece = Gen.oneOf("Boston", "MA", "ca", " x ", "", "São", "12",
+      "!]", "]]", "a!]b", "漢字", "😀x", " , ", "UK ]", "x]", "!,]")
+    val loc = Gen.listOf(piece).map(_.mkString(","))
+    val samples = Gen.listOfN(400, loc).apply(Gen.Parameters.default, Seed(23L)).get ++
+      Seq(null, "", ",", ",,,", "a,!]", "a,b!]", " , ]", "x, ]]", "a,😀漢")
+    val rows = textDf("text", samples).select(
+      Country.extractCountry(col("text")).as("n"),
+      Country.extractCountryHof(col("text")).as("h"), col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"mismatch for '${r.getString(2)}'")
+    }
+  }
+
   test("property: output is always NULL sentinel or trimmed upper-case") {
     val piece = Gen.oneOf("Boston", "MA", "ca", " x ", "", "São", "12")
     val loc = Gen.listOf(piece).map(_.mkString(","))
