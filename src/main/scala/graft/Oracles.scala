@@ -26,11 +26,16 @@ object Oracles {
        |  + len(list_filter(string_split($s, ' '), t -> t IN $Pos))::DOUBLE
        |  - len(list_filter(string_split($s, ' '), t -> t IN $Neg))::DOUBLE))""".stripMargin
 
-  /** P-7 cleaning chain over text expr `x`. */
+  /** P-7 cleaning chain over text expr `x`.
+    *
+    * RE2 `\s` excludes vertical tab (U+000B) while Java's includes it, so
+    * the whitespace class is spelled out explicitly (same trick as the
+    * `[!-~]` URL class in OraclesLlm) to keep both engines bit-identical.
+    */
   private def cleanText(x: String): String =
     s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($x,
-       |  '(\\b\\w*RT)|[^a-zA-Z0-9\\s.,!@]', '', 'g'),
-       |  '(http\\S+)', '', 'g'),
+       |  '(\\b\\w*RT)|[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r.,!@]', '', 'g'),
+       |  '(http[^ \\t\\n\\x0b\\f\\r]+)', '', 'g'),
        |  '(@\\w+)', 'Foo', 'g'),
        |  '^(Foo)', '')""".stripMargin
 
@@ -106,7 +111,7 @@ object Oracles {
        |         sentiment_score, sentiment_type, country
        |  FROM (SELECT *, unnest(list_filter(string_split(txt, ' '),
        |          t -> t LIKE '#%'
-       |           AND length(regexp_replace(t, '\\s', '', 'g')) > 1)) AS tag
+       |           AND length(regexp_replace(t, '[ \\t\\n\\x0b\\f\\r]', '', 'g')) > 1)) AS tag
        |        FROM typed))""".stripMargin
 
   val trendRows: String =

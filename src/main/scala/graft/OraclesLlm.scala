@@ -21,9 +21,11 @@ object OraclesLlm {
 
   private val P = "1000000007"
 
-  /** Whitespace tokens, empties dropped. */
+  /** Whitespace tokens, empties dropped. The whitespace class is spelled
+    * out because RE2 `\s` excludes vertical tab (U+000B) while Java's
+    * includes it — same dodge as `[!-~]` for `\S` in the URL pattern. */
   private def toksE(x: String): String =
-    s"list_filter(string_split_regex($x, '\\s+'), w -> length(w) > 0)"
+    s"list_filter(string_split_regex($x, '[ \\t\\n\\x0b\\f\\r]+'), w -> length(w) > 0)"
 
   /** Polynomial rolling hash of a (non-empty) string expr. */
   private def polyE(x: String): String =
@@ -68,7 +70,7 @@ object OraclesLlm {
   val tokenStats: String =
     s"""SELECT doc_id,
        |  len(${toksE("text")})::BIGINT AS n_ws_tokens,
-       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]'))::BIGINT AS n_bpe_tokens,
        |  length(text)::BIGINT AS n_chars
        |FROM documents""".stripMargin
 
@@ -110,7 +112,7 @@ object OraclesLlm {
     s"""SELECT doc_id,
        |  CASE WHEN length(n) = 0 THEN 0::BIGINT ELSE ${polyE("n")} END AS fp
        |FROM (SELECT doc_id,
-       |        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+       |        trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS n
        |      FROM documents)""".stripMargin
 
   val ngramCounts: String =
@@ -124,7 +126,7 @@ object OraclesLlm {
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents UNION ALL
        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
-       |SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
+       |SELECT sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS content_key,
        |  min(doc_id) AS keep_id, count(*) AS n_copies
        |FROM corpus GROUP BY 1""".stripMargin
 

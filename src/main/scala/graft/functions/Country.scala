@@ -22,7 +22,18 @@ import org.apache.spark.sql.functions._
   *
   * Divergences (defensive, documented): a NULL location or a bare `","`
   * crashes the reference (NPE / index out of bounds); here they yield
-  * `"NULL"` / `""` respectively.
+  * `"NULL"` / `""` respectively. Two further (deliberate, rare-input)
+  * divergences from Java string semantics, consistent across all three
+  * forms (HOF / native expression / DuckDB oracle):
+  *   - `trim` here strips spaces only, while Java `String.trim` strips
+  *     every control char ≤ U+0020 — `"Boston,\tMA"` is USA in the
+  *     reference but not here;
+  *   - the ==2 length test counts code points, while Java
+  *     `String.length` counts UTF-16 units — a field of two astral
+  *     chars (4 UTF-16 units) differs. Strict Java fidelity would need
+  *     a `[\x00-\x20]`-trim and a UTF-16 length in all three forms;
+  *     not worth the oracle complexity for inputs the reference's own
+  *     corpus never produces.
   */
 object Country {
 

@@ -60,9 +60,10 @@ object SketchOps {
     new GenericArrayData(sig)
   }
 
-  /** Exact integer dot product over the common prefix length. */
+  /** Exact integer dot product; lengths must match (callers null out
+    * mismatched pairs, matching the `zip_with` twin's null-pad → NULL). */
   def dot(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0L
     var i = 0
     while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
@@ -72,11 +73,17 @@ object SketchOps {
 
 /** `dot_q(array<bigint>, array<bigint>) -> bigint`: exact integer dot
   * product of two quantized vectors — the ANN hot loop as generated
-  * code instead of an interpreted zip_with/aggregate chain. */
+  * code instead of an interpreted zip_with/aggregate chain.
+  *
+  * Mismatched lengths yield NULL, bit-identical to the [[dotQHof]] twin
+  * (`zip_with` pads the shorter side with nulls ⇒ the aggregate goes
+  * NULL). In the engine every caller dots same-dimension vectors, so
+  * the branch never fires on the hot path. */
 case class DotQExpression(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_q"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -91,12 +98,18 @@ case class DotQExpression(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotQExpression =
     copy(left = newLeft, right = newRight)
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    SketchOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (l, r) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (l.numElements() != r.numElements()) null else SketchOps.dot(l, r)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.SketchOps.dot($a, $b);")
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.SketchOps.dot($a, $b);
+         |}""".stripMargin)
 }
 
 /** `simhash(array<bigint>) -> bigint` — see [[SketchOps.simhash]]. */

@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions._
   * filter pushdown stay intact at 100 TB).
   *
   * Regex patterns are kept bug-for-bug identical to the reference
-  * (`KafkaSparkProcessor.scala:133-135, 217-228, 244`): Java and RE2 agree
-  * on every construct used here (`\b`, `\w`, `\S`, `\s`, char classes).
+  * (`KafkaSparkProcessor.scala:133-135, 217-228, 244`). Java-vs-RE2 caveat:
+  * `\b`, `\w` and plain char classes agree, but Java's `\s`/`\S` include /
+  * exclude vertical tab (U+000B) while RE2's don't — the DuckDB oracles
+  * therefore spell the whitespace class out explicitly
+  * (`[ \t\n\x0b\f\r]`, and `[!-~]` for `\S`; see `Oracles.cleanText` and
+  * `OraclesLlm.toksE`). The Spark side keeps Java's `\s` — it is the
+  * engine-of-record semantics.
   */
 object TextOps {
 

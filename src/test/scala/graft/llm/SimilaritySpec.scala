@@ -63,6 +63,14 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native dot and HOF twin both go NULL on mismatched lengths") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dotQ(col("a"), col("b")).as("n"),
+      Similarity.dotQHof(col("a"), col("b")).as("h")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("IVF recall vs brute force on real embeddings (sf0.001)") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")
