@@ -9,8 +9,21 @@ import org.apache.spark.sql.SparkSession
   * prune every column a query computes but does not aggregate.
   * Failures are timed and reported per-query (name → "error:…") rather
   * than silently folded into the total, so a broken query can't
-  * masquerade as a fast one. */
+  * masquerade as a fast one.
+  *
+  * Robustness (machine load is the dominant noise source at local[32]):
+  *   - each query runs REPS times and reports the MEDIAN, so a
+  *     concurrent load spike can't invert the per-query ranking
+  *     (BENCH_r02 had a pure projection "costing" 4.5× a superset of
+  *     itself — physically implausible, pure load noise);
+  *   - the streaming phase runs until enough micro-batches COMPLETE
+  *     rather than for a fixed wall window, so a slow first batch can
+  *     never leave the sampler empty (BENCH_r02's 0.0).
+  */
 object Bench {
+  /** Runs per query; the reported figure is the median. */
+  val Reps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,13 +47,16 @@ object Bench {
       }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to Reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -54,10 +70,23 @@ object Bench {
 
   /** End-to-end streaming throughput of the full trend pipeline
     * (synthetic firehose → parse/clean/sentiment/explode → per-batch
-    * dedup → sink): the median per-batch `processedRowsPerSecond` over a
-    * 15 s run on a 1 s trigger. The reference's producer ceiling is
-    * ≤10 msg/s (`KafkaTwitterProducer.java:98,112` Thread.sleep(100));
-    * this measures what the same pipeline shape sustains on one node. */
+    * dedup → sink): the median per-batch `processedRowsPerSecond`. The
+    * reference's producer ceiling is ≤10 msg/s
+    * (`KafkaTwitterProducer.java:98,112` Thread.sleep(100)); this
+    * measures what the same pipeline shape sustains on one node.
+    *
+    * The feed rate is a deliberately CONSERVATIVE fraction of measured
+    * capacity (~250k rows/s at local[32]): `processedRowsPerSecond` is
+    * rows/batch-duration — true pipeline speed regardless of how full
+    * each batch is — so under-feeding costs nothing, while over-feeding
+    * makes batches fall behind the trigger and starves the sampler
+    * (BENCH_r02: one 15 s batch in a 15 s window, dropped by the
+    * sampler → 0.0). The run ends when [[MinBatches]] batches have
+    * completed, not after a fixed wall window, with a hard timeout as
+    * the only backstop. */
+  val MinBatches = 4
+  val StreamTimeoutMs = 90000L
+
   private def streamThroughput(spark: SparkSession, cpus: Int): Double = {
     import graft.streaming._
     try {
@@ -66,22 +95,29 @@ object Bench {
         def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
           df.write.mode("overwrite").format("noop").save()
       }
-      // feed rate scaled to the core count (~6.5k rows/s/core keeps the
-      // source just under measured capacity — ~250k rows/s at local[32]
-      // with the native sentiment + hashtag expressions) so micro-batches
-      // keep completing inside the window at any SPARK_GRAFT_CPUS
+      // ~2.5k rows/s/core ≈ 30% of measured capacity — batches always
+      // complete within the 1 s trigger, so every trigger yields a
+      // progress sample
       val rows = TrendStream.trendRows(
-        TweetSource.RateSource(6500 * cpus).load(spark))
+        TweetSource.RateSource(2500 * cpus).load(spark))
       val q = TrendStream.writer(rows, sink,
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
         Some(ckpt)).start()
-      try Thread.sleep(15000) finally q.stop()
-      // median per-batch processedRowsPerSecond (first batch dropped):
-      // robust to both the rate cap and concurrent machine load — each
-      // batch's figure is rows/batch-duration, i.e. true pipeline speed
-      // even when the source backlog grows
-      val rates = q.recentProgress.drop(1)
-        .map(_.processedRowsPerSecond).filter(r => !r.isNaN && r > 0).sorted
+      val deadline = System.currentTimeMillis() + StreamTimeoutMs
+      try {
+        def completed(): Int =
+          q.recentProgress.count(p => p.numInputRows > 0)
+        while (completed() < MinBatches && System.currentTimeMillis() < deadline)
+          Thread.sleep(500)
+      } finally q.stop()
+      // median per-batch processedRowsPerSecond; the first batch is
+      // dropped (cold caches, state-store open) unless it would leave
+      // fewer than 2 samples — a loaded machine degrades the sample set
+      // gracefully instead of zeroing the metric
+      val all = q.recentProgress
+        .filter(p => p.numInputRows > 0)
+        .map(_.processedRowsPerSecond).filter(r => !r.isNaN && r > 0).toSeq
+      val rates = (if (all.length > 2) all.drop(1) else all).sorted
       if (rates.isEmpty) 0.0
       else math.round(rates(rates.length / 2) * 10) / 10.0
     } catch { case e: Throwable =>
