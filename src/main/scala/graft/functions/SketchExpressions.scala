@@ -60,14 +60,27 @@ object SketchOps {
     new GenericArrayData(sig)
   }
 
-  /** Exact integer dot product; lengths must match (callers null out
-    * mismatched pairs, matching the `zip_with` twin's null-pad → NULL). */
+  /** Exact integer dot product. Lengths must match — the expression
+    * nulls out mismatched pairs before calling, and the `require` turns
+    * any out-of-contract caller into an exception rather than a silent
+    * garbage read (`UnsafeArrayData.getLong` does not bounds-check). */
   def dot(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
+    require(n == b.numElements(),
+      s"dot: length mismatch ($n vs ${b.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
     acc
+  }
+
+  /** True iff any element slot is null. Only called when the array's
+    * schema admits nulls (`containsNull=true`) — see [[DotQExpression]]. */
+  def hasNullElement(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
   }
 }
 
@@ -77,8 +90,11 @@ object SketchOps {
   *
   * Mismatched lengths yield NULL, bit-identical to the [[dotQHof]] twin
   * (`zip_with` pads the shorter side with nulls ⇒ the aggregate goes
-  * NULL). In the engine every caller dots same-dimension vectors, so
-  * the branch never fires on the hot path. */
+  * NULL). A null ELEMENT likewise yields NULL (the HOF's `acc + null`
+  * poisons the fold) — but the element-null scan is emitted only when a
+  * child's schema has `containsNull=true`; for the engine's own vectors
+  * (containsNull=false after quantize) the generated code is the bare
+  * length check + loop, so neither branch fires on the hot path. */
 case class DotQExpression(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -98,18 +114,36 @@ case class DotQExpression(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotQExpression =
     copy(left = newLeft, right = newRight)
 
+  /** Static: does either child's schema admit null elements? Decided at
+    * plan time, so containsNull=false vectors pay no per-row null scan. */
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    }
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (l, r) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (l.numElements() != r.numElements()) null else SketchOps.dot(l, r)
+    if (l.numElements() != r.numElements()) null
+    else if (mayHaveNullElements &&
+      (SketchOps.hasNullElement(l) || SketchOps.hasNullElement(r))) null
+    else SketchOps.dot(l, r)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""if ($a.numElements() != $b.numElements()) {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullScan =
+        if (mayHaveNullElements)
+          s""" || graft.functions.SketchOps.hasNullElement($a)
+             | || graft.functions.SketchOps.hasNullElement($b)""".stripMargin
+        else ""
+      s"""if ($a.numElements() != $b.numElements()$nullScan) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.SketchOps.dot($a, $b);
-         |}""".stripMargin)
+         |}""".stripMargin
+    })
 }
 
 /** `simhash(array<bigint>) -> bigint` — see [[SketchOps.simhash]]. */

@@ -71,6 +71,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("native dot and HOF twin both go NULL on a null element") {
+    // containsNull=true schema: the native expression must emit the
+    // element scan and match the HOF's null-poisoned fold
+    val df = Seq(
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](4L, 5L, 6L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)))
+      .toDF("a", "b")
+    val rows = df.select(
+      Similarity.dotQ(col("a"), col("b")).as("n"),
+      Similarity.dotQHof(col("a"), col("b")).as("h")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getLong(0) == 11L && rows(1).getLong(1) == 11L)
+  }
+
   test("IVF recall vs brute force on real embeddings (sf0.001)") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")
