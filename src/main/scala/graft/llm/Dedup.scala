@@ -279,26 +279,33 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share at least one of the 4
     * byte-wide bands; verified with Hamming distance ≤ maxHamming.
     *
-    * Runs on DISTINCT sketches, not documents: docs sharing a sketch are
-    * grouped first, the band self-join and Hamming verify happen once
-    * per sketch pair, and doc-level pairs are expanded afterwards. On a
-    * clustered corpus this collapses the candidate space (measured
-    * sf0.1: 5 500 docs → 2 610 sketches, 18.8M doc-pair band collisions
-    * → ~0.5M sketch-pair collisions). Equivalent output: a doc's bands
-    * are a function of its sketch, so doc-level band collision ⟺
-    * sketch-level collision. Caveat: a pathologically hot single sketch
-    * materializes its doc-id list in one row — cap or hierarchically
-    * expand such groups if a corpus ever produces one. */
+    * The band self-join runs on DISTINCT sketches, not documents, so
+    * the Hamming verify happens once per sketch pair regardless of how
+    * many docs share each sketch. On a clustered corpus this collapses
+    * the candidate space (measured sf0.1: 5 500 docs → 2 610 sketches,
+    * 18.8M doc-pair band collisions → ~0.5M sketch-pair collisions).
+    * Equivalent output: a doc's bands are a function of its sketch, so
+    * doc-level band collision ⟺ sketch-level collision.
+    *
+    * Doc-pair expansion is pure JOIN expansion — verified sketch pairs
+    * join back to the slim (sh, doc_id) relation on each side, and
+    * same-sketch pairs come from an equi-self-join. No row ever holds a
+    * group's id list (the earlier `collect_list` design put a hot
+    * sketch's entire doc-id set into ONE row — unbounded single-row
+    * state; a boilerplate-heavy corpus at 100 TB does produce
+    * million-doc identical-sketch classes). A hot sketch is now just a
+    * hot join key: its pairs are emitted streaming from the join probe,
+    * and AQE's skew-join split can shard it across tasks. The sketch
+    * projection is recomputed per consumer — stateless, scan-bound, the
+    * standard trade for keeping the operator a single lazy plan. */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sketched = docs
       .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
       .select(col("doc_id"), simhashFromTokenHashes(col("ths")).as("sh"))
-      // a NULL text ⇒ NULL sketch; the doc-level band join dropped those
-      // (NULL keys never equi-match) — grouping must not pair them either
+      // a NULL text ⇒ NULL sketch; band and self-joins drop NULL keys —
+      // the filter keeps that explicit (and prunes before any shuffle)
       .filter(col("sh").isNotNull)
-    val groups = sketched.groupBy("sh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-    val bands = groups.select(
+    val bands = sketched.select("sh").distinct().select(
       col("sh"),
       posexplode(array((0 until ByteBands).map { b =>
         pmod(shiftright(col("sh"), 8 * b), lit(256L))
@@ -315,20 +322,16 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
     val cross = shPairs
-      .join(groups.select(col("sh").as("sh_a"), col("ids").as("ids_a")), "sh_a")
-      .join(groups.select(col("sh").as("sh_b"), col("ids").as("ids_b")), "sh_b")
-      .select(explode(col("ids_a")).as("id_a"), col("ids_b"), col("hamming"))
-      .select(col("id_a"), explode(col("ids_b")).as("id_b"), col("hamming"))
+      .join(sketched.select(col("sh").as("sh_a"), col("doc_id").as("id_a")), "sh_a")
+      .join(sketched.select(col("sh").as("sh_b"), col("doc_id").as("id_b")), "sh_b")
       .select(
         least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"),
         col("hamming"))
-    val same = groups
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+    val same = sketched.as("x")
+      .join(sketched.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(0L).as("hamming"))
     cross.unionByName(same)
   }

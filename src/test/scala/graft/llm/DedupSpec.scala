@@ -52,6 +52,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 5L && p._3 == 0L))
   }
 
+  test("simhashDedup survives a pathologically hot sketch (10k identical docs)") {
+    // regression: the old collect_list design put all 10k doc_ids of a
+    // shared sketch into ONE row; the join-expansion design streams the
+    // 10k·9999/2 pairs out of an equi-join probe instead
+    val n = 10000
+    val docs = spark.range(n)
+      .select(col("id").as("doc_id"),
+        lit("boilerplate header repeated across the whole corpus verbatim").as("text"))
+    val got = Dedup.simhashDedup(docs)
+    assert(got.count() == n.toLong * (n - 1) / 2)
+    // spot-check shape: every pair is ordered and hamming 0
+    val sample = got.limit(5).collect()
+    sample.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("hamming") == 0L)
+    }
+  }
+
   test("MinHashAgg typed aggregator equals the expression-form signature") {
     val docs = base.take(3).toDF("doc_id", "text")
     val viaAgg = Dedup.minhashSignatures(docs).collect()
