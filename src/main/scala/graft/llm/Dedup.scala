@@ -205,51 +205,94 @@ object Dedup {
     minhashDedup(docs, minJaccardPm)
       .withColumn("jaccard_pm", expr("(1000 * inter_size) div union_size"))
 
+  /** Safety bound on the CC fixpoint loop: alternating star rounds
+    * converge in O(log² n) worst case, so 64 rounds covers any graph
+    * that fits on hardware; exceeding it means a bug, not a big graph. */
+  val MaxCcRounds = 64
+
   /** Near-dup CLUSTERS: connected components over the near-dup pair
     * graph, labeling every clustered doc with its component's min doc_id
     * (the canonical keeper — detect → cluster → pick is the full dedup
     * story; dropping `doc_id != canonical_id` rows is the final filter).
     *
-    * Min-label propagation to a fixpoint: labels start as own ids; each
-    * round takes the min over neighbors; terminates when no label
-    * changes (≤ graph diameter rounds). Each round is one join + one
-    * aggregate; `localCheckpoint` truncates the growing lineage (blocks
-    * of superseded rounds are reclaimed by the ContextCleaner once
-    * unreferenced). The driver-side loop condition is a `count` of
-    * changed labels — an O(rounds) control decision, not a data collect.
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): edges are parent
+    * pointers (larger id → smaller id); large-star connects each node's
+    * strictly-larger neighbors to its neighborhood min, small-star
+    * connects the smaller neighbors and the node itself to it. Each
+    * round is two groupBy-min + join passes over the edge set, the edge
+    * count never grows, and the fixpoint (one star per component,
+    * centered on the component min) arrives in O(log) rounds — a
+    * 64-node chain converges in ~5 rounds where min-label propagation
+    * (this operator's previous form) took 64 full-graph passes, one per
+    * hop of graph diameter. `localCheckpoint` truncates lineage each
+    * round; the convergence check (count + exceptAll on the slim
+    * checkpointed edge set) is an O(rounds) control decision, not a
+    * data collect.
     *
     * NOTE: iterative — building the result DataFrame RUNS the fixpoint
     * (checkpoints + counts), unlike the lazy single-plan operators. */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
-    // checkpoint the (possibly expensive) pair plan ONCE; both edge
-    // orientations derive from the materialized result
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    dedupClustersWithRounds(pairs)._1
+
+  /** [[dedupClusters]] plus the number of star rounds the fixpoint took
+    * (exposed for convergence tests). */
+  private[llm] def dedupClustersWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val p = pairs.select("doc_a", "doc_b").localCheckpoint(true)
-    val edges = p
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // canonical parent-pointer edges: larger id → smaller id
+    var e = p
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src").as("nid"))
-        .agg(min("label").as("nmin"))
-      val updated = labels
-        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    var eCount = e.count()
+    var converged = eCount == 0
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= MaxCcRounds,
+        s"connected components did not converge in $MaxCcRounds star rounds")
+      // large-star over the symmetric view: for each node u, attach its
+      // larger neighbors to m = min(Γ(u) ∪ {u}); every emitted edge has
+      // v > u ≥ m, so the output is canonical by construction
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = sym.groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u").as("mu"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(lsMins, col("u") === col("mu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the canonical edges: attach the smaller neighbors
+      // and u itself to m = min(Γ(u) ∪ {u}) = min of the (all-smaller)
+      // neighbor set
+      val ssMins = ls.groupBy("u").agg(min("v").as("m"))
+        .select(col("u").as("su"), col("m"))
+      val ssJoined = ls.join(ssMins, col("u") === col("su"))
+      val next = ssJoined
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(ssJoined.select(col("u"), col("m").as("v")))
+        .distinct()
         .localCheckpoint(true)
-      changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.label") =!= col("l.label"))
-        .count()
-      labels = updated
+      // fixpoint ⟺ identical edge set: same cardinality and no novel
+      // edge (both sides are distinct'd, so one-direction except + count
+      // equality is full set equality)
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.exceptAll(e).head(1).isEmpty
+      e = next
+      eCount = nextCount
     }
-    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    // converged: one star per component, centered on the component min;
+    // centers label themselves
+    val nodes = p.select(col("doc_a").as("id"))
+      .unionAll(p.select(col("doc_b").as("id")))
+      .distinct()
+    val labels = nodes.join(e, nodes("id") === e("u"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("v"), col("id")).as("canonical_id"))
+    (labels, rounds)
   }
 
   // ---- SimHash ----

@@ -118,12 +118,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.shingleSets(docs).collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
-  test("dedupClusters: min-label propagation finds transitive components") {
+  test("dedupClusters: star rounds find transitive components") {
     val pairs = Seq((2L, 5L), (5L, 9L), (20L, 21L)) // chain 2-5-9, pair 20-21
       .toDF("doc_a", "doc_b")
     val got = Dedup.dedupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedupClusters: a 64-node chain converges in O(log) rounds, not O(diameter)") {
+    // path graph 0-1-2-…-63: min-label propagation needed 63 rounds
+    // (one per hop of diameter); alternating large-star/small-star
+    // collapses it exponentially
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.dedupClustersWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 64 && got.forall(_._2 == 0L))
+    assert(rounds <= 8, s"expected ~log2(64) star rounds, took $rounds")
+  }
+
+  test("dedupClusters: unordered and duplicate pairs are canonicalized") {
+    val pairs = Seq((5L, 2L), (2L, 5L), (9L, 5L), (7L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // self-loop 7-7 contributes node 7 labeling itself
+    assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 7L -> 7L))
   }
 
   test("redact scrubs URLs, emails, and IPs in the right order") {
