@@ -16,9 +16,14 @@ package graft
   */
 object Oracles {
 
-  /** Sentiment lexicon — keep in sync with `graft.functions.Sentiment`. */
-  private val Pos = "('fast','big','value')"
-  private val Neg = "('slow','small','dup')"
+  /** Sentiment lexicon IN-lists, GENERATED from the engine's constants —
+    * Spark, the native expression, and DuckDB share one source of truth
+    * (entries are require()-checked lowercase `[a-z]+`, so plain
+    * single-quoting is safe). */
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+  private val Pos = inList(graft.functions.Sentiment.Positive)
+  private val Neg = inList(graft.functions.Sentiment.Negative)
 
   /** Per-sentence lexicon score for sentence expr `s` (0–4, neutral 2). */
   private def score(s: String): String =

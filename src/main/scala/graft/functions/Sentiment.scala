@@ -23,9 +23,73 @@ import org.apache.spark.sql.functions._
   */
 object Sentiment {
 
-  /** Deterministic scoring lexicon (domain vocabulary of the test corpus). */
-  val Positive: Seq[String] = Seq("fast", "big", "value")
-  val Negative: Seq[String] = Seq("slow", "small", "dup")
+  /** Deterministic scoring lexicon: AFINN-style public-knowledge English
+    * sentiment words (binary polarity — the scorer weights every hit ±1),
+    * plus the original domain vocabulary of the test corpus (`fast`,
+    * `big`, `value` / `slow`, `small`, `dup` — the synthetic generator
+    * and fixtures depend on them). All entries are lowercase single
+    * tokens and the two lists are disjoint (enforced below — the native
+    * scorer checks positive membership first, so an overlap would
+    * diverge from the column form's `+pos − neg` count).
+    *
+    * The oracle's SQL IN-lists are *generated from these constants*
+    * (`Oracles.Pos`/`Neg`), so Spark, the native expression, and DuckDB
+    * can never drift. */
+  val Positive: Seq[String] = Seq(
+    "fast", "big", "value",
+    "good", "great", "excellent", "amazing", "awesome", "wonderful",
+    "fantastic", "brilliant", "superb", "perfect", "best", "better",
+    "outstanding", "impressive", "incredible", "remarkable", "delightful",
+    "pleasant", "enjoyable", "happy", "joyful", "glad", "cheerful",
+    "delighted", "thrilled", "excited", "exciting", "love", "lovely",
+    "loved", "beautiful", "elegant", "graceful", "charming", "stunning",
+    "splendid", "terrific", "fabulous", "magnificent", "marvelous",
+    "admirable", "worthy", "noble", "generous", "gracious", "kind",
+    "gentle", "friendly", "warm", "welcoming", "helpful", "useful",
+    "valuable", "beneficial", "effective", "efficient", "reliable",
+    "robust", "stable", "secure", "safe", "smooth", "seamless", "clean",
+    "clear", "simple", "easy", "intuitive", "powerful", "strong", "solid",
+    "swift", "quick", "rapid", "rich", "vibrant", "fresh", "crisp",
+    "neat", "tidy", "smart", "clever", "wise", "insightful", "thoughtful",
+    "innovative", "creative", "inspired", "inspiring", "uplifting",
+    "encouraging", "promising", "hopeful", "optimistic", "confident",
+    "proud", "grateful", "thankful", "thanks", "praise", "celebrated",
+    "acclaimed", "renowned", "trusted", "trustworthy", "honest",
+    "genuine", "sincere", "fair", "flawless", "polished", "refined",
+    "superior", "premium", "exceptional", "extraordinary", "phenomenal",
+    "stellar", "win", "winner", "winning", "victory", "triumph",
+    "success", "successful", "accomplished", "achievement", "improved",
+    "improvement", "upgraded", "gain", "bonus", "reward")
+  val Negative: Seq[String] = Seq(
+    "slow", "small", "dup",
+    "bad", "terrible", "horrible", "awful", "dreadful", "atrocious",
+    "abysmal", "poor", "worst", "worse", "inferior", "mediocre",
+    "disappointing", "disappointed", "disappointment", "unfortunate",
+    "unpleasant", "nasty", "gross", "disgusting", "offensive", "rude",
+    "harsh", "cruel", "mean", "hostile", "angry", "furious", "outraged",
+    "annoyed", "annoying", "irritating", "frustrating", "frustrated",
+    "upset", "sad", "unhappy", "miserable", "gloomy", "depressing",
+    "grim", "bleak", "hopeless", "despair", "dismal", "painful", "hurt",
+    "suffering", "agony", "fear", "scared", "afraid", "anxious",
+    "worried", "nervous", "dread", "broken", "fragile", "flaky", "buggy",
+    "bug", "bugs", "glitch", "crash", "crashed", "crashes", "fail",
+    "failed", "failure", "fails", "fault", "faulty", "defect",
+    "defective", "flawed", "error", "errors", "mistake", "mistakes",
+    "wrong", "incorrect", "invalid", "useless", "worthless", "pointless",
+    "waste", "wasted", "wasteful", "sluggish", "laggy", "bloated",
+    "clunky", "awkward", "clumsy", "messy", "mess", "sloppy", "dirty",
+    "stale", "rotten", "spoiled", "toxic", "harmful", "dangerous",
+    "unsafe", "insecure", "unstable", "unreliable", "untrustworthy",
+    "dishonest", "fraud", "scam", "fake", "bogus", "junk", "trash",
+    "garbage", "lousy", "lame", "pathetic", "weak", "feeble", "shame",
+    "shameful", "embarrassing", "humiliating", "regret", "regrettable",
+    "sorry", "tragic", "disaster", "catastrophe", "crisis", "problem",
+    "problems", "trouble", "severe", "dire", "lost", "loss", "losing",
+    "defeat")
+  require(Positive.toSet.intersect(Negative.toSet).isEmpty,
+    "sentiment lexicon polarity lists must be disjoint")
+  require((Positive ++ Negative).forall(w => w.matches("[a-z]+")),
+    "lexicon entries must be lowercase single tokens (SQL-quotable)")
 
   /** Sentence split contract: split on `[.!?]`, trim, drop empties
     * (replaces CoreNLP `ssplit`). */

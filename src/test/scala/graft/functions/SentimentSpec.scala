@@ -51,6 +51,23 @@ class SentimentSpec extends SparkSpec {
     assert(got == Seq(2.0, 3.0, 1.0, 4.0, 0.0, 4.0, 0.0))
   }
 
+  test("generic English sentences score non-neutral (broad lexicon)") {
+    val got = evalText[Double](Seq(
+      "what a wonderful day with great weather",
+      "this release is a terrible broken mess",
+      "the quarterly report was filed on schedule"))(
+      Sentiment.weightedScore(col("text")))
+    assert(got(0) > 2.0, s"positive sentence scored ${got(0)}")
+    assert(got(1) < 2.0, s"negative sentence scored ${got(1)}")
+    assert(got(2) == 2.0, s"neutral sentence scored ${got(2)}")
+  }
+
+  test("lexicon polarity lists are disjoint and SQL-quotable") {
+    assert(Sentiment.Positive.toSet.intersect(Sentiment.Negative.toSet).isEmpty)
+    assert((Sentiment.Positive ++ Sentiment.Negative).forall(_.matches("[a-z]+")))
+    assert(Sentiment.Positive.size > 100 && Sentiment.Negative.size > 100)
+  }
+
   test("weightedScore: length-weighted mean across sentences; -1 when empty") {
     // "fast" (len 4, score 3) . "slow slow" (len 9, score 0)
     val got = evalText[Double](Seq("fast. slow slow", "", "   ", "!!!."))(
