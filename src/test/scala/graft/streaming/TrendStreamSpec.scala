@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -124,6 +126,46 @@ class TrendStreamSpec extends SparkSpec {
     q.awaitTermination(60000)
     val got = sink.buffer.values.flatten.map(_.getAs[String]("hashtag")).toSet
     assert(got == Set("#x", "#y"))
+  }
+
+  test("checkpoint recovery: kill mid-stream, restart resumes with no dup/loss") {
+    // the exactly-once story S-2/A-5 exist for: offsets + batch ids live
+    // in the checkpoint, the parquet sink is idempotent per batch id
+    // (batch 0 truncates, so even an uncommitted-batch replay converges)
+    val in = Files.createTempDirectory("ckpt_in").toString
+    val ckpt = Files.createTempDirectory("ckpt_state").toString
+    val outDir = Files.createTempDirectory("ckpt_out").toString + "/out"
+    val delegate = TrendSink.ParquetSink(outDir)
+    val batchIds = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()
+    val sink = new TrendSink {
+      def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        delegate.write(df, batchId)
+        batchIds.add(batchId)
+      }
+    }
+    Files.writeString(java.nio.file.Path.of(in, "a.txt"),
+      "Boston, MA /TLOC/ fast #a\nBoston, MA /TLOC/ fast #b")
+    val q1 = TrendStream.writer(
+      TrendStream.trendRows(TweetSource.FileSource(in).load(spark)),
+      sink, Trigger.ProcessingTime("100 milliseconds"), Some(ckpt)).start()
+    var waited = 0
+    while (batchIds.isEmpty && waited < 300) { Thread.sleep(100); waited += 1 }
+    q1.stop() // kill while the query is live, not source-exhausted
+    assert(batchIds.size >= 1, "first batch never arrived")
+    assert(spark.read.parquet(outDir).count() == 2)
+    // new data lands while the query is down
+    Files.writeString(java.nio.file.Path.of(in, "b.txt"), "Paris /TLOC/ slow #c")
+    val q2 = TrendStream.writer(
+      TrendStream.trendRows(TweetSource.FileSource(in).load(spark)),
+      sink, Trigger.AvailableNow(), Some(ckpt)).start()
+    q2.awaitTermination(60000)
+    val out = spark.read.parquet(outDir)
+    // 3 rows total: file A not re-processed (offsets recovered) and not
+    // truncated away (batch ids resumed past the batch-0 gate)
+    assert(out.count() == 3)
+    assert(out.select("hashtag").collect().map(_.getString(0)).toSet ==
+      Set("#a", "#b", "#c"))
+    assert(batchIds.asScala.map(_.toLong).toSet == Set(0L, 1L))
   }
 
   test("dedupWithinWatermark drops the in-watermark duplicate (streaming-native D-1)") {
