@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Skew stress for the trend aggregates: one hashtag is 90% of rows.
+  *
+  * Two demonstrations, measured on the same hot corpus:
+  *   1. `hashtagCountsSalted` ≡ `hashtagCounts` under skew (the salted
+  *      two-phase plan is insurance, and the insurance pays out the same
+  *      answer). For a pure COUNT, map-side partial aggregation already
+  *      absorbs the hot key (each map partition ships one partial row
+  *      per key), so the two shapes time comparably — the salted form
+  *      exists for aggregates whose post-shuffle per-key state partial
+  *      aggregation can NOT shrink.
+  *   2. The shape that genuinely dies under a hot key: a
+  *      `row_number() OVER (PARTITION BY key)` dedup funnels the hot
+  *      key's entire row set into ONE task's sort, while the engine's
+  *      min-agg dedup ([[TrendPipeline.dedupTrends]]) partial-aggregates
+  *      it away. The test times both and asserts the agg form wins by a
+  *      wide margin (measured ~6× on 20M rows at local[4]; 33 s vs
+  *      <1 s at sf0.1 on local[32] when this choice was first made).
+  */
+class SkewSpec extends SparkSpec {
+
+  /** 90%-hot corpus: `n` rows, 90% `#viral` on ONE (ts, country) key,
+    * the rest spread over 100k cold tags. */
+  private def skewed(n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10)) < 9, lit("#viral"))
+        .otherwise(concat(lit("#t"), pmod(col("id"), lit(100000)))).as("hashtag"),
+      when(pmod(col("id"), lit(10)) < 9, lit(0))
+        .otherwise(pmod(col("id"), lit(1000)).cast("int")).as("ts"),
+      (pmod(col("id"), lit(5)).cast("double") / 2.0).as("sentiment_score"),
+      lit("neutral").as("sentiment_type"),
+      lit("USA").as("country"))
+
+  private def timeOf(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  test("salted counts equal plain counts on a 90%-hot corpus") {
+    val rows = skewed(500000L)
+    val plain = TrendPipeline.hashtagCounts(rows).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = TrendPipeline.hashtagCountsSalted(rows).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+    assert(plain("#viral") == 450000L)
+  }
+
+  test("min-agg dedup beats window row_number dedup on a hot key") {
+    val rows = skewed(20000000L)
+    val windowed = rows
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ts", "hashtag", "country").orderBy("sentiment_score")))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val agg = TrendPipeline.dedupTrends(rows)
+    // same distinct-key cardinality out of both shapes
+    assert(windowed.count() == agg.count())
+    // warm pass above; now time the computation itself (min of 2 so a
+    // load spike can't invert the comparison)
+    def bench(df: DataFrame): Double = (1 to 2).map(_ =>
+      timeOf(df.write.mode("overwrite").format("noop").save())).min
+    val tWindow = bench(windowed)
+    val tAgg = bench(agg)
+    info(f"window row_number: $tWindow%.2f s, min-agg: $tAgg%.2f s " +
+      f"(${tWindow / tAgg}%.1fx) on 20M rows, 90%% one key")
+    // generous floor so machine load can't flake the test: the window
+    // funnels 18M rows into one task's sort, the agg partial-combines
+    // them map-side
+    assert(tAgg * 1.5 < tWindow,
+      f"expected min-agg dedup to clearly beat the hot-key window sort: " +
+        f"agg $tAgg%.2f s vs window $tWindow%.2f s")
+  }
+}
