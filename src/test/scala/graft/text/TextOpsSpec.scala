@@ -50,6 +50,30 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) == "#ab")
   }
 
+  test("native cleanTweetText equals the 4-regex column twin on adversarial strings") {
+    // hit every scanner edge: RT at run start/middle/end, multiple RTs
+    // in one run (rightmost wins), '_' (word char but not keep-class),
+    // http with/without \S following, @ with/without word run, literal
+    // "Foo" prefixes, Java-\s chars incl. vertical tab, surrogate
+    // pairs, and the keep-class punctuation
+    val tok = Gen.oneOf("RT", "xRT", "RTx", "aRTbRTc", "a_RT", "_",
+      "http", "http://t.co/x", "httpx", "xhttpy", "http ", "@", "@user",
+      "@RT", "Foo", "FooBar", ".,!@", "#tag", "é", "漢", "😀", "",
+      "\t", "\u000b", "", " ", "plain", "a.b,c!d")
+    val text = Gen.listOf(tok).map(_.mkString(" "))
+    val samples = Gen.listOfN(500, text).apply(Gen.Parameters.default, Seed(33L)).get ++
+      Seq("", "Foo", "FooFoo", "@x", "RT", "_RT_", "aRT", "RTRT",
+        "httpx", "httphttp y", "@_", "x@y", "😀RT", "a😀RT",
+        "Foo@bar", "@fooRT http://x RT")
+    val rows = textDf("text", samples).select(
+      TextOps.cleanTweetText(col("text")).as("n"),
+      TextOps.cleanTweetTextHof(col("text")).as("h"), col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"mismatch for '${r.getString(2)}': native='${r.getString(0)}' regex='${r.getString(1)}'")
+    }
+  }
+
   test("native extractHashtags equals the HOF column twin on adversarial strings") {
     val tok = Gen.oneOf("#tag", "#", "##", "#a", "# b", "", " ", "#x\ty",
       "x#y", "#漢字", "#😀", "#e", "plain")
