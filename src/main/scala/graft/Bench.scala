@@ -76,7 +76,8 @@ object Bench {
     * measures what the same pipeline shape sustains on one node.
     *
     * The feed rate is a deliberately CONSERVATIVE fraction of measured
-    * capacity (~250k rows/s at local[32]): `processedRowsPerSecond` is
+    * capacity (~1.38M rows/s at local[32] with the native clean chain;
+    * see artifacts/SOAK_SUMMARY.json): `processedRowsPerSecond` is
     * rows/batch-duration — true pipeline speed regardless of how full
     * each batch is — so under-feeding costs nothing, while over-feeding
     * makes batches fall behind the trigger and starves the sampler
@@ -95,11 +96,11 @@ object Bench {
         def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
           df.write.mode("overwrite").format("noop").save()
       }
-      // ~2.5k rows/s/core ≈ 30% of measured capacity — batches always
-      // complete within the 1 s trigger, so every trigger yields a
-      // progress sample
+      // ~15k rows/s/core ≈ 35% of measured capacity (~43k/core with the
+      // native clean chain) — batches always complete within the 1 s
+      // trigger, so every trigger yields a progress sample
       val rows = TrendStream.trendRows(
-        TweetSource.RateSource(2500 * cpus).load(spark))
+        TweetSource.RateSource(15000 * cpus).load(spark))
       val q = TrendStream.writer(rows, sink,
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
         Some(ckpt)).start()

@@ -14,8 +14,9 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *
   * Env:
   *   SPARK_GRAFT_CPUS       cores (default 32)
-  *   SOAK_ROWS_PER_SEC      feed rate (default 2500/core ≈ 30% of the
-  *                          measured ~250k rows/s capacity at local[32])
+  *   SOAK_ROWS_PER_SEC      feed rate (default 30000/core ≈ 70% of the
+  *                          measured ~1.38M rows/s capacity at
+  *                          local[32] with the native clean chain)
   *   SOAK_SECONDS           duration (default 300)
   *   SOAK_OUT               artifact path (default artifacts/SOAK.jsonl)
   *
@@ -27,7 +28,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 object Soak {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val rate = sys.env.getOrElse("SOAK_ROWS_PER_SEC", (2500 * cpus).toString).toInt
+    val rate = sys.env.getOrElse("SOAK_ROWS_PER_SEC", (30000 * cpus).toString).toInt
     val seconds = sys.env.getOrElse("SOAK_SECONDS", "300").toInt
     val outPath = sys.env.getOrElse("SOAK_OUT", "artifacts/SOAK.jsonl")
 
