@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.polyhash)
     ext.injectFunction(GraftExtensions.sentiment)
+    ext.injectFunction(GraftExtensions.cleanTweet)
   }
 }
 
@@ -32,8 +33,11 @@ object GraftExtensions {
     unary("graft_polyhash", classOf[PolyHashExpression], PolyHashExpression(_))
   private[graft] val sentiment =
     unary("graft_sentiment", classOf[SentimentScoreExpression], SentimentScoreExpression(_))
+  private[graft] val cleanTweet =
+    unary("graft_clean_tweet", classOf[graft.text.CleanTweetTextExpression],
+      graft.text.CleanTweetTextExpression(_))
 
-  private val all = Seq(polyhash, sentiment)
+  private val all = Seq(polyhash, sentiment, cleanTweet)
 
   /** Imperative registration on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

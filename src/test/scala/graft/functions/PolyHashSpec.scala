@@ -43,6 +43,15 @@ class PolyHashSpec extends SparkSpec {
     assert(got == PolyHashExpression.hash("hello"))
   }
 
+  test("SQL function graft_clean_tweet resolves after registration") {
+    GraftExtensions.register(spark)
+    // @user -> Foo (then stripped as leading), URL remnant and RT die
+    val got = spark.sql(
+      "SELECT graft_clean_tweet('@user hello http://x RT') AS c")
+      .collect().head.getString(0)
+    assert(got == " hello  ")
+  }
+
   test("extensions class injects the function into a fresh session") {
     val ext = new GraftExtensions()
     // smoke the injector shape without booting a second session
