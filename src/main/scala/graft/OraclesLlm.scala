@@ -213,31 +213,38 @@ object OraclesLlm {
        |SELECT query_id, vec_id, round(cos, 6) AS score, rank
        |FROM ranked WHERE rank <= 10""".stripMargin
 
-  /** IVF: deterministic first-N "centroids", max-cosine assignment,
-    * probe within the query's cell only. */
-  val ivfTopK: String =
-    s"""WITH vecs AS (
+  /** IVF CTE block: deterministic first-N "centroids", max-cosine corpus
+    * assignment, queries keep their `nprobe` nearest cells (multi-probe).
+    * Defines CTEs `vecs, cents, assigned, q, scored` (callers rank). */
+  private def ivfCtes(nprobe: Int): String =
+    s"""vecs AS (
        |  SELECT vec_id, ${quantE("embedding")} AS qv FROM embeddings),
        |cents AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16),
+       |cellranked AS (
+       |  SELECT v.vec_id, v.qv, c.cent_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosE("v.qv", "c.cv")} DESC, c.cent_id) AS rn
+       |  FROM vecs v, cents c),
        |assigned AS (
-       |  SELECT vec_id, qv, cent_id FROM (
-       |    SELECT v.vec_id, v.qv, c.cent_id,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${cosE("v.qv", "c.cv")} DESC, c.cent_id) AS rn
-       |    FROM vecs v, cents c)
-       |  WHERE rn = 1),
+       |  SELECT vec_id, qv, cent_id FROM cellranked WHERE rn = 1),
        |q AS (SELECT vec_id AS query_id, qv AS qqv, cent_id AS qcent
-       |      FROM assigned WHERE vec_id < 5),
+       |      FROM cellranked WHERE vec_id < 5 AND rn <= $nprobe),
        |scored AS (
        |  SELECT query_id, a.vec_id, ${cosE("qqv", "a.qv")} AS cos
        |  FROM assigned a JOIN q
-       |    ON a.cent_id = q.qcent AND a.vec_id <> q.query_id),
+       |    ON a.cent_id = q.qcent AND a.vec_id <> q.query_id)""".stripMargin
+
+  private def ivfTopKSql(nprobe: Int): String =
+    s"""WITH ${ivfCtes(nprobe)},
        |ranked AS (
        |  SELECT query_id, vec_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
        |  FROM scored)
        |SELECT query_id, vec_id, round(cos, 6) AS score, rank
        |FROM ranked WHERE rank <= 10""".stripMargin
+
+  val ivfTopK: String = ivfTopKSql(1)
+  val ivfTopKP3: String = ivfTopKSql(3)
 
   /** All LSH-blocked candidate pairs with exact Jaccard permille at the
     * exploratory 0.2 cutoff. */
@@ -248,8 +255,8 @@ object OraclesLlm {
        |FROM scored WHERE inter_size * 1000 >= union_size * 200""".stripMargin
 
   /** Recall@10 of IVF vs brute force, permille per query — both chains
-    * composed (CTEs renamed to avoid collisions). */
-  val ivfRecall: String =
+    * composed (brute CTEs b-prefixed to avoid collisions). */
+  private def ivfRecallSql(nprobe: Int): String =
     s"""WITH bq AS (SELECT vec_id AS query_id, ${quantE("embedding")} AS qv
        |           FROM embeddings WHERE vec_id < 5),
        |bc AS (SELECT vec_id, ${quantE("embedding")} AS cv FROM embeddings),
@@ -261,30 +268,19 @@ object OraclesLlm {
        |    SELECT query_id, vec_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
        |    FROM bscored) WHERE rank <= 10),
-       |vecs AS (SELECT vec_id, ${quantE("embedding")} AS qv FROM embeddings),
-       |cents AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16),
-       |assigned AS (
-       |  SELECT vec_id, qv, cent_id FROM (
-       |    SELECT v.vec_id, v.qv, c.cent_id,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${cosE("v.qv", "c.cv")} DESC, c.cent_id) AS rn
-       |    FROM vecs v, cents c)
-       |  WHERE rn = 1),
-       |iq AS (SELECT vec_id AS query_id, qv AS qqv, cent_id AS qcent
-       |       FROM assigned WHERE vec_id < 5),
-       |iscored AS (
-       |  SELECT query_id, a.vec_id, ${cosE("qqv", "a.qv")} AS cos
-       |  FROM assigned a JOIN iq
-       |    ON a.cent_id = iq.qcent AND a.vec_id <> iq.query_id),
+       |${ivfCtes(nprobe)},
        |ivf AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-       |    FROM iscored) WHERE rank <= 10)
+       |    FROM scored) WHERE rank <= 10)
        |SELECT b.query_id, (1000 * count(i.vec_id)) // 10 AS recall_pm
        |FROM brute b LEFT JOIN ivf i
        |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
        |GROUP BY b.query_id""".stripMargin
+
+  val ivfRecall: String = ivfRecallSql(1)
+  val ivfRecallP3: String = ivfRecallSql(3)
 
   /** Signatures via the typed Aggregator path — same math as the
     * expression form; docs with no shingles are absent (no rows to

@@ -132,6 +132,10 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "ivf_recall" -> ((s, dir) =>
       Similarity.ivfRecall(Tables.embeddings(s, dir))),
+    "ivf_topk_p3" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), nprobe = 3)),
+    "ivf_recall_p3" -> ((s, dir) =>
+      Similarity.ivfRecall(Tables.embeddings(s, dir), nprobe = 3)),
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
@@ -192,6 +196,8 @@ object SparkEntry {
     "cosine_topk" -> OraclesLlm.cosineTopK,
     "ivf_topk" -> OraclesLlm.ivfTopK,
     "ivf_recall" -> OraclesLlm.ivfRecall,
+    "ivf_topk_p3" -> OraclesLlm.ivfTopKP3,
+    "ivf_recall_p3" -> OraclesLlm.ivfRecallP3,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "media_meta" -> OraclesLlm.mediaMeta,
     "media_features" -> OraclesLlm.mediaFeatures,

@@ -122,10 +122,14 @@ object Similarity {
     * plumbing, assignment, and probe are the real thing):
     *   1. assign: every vector joins the broadcast centroid set and
     *      keeps its max-cosine cell (argmax via window, cent_id tiebreak);
-    *   2. probe: a query searches only its own cell's bucket.
-    * One broadcast join + one bucket-bounded join — never all-pairs. */
+    *   2. probe: a query searches the buckets of its `nprobe` nearest
+    *      cells (classic IVF multi-probe — recall rises with nprobe while
+    *      the scanned fraction stays ≈ nprobe/nCentroids).
+    * One broadcast join + one bucket-bounded join — never all-pairs. A
+    * corpus vector lives in exactly one cell and a query's probe cells
+    * are distinct, so no candidate dedup step is needed. */
   def ivfTopK(embeddings: DataFrame, nCentroids: Int = 16,
-              nQueries: Int = 5, k: Int = 10): DataFrame = {
+              nQueries: Int = 5, k: Int = 10, nprobe: Int = 1): DataFrame = {
     val vecs = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
@@ -133,14 +137,17 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
     val byVec = Window.partitionBy("vec_id")
       .orderBy(col("cos_c").desc, col("cent_id"))
-    val assigned = vecs.join(broadcast(cents))
+    def cellRanked(in: DataFrame): DataFrame = in.join(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("nrm"), col("cent_id"),
         (dotQ(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
           .as("cos_c"))
       .withColumn("rn", row_number().over(byVec))
+    val assigned = cellRanked(vecs)
       .filter(col("rn") === 1)
       .select("vec_id", "qv", "nrm", "cent_id")
-    val queries = assigned.filter(col("vec_id") < nQueries)
+    // queries rank cells separately so they can keep nprobe of them
+    val queries = cellRanked(vecs.filter(col("vec_id") < nQueries))
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nrm").as("qnrm"), col("cent_id").as("qcent"))
     val byQuery = Window.partitionBy("query_id")
@@ -162,9 +169,9 @@ object Similarity {
     * sides are deterministic, so even this evaluation is
     * oracle-checkable. */
   def ivfRecall(embeddings: DataFrame, nCentroids: Int = 16,
-                nQueries: Int = 5, k: Int = 10): DataFrame = {
+                nQueries: Int = 5, k: Int = 10, nprobe: Int = 1): DataFrame = {
     val brute = cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id")
-    val ivf = ivfTopK(embeddings, nCentroids, nQueries, k)
+    val ivf = ivfTopK(embeddings, nCentroids, nQueries, k, nprobe)
       .select(col("query_id"), col("vec_id").as("ivf_vec"))
     brute
       .join(ivf, brute("query_id") === ivf("query_id") &&

@@ -98,6 +98,15 @@ class SimilaritySpec extends SparkSpec {
     // IVF probes one coarse cell: recall is bounded but must be real —
     // random 64-d embeddings give low cell purity, so a loose floor
     assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+    // multi-probe: recall is monotone in nprobe (probe set grows), and
+    // probing ALL cells recovers brute force exactly
+    val ivf3 = resultSet(Similarity.ivfTopK(emb, nCentroids = 16,
+      nQueries = 5, k = 10, nprobe = 3))
+    val recall3 = (brute intersect ivf3).size / 50.0
+    assert(recall3 >= recall, s"nprobe=3 recall $recall3 below nprobe=1 $recall")
+    val ivfAll = resultSet(Similarity.ivfTopK(emb, nCentroids = 16,
+      nQueries = 5, k = 10, nprobe = 16))
+    assert(ivfAll == brute, "nprobe=nCentroids must equal brute force")
   }
 
   test("quantize floors on exact float->double widening") {
