@@ -107,4 +107,32 @@ object TrendStream {
       .withColumn("event_time", col("timestamp").cast("timestamp"))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("timestamp", "hashtag", "country")
+
+  /** J-1's streaming-native upgrade: the reference joins counts with
+    * sentiment per micro-batch inside foreachRDD
+    * (`KafkaSparkProcessor.scala:93`) — batch-local, so correlated rows
+    * split across batches never meet. This is the cross-batch form: a
+    * watermarked stream-stream INTERVAL join on hashtag, matching right
+    * rows whose event time falls within `intervalSec` seconds at or
+    * before the left row's. Both sides carry watermarks and the join
+    * condition bounds event time in both directions, so Spark derives a
+    * state-eviction bound — state is watermark-bounded, not unbounded
+    * (at scale: state per key ~ rows within the interval window, evicted
+    * as the watermark advances). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   intervalSec: Int = 60,
+                   watermark: String = "2 minutes"): DataFrame = {
+    val l = left
+      .withColumn("l_time", col("timestamp").cast("timestamp"))
+      .withWatermark("l_time", watermark)
+    val r = right
+      .select(col("timestamp").as("r_timestamp"), col("hashtag").as("r_hashtag"),
+        col("sentiment_score").as("r_sentiment_score"))
+      .withColumn("r_time", col("r_timestamp").cast("timestamp"))
+      .withWatermark("r_time", watermark)
+    l.join(r,
+      col("hashtag") === col("r_hashtag") &&
+        col("r_time") >= col("l_time") - expr(s"interval $intervalSec seconds") &&
+        col("r_time") <= col("l_time"))
+  }
 }

@@ -128,6 +128,40 @@ class TrendStreamSpec extends SparkSpec {
     assert(got == Set("#x", "#y"))
   }
 
+  test("intervalJoin: stream-stream join matches within the interval, drops outside") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[String]
+    val rMem = MemoryStream[String]
+    // fixed event times via the wire decode path would stamp arrival
+    // time; build typed rows directly to control event time
+    def rows(mem: MemoryStream[String], base: Int) = {
+      import org.apache.spark.sql.functions.split
+      mem.toDF().select(
+        split(col("value"), ",")(0).cast("int").as("timestamp"),
+        split(col("value"), ",")(1).as("hashtag"),
+        split(col("value"), ",")(2).cast("double").as("sentiment_score"))
+    }
+    val joined = TrendStream.intervalJoin(rows(lMem, 0), rows(rMem, 0),
+      intervalSec = 60)
+    val out = new TrendSink.MemoryProducerSink()
+    val q = joined.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => out.write(df, id))
+      .start()
+    lMem.addData("1000,#a,3.0", "1000,#b,2.0")
+    rMem.addData(
+      "990,#a,1.0",   // within 60s before -> match
+      "1000,#a,2.5",  // same instant -> match
+      "930,#a,0.5",   // 70s before -> outside interval
+      "1010,#a,4.0",  // after left -> no match
+      "995,#c,1.5")   // wrong key
+    q.awaitTermination(60000)
+    val got = out.buffer.values.flatten
+      .map(r => (r.getAs[String]("hashtag"), r.getAs[Int]("r_timestamp")))
+      .toSet
+    assert(got == Set(("#a", 990), ("#a", 1000)))
+  }
+
   test("checkpoint recovery: kill mid-stream, restart resumes with no dup/loss") {
     // the exactly-once story S-2/A-5 exist for: offsets + batch ids live
     // in the checkpoint, the parquet sink is idempotent per batch id
