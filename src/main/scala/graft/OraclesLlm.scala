@@ -282,6 +282,59 @@ object OraclesLlm {
   val ivfRecall: String = ivfRecallSql(1)
   val ivfRecallP3: String = ivfRecallSql(3)
 
+  /** The capstone composition (mirrors `Pipeline.trainingPipeline` over
+    * the exact-dup-injected corpus): language filter → quality filter →
+    * exact dedup keeping the min-id canonical copy → redaction → token
+    * stats of the cleaned text. */
+  val trainingPipeline: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+       |st AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('the','a','of','and','is')))::BIGINT AS en,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('el','la','los','de','que')))::BIGINT AS es,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('der','die','und','das','ist')))::BIGINT AS de,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('le','les','et','une','est')))::BIGINT AS fr,
+       |    len(${toksE("text")})::BIGINT AS wc,
+       |    len(list_distinct(${toksE("text")}))::BIGINT AS uniq,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('the','a','of','and','is')))::BIGINT AS stop
+       |  FROM corpus),
+       |sc AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN cjk*10 > n*3 THEN 'zh'
+       |         WHEN en+es+de+fr = 0 THEN 'und'
+       |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+       |         WHEN es >= de AND es >= fr THEN 'es'
+       |         WHEN de >= fr THEN 'de'
+       |         ELSE 'fr' END AS pred_lang,
+       |    (least(1000, wc * 20)
+       |      + CASE WHEN wc = 0 THEN 0 ELSE (1000 * uniq) // wc END
+       |      + CASE WHEN wc = 0 THEN 0 ELSE (1000 * stop) // wc END) // 3 AS quality
+       |  FROM st),
+       |kept AS (
+       |  SELECT doc_id, text, quality FROM sc
+       |  WHERE pred_lang = 'en' AND quality >= 400),
+       |winners AS (
+       |  SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       |  FROM (SELECT doc_id,
+       |          sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS ck
+       |        FROM kept)
+       |  GROUP BY ck),
+       |fin AS (
+       |  SELECT k.doc_id, k.quality, w.n_copies,
+       |    regexp_replace(regexp_replace(regexp_replace(k.text,
+       |      'https?://[!-~]+', '<URL>', 'g'),
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS clean
+       |  FROM kept k JOIN winners w ON k.doc_id = w.doc_id)
+       |SELECT doc_id, quality, n_copies,
+       |  len(${toksE("clean")})::BIGINT AS n_ws_tokens,
+       |  len(regexp_extract_all(clean, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]'))::BIGINT AS n_bpe_tokens,
+       |  length(clean)::BIGINT AS n_chars
+       |FROM fin""".stripMargin
+
   /** Signatures via the typed Aggregator path — same math as the
     * expression form; docs with no shingles are absent (no rows to
     * aggregate). */

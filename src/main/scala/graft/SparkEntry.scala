@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Country, Sentiment}
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
 import graft.model.WireCodec
 import graft.ops.{Relational, TrendPipeline, Windows}
 import graft.text.TextOps
@@ -124,6 +124,8 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir))))),
     "redact_text" -> ((s, dir) => TextAnalysis.redactedDocs(docs(s, dir))),
+    "training_pipeline" -> ((s, dir) =>
+      Pipeline.trainingPipeline(Dedup.withExactDups(docs(s, dir)))),
     "simhash_dedup" -> ((s, dir) =>
       Dedup.simhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "cosine_topk" -> ((s, dir) =>
@@ -192,6 +194,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,
     "dedup_clusters" -> OraclesLlm.dedupClusters,
     "redact_text" -> OraclesLlm.redactText,
+    "training_pipeline" -> OraclesLlm.trainingPipeline,
     "simhash_dedup" -> OraclesLlm.simhashDedup,
     "cosine_topk" -> OraclesLlm.cosineTopK,
     "ivf_topk" -> OraclesLlm.ivfTopK,

@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFns._
+
+/** The capstone composition: an end-to-end training-data prep pipeline —
+  * language filter → quality filter → exact dedup (canonical keeper) →
+  * PII redaction → token accounting — as ONE lazy DataFrame plan,
+  * oracle-checked end to end.
+  *
+  * Shuffle budget at 100 TB (the reason each stage is shaped this way):
+  *   - scoring (lang + quality) is a stateless projection fused into the
+  *     scan — the token array is staged once and every marker count
+  *     reads the staged column (no recompute, no shuffle);
+  *   - the language/quality FILTER runs before anything shuffles, so
+  *     rejected documents (the majority, on web-scale corpora) never
+  *     leave their input partition;
+  *   - exact dedup shuffles (digest, doc_id) pairs only — 32 bytes + id
+  *     per surviving doc, never text;
+  *   - the winner join brings text through exactly ONE shuffle (both
+  *     sides hash-partitioned on doc_id);
+  *   - redaction + token stats are stateless projections on the
+  *     deduplicated survivors (the smallest relation in the plan).
+  */
+object Pipeline {
+
+  /** Per-row language + quality scoring, fused into one projection.
+    * Exactly the [[TextAnalysis.langId]] and [[TextAnalysis.qualityScore]]
+    * math, computed over one staged token array. */
+  private def scored(docs: DataFrame): DataFrame = {
+    val staged = docs.select(
+      col("doc_id"), col("text"),
+      length(col("text")).as("n"),
+      size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+        .as("cjk"),
+      tokens(col("text")).as("toks"))
+    val counts = TextAnalysis.LangMarkers.map { case (_, ws) =>
+      size(filter(col("toks"), t => t.isInCollection(ws))).cast("long")
+    }
+    val Seq(en, es, de, fr) = counts
+    val predLang =
+      when(col("cjk") * 10 > col("n") * 3, "zh")
+        .when(en + es + de + fr === 0, "und")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    staged
+      .select(col("doc_id"), col("text"), predLang.as("pred_lang"),
+        size(col("toks")).cast("long").as("wc"),
+        size(array_distinct(col("toks"))).cast("long").as("uniq"),
+        size(filter(col("toks"), t => t.isInCollection(TextAnalysis.Stopwords)))
+          .cast("long").as("stop"))
+      .select(col("doc_id"), col("text"), col("pred_lang"),
+        ((least(lit(1000L), col("wc") * 20L)
+          + when(col("wc") === 0, 0L).otherwise(expr("(1000 * uniq) div wc"))
+          + when(col("wc") === 0, 0L).otherwise(expr("(1000 * stop) div wc")))
+          .cast("long")).as("pm_sum"))
+      .select(col("doc_id"), col("text"), col("pred_lang"),
+        expr("pm_sum div 3").as("quality"))
+  }
+
+  /** The full pipeline. Output: one row per SURVIVING document (language
+    * match, quality ≥ minQuality, canonical copy of its content class)
+    * with its quality, its content class size, and token stats of the
+    * redacted text. */
+  def trainingPipeline(docs: DataFrame, lang: String = "en",
+                       minQuality: Int = 400): DataFrame = {
+    val kept = scored(docs)
+      .filter(col("pred_lang") === lang && col("quality") >= minQuality)
+    // slim dedup shuffle: (digest, doc_id) only
+    val winners = kept
+      .select(col("doc_id"),
+        sha2(TextAnalysis.normalize(col("text")), 256).as("content_key"))
+      .groupBy("content_key")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+    kept.join(winners, "doc_id")
+      .select(col("doc_id"), col("quality"), col("n_copies"),
+        TextAnalysis.redact(col("text")).as("clean"))
+      .select(col("doc_id"), col("quality"), col("n_copies"),
+        size(tokens(col("clean"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("clean"),
+          lit(TextAnalysis.BpeTokenPattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        length(col("clean")).cast("long").as("n_chars"))
+  }
+}

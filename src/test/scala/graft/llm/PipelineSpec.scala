@@ -1,0 +1,38 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** End-to-end training-data pipeline composition. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainingPipeline: filters, dedups to canonical, redacts, counts") {
+    val docs = Seq(
+      // survives: English, plenty of unique words + stopwords, has PII
+      (1L, "the quick brown fox is a friend of the lazy dog and visits https://ex.test/x daily"),
+      // exact duplicate (different id) -> only id 1 survives, n_copies 2
+      (7L, "the quick brown fox is a friend of the lazy dog and visits https://ex.test/x daily"),
+      // Spanish -> filtered by language
+      (2L, "el perro y la casa de los amigos que viven aqui"),
+      // too short -> quality floor
+      (3L, "hi"),
+      // English, no dup
+      (4L, "a model of the data and a story of the runs is written here"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.trainingPipeline(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("quality"))).toMap
+    assert(got.keySet == Set(1L, 4L))
+    assert(got(1L)._1 == 2L) // its content class had 2 copies
+    assert(got(4L)._1 == 1L)
+    assert(got.values.forall(_._2 >= 400L))
+    // redaction happened before token stats: the URL collapsed to <URL>
+    val row1 = Pipeline.trainingPipeline(docs)
+      .filter($"doc_id" === 1L).collect().head
+    val rawWs = docs.filter($"doc_id" === 1L)
+      .select(org.apache.spark.sql.functions.size(
+        TextFns.tokens($"text"))).collect().head.getInt(0)
+    assert(row1.getAs[Long]("n_ws_tokens") == rawWs) // URL was one token, stays one (<URL>)
+    assert(row1.getAs[Long]("n_chars") < 90)         // but the text got shorter
+  }
+}
