@@ -126,6 +126,10 @@ object SparkEntry {
     "redact_text" -> ((s, dir) => TextAnalysis.redactedDocs(docs(s, dir))),
     "training_pipeline" -> ((s, dir) =>
       Pipeline.trainingPipeline(Dedup.withExactDups(docs(s, dir)))),
+    // no oracleSql entry: HLL sketches are engine-specific, so the
+    // driver records the (weaker) rows-only check for this one
+    "approx_distinct_ngrams" -> ((s, dir) =>
+      TextAnalysis.approxDistinctNgrams(docs(s, dir))),
     "simhash_dedup" -> ((s, dir) =>
       Dedup.simhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "cosine_topk" -> ((s, dir) =>
