@@ -215,11 +215,38 @@ object OraclesLlm {
 
   /** IVF CTE block: deterministic first-N "centroids", max-cosine corpus
     * assignment, queries keep their `nprobe` nearest cells (multi-probe).
+    * With `refine`, one Lloyd iteration replaces each non-empty seed
+    * cell's centroid with floor(per-dimension mean) of its members —
+    * exact integer sums, correctly-rounded double division, so the
+    * refined centroids are bit-identical to Spark's.
     * Defines CTEs `vecs, cents, assigned, q, scored` (callers rank). */
-  private def ivfCtes(nprobe: Int): String =
+  private def ivfCtes(nprobe: Int, refine: Boolean = false): String = {
+    val centsBlock =
+      if (!refine)
+        "cents AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16)"
+      else
+        s"""seeds AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16),
+           |sranked AS (
+           |  SELECT v.vec_id, v.qv, s.cent_id,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${cosE("v.qv", "s.cv")} DESC, s.cent_id) AS srn
+           |  FROM vecs v, seeds s),
+           |sassigned AS (SELECT vec_id, qv, cent_id FROM sranked WHERE srn = 1),
+           |dims AS (
+           |  SELECT cent_id, u FROM (
+           |    SELECT cent_id,
+           |      unnest([{'p': i, 'd': qv[i+1]} for i in range(len(qv))]) AS u
+           |    FROM sassigned)),
+           |means AS (
+           |  SELECT cent_id, u.p AS pos,
+           |    floor(sum(u.d)::DOUBLE / count(*)::DOUBLE)::BIGINT AS vdim
+           |  FROM dims GROUP BY cent_id, u.p),
+           |cents AS (
+           |  SELECT cent_id, list(vdim ORDER BY pos) AS cv
+           |  FROM means GROUP BY cent_id)""".stripMargin
     s"""vecs AS (
        |  SELECT vec_id, ${quantE("embedding")} AS qv FROM embeddings),
-       |cents AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16),
+       |$centsBlock,
        |cellranked AS (
        |  SELECT v.vec_id, v.qv, c.cent_id,
        |    row_number() OVER (PARTITION BY v.vec_id
@@ -233,9 +260,10 @@ object OraclesLlm {
        |  SELECT query_id, a.vec_id, ${cosE("qqv", "a.qv")} AS cos
        |  FROM assigned a JOIN q
        |    ON a.cent_id = q.qcent AND a.vec_id <> q.query_id)""".stripMargin
+  }
 
-  private def ivfTopKSql(nprobe: Int): String =
-    s"""WITH ${ivfCtes(nprobe)},
+  private def ivfTopKSql(nprobe: Int, refine: Boolean = false): String =
+    s"""WITH ${ivfCtes(nprobe, refine)},
        |ranked AS (
        |  SELECT query_id, vec_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
@@ -245,6 +273,7 @@ object OraclesLlm {
 
   val ivfTopK: String = ivfTopKSql(1)
   val ivfTopKP3: String = ivfTopKSql(3)
+  val ivfTopKKm: String = ivfTopKSql(1, refine = true)
 
   /** All LSH-blocked candidate pairs with exact Jaccard permille at the
     * exploratory 0.2 cutoff. */
@@ -256,7 +285,7 @@ object OraclesLlm {
 
   /** Recall@10 of IVF vs brute force, permille per query — both chains
     * composed (brute CTEs b-prefixed to avoid collisions). */
-  private def ivfRecallSql(nprobe: Int): String =
+  private def ivfRecallSql(nprobe: Int, refine: Boolean = false): String =
     s"""WITH bq AS (SELECT vec_id AS query_id, ${quantE("embedding")} AS qv
        |           FROM embeddings WHERE vec_id < 5),
        |bc AS (SELECT vec_id, ${quantE("embedding")} AS cv FROM embeddings),
@@ -268,7 +297,7 @@ object OraclesLlm {
        |    SELECT query_id, vec_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
        |    FROM bscored) WHERE rank <= 10),
-       |${ivfCtes(nprobe)},
+       |${ivfCtes(nprobe, refine)},
        |ivf AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
@@ -281,6 +310,7 @@ object OraclesLlm {
 
   val ivfRecall: String = ivfRecallSql(1)
   val ivfRecallP3: String = ivfRecallSql(3)
+  val ivfRecallKm: String = ivfRecallSql(1, refine = true)
 
   /** The capstone composition (mirrors `Pipeline.trainingPipeline` over
     * the exact-dup-injected corpus): language filter → quality filter →

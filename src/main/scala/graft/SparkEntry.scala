@@ -142,6 +142,10 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), nprobe = 3)),
     "ivf_recall_p3" -> ((s, dir) =>
       Similarity.ivfRecall(Tables.embeddings(s, dir), nprobe = 3)),
+    "ivf_topk_km" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), refine = true)),
+    "ivf_recall_km" -> ((s, dir) =>
+      Similarity.ivfRecall(Tables.embeddings(s, dir), refine = true)),
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
@@ -205,6 +209,8 @@ object SparkEntry {
     "ivf_recall" -> OraclesLlm.ivfRecall,
     "ivf_topk_p3" -> OraclesLlm.ivfTopKP3,
     "ivf_recall_p3" -> OraclesLlm.ivfRecallP3,
+    "ivf_topk_km" -> OraclesLlm.ivfTopKKm,
+    "ivf_recall_km" -> OraclesLlm.ivfRecallKm,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "media_meta" -> OraclesLlm.mediaMeta,
     "media_features" -> OraclesLlm.mediaFeatures,

@@ -128,13 +128,48 @@ object Similarity {
     * One broadcast join + one bucket-bounded join — never all-pairs. A
     * corpus vector lives in exactly one cell and a query's probe cells
     * are distinct, so no candidate dedup step is needed. */
+  /** One Lloyd (k-means) refinement iteration over the seed centroids:
+    * assign every vector to its max-cosine seed cell, then replace each
+    * non-empty cell's centroid with the floor of its members' per-
+    * dimension mean. Exact integer sums + `floor(sum/count)` on a
+    * correctly-rounded double division keep the result bit-identical in
+    * any engine (sums fit double's 2^53 integer range by a huge margin).
+    * Cells that attract no members vanish — deterministic on both sides.
+    * Shuffle shape: the per-dimension mean is a posexplode + hash agg on
+    * (cent_id, dim) — at scale that is nCentroids×dims grouped rows,
+    * independent of corpus size thanks to partial aggregation. */
+  private def refinedCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("cent_id"),
+        (dotQ(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
+          .as("cos_c"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+    assigned
+      .select(col("cent_id"), posexplode(col("qv")))
+      .groupBy("cent_id", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .groupBy("cent_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"),
+          floor(col("s").cast("double") / col("n").cast("double"))
+            .cast("long").as("v")))),
+        x => x("v")).as("cv"))
+      .withColumn("cnrm", sqrt(norm2Q(col("cv")).cast("double")))
+      .select("cent_id", "cv", "cnrm")
+  }
+
   def ivfTopK(embeddings: DataFrame, nCentroids: Int = 16,
-              nQueries: Int = 5, k: Int = 10, nprobe: Int = 1): DataFrame = {
+              nQueries: Int = 5, k: Int = 10, nprobe: Int = 1,
+              refine: Boolean = false): DataFrame = {
     val vecs = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
-    val cents = vecs.filter(col("vec_id") < nCentroids)
+    val seeds = vecs.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    val cents = if (refine) refinedCentroids(vecs, seeds) else seeds
     val byVec = Window.partitionBy("vec_id")
       .orderBy(col("cos_c").desc, col("cent_id"))
     def cellRanked(in: DataFrame): DataFrame = in.join(broadcast(cents))
@@ -169,9 +204,10 @@ object Similarity {
     * sides are deterministic, so even this evaluation is
     * oracle-checkable. */
   def ivfRecall(embeddings: DataFrame, nCentroids: Int = 16,
-                nQueries: Int = 5, k: Int = 10, nprobe: Int = 1): DataFrame = {
+                nQueries: Int = 5, k: Int = 10, nprobe: Int = 1,
+                refine: Boolean = false): DataFrame = {
     val brute = cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id")
-    val ivf = ivfTopK(embeddings, nCentroids, nQueries, k, nprobe)
+    val ivf = ivfTopK(embeddings, nCentroids, nQueries, k, nprobe, refine)
       .select(col("query_id"), col("vec_id").as("ivf_vec"))
     brute
       .join(ivf, brute("query_id") === ivf("query_id") &&

@@ -109,6 +109,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfAll == brute, "nprobe=nCentroids must equal brute force")
   }
 
+  test("k-means-refined IVF returns full result sets and real recall (sf0.001)") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val km = Similarity.ivfTopK(emb, refine = true).collect()
+    assert(km.length == 50)
+    val recall = Similarity.ivfRecall(emb, refine = true).collect()
+      .map(_.getAs[Long]("recall_pm"))
+    // refined cells must still find real neighbors for every query
+    assert(recall.length == 5 && recall.forall(_ > 0))
+    // refinement actually moved the index: the result set differs from
+    // the seed-centroid index for at least one query (random 64-d
+    // embeddings make identical post-refinement cells implausible)
+    val seedSet = Similarity.ivfTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kmSet = km.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kmSet != seedSet, "refinement changed nothing — suspicious")
+  }
+
   test("quantize floors on exact float->double widening") {
     val got = spark.range(1).select(
       Similarity.quantize(array(lit(0.5f), lit(-0.5f), lit(0.0001f))).as("q"))
