@@ -47,16 +47,27 @@ object Bench {
       }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to Reps).map { _ =>
+      // a rep either succeeds (Right time) or fails (Left error); the
+      // reported figure is the median of the SUCCESSFUL reps, and a
+      // query lands in `errors` only when every rep failed — a transient
+      // one-rep failure must not mark a working query broken, and a
+      // broken query must not report a time at all (its median slot
+      // falls back to the failing reps' wall time)
+      val reps = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+        val outcome =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
+          }
+        (outcome, (System.nanoTime() - t0) / 1e9)
+      }
+      val ok = reps.collect { case (None, t) => t }.sorted
+      if (ok.isEmpty) {
+        errors(name) = reps.last._1.get
+        name -> reps.map(_._2).sorted.apply(Reps / 2)
+      } else name -> ok(ok.length / 2)
     }
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -76,8 +87,9 @@ object Bench {
     * measures what the same pipeline shape sustains on one node.
     *
     * The feed rate is a deliberately CONSERVATIVE fraction of measured
-    * capacity (~1.38M rows/s at local[32] with the native clean chain;
-    * see artifacts/SOAK_SUMMARY.json): `processedRowsPerSecond` is
+    * sustained capacity (~930k rows/s at local[32] on 1 s micro-batches
+    * with the native clean chain; see artifacts/SOAK_SUMMARY.json):
+    * `processedRowsPerSecond` is
     * rows/batch-duration — true pipeline speed regardless of how full
     * each batch is — so under-feeding costs nothing, while over-feeding
     * makes batches fall behind the trigger and starves the sampler
@@ -96,9 +108,9 @@ object Bench {
         def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
           df.write.mode("overwrite").format("noop").save()
       }
-      // ~15k rows/s/core ≈ 35% of measured capacity (~43k/core with the
-      // native clean chain) — batches always complete within the 1 s
-      // trigger, so every trigger yields a progress sample
+      // ~15k rows/s/core ≈ half the ~29k/core sustained micro-batch
+      // capacity — batches complete within the 1 s trigger even under
+      // moderate machine load, so every trigger yields a progress sample
       val rows = TrendStream.trendRows(
         TweetSource.RateSource(15000 * cpus).load(spark))
       val q = TrendStream.writer(rows, sink,

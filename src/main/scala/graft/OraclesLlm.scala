@@ -21,6 +21,17 @@ object OraclesLlm {
 
   private val P = "1000000007"
 
+  /** Guard for SQL fragments that get interpolated into a `.stripMargin`
+    * template AFTER their own stripMargin ran: any line beginning with
+    * whitespace + `|` (e.g. a leading `||` concat) would lose a `|` to
+    * the outer stripMargin and silently change the SQL. Fails fast at
+    * object init instead. */
+  private def frag(s: String): String = {
+    require(!s.linesIterator.exists(_.matches("""\s+\|.*""")),
+      s"fragment line would be mangled by an outer stripMargin:\n$s")
+    s
+  }
+
   /** Whitespace tokens, empties dropped. The whitespace class is spelled
     * out because RE2 `\s` excludes vertical tab (U+000B) while Java's
     * includes it — same dodge as `[!-~]` for `\S` in the URL pattern. */
@@ -224,7 +235,7 @@ object OraclesLlm {
     val centsBlock =
       if (!refine)
         "cents AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16)"
-      else
+      else frag(
         s"""seeds AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16),
            |sranked AS (
            |  SELECT v.vec_id, v.qv, s.cent_id,
@@ -243,8 +254,8 @@ object OraclesLlm {
            |  FROM dims GROUP BY cent_id, u.p),
            |cents AS (
            |  SELECT cent_id, list(vdim ORDER BY pos) AS cv
-           |  FROM means GROUP BY cent_id)""".stripMargin
-    s"""vecs AS (
+           |  FROM means GROUP BY cent_id)""".stripMargin)
+    frag(s"""vecs AS (
        |  SELECT vec_id, ${quantE("embedding")} AS qv FROM embeddings),
        |$centsBlock,
        |cellranked AS (
@@ -259,7 +270,7 @@ object OraclesLlm {
        |scored AS (
        |  SELECT query_id, a.vec_id, ${cosE("qqv", "a.qv")} AS cos
        |  FROM assigned a JOIN q
-       |    ON a.cent_id = q.qcent AND a.vec_id <> q.query_id)""".stripMargin
+       |    ON a.cent_id = q.qcent AND a.vec_id <> q.query_id)""".stripMargin)
   }
 
   private def ivfTopKSql(nprobe: Int, refine: Boolean = false): String =

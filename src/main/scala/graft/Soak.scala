@@ -14,16 +14,22 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *
   * Env:
   *   SPARK_GRAFT_CPUS       cores (default 32)
-  *   SOAK_ROWS_PER_SEC      feed rate (default 30000/core ≈ 70% of the
-  *                          measured ~1.38M rows/s capacity at
-  *                          local[32] with the native clean chain)
+  *   SOAK_ROWS_PER_SEC      feed rate (default 30000/core; the committed
+  *                          artifact fed 950k rows/s at 32 cores)
   *   SOAK_SECONDS           duration (default 300)
   *   SOAK_OUT               artifact path (default artifacts/SOAK.jsonl)
   *
   * `processedRowsPerSecond` is rows / batch-duration — true pipeline
   * speed however full each batch is — so the sustained-rate evidence is
-  * the per-batch distribution (median/p95) over the whole window, plus
-  * the fact that no batch fell behind the 1 s trigger.
+  * the per-batch distribution (median/p05/p95) over the whole window.
+  * Note the two capacity numbers differ by design: a single
+  * saturated 15M-row batch measures ~1.38M rows/s (amortizing all
+  * per-batch overhead), while 1 s micro-batches sustain ~930k rows/s
+  * (the committed artifact's median) — per-batch planning/state
+  * overhead is the gap. At a feed near sustained capacity most batches
+  * run slightly over the 1 s trigger (`batches_over_trigger` in the
+  * summary says how many); the pipeline still keeps up overall, which
+  * is what the 5-minute window demonstrates.
   */
 object Soak {
   def main(args: Array[String]): Unit = {
@@ -40,7 +46,7 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    new File(outPath).getParentFile.mkdirs()
+    Option(new File(outPath).getAbsoluteFile.getParentFile).foreach(_.mkdirs())
     val log = new PrintWriter(new File(outPath))
     val rates = scala.collection.mutable.ArrayBuffer[Double]()
     val durations = scala.collection.mutable.ArrayBuffer[Long]()

@@ -133,10 +133,14 @@ case class DotQExpression(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // single-line fragment: a multi-line snippet interpolated into the
+      // stripMargin template below would have its leading '|' of '||'
+      // eaten by the outer stripMargin (the documented double-stripMargin
+      // trap), silently turning short-circuit '||' into bitwise '|'
       val nullScan =
         if (mayHaveNullElements)
-          s""" || graft.functions.SketchOps.hasNullElement($a)
-             | || graft.functions.SketchOps.hasNullElement($b)""".stripMargin
+          s" || graft.functions.SketchOps.hasNullElement($a)" +
+            s" || graft.functions.SketchOps.hasNullElement($b)"
         else ""
       s"""if ($a.numElements() != $b.numElements()$nullScan) {
          |  ${ev.isNull} = true;

@@ -23,6 +23,16 @@ import TextFns._
   *     sides hash-partitioned on doc_id);
   *   - redaction + token stats are stateless projections on the
   *     deduplicated survivors (the smallest relation in the plan).
+  *
+  * Known trade (same as [[Dedup.simhashDedup]]'s recomputed sketch):
+  * the `kept` scoring subtree is evaluated twice — once under the slim
+  * dedup aggregate and once on the join side — because both consumers
+  * reference it in one lazy plan. The recompute is stateless and
+  * scan-bound; the alternative (a window min/count over content_key)
+  * would funnel each content class into one task — the hot-key sort
+  * SkewSpec measures at ~6× — and a hot boilerplate class at 100 TB is
+  * exactly when that breaks. Callers who prefer compute over scan can
+  * checkpoint the scored frame and pass it in.
   */
 object Pipeline {
 
