@@ -202,6 +202,38 @@ class TrendStreamSpec extends SparkSpec {
     assert(batchIds.asScala.map(_.toLong).toSet == Set(0L, 1L))
   }
 
+  test("windowed-agg state survives a restart (state-store recovery)") {
+    // counts for one 60 s window accumulate across a kill/restart: the
+    // post-restart batch must emit window totals that include pre-kill
+    // rows — proof the state store recovered, not just source offsets
+    val in = Files.createTempDirectory("state_in").toString
+    val ckpt = Files.createTempDirectory("state_ckpt").toString
+    val updates = new java.util.concurrent.CopyOnWriteArrayList[(Long, String, Long)]()
+    def run(trigger: Trigger): Unit = {
+      val rows = TweetSource.FileSource(in).load(spark).select(
+        split(col("value"), ",")(0).cast("int").as("timestamp"),
+        split(col("value"), ",")(1).as("hashtag"))
+      val q = TrendStream.windowedHashtagCounts(rows)
+        .select(col("window.start").cast("long").as("ws"), col("hashtag"), col("count"))
+        .writeStream.outputMode("update").trigger(trigger)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            updates.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        }.start()
+      q.awaitTermination(60000)
+    }
+    // two rows land in the [960, 1020) window before the kill
+    Files.writeString(java.nio.file.Path.of(in, "a.txt"), "1000,#a\n1010,#a")
+    run(Trigger.AvailableNow())
+    assert(updates.asScala.exists(u => u == ((960L, "#a", 2L))))
+    // one more row in the SAME window after the restart
+    Files.writeString(java.nio.file.Path.of(in, "b.txt"), "1015,#a")
+    run(Trigger.AvailableNow())
+    assert(updates.asScala.exists(u => u == ((960L, "#a", 3L))),
+      s"window total did not accumulate across restart: ${updates.asScala.toList}")
+  }
+
   test("dedupWithinWatermark drops the in-watermark duplicate (streaming-native D-1)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
