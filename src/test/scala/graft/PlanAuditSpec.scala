@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+/** Executable plan audit: the invariants PLANS.md documents, asserted
+  * in CI so a plan regression (an accidental cartesian, a lost
+  * broadcast, a filter that stopped pushing down, a scan that reads
+  * whole rows for a narrow projection) fails the suite instead of
+  * waiting for a human to re-read explain output.
+  *
+  * Plans are built at sf0.001 (smallest driver data) — the audited
+  * properties are structural, not size-dependent, except broadcast
+  * selection which the tiny tables make MORE likely, so a broadcast
+  * assertion failing here means it would certainly fail at scale. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def available = new java.io.File(sfDir).isDirectory
+
+  /** All physical nodes, descending into AQE's wrapped plan. */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(nodes) ++
+      p.subqueries.flatMap(nodes)
+  }
+
+  private def planOf(name: String): Seq[SparkPlan] = {
+    graft.functions.GraftExtensions.register(spark)
+    nodes(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    assume(available, "driver testdata not present")
+    SparkEntry.queries.keys.foreach { name =>
+      val cart = planOf(name).collect { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("LSH/banding dedup joins broadcast their slim sides") {
+    assume(available, "driver testdata not present")
+    Seq("minhash_dedup", "simhash_dedup", "ngram_jaccard_pairs").foreach { name =>
+      val bhj = planOf(name).collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"$name lost its broadcast joins")
+    }
+  }
+
+  test("stateless text operators plan zero exchanges") {
+    assume(available, "driver testdata not present")
+    Seq("clean_text", "sentiment_score", "doc_fingerprint", "redact_text",
+      "token_stats", "lang_id", "quality_score", "media_meta").foreach { name =>
+      val ex = planOf(name).collect { case e: Exchange => e }
+      assert(ex.isEmpty,
+        s"$name is a stateless projection but plans ${ex.length} exchange(s)")
+    }
+  }
+
+  test("q1_agg pushes its date filter into the parquet scan and prunes columns") {
+    assume(available, "driver testdata not present")
+    val scans = planOf("q1_agg").collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata.getOrElse("PushedFilters", "")
+      .contains("LessThanOrEqual(l_shipdate"),
+      s"date filter not pushed: ${scan.metadata.get("PushedFilters")}")
+    // lineitem is 16 columns wide; q1 needs 6
+    assert(scan.requiredSchema.length <= 6,
+      s"q1_agg scan reads ${scan.requiredSchema.length} columns")
+  }
+
+  test("trend queries keep the sentiment scorer native (no UDF nodes anywhere)") {
+    assume(available, "driver testdata not present")
+    SparkEntry.queries.keys.foreach { name =>
+      val plan = planOf(name).map(_.toString).mkString("\n")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$name plans a UDF")
+    }
+  }
+}
