@@ -125,7 +125,11 @@ object TextAnalysis {
     * email/IP patterns would half-match), then emails, then IPs.
     * The URL tail is the explicit printable-ASCII range `[!-~]` rather
     * than `\S`: Java counts vertical tab as whitespace and RE2 does not,
-    * so `\S` is the one construct here the engines disagree on. */
+    * so `\S` is the one construct here the engines disagree on. The
+    * IP pattern's `\b` carries the other known Java-vs-RE2 gap (Java
+    * boundaries are Unicode letterOrDigit, RE2's are ASCII): an IP
+    * glued to a non-ASCII letter ("é1.2.3.4") redacts in RE2 but not
+    * Java — unexercised by the corpus, Java is the engine of record. */
   val UrlPattern = "https?://[!-~]+"
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val IpPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -46,6 +46,16 @@ object TextCleanOps {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_'
 
+  /** Java `\b`'s word definition is NOT `\w`'s: without
+    * UNICODE_CHARACTER_CLASS, `Pattern.Bound` tests
+    * `ch == '_' || Character.isLetterOrDigit(ch)` on CODE POINTS — so
+    * 'é' and '漢' are word characters for the boundary even though they
+    * are not `\w`. A `\w*RT` run preceded by 'é' is therefore NOT at a
+    * boundary and must survive (caught by the 10k-string differential
+    * fuzz in TextOpsSpec). */
+  @inline private def isBoundWord(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
+
   @inline private def isJavaSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
@@ -63,7 +73,7 @@ object TextCleanOps {
     while (p < n) {
       val c = s.charAt(p)
       var handled = false
-      if (isWord(c) && (p == 0 || !isWord(s.charAt(p - 1)))) {
+      if (isWord(c) && (p == 0 || !isBoundWord(s.codePointBefore(p)))) {
         // word-boundary run start: does the run contain "RT"?
         var e = p
         while (e < n && isWord(s.charAt(e))) e += 1

@@ -74,6 +74,33 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("clean scanners equal String.replaceAll per stage on 10k fuzzed strings") {
+    // direct JVM-level differential fuzz: each linear scanner vs the
+    // exact Java regex it replaces, over a hostile alphabet (RT
+    // fragments, '_', http prefixes, '@', Foo letters, Java-\s chars
+    // incl. vertical tab, punctuation, and RAW surrogate halves so
+    // broken pairs are exercised too)
+    val units: Array[String] = Array(
+      "a", "b", "R", "T", "_", "0", "9", "F", "o", "h", "t", "p",
+      ".", ",", "!", "@", ":", "/", "#", " ", "\t", "\n", "",
+      "\f", "\r", "é", "漢", "\ud83d", "\ude00", "😀")
+    val rnd = new scala.util.Random(424242L)
+    var i = 0
+    while (i < 10000) {
+      val n = rnd.nextInt(30)
+      val s = Seq.fill(n)(units(rnd.nextInt(units.length))).mkString
+      assert(TextCleanOps.stage1(s) ==
+        s.replaceAll("(\\b\\w*RT)|[^a-zA-Z0-9\\s.,!@]", ""), s"stage1 on ${s.getBytes("UTF-16").toSeq}")
+      assert(TextCleanOps.stage2(s) == s.replaceAll("(http\\S+)", ""),
+        s"stage2 on ${s.getBytes("UTF-16").toSeq}")
+      assert(TextCleanOps.stage3(s) == s.replaceAll("(@\\w+)", "Foo"),
+        s"stage3 on ${s.getBytes("UTF-16").toSeq}")
+      assert(TextCleanOps.stage4(s) == s.replaceAll("^(Foo)", ""),
+        s"stage4 on ${s.getBytes("UTF-16").toSeq}")
+      i += 1
+    }
+  }
+
   test("native extractHashtags equals the HOF column twin on adversarial strings") {
     val tok = Gen.oneOf("#tag", "#", "##", "#a", "# b", "", " ", "#x\ty",
       "x#y", "#漢字", "#😀", "#e", "plain")
