@@ -138,15 +138,28 @@ object Similarity {
     * Shuffle shape: the per-dimension mean is a posexplode + hash agg on
     * (cent_id, dim) — at scale that is nCentroids×dims grouped rows,
     * independent of corpus size thanks to partial aggregation. */
-  private def refinedCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("cos_c").desc, col("cent_id"))
-    val assigned = vecs.join(broadcast(cents))
-      .select(col("vec_id"), col("qv"), col("cent_id"),
+  /** Argmax-cosine cell assignment as an AGGREGATE, not a window: the
+    * 16 candidate rows per vector are born in one partition (broadcast
+    * centroids), so `max_by` partial-combines them map-side and the
+    * shuffle carries ONE row per vector — a `row_number` window over
+    * the same candidates would shuffle corpus×nCentroids rows, each
+    * dragging the 64-dim vector along. Tie-break identical to the
+    * window form: highest cosine, then lowest cent_id (the negated id
+    * in the ordering struct). */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cent_id"),
         (dotQ(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
           .as("cos_c"))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("qv"), col("nrm"), col("cent_id")),
+        struct(col("cos_c"), (-col("cent_id")).as("neg_cent"))).as("w"))
+      .select(col("vec_id"), col("w.qv").as("qv"), col("w.nrm").as("nrm"),
+        col("w.cent_id").as("cent_id"))
+
+  private def refinedCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = assignCells(vecs, cents)
     assigned
       .select(col("cent_id"), posexplode(col("qv")))
       .groupBy("cent_id", "pos")
@@ -170,18 +183,18 @@ object Similarity {
     val seeds = vecs.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
     val cents = if (refine) refinedCentroids(vecs, seeds) else seeds
+    // corpus assignment: aggregate argmax (one shuffled row per vector —
+    // see [[assignCells]]); the nprobe cell RANKING below runs only on
+    // the tiny query set, where a window is fine
+    val assigned = assignCells(vecs, cents)
     val byVec = Window.partitionBy("vec_id")
       .orderBy(col("cos_c").desc, col("cent_id"))
-    def cellRanked(in: DataFrame): DataFrame = in.join(broadcast(cents))
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .join(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("nrm"), col("cent_id"),
         (dotQ(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
           .as("cos_c"))
       .withColumn("rn", row_number().over(byVec))
-    val assigned = cellRanked(vecs)
-      .filter(col("rn") === 1)
-      .select("vec_id", "qv", "nrm", "cent_id")
-    // queries rank cells separately so they can keep nprobe of them
-    val queries = cellRanked(vecs.filter(col("vec_id") < nQueries))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nrm").as("qnrm"), col("cent_id").as("qcent"))
