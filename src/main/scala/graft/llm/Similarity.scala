@@ -48,11 +48,50 @@ object Similarity {
     dotQ(a, b).cast("double") /
       (sqrt(norm2Q(a).cast("double")) * sqrt(norm2Q(b).cast("double")))
 
+  /** One scored candidate for [[TopKAgg]]. */
+  final case class Hit(cos: Double, vecId: Long)
+
+  /** Exact bounded top-k as a typed Aggregator: the buffer is the
+    * current top-k (cos desc, vec_id asc tiebreak), `reduce` inserts,
+    * `merge` merges two sorted buffers — associative/commutative, so it
+    * partial-aggregates map-side. At scale each partition ships at most
+    * k hits per query instead of funneling the whole scored corpus into
+    * one task's window sort (the shape [[TrendPipeline.dedupTrends]]
+    * chose for the same reason, and SkewSpec measures). */
+  final class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Hit, List[Hit], List[Hit]] {
+    private def better(a: Hit, b: Hit): Boolean =
+      a.cos > b.cos || (a.cos == b.cos && a.vecId < b.vecId)
+    def zero: List[Hit] = Nil
+    def reduce(b: List[Hit], h: Hit): List[Hit] = merge(b, List(h))
+    def merge(l: List[Hit], r: List[Hit]): List[Hit] = {
+      // merge of two sorted lists, truncated at k (k is small)
+      val out = scala.collection.mutable.ListBuffer[Hit]()
+      var (a, b) = (l, r)
+      while (out.length < k && (a.nonEmpty || b.nonEmpty)) {
+        if (b.isEmpty || (a.nonEmpty && better(a.head, b.head))) {
+          out += a.head; a = a.tail
+        } else { out += b.head; b = b.tail }
+      }
+      out.toList
+    }
+    def finish(b: List[Hit]): List[Hit] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[Hit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Hit]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[List[Hit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Hit]]()
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest corpus vectors by cosine (excluding self), rank and a
     * 6-dp score. Ranking uses the full-precision cosine with vec_id
-    * tiebreak, so order is engine-independent. */
+    * tiebreak, so order is engine-independent. Planned as a [[TopKAgg]]
+    * hash aggregate, NOT a per-query window: the window would shuffle
+    * every scored corpus row to one task per query and sort the whole
+    * corpus there; the aggregator ships ≤ k hits per (query, partition). */
   def cosineTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     // norms staged per vector — recomputing them per (query, candidate)
     // pair would redo a 64-element fold n_queries times per corpus row
     val q = embeddings.filter(col("vec_id") < nQueries)
@@ -65,13 +104,15 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         (dotQ(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn")))
           .as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"),
-        round(col("cos"), 6).as("score"), col("rank"))
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => Hit(t._3, t._2))
+      .agg(new TopKAgg(k).toColumn.name("hits"))
+      .toDF("query_id", "hits")
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), col("col.vecId").as("vec_id"),
+        round(col("col.cos"), 6).as("score"),
+        (col("pos") + 1L).cast("long").as("rank"))
   }
 
   // ---- sign-random-projection LSH ----
