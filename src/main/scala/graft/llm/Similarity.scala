@@ -104,6 +104,13 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         (dotQ(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn")))
           .as("cos"))
+    topKByQuery(scored, k)
+  }
+
+  /** (query_id, vec_id, cos) → per-query top-k rows via [[TopKAgg]]. */
+  private def topKByQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     scored.as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(t => Hit(t._3, t._2))
@@ -239,17 +246,15 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nrm").as("qnrm"), col("cent_id").as("qcent"))
-    val byQuery = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(queries),
+    // probe candidates per query = the probed cells' population
+    // (~corpus/nCentroids at scale) — ranked with the bounded TopKAgg,
+    // not a per-query window, for the same reason as [[cosineTopK]]
+    val probed = assigned.join(broadcast(queries),
         col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (dotQ(col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm")))
           .as("cos"))
-      .withColumn("rank", row_number().over(byQuery).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"),
-        round(col("cos"), 6).as("score"), col("rank"))
+    topKByQuery(probed, k)
   }
 
   /** ANN evaluation: recall@k of the IVF index against the brute-force

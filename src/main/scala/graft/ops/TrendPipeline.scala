@@ -159,14 +159,55 @@ object TrendPipeline {
       count(lit(1)).as("cnt"),
       round(avg("sentiment_score"), 4).as("avg_sentiment"))
 
+  /** One per-bucket candidate for [[TopNTrendsAgg]]. */
+  final case class TrendHit(cnt: Long, hashtag: String)
+
+  /** Bounded top-N per time bucket as a typed Aggregator (cnt desc,
+    * hashtag asc tiebreak): associative merge of two sorted ≤n buffers,
+    * so it partial-aggregates map-side — a viral time bucket with
+    * millions of distinct hashtags ships ≤n rows per partition instead
+    * of funneling its whole count set into one window-sort task. */
+  final class TopNTrendsAgg(n: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[TrendHit, List[TrendHit], List[TrendHit]] {
+    private def better(a: TrendHit, b: TrendHit): Boolean =
+      a.cnt > b.cnt || (a.cnt == b.cnt && a.hashtag < b.hashtag)
+    def zero: List[TrendHit] = Nil
+    def reduce(b: List[TrendHit], h: TrendHit): List[TrendHit] = merge(b, List(h))
+    def merge(l: List[TrendHit], r: List[TrendHit]): List[TrendHit] = {
+      val out = scala.collection.mutable.ListBuffer[TrendHit]()
+      var (a, b) = (l, r)
+      while (out.length < n && (a.nonEmpty || b.nonEmpty)) {
+        if (b.isEmpty || (a.nonEmpty && better(a.head, b.head))) {
+          out += a.head; a = a.tail
+        } else { out += b.head; b = b.tail }
+      }
+      out.toList
+    }
+    def finish(b: List[TrendHit]): List[TrendHit] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[TrendHit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[TrendHit]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[List[TrendHit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[TrendHit]]()
+  }
+
   /** Dashboard top-N (`README.md:18-28`): top `n` hashtags per time
-    * bucket by count, hashtag as deterministic tiebreak. */
+    * bucket by count, hashtag as deterministic tiebreak. Ranked with
+    * [[TopNTrendsAgg]], not a per-bucket window — see the aggregator
+    * doc for the hot-bucket rationale. */
   def topNTrends(rows: DataFrame, n: Int): DataFrame = {
-    val counts = rows.groupBy("ts", "hashtag").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("ts").orderBy(col("cnt").desc, col("hashtag"))
-    counts
-      // long to match the BIGINT every SQL engine returns for row_number
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= n)
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupBy("ts", "hashtag").agg(count(lit(1)).as("cnt"))
+      .select(col("ts"), col("hashtag"), col("cnt"))
+      .as[(Int, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => TrendHit(t._3, t._2))
+      .agg(new TopNTrendsAgg(n).toColumn.name("hits"))
+      .toDF("ts", "hits")
+      .select(col("ts"), posexplode(col("hits")))
+      .select(col("ts"), col("col.hashtag").as("hashtag"),
+        col("col.cnt").as("cnt"),
+        // long to match the BIGINT every SQL engine returns for row_number
+        (col("pos") + 1L).cast("long").as("rank"))
   }
 }
