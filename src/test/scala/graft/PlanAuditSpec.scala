@@ -76,6 +76,26 @@ class PlanAuditSpec extends SparkSpec {
       s"q1_agg scan reads ${scan.requiredSchema.length} columns")
   }
 
+  test("top-k queries rank via bounded aggregators, not per-key window sorts") {
+    assume(available, "driver testdata not present")
+    // (ivf queries keep ONE intentional window: nprobe cell ranking over
+    // the nQueries x nCentroids rows — bounded by construction)
+    Seq("cosine_topk", "topn_trends").foreach { name =>
+      val windows = planOf(name).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"$name ranks with a window again — a hot key funnels into one sort task")
+    }
+    Seq("ivf_topk", "ivf_topk_p3").foreach { name =>
+      val windows = planOf(name).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.length <= 1,
+        s"$name plans ${windows.length} windows — probe ranking regressed to a window")
+    }
+  }
+
   test("trend queries keep the sentiment scorer native (no UDF nodes anywhere)") {
     assume(available, "driver testdata not present")
     SparkEntry.queries.keys.foreach { name =>
