@@ -16,9 +16,11 @@ import org.apache.spark.sql.SparkSession
   *     concurrent load spike can't invert the per-query ranking
   *     (BENCH_r02 had a pure projection "costing" 4.5× a superset of
   *     itself — physically implausible, pure load noise);
-  *   - the streaming phase runs until enough micro-batches COMPLETE
-  *     rather than for a fixed wall window, so a slow first batch can
-  *     never leave the sampler empty (BENCH_r02's 0.0).
+  *   - the streaming phase drains a bounded pre-generated backlog with
+  *     Trigger.AvailableNow, so it terminates with progress samples by
+  *     construction — a live trigger against a wall window zeroed the
+  *     metric two rounds running (BENCH_r02/r03) whenever load kept any
+  *     batch from completing inside the window.
   */
 object Bench {
   /** Runs per query; the reported figure is the median. */
@@ -86,47 +88,49 @@ object Bench {
     * (`KafkaTwitterProducer.java:98,112` Thread.sleep(100)); this
     * measures what the same pipeline shape sustains on one node.
     *
-    * The feed rate is a deliberately CONSERVATIVE fraction of measured
-    * sustained capacity (~930k rows/s at local[32] on 1 s micro-batches
-    * with the native clean chain; see artifacts/SOAK_SUMMARY.json):
-    * `processedRowsPerSecond` is
-    * rows/batch-duration — true pipeline speed regardless of how full
-    * each batch is — so under-feeding costs nothing, while over-feeding
-    * makes batches fall behind the trigger and starves the sampler
-    * (BENCH_r02: one 15 s batch in a 15 s window, dropped by the
-    * sampler → 0.0). The run ends when [[MinBatches]] batches have
-    * completed, not after a fixed wall window, with a hard timeout as
-    * the only backstop. */
-  val MinBatches = 4
-  val StreamTimeoutMs = 90000L
+    * Measured over a BOUNDED pre-generated backlog drained with
+    * `Trigger.AvailableNow` rather than a live rate source against a
+    * wall-clock window: two rounds' committed artifacts (BENCH_r02/r03)
+    * came out 0.0 because under bench-day machine load no live-trigger
+    * micro-batch completed inside the sampling window. A bounded drain
+    * cannot starve — the query terminates when the backlog is processed,
+    * every micro-batch yields a progress sample, and load shows up as an
+    * honestly lower rate instead of a zeroed metric.
+    * `processedRowsPerSecond` on a saturated batch (rows ÷ batch
+    * duration) is exactly the pipeline's processing speed; live
+    * 1 s-trigger evidence lives in artifacts/SOAK*.jsonl ([[Soak]]). */
+  val FeedRowsPerCore = 240000L
+  val FeedFiles = 8
+  val StreamBatches = 4
+  val StreamTimeoutMs = 120000L
 
   private def streamThroughput(spark: SparkSession, cpus: Int): Double = {
     import graft.streaming._
     try {
-      val ckpt = java.nio.file.Files.createTempDirectory("bench_ckpt").toString
+      val tmp = java.nio.file.Files.createTempDirectory("bench_stream")
+      val feedDir = tmp.resolve("feed").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      // deterministic backlog: N ids → producer-filtered wire lines,
+      // FeedFiles text files so maxFilesPerTrigger yields StreamBatches
+      // equal micro-batches (~660k rows each at 32 cpus — big enough
+      // that per-batch fixed costs don't dominate the measured rate)
+      SyntheticTweets.wireLines(
+        spark.range(0, FeedRowsPerCore * cpus, 1, FeedFiles).toDF("id"))
+        .write.mode("overwrite").text(feedDir)
       val sink = new TrendSink {
         def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
           df.write.mode("overwrite").format("noop").save()
       }
-      // ~15k rows/s/core ≈ half the ~29k/core sustained micro-batch
-      // capacity — batches complete within the 1 s trigger even under
-      // moderate machine load, so every trigger yields a progress sample
       val rows = TrendStream.trendRows(
-        TweetSource.RateSource(15000 * cpus).load(spark))
+        TweetSource.FileSource(feedDir,
+          maxFilesPerTrigger = Some(FeedFiles / StreamBatches)).load(spark))
       val q = TrendStream.writer(rows, sink,
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
         Some(ckpt)).start()
-      val deadline = System.currentTimeMillis() + StreamTimeoutMs
-      try {
-        def completed(): Int =
-          q.recentProgress.count(p => p.numInputRows > 0)
-        while (completed() < MinBatches && System.currentTimeMillis() < deadline)
-          Thread.sleep(500)
-      } finally q.stop()
+      try q.awaitTermination(StreamTimeoutMs) finally q.stop()
       // median per-batch processedRowsPerSecond; the first batch is
-      // dropped (cold caches, state-store open) unless it would leave
-      // fewer than 2 samples — a loaded machine degrades the sample set
-      // gracefully instead of zeroing the metric
+      // dropped (cold file listing, codegen) unless it would leave
+      // fewer than 2 samples
       val all = q.recentProgress
         .filter(p => p.numInputRows > 0)
         .map(_.processedRowsPerSecond).filter(r => !r.isNaN && r > 0).toSeq

@@ -32,10 +32,17 @@ object TweetSource {
 
   /** File-backed source: each text file line is one Kafka record value.
     * The streaming analog of `spark.readStream.format("kafka")` for an
-    * offline environment — new files are new offsets. */
-  final case class FileSource(dir: String, opts: Options = Options()) extends TweetSource {
-    def load(spark: SparkSession): DataFrame =
-      spark.readStream.text(dir).select(col("value").cast("string").as("value"))
+    * offline environment — new files are new offsets. `maxFilesPerTrigger`
+    * caps files per micro-batch (the analog of Kafka's
+    * `maxOffsetsPerTrigger`), so a bounded backlog drains in a
+    * predictable number of batches instead of one giant one. */
+  final case class FileSource(dir: String, opts: Options = Options(),
+                              maxFilesPerTrigger: Option[Int] = None) extends TweetSource {
+    def load(spark: SparkSession): DataFrame = {
+      val r = spark.readStream
+      maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+      r.text(dir).select(col("value").cast("string").as("value"))
+    }
   }
 
   /** Rate-driven synthetic firehose (SRC-1): the built-in `rate` source
