@@ -439,6 +439,64 @@ object OraclesLlm {
        |       THEN (height::BIGINT * 640) // width ELSE 360::BIGINT END AS target_height
        |FROM media""".stripMargin
 
+  /** Fused doc profile (language + quality permille) — mirrors
+    * `TextAnalysis.docProfile`. Defines CTE `prof(doc_id, pred_lang,
+    * quality)`. */
+  private val profileCte: String = frag(
+    s"""prof AS (
+       |  SELECT doc_id,
+       |    CASE WHEN cjk*10 > n*3 THEN 'zh'
+       |         WHEN en+es+de+fr = 0 THEN 'und'
+       |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+       |         WHEN es >= de AND es >= fr THEN 'es'
+       |         WHEN de >= fr THEN 'de'
+       |         ELSE 'fr' END AS pred_lang,
+       |    (least(1000, wc * 20)
+       |      + CASE WHEN wc = 0 THEN 0 ELSE (1000 * uniq) // wc END
+       |      + CASE WHEN wc = 0 THEN 0 ELSE (1000 * stop) // wc END) // 3 AS quality
+       |  FROM (
+       |    SELECT doc_id, length(text) AS n,
+       |      len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+       |      len(list_filter(${toksE("text")}, w -> w IN ('the','a','of','and','is')))::BIGINT AS en,
+       |      len(list_filter(${toksE("text")}, w -> w IN ('el','la','los','de','que')))::BIGINT AS es,
+       |      len(list_filter(${toksE("text")}, w -> w IN ('der','die','und','das','ist')))::BIGINT AS de,
+       |      len(list_filter(${toksE("text")}, w -> w IN ('le','les','et','une','est')))::BIGINT AS fr,
+       |      len(${toksE("text")})::BIGINT AS wc,
+       |      len(list_distinct(${toksE("text")}))::BIGINT AS uniq,
+       |      len(list_filter(${toksE("text")}, w -> w IN ('the','a','of','and','is')))::BIGINT AS stop
+       |    FROM documents))""".stripMargin)
+
+  /** Deterministic sampling bucket of a doc_id, in [0, 1000). */
+  private def bucketE(id: String): String =
+    s"((($id % $P) * 2654435761 + 104729) % $P) % 1000"
+
+  val vocabDf: String =
+    s"""WITH t AS (SELECT doc_id, unnest(${toksE("text")}) AS token FROM documents),
+       |g AS (SELECT token, doc_id, count(*) AS c FROM t GROUP BY token, doc_id)
+       |SELECT token, sum(c)::BIGINT AS tf, count(*)::BIGINT AS df
+       |FROM g GROUP BY token HAVING count(*) >= 2""".stripMargin
+
+  val sampleDocs: String =
+    s"""SELECT doc_id, ${bucketE("doc_id")}::BIGINT AS bucket
+       |FROM documents WHERE ${bucketE("doc_id")} < 100""".stripMargin
+
+  val stratifiedSample: String =
+    s"""WITH $profileCte
+       |SELECT doc_id, pred_lang, ${bucketE("doc_id")}::BIGINT AS bucket
+       |FROM prof
+       |WHERE ${bucketE("doc_id")} <
+       |  CASE WHEN pred_lang = 'en' THEN 50 ELSE 1000 END""".stripMargin
+
+  val topQualityPerLang: String =
+    s"""WITH $profileCte,
+       |ranked AS (
+       |  SELECT pred_lang, doc_id, quality,
+       |    row_number() OVER (PARTITION BY pred_lang
+       |      ORDER BY quality DESC, doc_id) AS rank
+       |  FROM prof)
+       |SELECT pred_lang, doc_id, quality, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
   val embeddingNearDup: String =
     s"""WITH corpus AS (
        |  SELECT vec_id, embedding FROM embeddings UNION ALL

@@ -124,6 +124,13 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir))))),
     "redact_text" -> ((s, dir) => TextAnalysis.redactedDocs(docs(s, dir))),
+    // corpus statistics + curation selection ops
+    "vocab_df" -> ((s, dir) => TextAnalysis.vocabDf(docs(s, dir))),
+    "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
+    "stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(docs(s, dir))),
+    "top_quality_per_lang" -> ((s, dir) =>
+      TextAnalysis.topQualityPerLang(docs(s, dir))),
     "training_pipeline" -> ((s, dir) =>
       Pipeline.trainingPipeline(Dedup.withExactDups(docs(s, dir)))),
     // no oracleSql entry: HLL sketches are engine-specific, so the
@@ -202,6 +209,10 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,
     "dedup_clusters" -> OraclesLlm.dedupClusters,
     "redact_text" -> OraclesLlm.redactText,
+    "vocab_df" -> OraclesLlm.vocabDf,
+    "sample_docs" -> OraclesLlm.sampleDocs,
+    "stratified_sample" -> OraclesLlm.stratifiedSample,
+    "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,
     "training_pipeline" -> OraclesLlm.trainingPipeline,
     "simhash_dedup" -> OraclesLlm.simhashDedup,
     "cosine_topk" -> OraclesLlm.cosineTopK,

@@ -159,4 +159,115 @@ object TextAnalysis {
     docs.select(tokens(col("text")).as("toks"))
       .select(explode(bigrams(col("toks"))).as("ngram"))
       .agg(approx_count_distinct(col("ngram")).as("approx_distinct"))
+
+  /** Single-pass document profile: language prediction + quality permille
+    * from ONE staged token array — the fused form of [[langId]] +
+    * [[qualityScore]] (one scan, no self-join; the curation filters a
+    * training pipeline keys on). Every derived scalar (wc/uniq/stop and
+    * the four marker counts) is staged through its own projection so the
+    * consumers below reference attributes, not re-evaluated arrays. */
+  def docProfile(docs: DataFrame): DataFrame = {
+    val staged = docs.select(
+      col("doc_id"), length(col("text")).as("n"),
+      size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+        .as("cjk"),
+      tokens(col("text")).as("toks"))
+    val counts = LangMarkers.map { case (_, ws) => markerCount(col("toks"), ws) }
+    val counted = staged.select(
+      Seq(col("doc_id"), col("n"), col("cjk"),
+        size(col("toks")).cast("long").as("wc"),
+        size(array_distinct(col("toks"))).cast("long").as("uniq"),
+        size(filter(col("toks"), t => t.isInCollection(Stopwords)))
+          .cast("long").as("stop")) ++
+        LangMarkers.zip(counts).map { case ((l, _), c) => c.as(s"m_$l") }: _*)
+    val Seq(en, es, de, fr) = LangMarkers.map { case (l, _) => col(s"m_$l") }
+    val pred =
+      when(col("cjk") * 10 > col("n") * 3, "zh")
+        .when(en + es + de + fr === 0, "und")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    counted
+      .select(
+        col("doc_id"), pred.as("pred_lang"),
+        least(lit(1000L), col("wc") * 20L).as("length_pm"),
+        when(col("wc") === 0, 0L)
+          .otherwise(expr("(1000 * uniq) div wc")).as("unique_pm"),
+        when(col("wc") === 0, 0L)
+          .otherwise(expr("(1000 * stop) div wc")).as("stop_pm"))
+      .select(col("doc_id"), col("pred_lang"),
+        expr("(length_pm + unique_pm + stop_pm) div 3").as("quality"))
+  }
+
+  /** Vocabulary with document frequency — the corpus-statistics table a
+    * tokenizer/filter pass trains against. Two slim shuffles, both
+    * partial-aggregated: (token, doc_id) collapses per-doc repeats
+    * map-side, then the token rollup ships one row per (token,
+    * partition). A `count(distinct doc_id)` in one aggregate would plan
+    * an expand — same shuffle count, 2× the shuffled rows. */
+  def vocabDf(docs: DataFrame, minDf: Long = 2L): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("token")
+      .agg(sum("c").as("tf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** Deterministic sampling bucket in [0, 1000) from a numeric id:
+    * multiplicative hash mod [[TextFns.Prime]], exact in long arithmetic
+    * (id is reduced mod P first so the product stays below 2^62). The
+    * SAME doc keeps the same bucket on every run and every engine —
+    * reproducible training subsets, no RNG. */
+  def sampleBucket(id: Column): Column =
+    pmod(pmod(pmod(id, lit(Prime)) * 2654435761L + 104729L, lit(Prime)), lit(1000L))
+
+  /** Bernoulli-by-hash sampling: keep docs whose bucket < permille.
+    * A stateless filter — pushes to the scan, no shuffle, and the kept
+    * set is stable under re-runs and incremental corpus growth. */
+  def hashSample(docs: DataFrame, permille: Int = 100): DataFrame =
+    docs
+      .select(col("doc_id"), sampleBucket(col("doc_id")).as("bucket"))
+      .filter(col("bucket") < permille)
+
+  /** Stratified sampling: per-language keep rates (permille), defaulting
+    * to keep-all for languages not in `rates` — the downsample-the-head,
+    * keep-the-tail move of corpus curation. One projection + filter over
+    * [[docProfile]]; no shuffle. */
+  def stratifiedSample(docs: DataFrame,
+                       rates: Map[String, Int] = Map("en" -> 50),
+                       defaultPm: Int = 1000): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPm): Column) { case (acc, (l, pm)) =>
+      when(col("pred_lang") === l, pm).otherwise(acc)
+    }
+    docProfile(docs)
+      .select(col("doc_id"), col("pred_lang"),
+        sampleBucket(col("doc_id")).as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Per-language top-k docs by quality (quality desc, doc_id asc):
+    * corpus curation's "keep the best k per stratum". Ranked with the
+    * bounded typed top-k aggregator, NOT a per-key window — a window
+    * would funnel every profiled row of a language into one task's sort;
+    * the aggregator ships ≤ k rows per (language, partition). Quality is
+    * an integer permille, exact as double (< 2^53). */
+  def topQualityPerLang(docs: DataFrame, k: Int = 5): DataFrame = {
+    import Similarity.{Hit, TopKAgg}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docProfile(docs)
+      .select(col("pred_lang"), col("doc_id"), col("quality"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => Hit(t._3.toDouble, t._2))
+      .agg(new TopKAgg(k).toColumn.name("hits"))
+      .toDF("pred_lang", "hits")
+      .select(col("pred_lang"), posexplode(col("hits")))
+      .select(col("pred_lang"), col("col.vecId").as("doc_id"),
+        col("col.cos").cast("long").as("quality"),
+        (col("pos") + 1L).cast("long").as("rank"))
+  }
 }

@@ -80,7 +80,7 @@ class PlanAuditSpec extends SparkSpec {
     assume(available, "driver testdata not present")
     // (ivf queries keep ONE intentional window: nprobe cell ranking over
     // the nQueries x nCentroids rows — bounded by construction)
-    Seq("cosine_topk", "topn_trends").foreach { name =>
+    Seq("cosine_topk", "topn_trends", "top_quality_per_lang").foreach { name =>
       val windows = planOf(name).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }

@@ -53,4 +53,79 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a b" -> 3L, "b a" -> 1L))
   }
+
+  test("docProfile fuses langId + qualityScore exactly (one scan, same values)") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "el la que"), (3L, "xyz qqq"),
+      (4L, "the the fox")).toDF("doc_id", "text")
+    val fused = TextAnalysis.docProfile(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val lang = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qual = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("quality")).toMap
+    assert(fused.keySet == lang.keySet)
+    fused.foreach { case (id, (l, q)) =>
+      assert(l == lang(id) && q == qual(id), s"doc $id")
+    }
+  }
+
+  test("vocabDf: tf sums occurrences, df counts docs, minDf filters") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabDf(docs, minDf = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a: tf=3 (2+1), df=2; b: tf=2, df=2; c,d: df=1 filtered out
+    assert(got == Map("a" -> (3L, 2L), "b" -> (2L, 2L)))
+  }
+
+  test("hashSample is deterministic and stable under corpus growth") {
+    val small = spark.range(0, 1000).toDF("doc_id")
+    val big = spark.range(0, 2000).toDF("doc_id")
+    val keptSmall = TextAnalysis.hashSample(small, 100).collect()
+      .map(_.getLong(0)).toSet
+    val keptBig = TextAnalysis.hashSample(big, 100).collect()
+      .map(_.getLong(0)).toSet
+    // the doubled corpus keeps EXACTLY the old sample plus new-id picks —
+    // hash sampling never churns previously-kept rows
+    assert(keptBig.filter(_ < 1000) == keptSmall)
+    // ~10% +- wide tolerance (multiplicative hash, not perfectly uniform)
+    assert(keptSmall.size > 50 && keptSmall.size < 200, s"got ${keptSmall.size}")
+  }
+
+  test("stratifiedSample downsamples the configured language only") {
+    val docs = (0L until 100L).map { i =>
+      if (i % 2 == 0) (i, "the cat and the dog is here")
+      else (i, "el la que de los")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.stratifiedSample(docs, Map("en" -> 0), 1000)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 == "es"), "en rows must be sampled out at rate 0")
+    assert(got.map(_._1).forall(_ % 2 == 1))
+  }
+
+  test("topQualityPerLang: k best per language, quality desc then doc_id asc") {
+    val docs = Seq(
+      // en docs with increasing word counts → increasing length_pm/quality
+      (1L, "the a"), (2L, "the cat and a dog is great here now ok"),
+      (3L, "the fox and a hen is quick brown lazy fine"),
+      // es
+      (10L, "el la"), (11L, "el la que de los uno dos tres cuatro cinco")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topQualityPerLang(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val prof = TextAnalysis.docProfile(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // expected: per lang, order by (quality desc, doc_id asc), take 2
+    val expect = prof.toSeq
+      .groupBy(_._2._1)
+      .flatMap { case (lang, rows) =>
+        rows.map { case (id, (_, q)) => (lang, id, q) }
+          .sortBy { case (_, id, q) => (-q, id) }.take(2).zipWithIndex
+          .map { case ((l, id, q), i) => (l, id, q, i + 1L) }
+      }.toSet
+    assert(got.toSet == expect)
+    assert(got.count(_._1 == "en") == 2 && got.count(_._1 == "es") == 2)
+  }
 }
