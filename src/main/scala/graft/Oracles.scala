@@ -257,6 +257,30 @@ object Oracles {
        |       min(sec) AS session_start, max(sec) AS session_end
        |FROM sessioned GROUP BY user_id, session_id""".stripMargin
 
+  /** The flatMapGroupsWithState batch twin emits (user, start, end, n)
+    * without a session ordinal — same lag/cumsum CTEs, projected down. */
+  val statefulSessions: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec FROM events
+       |), lagged AS (
+       |  SELECT user_id, event_id, sec,
+       |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev
+       |  FROM e
+       |), marked AS (
+       |  SELECT user_id, sec,
+       |    (CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END)::BIGINT
+       |      AS new_sess,
+       |    event_id
+       |  FROM lagged
+       |), sessioned AS (
+       |  SELECT user_id, sec,
+       |    (sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+       |  FROM marked)
+       |SELECT user_id, min(sec) AS session_start, max(sec) AS session_end,
+       |       count(*) AS n_events
+       |FROM sessioned GROUP BY user_id, session_id""".stripMargin
+
   val q1Agg: String =
     s"""SELECT l_returnflag, l_linestatus,
        |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,

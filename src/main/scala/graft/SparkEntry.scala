@@ -102,6 +102,9 @@ object SparkEntry {
     "sliding_counts" -> ((s, dir) => Windows.slidingCounts(events(s, dir))),
     "stream_count" -> ((s, dir) => Windows.streamCount(events(s, dir))),
     "user_sessions" -> ((s, dir) => Windows.userSessions(events(s, dir))),
+    // the flatMapGroupsWithState custom-state twin, run in batch mode
+    "stateful_sessions" -> ((s, dir) =>
+      graft.streaming.StatefulSessions.sessionizeBatch(events(s, dir)).toDF()),
     "asof_join" -> ((s, dir) => Windows.clickAsofPurchase(events(s, dir))),
     // ---- §3.3 analyst queries over the TPC-H-ish tables ----
     "q1_agg" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -194,6 +197,7 @@ object SparkEntry {
     "sliding_counts" -> Oracles.slidingCounts,
     "stream_count" -> Oracles.streamCount,
     "user_sessions" -> Oracles.userSessions,
+    "stateful_sessions" -> Oracles.statefulSessions,
     "asof_join" -> Oracles.asofJoin,
     "q1_agg" -> Oracles.q1Agg,
     "q3_join" -> Oracles.q3Join,
