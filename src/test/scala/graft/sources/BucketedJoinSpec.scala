@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Bucketed layout: same-bucketed tables join and aggregate with ZERO
+  * exchanges, and the result matches the shuffled plan exactly. */
+class BucketedJoinSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def available = new java.io.File(sfDir).isDirectory
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(nodes)
+  }
+
+  /** Run `body` with broadcast joins off (forcing the join to confront
+    * its distribution requirement) and restore the conf after. */
+  private def noBroadcast[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("same-bucketed tables join with zero exchanges, same result as shuffled") {
+    assume(available, "driver testdata not present")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    try {
+      Bucketed.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+      Bucketed.writeBucketed(ord, "ord_bucketed", "l_orderkey", 8)
+      noBroadcast {
+        val joined = Bucketed.colocatedJoin(spark, "li_bucketed", "ord_bucketed", "l_orderkey")
+        val plan = nodes(joined.queryExecution.executedPlan)
+        val ex = plan.collect { case e: Exchange => e }
+        assert(ex.isEmpty,
+          s"bucketed join plans ${ex.length} exchange(s) — co-location lost")
+        // correctness: identical count to the plain (shuffling) join
+        val plain = li.join(ord, "l_orderkey")
+        assert(joined.count() == plain.count())
+        val plainEx = nodes(plain.queryExecution.executedPlan)
+          .collect { case e: Exchange => e }
+        assert(plainEx.nonEmpty, "control: the unbucketed join should shuffle")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("groupBy on the bucket key aggregates without an exchange") {
+    assume(available, "driver testdata not present")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    try {
+      Bucketed.writeBucketed(li, "li_bucketed_agg", "l_orderkey", 8)
+      val agg = spark.table("li_bucketed_agg")
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("qty"))
+      val ex = nodes(agg.queryExecution.executedPlan)
+        .collect { case e: Exchange => e }
+      assert(ex.isEmpty,
+        s"bucket-key aggregation plans ${ex.length} exchange(s)")
+      val expect = li.groupBy("l_orderkey").agg(sum("l_quantity").as("qty"))
+      assert(agg.count() == expect.count())
+    } finally spark.sql("DROP TABLE IF EXISTS li_bucketed_agg")
+  }
+}
