@@ -231,30 +231,40 @@ object OraclesLlm {
     * exact integer sums, correctly-rounded double division, so the
     * refined centroids are bit-identical to Spark's.
     * Defines CTEs `vecs, cents, assigned, q, scored` (callers rank). */
-  private def ivfCtes(nprobe: Int, refine: Boolean = false): String = {
+  private def ivfCtes(nprobe: Int, refine: Int = 0): String = {
     val centsBlock =
-      if (!refine)
+      if (refine == 0)
         "cents AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16)"
-      else frag(
-        s"""seeds AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16),
-           |sranked AS (
-           |  SELECT v.vec_id, v.qv, s.cent_id,
-           |    row_number() OVER (PARTITION BY v.vec_id
-           |      ORDER BY ${cosE("v.qv", "s.cv")} DESC, s.cent_id) AS srn
-           |  FROM vecs v, seeds s),
-           |sassigned AS (SELECT vec_id, qv, cent_id FROM sranked WHERE srn = 1),
-           |dims AS (
-           |  SELECT cent_id, u FROM (
-           |    SELECT cent_id,
-           |      unnest([{'p': i, 'd': qv[i+1]} for i in range(len(qv))]) AS u
-           |    FROM sassigned)),
-           |means AS (
-           |  SELECT cent_id, u.p AS pos,
-           |    floor(sum(u.d)::DOUBLE / count(*)::DOUBLE)::BIGINT AS vdim
-           |  FROM dims GROUP BY cent_id, u.p),
-           |cents AS (
-           |  SELECT cent_id, list(vdim ORDER BY pos) AS cv
-           |  FROM means GROUP BY cent_id)""".stripMargin)
+      else {
+        // chained Lloyd iterations: c0 = seeds; each round re-assigns
+        // against c{i-1} and re-centers (floor of per-dimension mean) —
+        // the same recurrence Similarity.refinedCentroids folds
+        val seeds = "c0 AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16)"
+        val rounds = (1 to refine).map { i =>
+          val prev = s"c${i - 1}"
+          frag(
+            s"""r$i AS (
+               |  SELECT v.vec_id, v.qv, s.cent_id,
+               |    row_number() OVER (PARTITION BY v.vec_id
+               |      ORDER BY ${cosE("v.qv", "s.cv")} DESC, s.cent_id) AS srn
+               |  FROM vecs v, $prev s),
+               |a$i AS (SELECT vec_id, qv, cent_id FROM r$i WHERE srn = 1),
+               |d$i AS (
+               |  SELECT cent_id, u FROM (
+               |    SELECT cent_id,
+               |      unnest([{'p': i, 'd': qv[i+1]} for i in range(len(qv))]) AS u
+               |    FROM a$i)),
+               |m$i AS (
+               |  SELECT cent_id, u.p AS pos,
+               |    floor(sum(u.d)::DOUBLE / count(*)::DOUBLE)::BIGINT AS vdim
+               |  FROM d$i GROUP BY cent_id, u.p),
+               |c$i AS (
+               |  SELECT cent_id, list(vdim ORDER BY pos) AS cv
+               |  FROM m$i GROUP BY cent_id)""".stripMargin)
+        }
+        (seeds +: rounds).mkString(",\n") +
+          s",\ncents AS (SELECT cent_id, cv FROM c$refine)"
+      }
     frag(s"""vecs AS (
        |  SELECT vec_id, ${quantE("embedding")} AS qv FROM embeddings),
        |$centsBlock,
@@ -273,7 +283,7 @@ object OraclesLlm {
        |    ON a.cent_id = q.qcent AND a.vec_id <> q.query_id)""".stripMargin)
   }
 
-  private def ivfTopKSql(nprobe: Int, refine: Boolean = false): String =
+  private def ivfTopKSql(nprobe: Int, refine: Int = 0): String =
     s"""WITH ${ivfCtes(nprobe, refine)},
        |ranked AS (
        |  SELECT query_id, vec_id, cos,
@@ -284,7 +294,8 @@ object OraclesLlm {
 
   val ivfTopK: String = ivfTopKSql(1)
   val ivfTopKP3: String = ivfTopKSql(3)
-  val ivfTopKKm: String = ivfTopKSql(1, refine = true)
+  val ivfTopKKm: String = ivfTopKSql(1, refine = 1)
+  val ivfTopKKm2: String = ivfTopKSql(1, refine = 2)
 
   /** All LSH-blocked candidate pairs with exact Jaccard permille at the
     * exploratory 0.2 cutoff. */
@@ -296,7 +307,7 @@ object OraclesLlm {
 
   /** Recall@10 of IVF vs brute force, permille per query — both chains
     * composed (brute CTEs b-prefixed to avoid collisions). */
-  private def ivfRecallSql(nprobe: Int, refine: Boolean = false): String =
+  private def ivfRecallSql(nprobe: Int, refine: Int = 0): String =
     s"""WITH bq AS (SELECT vec_id AS query_id, ${quantE("embedding")} AS qv
        |           FROM embeddings WHERE vec_id < 5),
        |bc AS (SELECT vec_id, ${quantE("embedding")} AS cv FROM embeddings),
@@ -321,7 +332,8 @@ object OraclesLlm {
 
   val ivfRecall: String = ivfRecallSql(1)
   val ivfRecallP3: String = ivfRecallSql(3)
-  val ivfRecallKm: String = ivfRecallSql(1, refine = true)
+  val ivfRecallKm: String = ivfRecallSql(1, refine = 1)
+  val ivfRecallKm2: String = ivfRecallSql(1, refine = 2)
 
   /** The capstone composition (mirrors `Pipeline.trainingPipeline` over
     * the exact-dup-injected corpus): language filter → quality filter →

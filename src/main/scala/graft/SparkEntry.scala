@@ -153,9 +153,13 @@ object SparkEntry {
     "ivf_recall_p3" -> ((s, dir) =>
       Similarity.ivfRecall(Tables.embeddings(s, dir), nprobe = 3)),
     "ivf_topk_km" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir), refine = true)),
+      Similarity.ivfTopK(Tables.embeddings(s, dir), refineIters = 1)),
     "ivf_recall_km" -> ((s, dir) =>
-      Similarity.ivfRecall(Tables.embeddings(s, dir), refine = true)),
+      Similarity.ivfRecall(Tables.embeddings(s, dir), refineIters = 1)),
+    "ivf_topk_km2" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), refineIters = 2)),
+    "ivf_recall_km2" -> ((s, dir) =>
+      Similarity.ivfRecall(Tables.embeddings(s, dir), refineIters = 2)),
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
@@ -226,6 +230,8 @@ object SparkEntry {
     "ivf_recall_p3" -> OraclesLlm.ivfRecallP3,
     "ivf_topk_km" -> OraclesLlm.ivfTopKKm,
     "ivf_recall_km" -> OraclesLlm.ivfRecallKm,
+    "ivf_topk_km2" -> OraclesLlm.ivfTopKKm2,
+    "ivf_recall_km2" -> OraclesLlm.ivfRecallKm2,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "media_meta" -> OraclesLlm.mediaMeta,
     "media_features" -> OraclesLlm.mediaFeatures,

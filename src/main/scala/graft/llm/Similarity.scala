@@ -224,13 +224,18 @@ object Similarity {
 
   def ivfTopK(embeddings: DataFrame, nCentroids: Int = 16,
               nQueries: Int = 5, k: Int = 10, nprobe: Int = 1,
-              refine: Boolean = false): DataFrame = {
+              refineIters: Int = 0): DataFrame = {
     val vecs = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
     val seeds = vecs.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
-    val cents = if (refine) refinedCentroids(vecs, seeds) else seeds
+    // Lloyd iterations compose lazily (each round's centroids feed the
+    // next round's assignment). nCentroids×dims rows per round — tiny;
+    // at a real 100 TB build you would localCheckpoint each round's
+    // centroid table to cut the replayed lineage, trading plan depth
+    // for a k-centroid materialization.
+    val cents = (1 to refineIters).foldLeft(seeds)((c, _) => refinedCentroids(vecs, c))
     // corpus assignment: aggregate argmax (one shuffled row per vector —
     // see [[assignCells]]); the nprobe cell RANKING below runs only on
     // the tiny query set, where a window is fine
@@ -264,9 +269,9 @@ object Similarity {
     * oracle-checkable. */
   def ivfRecall(embeddings: DataFrame, nCentroids: Int = 16,
                 nQueries: Int = 5, k: Int = 10, nprobe: Int = 1,
-                refine: Boolean = false): DataFrame = {
+                refineIters: Int = 0): DataFrame = {
     val brute = cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id")
-    val ivf = ivfTopK(embeddings, nCentroids, nQueries, k, nprobe, refine)
+    val ivf = ivfTopK(embeddings, nCentroids, nQueries, k, nprobe, refineIters)
       .select(col("query_id"), col("vec_id").as("ivf_vec"))
     brute
       .join(ivf, brute("query_id") === ivf("query_id") &&

@@ -113,9 +113,9 @@ class SimilaritySpec extends SparkSpec {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val km = Similarity.ivfTopK(emb, refine = true).collect()
+    val km = Similarity.ivfTopK(emb, refineIters = 1).collect()
     assert(km.length == 50)
-    val recall = Similarity.ivfRecall(emb, refine = true).collect()
+    val recall = Similarity.ivfRecall(emb, refineIters = 1).collect()
       .map(_.getAs[Long]("recall_pm"))
     // refined cells must still find real neighbors for every query
     assert(recall.length == 5 && recall.forall(_ > 0))
@@ -126,6 +126,13 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val kmSet = km.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(kmSet != seedSet, "refinement changed nothing — suspicious")
+    // a second Lloyd iteration composes cleanly: full result set, every
+    // query still finds real neighbors
+    val km2 = Similarity.ivfTopK(emb, refineIters = 2).collect()
+    assert(km2.length == 50)
+    val recall2 = Similarity.ivfRecall(emb, refineIters = 2).collect()
+      .map(_.getAs[Long]("recall_pm"))
+    assert(recall2.length == 5 && recall2.forall(r => r > 0 && r <= 1000))
   }
 
   test("quantize floors on exact float->double widening") {
