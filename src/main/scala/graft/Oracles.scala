@@ -307,6 +307,15 @@ object Oracles {
        |ORDER BY revenue_c DESC, o_orderkey
        |LIMIT 10""".stripMargin
 
+  /** The salted join must be result-identical to the plain join+rollup —
+    * the oracle knows nothing about salt. */
+  val orderRevenueSalted: String =
+    s"""SELECT o_orderkey, o_orderdate, count(*) AS n_lines,
+       |       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |         / 10000.0 AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderkey, o_orderdate""".stripMargin
+
   val customersByRegion: String =
     s"""SELECT r_name, count(*) AS n_customers,
        |       sum(round(c_acctbal * 100)::BIGINT) / 100.0 AS sum_acctbal

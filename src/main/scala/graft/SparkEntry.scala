@@ -110,6 +110,8 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_join" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
     "customers_by_region" -> ((s, dir) => Relational.customersByRegion(s, dir)),
+    // large-large join with plan-level skew salting; oracle is salt-blind
+    "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
     // ---- LLM-data-pipeline operators (graft.llm) ----
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -206,6 +208,7 @@ object SparkEntry {
     "q1_agg" -> Oracles.q1Agg,
     "q3_join" -> Oracles.q3Join,
     "customers_by_region" -> Oracles.customersByRegion,
+    "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "token_stats" -> OraclesLlm.tokenStats,
     "lang_id" -> OraclesLlm.langId,
     "quality_score" -> OraclesLlm.qualityScore,

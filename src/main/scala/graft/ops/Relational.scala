@@ -66,6 +66,44 @@ object Relational {
         col("o_orderdate"))
   }
 
+  /** Skew-proof large-large equi-join: the left side's rows are salted
+    * into `salts` sub-keys by a deterministic per-row attribute, the
+    * right side is replicated once per salt, and the join runs on
+    * (key, salt) — a key that is 90% of the left input lands in `salts`
+    * tasks instead of one. This is the JOIN counterpart of
+    * [[TrendPipeline.hashtagCountsSalted]]'s two-phase aggregation (AQE
+    * skew-split is the runtime fallback; salting is the plan-level
+    * guarantee). `saltCol` must be deterministic — retries must re-salt
+    * a row identically, so monotonically_increasing_id is banned. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltCol: Column, salts: Int): DataFrame = {
+    val l = left.withColumn("__salt", pmod(saltCol.cast("long"), lit(salts.toLong)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Per-order revenue via the salted join (orders replicated 8×,
+    * lineitem salted on l_linenumber): same rows as the plain
+    * lineitem⋈orders rollup — the oracle proves salting is invisible in
+    * the result. The post-join per-order aggregate handles its own skew
+    * via partial aggregation (map-side combine). */
+  def orderRevenueSalted(spark: SparkSession, sfDir: String,
+                         salts: Int = 8): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate")
+    saltedJoin(li, ord, "o_orderkey", col("l_linenumber"), salts)
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue_c"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("n_lines"),
+        (col("revenue_c") / 10000.0).as("revenue"))
+  }
+
   /** Region-level customer rollup: customer ⋈ broadcast(nation ⋈
     * broadcast(region)) — the dimensions are tiny at any scale, so the
     * fact table never shuffles for the join; only the 5-group aggregate

@@ -80,4 +80,27 @@ class SkewSpec extends SparkSpec {
       f"expected min-agg dedup to clearly beat the hot-key window sort: " +
         f"agg $tAgg%.2f s vs window $tWindow%.2f s")
   }
+
+  test("saltedJoin: identical rows to the plain join, hot key split across salts") {
+    import spark.implicits._
+    // left: 100k rows, 90% on key 7; right: one row per key
+    val left = spark.range(100000L).select(
+      when(pmod(col("id"), lit(10)) < 9, 7L).otherwise(pmod(col("id"), lit(100L)))
+        .as("k"),
+      col("id").as("row_id"))
+    val right = spark.range(100L).select(col("id").as("k"),
+      concat(lit("dim"), col("id")).as("payload"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = Relational.saltedJoin(left, right, "k", col("row_id"), 8)
+      val plain = left.join(right, "k")
+      assert(salted.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+      // the join really runs on (k, salt): the hot key's rows occupy
+      // several distinct salt sub-keys, so no single task owns them all
+      val saltSpread = left.filter(col("k") === 7L)
+        .select(pmod(col("row_id"), lit(8L)).as("s")).distinct().count()
+      assert(saltSpread == 8L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
