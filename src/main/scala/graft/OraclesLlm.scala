@@ -482,6 +482,24 @@ object OraclesLlm {
   private def bucketE(id: String): String =
     s"((($id % $P) * 2654435761 + 104729) % $P) % 1000"
 
+  /** Discrete quantiles on the length domain; the window `sum` is
+    * HUGEINT in DuckDB → cast back to BIGINT before comparing. */
+  val tokenQuantiles: String =
+    s"""WITH c AS (
+       |  SELECT len(${toksE("text")})::BIGINT AS n_tokens, count(*) AS cnt
+       |  FROM documents GROUP BY 1),
+       |cum AS (
+       |  SELECT n_tokens,
+       |    (sum(cnt) OVER (ORDER BY n_tokens
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+       |  FROM c),
+       |t AS (SELECT count(*) AS total FROM documents),
+       |q AS (SELECT unnest([250, 500, 750]) AS q_pm)
+       |SELECT q_pm, min(n_tokens) AS value
+       |FROM cum, t, q
+       |WHERE cum * 1000 >= q_pm * total
+       |GROUP BY q_pm""".stripMargin
+
   val vocabDf: String =
     s"""WITH t AS (SELECT doc_id, unnest(${toksE("text")}) AS token FROM documents),
        |g AS (SELECT token, doc_id, count(*) AS c FROM t GROUP BY token, doc_id)

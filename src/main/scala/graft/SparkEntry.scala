@@ -131,6 +131,7 @@ object SparkEntry {
     "redact_text" -> ((s, dir) => TextAnalysis.redactedDocs(docs(s, dir))),
     // corpus statistics + curation selection ops
     "vocab_df" -> ((s, dir) => TextAnalysis.vocabDf(docs(s, dir))),
+    "token_quantiles" -> ((s, dir) => TextAnalysis.tokenQuantiles(docs(s, dir))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(docs(s, dir))),
@@ -221,6 +222,7 @@ object SparkEntry {
     "dedup_clusters" -> OraclesLlm.dedupClusters,
     "redact_text" -> OraclesLlm.redactText,
     "vocab_df" -> OraclesLlm.vocabDf,
+    "token_quantiles" -> OraclesLlm.tokenQuantiles,
     "sample_docs" -> OraclesLlm.sampleDocs,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,

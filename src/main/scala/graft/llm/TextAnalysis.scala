@@ -248,6 +248,33 @@ object TextAnalysis {
       .filter(col("bucket") < rate)
   }
 
+  /** Exact discrete quantiles of the per-doc token count — the length
+    * distribution a context-window / chunking policy is tuned against.
+    * Computed on the VALUE DOMAIN, never the corpus: one hash aggregate
+    * collapses 100 TB of docs to one row per distinct length, the
+    * cumulative window runs over those few thousand rows (the single
+    * window partition is bounded by the domain, not the data), and each
+    * requested quantile q keeps the smallest length whose cumulative
+    * count reaches q·N — the classic discrete quantile, expressible
+    * identically in any engine (no interpolation, no floats). */
+  def tokenQuantiles(docs: DataFrame,
+                     quantilesPm: Seq[Int] = Seq(250, 500, 750)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    val cum = counts.withColumn("cum",
+      sum("cnt").over(Window.orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum
+      .crossJoin(broadcast(counts.agg(sum("cnt").as("total"))))
+      .select(col("n_tokens"), col("cum"), col("total"),
+        explode(array(quantilesPm.map(lit): _*)).as("q_pm"))
+      .filter(col("cum") * 1000L >= col("q_pm").cast("long") * col("total"))
+      .groupBy("q_pm")
+      .agg(min("n_tokens").as("value"))
+  }
+
   /** Per-language top-k docs by quality (quality desc, doc_id asc):
     * corpus curation's "keep the best k per stratum". Ranked with the
     * bounded typed top-k aggregator, NOT a per-key window — a window

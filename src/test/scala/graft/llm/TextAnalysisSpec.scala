@@ -105,6 +105,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_._1).forall(_ % 2 == 1))
   }
 
+  test("tokenQuantiles: exact discrete quantiles, ties and skew included") {
+    // lengths: 1x1, 3x2, 4x3, 2x10 → N=10; cum: 1,4,8,10
+    // p25 -> ceil(2.5)=first cum>=2.5 -> 2; p50 -> cum>=5 -> 3; p75 -> cum>=7.5 -> 3
+    val docs = (
+      Seq("a") ++ Seq.fill(3)("a b") ++ Seq.fill(4)("a b c") ++
+        Seq.fill(2)(Seq.fill(10)("w").mkString(" "))
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.tokenQuantiles(docs).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(250 -> 2L, 500 -> 3L, 750 -> 3L))
+  }
+
   test("topQualityPerLang: k best per language, quality desc then doc_id asc") {
     val docs = Seq(
       // en docs with increasing word counts → increasing length_pm/quality
