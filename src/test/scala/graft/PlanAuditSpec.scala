@@ -54,7 +54,8 @@ class PlanAuditSpec extends SparkSpec {
   test("stateless text operators plan zero exchanges") {
     assume(available, "driver testdata not present")
     Seq("clean_text", "sentiment_score", "doc_fingerprint", "redact_text",
-      "token_stats", "lang_id", "quality_score", "media_meta").foreach { name =>
+      "token_stats", "lang_id", "quality_score", "media_meta",
+      "sample_docs", "stratified_sample").foreach { name =>
       val ex = planOf(name).collect { case e: Exchange => e }
       assert(ex.isEmpty,
         s"$name is a stateless projection but plans ${ex.length} exchange(s)")

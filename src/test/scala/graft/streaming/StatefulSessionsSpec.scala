@@ -73,6 +73,38 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("open-session state survives a kill/restart (state-store recovery)") {
+    // an open session built before the kill must close correctly after
+    // the restart — only possible if the state store recovered (a lost
+    // state would silently start a fresh session and emit nothing)
+    val in = Files.createTempDirectory("sess_in").toString
+    val ckpt = Files.createTempDirectory("sess_ckpt3").toString
+    val emitted = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long, Long, Long)]()
+    def run(): Unit = {
+      val rows = TweetSource.FileSource(in).load(spark).select(
+        split(col("value"), ",")(0).cast("long").as("user_id"),
+        split(col("value"), ",")(1).cast("long").as("sec"))
+      val q = StatefulSessions.sessionizeStream(rows, 1800L, "0 seconds")
+        .toDF()
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            emitted.add((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+        }.start()
+      q.awaitTermination(60000)
+    }
+    java.nio.file.Files.writeString(java.nio.file.Path.of(in, "a.txt"), "1,100\n1,200")
+    run()
+    assert(emitted.isEmpty, "no session should close before the gap")
+    java.nio.file.Files.writeString(java.nio.file.Path.of(in, "b.txt"), "1,5000")
+    run()
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toList == List((1L, 100L, 200L, 2L)),
+      s"pre-kill session state lost or duplicated: ${emitted.asScala.toList}")
+  }
+
   test("streaming: in-watermark out-of-order events merge into the open session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]

@@ -128,6 +128,28 @@ class TrendStreamSpec extends SparkSpec {
     assert(got == Set("#x", "#y"))
   }
 
+  test("stream-static enrichment: trend rows join a broadcast dimension in-stream") {
+    // the standard enrichment shape: a static dim table joined INSIDE the
+    // streaming query (not per-batch in foreachBatch) — stateless, so
+    // Append mode works and each micro-batch broadcasts the dim
+    val dim = Seq(("USA", "amer"), ("FRANCE", "emea")).toDF("country", "region")
+    val dir = Files.createTempDirectory("enrich").toString
+    Files.writeString(java.nio.file.Path.of(dir, "a.txt"),
+      "Boston, MA /TLOC/ fast #x\nLyon, France /TLOC/ slow #y\nParis /TLOC/ meh #z")
+    val enriched = TrendStream.trendRows(TweetSource.FileSource(dir).load(spark))
+      .join(broadcast(dim), Seq("country"), "left")
+    val out = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
+    val q = enriched.writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          out.add((r.getAs[String]("hashtag"), r.getAs[String]("region"))))
+      }.start()
+    q.awaitTermination(60000)
+    assert(out.asScala.toSet == Set(("#x", "amer"), ("#y", "emea"), ("#z", null)))
+  }
+
   test("intervalJoin: stream-stream join matches within the interval, drops outside") {
     implicit val sqlCtx = spark.sqlContext
     val lMem = MemoryStream[String]
