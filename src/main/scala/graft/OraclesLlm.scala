@@ -451,6 +451,39 @@ object OraclesLlm {
        |       THEN (height::BIGINT * 640) // width ELSE 360::BIGINT END AS target_height
        |FROM media""".stripMargin
 
+  /** Chunking: stride 48 = 64 − 16; DuckDB list slices are 1-based
+    * inclusive and clamp at the list end, matching Spark's
+    * `slice(toks, start, 64)`. `//` floors where Spark `div` truncates —
+    * the greatest-0 clamp lands both on 0 for short docs. */
+  val docChunks: String =
+    s"""WITH t AS (SELECT doc_id, ${toksE("text")} AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+       |c AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(range(0, greatest((n - 64 + 47) // 48, 0) + 1)) AS chunk_id
+       |  FROM n)
+       |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       |  array_to_string(toks[(chunk_id*48 + 1)::INT : (chunk_id*48 + 64)::INT], ' ')
+       |    AS chunk_text,
+       |  least(64, n - chunk_id*48)::BIGINT AS chunk_tokens
+       |FROM c""".stripMargin
+
+  /** Decontamination over the exact-dup-injected corpus (guarantees
+    * nonempty overlap: the injected copies of eval docs share every
+    * shingle). */
+  val contamination: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+       |th AS (SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM corpus),
+       |sets AS (SELECT doc_id, sh FROM
+       |  (SELECT doc_id, ${shSetE("ths")} AS sh FROM th) WHERE len(sh) > 0),
+       |ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM sets WHERE doc_id < 20),
+       |tr AS (SELECT doc_id, unnest(sh) AS shingle FROM sets WHERE doc_id >= 20)
+       |SELECT tr.doc_id, count(*) AS n_shared_shingles
+       |FROM tr JOIN ev USING (shingle)
+       |GROUP BY tr.doc_id""".stripMargin
+
   /** Fused doc profile (language + quality permille) — mirrors
     * `TextAnalysis.docProfile`. Defines CTE `prof(doc_id, pred_lang,
     * quality)`. */

@@ -132,6 +132,9 @@ object SparkEntry {
     // corpus statistics + curation selection ops
     "vocab_df" -> ((s, dir) => TextAnalysis.vocabDf(docs(s, dir))),
     "token_quantiles" -> ((s, dir) => TextAnalysis.tokenQuantiles(docs(s, dir))),
+    "doc_chunks" -> ((s, dir) => TextAnalysis.chunkDocs(docs(s, dir))),
+    "contamination" -> ((s, dir) =>
+      Dedup.contamination(Dedup.withExactDups(docs(s, dir)))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(docs(s, dir))),
@@ -223,6 +226,8 @@ object SparkEntry {
     "redact_text" -> OraclesLlm.redactText,
     "vocab_df" -> OraclesLlm.vocabDf,
     "token_quantiles" -> OraclesLlm.tokenQuantiles,
+    "doc_chunks" -> OraclesLlm.docChunks,
+    "contamination" -> OraclesLlm.contamination,
     "sample_docs" -> OraclesLlm.sampleDocs,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,

@@ -379,6 +379,35 @@ object Dedup {
     cross.unionByName(same)
   }
 
+  // ---- decontamination ----
+
+  /** Benchmark decontamination: training docs (doc_id ≥ evalMaxId) that
+    * share at least one [[ShingleK]]-gram with the eval set
+    * (doc_id < evalMaxId), with the count of shared distinct shingles —
+    * the hygiene pass that keeps test sets out of training data.
+    *
+    * Scale shape: the eval shingle set is small by definition (eval
+    * sets are thousands of docs, not billions) and BROADCASTS; the
+    * training side streams through the broadcast hash join exploded to
+    * (doc_id, shingle) rows and only matching rows reach the per-doc
+    * count (partial-aggregated). The training corpus never shuffles its
+    * text or its full shingle sets. */
+  def contamination(docs: DataFrame, evalMaxId: Long = 20L): DataFrame = {
+    val sets = shingleSets(docs)
+    // explode_outer: sets guarantees non-empty arrays, and plain explode
+    // would let InferFiltersFromGenerate re-inline the shingle pipeline
+    // into a scan filter (the same trap as minhashSignatures)
+    val train = sets.filter(col("doc_id") >= evalMaxId)
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+    val evalSh = sets.filter(col("doc_id") < evalMaxId)
+      .select(explode_outer(col("sh")).as("shingle"))
+      .distinct()
+    train
+      .join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   // ---- duplicate-injection fixtures ----
 
   /** Corpus with injected EXACT duplicates: every doc_id ≡ 0 (mod 10) is

@@ -248,6 +248,34 @@ object TextAnalysis {
       .filter(col("bucket") < rate)
   }
 
+  /** Fixed-size token chunking with overlap — the doc → training-example
+    * splitter. Chunk i covers tokens [i·stride+1, i·stride+chunkSize]
+    * (stride = chunkSize − overlap); a doc shorter than chunkSize yields
+    * one whole-doc chunk, an empty doc none. Stateless projection +
+    * posexplode — no shuffle, scales linearly with corpus bytes. All
+    * index arithmetic is exact integer (`div` floors via greatest-0
+    * clamp identically in Spark and the oracle). */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L),
+          greatest(expr(s"(n - $chunkSize + $stride - 1) div $stride"), lit(0L))))
+          .as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+            lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize.toLong), col("n") - col("chunk_id") * stride)
+          .as("chunk_tokens"))
+  }
+
   /** Exact discrete quantiles of the per-doc token count — the length
     * distribution a context-window / chunking policy is tuned against.
     * Computed on the VALUE DOMAIN, never the corpus: one hash aggregate

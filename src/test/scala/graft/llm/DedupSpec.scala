@@ -161,4 +161,18 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     assert(corpus.size == 4 && corpus(100000L).startsWith("dup the quick"))
   }
+
+  test("contamination: training docs sharing eval shingles are flagged with counts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),            // eval
+      (30L, "zz alpha beta gamma yy"),           // shares shingle "alpha beta gamma"
+      (31L, "nothing in common here at all"),    // clean
+      (32L, "alpha beta gamma delta")            // identical to eval doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(docs, evalMaxId = 20L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shingles: {a b g, b g d}; doc 30 shares exactly "alpha beta gamma";
+    // doc 32 shares both; doc 31 is absent
+    assert(got == Map(30L -> 1L, 32L -> 2L))
+  }
 }

@@ -105,6 +105,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_._1).forall(_ % 2 == 1))
   }
 
+  test("chunkDocs: overlap windows, short-doc whole chunk, empty doc none") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than chunk
+      (3L, "   ")                                     // no tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, chunkSize = 4, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val doc1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // stride 2: starts 1,3,5,7 → last chunk index = (10-4+1) div 2 = 3
+    assert(doc1.map(_._3).toList == List(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(doc1.forall(_._4 == 4L))
+    assert(got.filter(_._1 == 2L).toList == List((2L, 0L, "a b", 2L)))
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("tokenQuantiles: exact discrete quantiles, ties and skew included") {
     // lengths: 1x1, 3x2, 4x3, 2x10 → N=10; cum: 1,4,8,10
     // p25 -> ceil(2.5)=first cum>=2.5 -> 2; p50 -> cum>=5 -> 3; p75 -> cum>=7.5 -> 3
