@@ -35,4 +35,15 @@ object Bucketed {
   def colocatedJoin(spark: SparkSession, left: String, right: String,
                     key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Hive-style partitioned parquet layout: directory-per-value on the
+    * partition columns. A filter on a partition column prunes whole
+    * directories at PLANNING time (`PartitionFilters` on the scan, zero
+    * I/O for pruned values) — at 100 TB, partition-by-language or
+    * by-date is the difference between scanning a shard and scanning
+    * the corpus. Partition columns should be low-cardinality: each
+    * value is a directory, and each task writes one open file per
+    * value it sees. */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 }

@@ -58,6 +58,25 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("partitionBy layout prunes partitions at the scan") {
+    assume(available, "driver testdata not present")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
+    Bucketed.writePartitioned(docs, out, "lang")
+    val read = spark.read.parquet(out).filter(col("lang") === "en")
+    val scan = nodes(read.queryExecution.executedPlan)
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .getOrElse(fail("no parquet scan in plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("lang")),
+      s"filter did not become a partition filter: ${scan.partitionFilters}")
+    val nLangs = docs.select("lang").distinct().count()
+    assert(nLangs > 1, "fixture needs multiple languages")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 of $nLangs lang partitions selected, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+    assert(read.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("groupBy on the bucket key aggregates without an exchange") {
     assume(available, "driver testdata not present")
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
