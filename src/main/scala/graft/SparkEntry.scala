@@ -142,10 +142,13 @@ object SparkEntry {
       TextAnalysis.topQualityPerLang(docs(s, dir))),
     "training_pipeline" -> ((s, dir) =>
       Pipeline.trainingPipeline(Dedup.withExactDups(docs(s, dir)))),
-    // no oracleSql entry: HLL sketches are engine-specific, so the
-    // driver records the (weaker) rows-only check for this one
+    // no oracleSql entries for the two sketch queries: HLL/percentile
+    // sketches are engine-specific, so the driver records the (weaker)
+    // rows-only check for them
     "approx_distinct_ngrams" -> ((s, dir) =>
       TextAnalysis.approxDistinctNgrams(docs(s, dir))),
+    "token_quantiles_approx" -> ((s, dir) =>
+      TextAnalysis.tokenQuantilesApprox(docs(s, dir))),
     "simhash_dedup" -> ((s, dir) =>
       Dedup.simhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "cosine_topk" -> ((s, dir) =>

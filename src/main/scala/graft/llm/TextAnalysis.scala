@@ -303,6 +303,19 @@ object TextAnalysis {
       .agg(min("n_tokens").as("value"))
   }
 
+  /** Sketch-based quantiles — the companion scale path to
+    * [[tokenQuantiles]] for when even the length-domain aggregate is
+    * unwanted (e.g. quantiles over a high-cardinality measure where the
+    * domain IS data-sized). `approx_percentile` merges bounded sketches
+    * map-side; like the HLL distinct count, engine-specific → rows-only
+    * check by design. */
+  def tokenQuantilesApprox(docs: DataFrame,
+                           quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame =
+    docs
+      .select(size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .agg(percentile_approx(col("n_tokens"),
+        array(quantiles.map(lit): _*), lit(10000)).as("approx_quantiles"))
+
   /** Per-language top-k docs by quality (quality desc, doc_id asc):
     * corpus curation's "keep the best k per stratum". Ranked with the
     * bounded typed top-k aggregator, NOT a per-key window — a window

@@ -134,6 +134,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(250 -> 2L, 500 -> 3L, 750 -> 3L))
   }
 
+  test("tokenQuantilesApprox agrees with the exact quantiles at high accuracy") {
+    val docs = (0L until 400L).map { i =>
+      (i, Seq.fill((i % 20 + 1).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val approx = TextAnalysis.tokenQuantilesApprox(docs).collect()
+      .head.getAs[collection.Seq[Long]]("approx_quantiles")
+    val exact = TextAnalysis.tokenQuantiles(docs).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // accuracy 10000 on 400 rows → the sketch is effectively exact;
+    // definitions differ by at most one rank at the boundary
+    assert((approx(0) - exact(250)).abs <= 1, s"$approx vs $exact")
+    assert((approx(1) - exact(500)).abs <= 1)
+    assert((approx(2) - exact(750)).abs <= 1)
+  }
+
   test("topQualityPerLang: k best per language, quality desc then doc_id asc") {
     val docs = Seq(
       // en docs with increasing word counts → increasing length_pm/quality
