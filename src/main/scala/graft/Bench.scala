@@ -110,10 +110,11 @@ object Bench {
       val tmp = java.nio.file.Files.createTempDirectory("bench_stream")
       val feedDir = tmp.resolve("feed").toString
       val ckpt = tmp.resolve("ckpt").toString
-      // deterministic backlog: N ids → producer-filtered wire lines,
-      // FeedFiles text files so maxFilesPerTrigger yields StreamBatches
-      // equal micro-batches (~660k rows each at 32 cpus — big enough
-      // that per-batch fixed costs don't dominate the measured rate)
+      // deterministic backlog: N ids → producer-filtered wire lines
+      // (the P-12 filter keeps 24/35 of ids ≈ 5.3M rows at 32 cpus) in
+      // FeedFiles text files; maxFilesPerTrigger = 2 files/trigger
+      // yields StreamBatches equal micro-batches of ~1.3M rows each —
+      // big enough that per-batch fixed costs don't dominate the rate
       SyntheticTweets.wireLines(
         spark.range(0, FeedRowsPerCore * cpus, 1, FeedFiles).toDF("id"))
         .write.mode("overwrite").text(feedDir)

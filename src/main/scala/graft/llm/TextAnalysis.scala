@@ -40,6 +40,27 @@ object TextAnalysis {
   private def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words))).cast("long")
 
+  /** The language argmax when-chain (en > es > de > fr priority on
+    * ties, `und` when nothing matches, `zh` when CJK dominates) —
+    * shared by [[langId]] and [[docProfile]] so the fused profile can
+    * never drift from the standalone operator. */
+  private def predLangExpr(n: Column, cjk: Column,
+                           en: Column, es: Column, de: Column, fr: Column): Column =
+    when(cjk * 10 > n * 3, "zh")
+      .when(en + es + de + fr === 0, "und")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+
+  /** Quality permilles over a staged frame with `wc`/`uniq`/`stop`
+    * attribute columns — shared by [[qualityScore]] and [[docProfile]]. */
+  private def lengthPm: Column = least(lit(1000L), col("wc") * 20L)
+  private def uniquePm: Column =
+    when(col("wc") === 0, 0L).otherwise(expr("(1000 * uniq) div wc"))
+  private def stopPm: Column =
+    when(col("wc") === 0, 0L).otherwise(expr("(1000 * stop) div wc"))
+
   /** Language ID: argmax of marker-word hits with a fixed priority order
     * (en > es > de > fr) on ties; `und` when nothing matches, `zh` when
     * CJK characters dominate. */
@@ -50,16 +71,10 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
         .as("cjk"),
       tokens(col("text")).as("toks"))
-    val counts = LangMarkers.map { case (_, ws) => markerCount(col("toks"), ws) }
-    val Seq(en, es, de, fr) = counts
-    val pred =
-      when(col("cjk") * 10 > col("n") * 3, "zh")
-        .when(en + es + de + fr === 0, "und")
-        .when(en >= es && en >= de && en >= fr, "en")
-        .when(es >= de && es >= fr, "es")
-        .when(de >= fr, "de")
-        .otherwise("fr")
-    staged.select(col("doc_id"), pred.as("pred_lang"))
+    val Seq(en, es, de, fr) =
+      LangMarkers.map { case (_, ws) => markerCount(col("toks"), ws) }
+    staged.select(col("doc_id"),
+      predLangExpr(col("n"), col("cjk"), en, es, de, fr).as("pred_lang"))
   }
 
   /** Stopwords used by the quality heuristic. */
@@ -83,11 +98,9 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         col("wc").as("word_count"),
-        least(lit(1000L), col("wc") * 20L).as("length_pm"),
-        when(col("wc") === 0, 0L)
-          .otherwise(expr("(1000 * uniq) div wc")).as("unique_pm"),
-        when(col("wc") === 0, 0L)
-          .otherwise(expr("(1000 * stop) div wc")).as("stop_pm"))
+        lengthPm.as("length_pm"),
+        uniquePm.as("unique_pm"),
+        stopPm.as("stop_pm"))
       .withColumn("quality", expr("(length_pm + unique_pm + stop_pm) div 3"))
 
   /** Document fingerprint: polynomial rolling hash of the
@@ -181,21 +194,13 @@ object TextAnalysis {
           .cast("long").as("stop")) ++
         LangMarkers.zip(counts).map { case ((l, _), c) => c.as(s"m_$l") }: _*)
     val Seq(en, es, de, fr) = LangMarkers.map { case (l, _) => col(s"m_$l") }
-    val pred =
-      when(col("cjk") * 10 > col("n") * 3, "zh")
-        .when(en + es + de + fr === 0, "und")
-        .when(en >= es && en >= de && en >= fr, "en")
-        .when(es >= de && es >= fr, "es")
-        .when(de >= fr, "de")
-        .otherwise("fr")
     counted
       .select(
-        col("doc_id"), pred.as("pred_lang"),
-        least(lit(1000L), col("wc") * 20L).as("length_pm"),
-        when(col("wc") === 0, 0L)
-          .otherwise(expr("(1000 * uniq) div wc")).as("unique_pm"),
-        when(col("wc") === 0, 0L)
-          .otherwise(expr("(1000 * stop) div wc")).as("stop_pm"))
+        col("doc_id"),
+        predLangExpr(col("n"), col("cjk"), en, es, de, fr).as("pred_lang"),
+        lengthPm.as("length_pm"),
+        uniquePm.as("unique_pm"),
+        stopPm.as("stop_pm"))
       .select(col("doc_id"), col("pred_lang"),
         expr("(length_pm + unique_pm + stop_pm) div 3").as("quality"))
   }
@@ -291,11 +296,17 @@ object TextAnalysis {
     val counts = docs
       .select(size(tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
-    val cum = counts.withColumn("cum",
-      sum("cnt").over(Window.orderBy("n_tokens")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // running count AND grand total from the SAME single pass over the
+    // per-length table (two frames on one window partition) — a
+    // separate counts.agg(sum) branch would re-scan and re-tokenize the
+    // whole corpus, since DataFrame reuse is not plan-level CSE
+    val byLen = Window.orderBy("n_tokens")
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(
+        byLen.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("cnt").over(
+        byLen.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     cum
-      .crossJoin(broadcast(counts.agg(sum("cnt").as("total"))))
       .select(col("n_tokens"), col("cum"), col("total"),
         explode(array(quantilesPm.map(lit): _*)).as("q_pm"))
       .filter(col("cum") * 1000L >= col("q_pm").cast("long") * col("total"))

@@ -74,10 +74,13 @@ object Relational {
     * [[TrendPipeline.hashtagCountsSalted]]'s two-phase aggregation (AQE
     * skew-split is the runtime fallback; salting is the plan-level
     * guarantee). `saltCol` must be deterministic — retries must re-salt
-    * a row identically, so monotonically_increasing_id is banned. */
+    * a row identically, so monotonically_increasing_id is banned. A
+    * null (or non-castable) salt value coalesces to bucket 0 rather
+    * than producing a null join key that would silently drop the row. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltCol: Column, salts: Int): DataFrame = {
-    val l = left.withColumn("__salt", pmod(saltCol.cast("long"), lit(salts.toLong)))
+    val l = left.withColumn("__salt",
+      coalesce(pmod(saltCol.cast("long"), lit(salts.toLong)), lit(0L)))
     val r = right.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     l.join(r, Seq(key, "__salt")).drop("__salt")

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.Exchange
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
 
@@ -20,19 +19,9 @@ class PlanAuditSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
   private def available = new java.io.File(sfDir).isDirectory
 
-  /** All physical nodes, descending into AQE's wrapped plan. */
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    val self = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case other => Seq(other)
-    }
-    self ++ p.children.flatMap(nodes) ++
-      p.subqueries.flatMap(nodes)
-  }
-
   private def planOf(name: String): Seq[SparkPlan] = {
     graft.functions.GraftExtensions.register(spark)
-    nodes(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+    planNodes(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
   }
 
   test("no registered query plans a CartesianProduct") {

@@ -38,4 +38,20 @@ abstract class SparkSpec extends AnyFunSuite {
   def evalText[T](values: Seq[String])(c: org.apache.spark.sql.Column): Seq[T] =
     textDf("text", values).select(c.as("r")).collect()
       .toSeq.map(_.get(0).asInstanceOf[T])
+
+  /** All physical nodes of a plan, descending into AQE's wrapped plan,
+    * into materialized query stages (leaf-like after execution), and
+    * into subqueries — the one shared plan flattener, so no spec can
+    * accidentally audit a plan while missing wrapped nodes. */
+  def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val self = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        planNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: planNodes(q.plan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(planNodes) ++ p.subqueries.flatMap(planNodes)
+  }
 }

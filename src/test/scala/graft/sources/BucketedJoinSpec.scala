@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.Exchange
 import org.apache.spark.sql.functions._
 
@@ -14,13 +13,7 @@ class BucketedJoinSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
   private def available = new java.io.File(sfDir).isDirectory
 
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    val self = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case other => Seq(other)
-    }
-    self ++ p.children.flatMap(nodes)
-  }
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = planNodes(p)
 
   /** Run `body` with broadcast joins off (forcing the join to confront
     * its distribution requirement) and restore the conf after. */

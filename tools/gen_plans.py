@@ -47,8 +47,37 @@ for name, body in zip(parts[::2], parts[1::2]):
             f = f.strip()
             if f and not f.startswith("IsNotNull"):
                 pushed.add(f)
-    scans = [f"{s.count(',') + 1 if s else 0} cols"
-             for s in re.findall(r"ReadSchema: struct<([^>]*)>", body)]
+    def top_level_cols(s: str) -> int:
+        # count top-level commas only — nested array<...>/struct<...>/
+        # map<...> types carry internal commas and angle brackets
+        if not s:
+            return 0
+        depth, n = 0, 1
+        for ch in s:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                n += 1
+        return n
+
+    def read_schema_body(text: str, start: int) -> str:
+        # balanced-bracket extraction of struct<...> starting at `start`
+        depth = 0
+        for i in range(start, len(text)):
+            if text[i] == "<":
+                depth += 1
+            elif text[i] == ">":
+                depth -= 1
+                if depth == 0:
+                    return text[start + len("struct<"):i]
+        return ""
+
+    scans = []
+    for m in re.finditer(r"ReadSchema: (struct<)", body):
+        inner = read_schema_body(body, m.start(1))
+        scans.append(f"{top_level_cols(inner)} cols")
     # dedupe scan column counts preserving order
     seen, scan_list = set(), []
     for s in scans:
