@@ -451,6 +451,19 @@ object OraclesLlm {
        |       THEN (height::BIGINT * 640) // width ELSE 360::BIGINT END AS target_height
        |FROM media""".stripMargin
 
+  /** Repetition profile: docs with <2 tokens yield no bigrams and are
+    * absent on both engines. */
+  val docRepetition: String =
+    s"""WITH t AS (SELECT doc_id, ${toksE("text")} AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+       |        ELSE [toks[i+1] || ' ' || toks[i+2] for i in range(len(toks)-1)] END) AS ngram
+       |      FROM t),
+       |c AS (SELECT doc_id, ngram, count(*) AS c FROM g GROUP BY doc_id, ngram)
+       |SELECT doc_id, sum(c)::BIGINT AS total_bigrams,
+       |  count(*)::BIGINT AS distinct_bigrams, max(c)::BIGINT AS max_bigram_count,
+       |  (1000 * (sum(c)::BIGINT - count(*))) // sum(c)::BIGINT AS repetition_pm
+       |FROM c GROUP BY doc_id""".stripMargin
+
   /** Chunking: stride 48 = 64 − 16; DuckDB list slices are 1-based
     * inclusive and clamp at the list end, matching Spark's
     * `slice(toks, start, 64)`. `//` floors where Spark `div` truncates —

@@ -133,6 +133,7 @@ object SparkEntry {
     "vocab_df" -> ((s, dir) => TextAnalysis.vocabDf(docs(s, dir))),
     "token_quantiles" -> ((s, dir) => TextAnalysis.tokenQuantiles(docs(s, dir))),
     "doc_chunks" -> ((s, dir) => TextAnalysis.chunkDocs(docs(s, dir))),
+    "doc_repetition" -> ((s, dir) => TextAnalysis.docRepetition(docs(s, dir))),
     "contamination" -> ((s, dir) =>
       Dedup.contamination(Dedup.withExactDups(docs(s, dir)))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
@@ -230,6 +231,7 @@ object SparkEntry {
     "vocab_df" -> OraclesLlm.vocabDf,
     "token_quantiles" -> OraclesLlm.tokenQuantiles,
     "doc_chunks" -> OraclesLlm.docChunks,
+    "doc_repetition" -> OraclesLlm.docRepetition,
     "contamination" -> OraclesLlm.contamination,
     "sample_docs" -> OraclesLlm.sampleDocs,
     "stratified_sample" -> OraclesLlm.stratifiedSample,

@@ -314,6 +314,27 @@ object TextAnalysis {
       .agg(min("n_tokens").as("value"))
   }
 
+  /** Intra-document repetition profile — the boilerplate/templating
+    * signal (nav bars, SEO spam, generated filler repeat the same
+    * n-grams inside one doc). Per doc: total bigrams, distinct bigrams,
+    * and the hottest bigram's count; `repetition_pm` =
+    * 1000·(total−distinct)/total (0 = no repetition). One aggregation
+    * keyed (doc_id, bigram) then a per-doc rollup — both shuffles slim
+    * and partial-aggregated; the doc text itself never shuffles. */
+  def docRepetition(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(bigrams(col("toks"))).as("ngram"))
+      .groupBy("doc_id", "ngram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("total_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        max("c").as("max_bigram_count"))
+      .withColumn("repetition_pm",
+        expr("(1000 * (total_bigrams - distinct_bigrams)) div total_bigrams"))
+
   /** Sketch-based quantiles — the companion scale path to
     * [[tokenQuantiles]] for when even the length-domain aggregate is
     * unwanted (e.g. quantiles over a high-cardinality measure where the

@@ -44,7 +44,7 @@ class PlanAuditSpec extends SparkSpec {
     assume(available, "driver testdata not present")
     Seq("clean_text", "sentiment_score", "doc_fingerprint", "redact_text",
       "token_stats", "lang_id", "quality_score", "media_meta",
-      "sample_docs", "stratified_sample").foreach { name =>
+      "sample_docs", "stratified_sample", "doc_chunks").foreach { name =>
       val ex = planOf(name).collect { case e: Exchange => e }
       assert(ex.isEmpty,
         s"$name is a stateless projection but plans ${ex.length} exchange(s)")

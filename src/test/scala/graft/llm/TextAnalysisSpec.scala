@@ -134,6 +134,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(250 -> 2L, 500 -> 3L, 750 -> 3L))
   }
 
+  test("docRepetition: boilerplate scores high, varied text scores zero") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"), // hot bigram "buy now"/"now buy"
+      (2L, "the quick brown fox jumps"),       // all bigrams distinct
+      (3L, "solo")                             // no bigrams → absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.docRepetition(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("total_bigrams"), r.getAs[Long]("distinct_bigrams"),
+          r.getAs[Long]("max_bigram_count"), r.getAs[Long]("repetition_pm"))).toMap
+    // doc 1: 7 bigrams, 2 distinct ("buy now"x4, "now buy"x3)
+    assert(got(1L) == ((7L, 2L, 4L, 1000L * 5 / 7)))
+    assert(got(2L) == ((4L, 4L, 1L, 0L)))
+    assert(!got.contains(3L))
+  }
+
   test("tokenQuantilesApprox agrees with the exact quantiles at high accuracy") {
     val docs = (0L until 400L).map { i =>
       (i, Seq.fill((i % 20 + 1).toInt)("w").mkString(" "))
