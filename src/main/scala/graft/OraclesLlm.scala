@@ -573,6 +573,37 @@ object OraclesLlm {
        |SELECT pred_lang, doc_id, quality, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Sequence packing (concat-and-chunk, capacity 128): the oracle uses
+    * one global exclusive-prefix window — semantically identical to the
+    * engine's two-phase bucketed prefix sum (window `sum` is HUGEINT in
+    * DuckDB → cast; all values non-negative so `//` = `div`). DuckDB
+    * list slices are 1-based inclusive, matching Spark's `slice`. */
+  val packSequences: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, toks, len(toks)::BIGINT AS n
+       |  FROM (SELECT doc_id, ${toksE("text")} AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |s AS (
+       |  SELECT doc_id, toks, n,
+       |    coalesce(sum(n) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, toks, n, strt,
+       |    unnest(range(strt // 128, (strt + n - 1) // 128 + 1)) AS pack_id
+       |  FROM s),
+       |g AS (
+       |  SELECT doc_id, toks, pack_id::BIGINT AS pack_id,
+       |    (greatest(pack_id*128 - strt, 0) + 1)::BIGINT AS seg_start,
+       |    (least(strt + n, (pack_id+1)*128)
+       |      - greatest(strt, pack_id*128))::BIGINT AS seg_tokens
+       |  FROM p)
+       |SELECT pack_id, doc_id, seg_start, seg_tokens,
+       |  array_to_string(
+       |    toks[seg_start::INT : (seg_start + seg_tokens - 1)::INT], ' ')
+       |    AS seg_text
+       |FROM g""".stripMargin
+
   val embeddingNearDup: String =
     s"""WITH corpus AS (
        |  SELECT vec_id, embedding FROM embeddings UNION ALL

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Country, Sentiment}
-import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Pipeline, Similarity, TextAnalysis}
 import graft.model.WireCodec
 import graft.ops.{Relational, TrendPipeline, Windows}
 import graft.text.TextOps
@@ -134,6 +134,7 @@ object SparkEntry {
     "token_quantiles" -> ((s, dir) => TextAnalysis.tokenQuantiles(docs(s, dir))),
     "doc_chunks" -> ((s, dir) => TextAnalysis.chunkDocs(docs(s, dir))),
     "doc_repetition" -> ((s, dir) => TextAnalysis.docRepetition(docs(s, dir))),
+    "pack_sequences" -> ((s, dir) => Packing.packSequences(docs(s, dir))),
     "contamination" -> ((s, dir) =>
       Dedup.contamination(Dedup.withExactDups(docs(s, dir)))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
@@ -232,6 +233,7 @@ object SparkEntry {
     "token_quantiles" -> OraclesLlm.tokenQuantiles,
     "doc_chunks" -> OraclesLlm.docChunks,
     "doc_repetition" -> OraclesLlm.docRepetition,
+    "pack_sequences" -> OraclesLlm.packSequences,
     "contamination" -> OraclesLlm.contamination,
     "sample_docs" -> OraclesLlm.sampleDocs,
     "stratified_sample" -> OraclesLlm.stratifiedSample,

@@ -40,6 +40,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pack_sequences joins its bucket offsets by broadcast (docs never shuffle for the join)") {
+    assume(available, "driver testdata not present")
+    val plan = planOf("pack_sequences")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "bucket-offset join lost its broadcast")
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "pack_sequences plans a sort-merge join")
+  }
+
   test("stateless text operators plan zero exchanges") {
     assume(available, "driver testdata not present")
     Seq("clean_text", "sentiment_score", "doc_fingerprint", "redact_text",
