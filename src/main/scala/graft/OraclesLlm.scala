@@ -573,6 +573,21 @@ object OraclesLlm {
        |SELECT pred_lang, doc_id, quality, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Bigram commonness (minDf=2): per-doc bigram counts joined to the
+    * corpus bigram document frequency. */
+  val bigramCommonness: String =
+    s"""WITH t AS (SELECT doc_id, ${toksE("text")} AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+       |        ELSE [toks[i+1] || ' ' || toks[i+2] for i in range(len(toks)-1)] END) AS ngram
+       |      FROM t),
+       |c AS (SELECT doc_id, ngram, count(*) AS c FROM g GROUP BY doc_id, ngram),
+       |d AS (SELECT ngram, count(*) AS df FROM c GROUP BY ngram)
+       |SELECT doc_id, sum(c)::BIGINT AS total_bigrams,
+       |  sum(CASE WHEN df >= 2 THEN c ELSE 0 END)::BIGINT AS common_bigrams,
+       |  (1000 * sum(CASE WHEN df >= 2 THEN c ELSE 0 END)::BIGINT)
+       |    // sum(c)::BIGINT AS commonness_pm
+       |FROM c JOIN d USING (ngram) GROUP BY doc_id""".stripMargin
+
   /** Sequence packing (concat-and-chunk, capacity 128): the oracle uses
     * one global exclusive-prefix window — semantically identical to the
     * engine's two-phase bucketed prefix sum (window `sum` is HUGEINT in

@@ -135,6 +135,8 @@ object SparkEntry {
     "doc_chunks" -> ((s, dir) => TextAnalysis.chunkDocs(docs(s, dir))),
     "doc_repetition" -> ((s, dir) => TextAnalysis.docRepetition(docs(s, dir))),
     "pack_sequences" -> ((s, dir) => Packing.packSequences(docs(s, dir))),
+    "bigram_commonness" -> ((s, dir) =>
+      TextAnalysis.bigramCommonness(docs(s, dir))),
     "contamination" -> ((s, dir) =>
       Dedup.contamination(Dedup.withExactDups(docs(s, dir)))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
@@ -234,6 +236,7 @@ object SparkEntry {
     "doc_chunks" -> OraclesLlm.docChunks,
     "doc_repetition" -> OraclesLlm.docRepetition,
     "pack_sequences" -> OraclesLlm.packSequences,
+    "bigram_commonness" -> OraclesLlm.bigramCommonness,
     "contamination" -> OraclesLlm.contamination,
     "sample_docs" -> OraclesLlm.sampleDocs,
     "stratified_sample" -> OraclesLlm.stratifiedSample,

@@ -335,6 +335,40 @@ object TextAnalysis {
       .withColumn("repetition_pm",
         expr("(1000 * (total_bigrams - distinct_bigrams)) div total_bigrams"))
 
+  /** Cross-corpus bigram commonness — the language-model-score proxy of
+    * CCNet-style curation: a doc whose bigrams are common corpus-wide
+    * reads like the corpus; a doc full of singleton bigrams is noise,
+    * boilerplate-mangled, or another language. Complements
+    * [[docRepetition]] (intra-doc) with the corpus-wide signal.
+    *
+    * `commonness_pm` = share (permille) of the doc's bigram occurrences
+    * whose corpus document frequency ≥ `minDf`.
+    *
+    * Scale shape: per-doc bigram counts (slim partial-aggregated
+    * shuffle, text never shuffles) feed BOTH sides — a self-aggregation
+    * computes the df table, then a bigram-keyed hash join fans df back
+    * out. The df side is one row per key, so even "of the"-grade hot
+    * bigrams skew only the probe side, which AQE splits; no row
+    * explosion is possible. The df table is data-sized — never
+    * broadcast it. */
+  def bigramCommonness(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(bigrams(col("toks"))).as("ngram"))
+      .groupBy("doc_id", "ngram")
+      .agg(count(lit(1)).as("c"))
+    val df = perDoc.groupBy("ngram").agg(count(lit(1)).as("df"))
+    perDoc
+      .join(df, Seq("ngram"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("total_bigrams"),
+        sum(when(col("df") >= minDf, col("c")).otherwise(0L))
+          .as("common_bigrams"))
+      .withColumn("commonness_pm",
+        expr("(1000 * common_bigrams) div total_bigrams"))
+  }
+
   /** Sketch-based quantiles — the companion scale path to
     * [[tokenQuantiles]] for when even the length-domain aggregate is
     * unwanted (e.g. quantiles over a high-cardinality measure where the

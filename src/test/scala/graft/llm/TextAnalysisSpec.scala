@@ -150,6 +150,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("bigramCommonness: corpus-shared bigrams count, singletons don't") {
+    val docs = Seq(
+      (1L, "the quick fox"),   // "the quick" shared with doc 2, "quick fox" singleton
+      (2L, "the quick dog"),   // "the quick" shared, "quick dog" singleton
+      (3L, "zz qq zz qq"),     // self-repeated: "zz qq"x2 is ONE doc's — df=1
+      (4L, "solo")             // no bigrams → absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCommonness(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("total_bigrams"), r.getAs[Long]("common_bigrams"),
+          r.getAs[Long]("commonness_pm"))).toMap
+    assert(got(1L) == ((2L, 1L, 500L)))
+    assert(got(2L) == ((2L, 1L, 500L)))
+    // df counts DOCUMENTS, not occurrences: doc 3's hot bigrams have df=1
+    assert(got(3L) == ((3L, 0L, 0L)))
+    assert(!got.contains(4L))
+  }
+
   test("tokenQuantilesApprox agrees with the exact quantiles at high accuracy") {
     val docs = (0L until 400L).map { i =>
       (i, Seq.fill((i % 20 + 1).toInt)("w").mkString(" "))
