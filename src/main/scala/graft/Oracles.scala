@@ -322,4 +322,14 @@ object Oracles {
        |FROM customer, nation, region
        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
        |GROUP BY r_name""".stripMargin
+
+  /** Range join: the oracle states the raw inequality join (DuckDB
+    * plans an IEJoin); the engine's bucketed binning + day pre-agg
+    * must be result-identical. */
+  val rangeJoin: String =
+    s"""SELECT o_orderkey, count(l_shipdate)::BIGINT AS n_shipped
+       |FROM orders o LEFT JOIN lineitem l
+       |  ON l.l_shipdate >= o.o_orderdate
+       | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+       |GROUP BY o_orderkey""".stripMargin
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Country, Sentiment}
 import graft.llm.{Dedup, Multimodal, Packing, Pipeline, Similarity, TextAnalysis}
 import graft.model.WireCodec
-import graft.ops.{Relational, TrendPipeline, Windows}
+import graft.ops.{Ranges, Relational, TrendPipeline, Windows}
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -112,6 +112,8 @@ object SparkEntry {
     "customers_by_region" -> ((s, dir) => Relational.customersByRegion(s, dir)),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
+    // bucketed point-in-interval join; oracle states the raw inequality
+    "range_join" -> ((s, dir) => Ranges.orderShipWindow(s, dir)),
     // ---- LLM-data-pipeline operators (graft.llm) ----
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -220,6 +222,7 @@ object SparkEntry {
     "q3_join" -> Oracles.q3Join,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
+    "range_join" -> Oracles.rangeJoin,
     "token_stats" -> OraclesLlm.tokenStats,
     "lang_id" -> OraclesLlm.langId,
     "quality_score" -> OraclesLlm.qualityScore,
