@@ -502,7 +502,7 @@ object OraclesLlm {
     * quality)`. */
   private val profileCte: String = frag(
     s"""prof AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, source, wc,
        |    CASE WHEN cjk*10 > n*3 THEN 'zh'
        |         WHEN en+es+de+fr = 0 THEN 'und'
        |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
@@ -513,7 +513,7 @@ object OraclesLlm {
        |      + CASE WHEN wc = 0 THEN 0 ELSE (1000 * uniq) // wc END
        |      + CASE WHEN wc = 0 THEN 0 ELSE (1000 * stop) // wc END) // 3 AS quality
        |  FROM (
-       |    SELECT doc_id, length(text) AS n,
+       |    SELECT doc_id, source, length(text) AS n,
        |      len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
        |      len(list_filter(${toksE("text")}, w -> w IN ('the','a','of','and','is')))::BIGINT AS en,
        |      len(list_filter(${toksE("text")}, w -> w IN ('el','la','los','de','que')))::BIGINT AS es,
@@ -572,6 +572,36 @@ object OraclesLlm {
        |  FROM prof)
        |SELECT pred_lang, doc_id, quality, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Per-source composition report; mean quality is an integer
+    * division of the permille sum. */
+  val sourceMix: String =
+    s"""WITH $profileCte
+       |SELECT source, count(*) AS n_docs, sum(wc)::BIGINT AS total_tokens,
+       |  sum(quality)::BIGINT // count(*) AS avg_quality_pm,
+       |  sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
+       |FROM prof GROUP BY source""".stripMargin
+
+  /** Quality-weighted sampling: keep iff bucket < own quality. */
+  val weightedSample: String =
+    s"""WITH $profileCte
+       |SELECT doc_id, pred_lang, quality,
+       |  ${bucketE("doc_id")}::BIGINT AS bucket
+       |FROM prof WHERE ${bucketE("doc_id")} < quality""".stripMargin
+
+  /** Top-3 terms per doc by the integer tf-idf proxy. */
+  val docKeywords: String =
+    s"""WITH t AS (SELECT doc_id, unnest(${toksE("text")}) AS token
+       |           FROM documents),
+       |c AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+       |d AS (SELECT token, count(*) AS df FROM c GROUP BY token),
+       |r AS (
+       |  SELECT doc_id, token, tf, df, (1000 * tf) // df AS tfidf_pm,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY (1000 * tf) // df DESC, token) AS rank
+       |  FROM c JOIN d USING (token))
+       |SELECT doc_id, token, tf, df, tfidf_pm, rank::BIGINT AS rank
+       |FROM r WHERE rank <= 3""".stripMargin
 
   /** Bigram commonness (minDf=2): per-doc bigram counts joined to the
     * corpus bigram document frequency. */

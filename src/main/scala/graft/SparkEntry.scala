@@ -142,6 +142,9 @@ object SparkEntry {
     "contamination" -> ((s, dir) =>
       Dedup.contamination(Dedup.withExactDups(docs(s, dir)))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
+    "weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(docs(s, dir))),
+    "source_mix" -> ((s, dir) => TextAnalysis.sourceMix(docs(s, dir))),
+    "doc_keywords" -> ((s, dir) => TextAnalysis.docKeywords(docs(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(docs(s, dir))),
     "top_quality_per_lang" -> ((s, dir) =>
@@ -242,6 +245,9 @@ object SparkEntry {
     "bigram_commonness" -> OraclesLlm.bigramCommonness,
     "contamination" -> OraclesLlm.contamination,
     "sample_docs" -> OraclesLlm.sampleDocs,
+    "weighted_sample" -> OraclesLlm.weightedSample,
+    "source_mix" -> OraclesLlm.sourceMix,
+    "doc_keywords" -> OraclesLlm.docKeywords,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,
     "training_pipeline" -> OraclesLlm.trainingPipeline,

@@ -179,12 +179,21 @@ object TextAnalysis {
     * training pipeline keys on). Every derived scalar (wc/uniq/stop and
     * the four marker counts) is staged through its own projection so the
     * consumers below reference attributes, not re-evaluated arrays. */
-  def docProfile(docs: DataFrame): DataFrame = {
+  def docProfile(docs: DataFrame): DataFrame =
+    profiled(docs, Nil).select("doc_id", "pred_lang", "quality")
+
+  /** The fused profile scan behind [[docProfile]] / [[sourceMix]]:
+    * doc_id, wc, pred_lang, quality, plus `keep` columns carried
+    * through untouched. Every derived scalar is staged through its own
+    * projection so consumers reference attributes, not re-evaluated
+    * arrays (no CSE inside higher-order lambdas). */
+  private def profiled(docs: DataFrame, keep: Seq[String]): DataFrame = {
+    val kept = keep.map(col)
     val staged = docs.select(
-      col("doc_id"), length(col("text")).as("n"),
-      size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
-        .as("cjk"),
-      tokens(col("text")).as("toks"))
+      Seq(col("doc_id"), length(col("text")).as("n"),
+        size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+          .as("cjk"),
+        tokens(col("text")).as("toks")) ++ kept: _*)
     val counts = LangMarkers.map { case (_, ws) => markerCount(col("toks"), ws) }
     val counted = staged.select(
       Seq(col("doc_id"), col("n"), col("cjk"),
@@ -192,18 +201,49 @@ object TextAnalysis {
         size(array_distinct(col("toks"))).cast("long").as("uniq"),
         size(filter(col("toks"), t => t.isInCollection(Stopwords)))
           .cast("long").as("stop")) ++
-        LangMarkers.zip(counts).map { case ((l, _), c) => c.as(s"m_$l") }: _*)
+        LangMarkers.zip(counts).map { case ((l, _), c) => c.as(s"m_$l") } ++
+        kept: _*)
     val Seq(en, es, de, fr) = LangMarkers.map { case (l, _) => col(s"m_$l") }
     counted
       .select(
-        col("doc_id"),
-        predLangExpr(col("n"), col("cjk"), en, es, de, fr).as("pred_lang"),
-        lengthPm.as("length_pm"),
-        uniquePm.as("unique_pm"),
-        stopPm.as("stop_pm"))
-      .select(col("doc_id"), col("pred_lang"),
-        expr("(length_pm + unique_pm + stop_pm) div 3").as("quality"))
+        Seq(col("doc_id"), col("wc"),
+          predLangExpr(col("n"), col("cjk"), en, es, de, fr).as("pred_lang"),
+          lengthPm.as("length_pm"),
+          uniquePm.as("unique_pm"),
+          stopPm.as("stop_pm")) ++ kept: _*)
+      .select(
+        Seq(col("doc_id"), col("wc"), col("pred_lang"),
+          expr("(length_pm + unique_pm + stop_pm) div 3").as("quality")) ++
+          kept: _*)
   }
+
+  /** Corpus composition by source — the data-mixing report a training
+    * run is configured from: per source, document count, total tokens,
+    * mean quality (integer permille of permille-sums, so partial-agg
+    * order can't flip it), and how many docs read as English. One
+    * fused profile scan, one shuffle over ~|sources| groups, all five
+    * aggregates map-side combined. */
+  def sourceMix(docs: DataFrame): DataFrame =
+    profiled(docs, Seq("source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("wc").as("total_tokens"),
+        sum("quality").as("q_sum"),
+        sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr("q_sum div n_docs").as("avg_quality_pm"), col("n_en"))
+
+  /** Quality-weighted sampling: keep a doc with probability
+    * proportional to its quality score — the resample-toward-quality
+    * move of corpus curation (uniform [[hashSample]] buckets gated by
+    * the doc's own quality permille). Deterministic: the same doc is
+    * kept on every run, every engine, and under corpus growth; no RNG.
+    * Stateless projection + filter — no shuffle. */
+  def weightedSample(docs: DataFrame): DataFrame =
+    docProfile(docs)
+      .withColumn("bucket", sampleBucket(col("doc_id")))
+      .filter(col("bucket") < col("quality"))
 
   /** Vocabulary with document frequency — the corpus-statistics table a
     * tokenizer/filter pass trains against. Two slim shuffles, both
@@ -220,6 +260,34 @@ object TextAnalysis {
       .groupBy("token")
       .agg(sum("c").as("tf"), count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
+
+  /** Top-k characteristic terms per document, ranked by an
+    * all-integer tf-idf proxy: `tfidf_pm = 1000·tf div df` (high when
+    * a term repeats in THIS doc but touches few docs corpus-wide) —
+    * keyword extraction without a single float or log.
+    *
+    * Scale shape: the (doc, token) tf table is built once (slim
+    * partial-aggregated shuffle, text never shuffles) and feeds both
+    * the df self-aggregation and the probe side of the token-keyed df
+    * join, like [[bigramCommonness]]. The per-doc top-k is a window
+    * over doc_id — millions of small bounded groups (≤ doc's distinct
+    * tokens), so no task ever sorts more than one doc's terms; ties
+    * break on token text for engine-independent determinism. */
+  def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf_pm").desc, col("token"))
+    perDoc.join(dfTab, Seq("token"))
+      .withColumn("tfidf_pm", expr("(1000 * tf) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "tfidf_pm", "rank")
+  }
 
   /** Deterministic sampling bucket in [0, 1000) from a numeric id:
     * multiplicative hash mod [[TextFns.Prime]], exact in long arithmetic

@@ -168,6 +168,66 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("sourceMix: per-source docs, tokens, mean quality, english count") {
+    val docs = Seq(
+      (1L, "the quick fox and the dog", "en?", "sA"),
+      (2L, "el que la los de", "es?", "sA"),
+      (3L, "x", "und?", "sB")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.sourceMix(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("n_en"))).toMap
+    assert(got("sA") == ((2L, 11L, 1L)))
+    assert(got("sB") == ((1L, 1L, 0L)))
+    // mean is the integer div of the quality sum
+    val prof = TextAnalysis.docProfile(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("quality")).toMap
+    val mixA = TextAnalysis.sourceMix(docs).filter($"source" === "sA")
+      .collect().head.getAs[Long]("avg_quality_pm")
+    assert(mixA == (prof(1L) + prof(2L)) / 2)
+  }
+
+  test("weightedSample keeps exactly the docs whose bucket beats quality") {
+    val docs = (0L until 300L).map { i =>
+      // quality varies with length; empty docs have quality ~0
+      (i, Seq.fill((i % 30).toInt)("w" + i % 7).mkString(" "))
+    }.toDF("doc_id", "text")
+    val prof = TextAnalysis.docProfile(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("quality")).toMap
+    val kept = TextAnalysis.weightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("quality"), r.getAs[Long]("bucket")))
+    assert(kept.nonEmpty && kept.length < 300)
+    kept.foreach { case (_, q, b) => assert(b < q) }
+    // exact membership: every excluded doc fails the gate
+    val keptIds = kept.map(_._1).toSet
+    val bucketOf = TextAnalysis.hashSample(docs, 1000).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap
+    (0L until 300L).foreach { i =>
+      assert(keptIds.contains(i) == (bucketOf(i) < prof(i)))
+    }
+  }
+
+  test("docKeywords: repeated rare terms outrank common ones, k bounds rows") {
+    val docs = Seq(
+      (1L, "zebra zebra zebra the the a of and is"),
+      (2L, "the a of and is common words here"),
+      (3L, "the a of and is common words there")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.docKeywords(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank")) ->
+        (r.getString(1), r.getAs[Long]("tfidf_pm"))).toMap
+    // doc 1: zebra tf=3 df=1 -> 3000, far above any shared term
+    assert(got((1L, 1L)) == (("zebra", 3000L)))
+    // every doc emits at most 3 rows, ranks are 1..k
+    val byDoc = got.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc.values.forall(rs => rs == (1L to rs.size).toSet && rs.size <= 3))
+    // doc 2: "here" (df=1) tops; the df=2 pair ties at 500 and breaks
+    // on token text — "common" before "words"
+    val doc2 = (1L to 3L).map(r => got((2L, r)))
+    assert(doc2 == Seq(("here", 1000L), ("common", 500L), ("words", 500L)))
+  }
+
   test("tokenQuantilesApprox agrees with the exact quantiles at high accuracy") {
     val docs = (0L until 400L).map { i =>
       (i, Seq.fill((i % 20 + 1).toInt)("w").mkString(" "))
