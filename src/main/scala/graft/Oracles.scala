@@ -323,6 +323,19 @@ object Oracles {
        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
        |GROUP BY r_name""".stripMargin
 
+  val q5RegionVolume: String =
+    s"""SELECT n_name,
+       |  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |    / 10000.0 AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= DATE '1995-01-01'
+       |  AND o_orderdate < DATE '1996-01-01'
+       |GROUP BY n_name""".stripMargin
+
   /** Range join: the oracle states the raw inequality join (DuckDB
     * plans an IEJoin); the engine's bucketed binning + day pre-agg
     * must be result-identical. */

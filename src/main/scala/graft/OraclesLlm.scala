@@ -141,6 +141,22 @@ object OraclesLlm {
        |  min(doc_id) AS keep_id, count(*) AS n_copies
        |FROM corpus GROUP BY 1""".stripMargin
 
+  /** Per-source exact-dup attribution over the dup-injected corpus. */
+  val dedupRateBySource: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents UNION ALL
+       |  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 10 = 0),
+       |k AS (
+       |  SELECT doc_id, source,
+       |    sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS ck
+       |  FROM corpus),
+       |m AS (SELECT ck, min(doc_id) AS keep_id FROM k GROUP BY ck)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(CASE WHEN doc_id != keep_id THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       |  (1000 * sum(CASE WHEN doc_id != keep_id THEN 1 ELSE 0 END)::BIGINT)
+       |    // count(*) AS drop_pm
+       |FROM k JOIN m USING (ck) GROUP BY source""".stripMargin
+
   /** Shared CTE chain: near-dup corpus → shingle sets → signatures →
     * LSH bands → candidate pairs → exact Jaccard sizes (`scored`). */
   private val minhashCtes: String =

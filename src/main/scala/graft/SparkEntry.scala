@@ -110,6 +110,7 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_join" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
     "customers_by_region" -> ((s, dir) => Relational.customersByRegion(s, dir)),
+    "q5_region_volume" -> ((s, dir) => Relational.regionVolume(s, dir)),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
     // bucketed point-in-interval join; oracle states the raw inequality
@@ -122,6 +123,9 @@ object SparkEntry {
     "ngram_counts" -> ((s, dir) => TextAnalysis.ngramCounts(docs(s, dir))),
     "dedup_docs" -> ((s, dir) =>
       Dedup.exactDedup(Dedup.withExactDups(docs(s, dir)))),
+    "dedup_rate_by_source" -> ((s, dir) =>
+      Dedup.dedupRateBySource(
+        Dedup.withExactDups(docs(s, dir), extra = Seq("source")))),
     "minhash_dedup" -> ((s, dir) =>
       Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "minhash_signatures" -> ((s, dir) =>
@@ -223,6 +227,7 @@ object SparkEntry {
     "asof_join" -> Oracles.asofJoin,
     "q1_agg" -> Oracles.q1Agg,
     "q3_join" -> Oracles.q3Join,
+    "q5_region_volume" -> Oracles.q5RegionVolume,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,
@@ -232,6 +237,7 @@ object SparkEntry {
     "doc_fingerprint" -> OraclesLlm.docFingerprint,
     "ngram_counts" -> OraclesLlm.ngramCounts,
     "dedup_docs" -> OraclesLlm.dedupDocs,
+    "dedup_rate_by_source" -> OraclesLlm.dedupRateBySource,
     "minhash_dedup" -> OraclesLlm.minhashDedup,
     "minhash_signatures" -> OraclesLlm.minhashSignatures,
     "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,

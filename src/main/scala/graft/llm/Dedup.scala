@@ -37,6 +37,28 @@ object Dedup {
       .groupBy("content_key")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Duplication report by source — where a curation run's exact-dup
+    * budget is going (the observability twin of [[exactDedup]]: same
+    * digest classes, but instead of dropping rows it attributes every
+    * would-be-dropped doc to its source). A doc is "dropped" when it is
+    * not the min-id keeper of its global content class — so a source
+    * that mirrors another's content shows the loss, not the original.
+    * Shuffle shape is the dedup pass itself: (digest, id, source)
+    * rows, a digest-keyed self-join, then a tiny per-source rollup. */
+  def dedupRateBySource(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"),
+      sha2(TextAnalysis.normalize(col("text")), 256).as("content_key"))
+    val keepers = keyed.groupBy("content_key")
+      .agg(min("doc_id").as("keep_id"))
+    keyed.join(keepers, Seq("content_key"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .withColumn("drop_pm", expr("(1000 * n_dropped) div n_docs"))
+  }
+
   // ---- MinHash + LSH ----
 
   /** MinHash parameters: H hashes in B bands of R rows (H = B*R).
@@ -411,11 +433,15 @@ object Dedup {
   // ---- duplicate-injection fixtures ----
 
   /** Corpus with injected EXACT duplicates: every doc_id ≡ 0 (mod 10) is
-    * copied verbatim under doc_id+100000. */
-  def withExactDups(docs: DataFrame): DataFrame =
-    docs.select("doc_id", "text").unionAll(
+    * copied verbatim under doc_id+100000 (`extra` columns carried
+    * through onto the copy). */
+  def withExactDups(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val kept = extra.map(col)
+    docs.select(Seq(col("doc_id"), col("text")) ++ kept: _*).unionAll(
       docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .select(Seq((col("doc_id") + 100000L).as("doc_id"),
+          col("text")) ++ kept: _*))
+  }
 
   /** Corpus with injected NEAR duplicates: every doc_id ≡ 0 (mod 10) is
     * copied with one prepended token (shingle Jaccard ≈ 0.9 for typical

@@ -107,6 +107,42 @@ object Relational {
         (col("revenue_c") / 10000.0).as("revenue"))
   }
 
+  /** TPC-H Q5-shaped: revenue by nation for one region-year — the
+    * 6-table join-order workout. Declared as plain equi-joins and two
+    * filters; Catalyst orders the tree. The only hints are broadcasts
+    * on nation⋈region (constant-size at any SF). supplier/customer/
+    * orders/lineitem all shuffle on their join keys — at 100 TB none
+    * of them is broadcast-able, and the `c_nationkey = s_nationkey`
+    * cross-dimension predicate rides the customer⋈(order-line-supplier)
+    * join as a residual rather than forcing a nation-keyed replan. The
+    * date filter pushes to the orders scan, pruning before any join. */
+  def regionVolume(spark: SparkSession, sfDir: String,
+                   region: String = "ASIA"): DataFrame = {
+    val nr = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)
+          .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(spark, sfDir)
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-01-01").cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey") &&
+        cust("c_nationkey") === sup("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue_c"))
+      .select(col("n_name"), (col("revenue_c") / 10000.0).as("revenue"))
+  }
+
   /** Region-level customer rollup: customer ⋈ broadcast(nation ⋈
     * broadcast(region)) — the dimensions are tiny at any scale, so the
     * fact table never shuffles for the join; only the 5-group aggregate

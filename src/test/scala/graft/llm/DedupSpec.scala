@@ -162,6 +162,23 @@ class DedupSpec extends SparkSpec {
     assert(corpus.size == 4 && corpus(100000L).startsWith("dup the quick"))
   }
 
+  test("dedupRateBySource attributes drops to the mirroring source") {
+    val docs = Seq(
+      (1L, "original content one", "sA"),
+      (2L, "original content two", "sA"),
+      (10L, "original content one", "sB"),  // sB mirrors doc 1 → dropped
+      (11L, "unique to b", "sB"),
+      (12L, "Original  Content one ", "sB") // normalization collapses → dup
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.dedupRateBySource(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("drop_pm"))).toMap
+    // sA owns both originals (min ids); sB loses its two mirrors
+    assert(got("sA") == ((2L, 0L, 0L)))
+    assert(got("sB") == ((3L, 2L, 666L)))
+  }
+
   test("contamination: training docs sharing eval shingles are flagged with counts") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),            // eval
