@@ -568,6 +568,14 @@ object OraclesLlm {
        |SELECT token, sum(c)::BIGINT AS tf, count(*)::BIGINT AS df
        |FROM g GROUP BY token HAVING count(*) >= 2""".stripMargin
 
+  /** Shard assignment replayed exactly (bucketE without the mod-1000,
+    * then mod nShards). */
+  val shardAssign: String =
+    s"""SELECT doc_id,
+       |  (((doc_id % $P) * 2654435761 + 104729) % $P)::BIGINT AS sort_key,
+       |  ((((doc_id % $P) * 2654435761 + 104729) % $P) % 8)::BIGINT AS shard
+       |FROM documents""".stripMargin
+
   val sampleDocs: String =
     s"""SELECT doc_id, ${bucketE("doc_id")}::BIGINT AS bucket
        |FROM documents WHERE ${bucketE("doc_id")} < 100""".stripMargin

@@ -146,6 +146,8 @@ object SparkEntry {
     "contamination" -> ((s, dir) =>
       Dedup.contamination(Dedup.withExactDups(docs(s, dir)))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
+    "shard_assign" -> ((s, dir) =>
+      graft.sources.Shards.shardAssign(docs(s, dir))),
     "weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(docs(s, dir))),
     "source_mix" -> ((s, dir) => TextAnalysis.sourceMix(docs(s, dir))),
     "doc_keywords" -> ((s, dir) => TextAnalysis.docKeywords(docs(s, dir))),
@@ -251,6 +253,7 @@ object SparkEntry {
     "bigram_commonness" -> OraclesLlm.bigramCommonness,
     "contamination" -> OraclesLlm.contamination,
     "sample_docs" -> OraclesLlm.sampleDocs,
+    "shard_assign" -> OraclesLlm.shardAssign,
     "weighted_sample" -> OraclesLlm.weightedSample,
     "source_mix" -> OraclesLlm.sourceMix,
     "doc_keywords" -> OraclesLlm.docKeywords,
