@@ -425,6 +425,18 @@ object OraclesLlm {
        |  AS redacted
        |FROM documents""".stripMargin
 
+  /** Payload dedup: sha256 of the utf-8 payload (the synthetic media
+    * bytes ARE the doc text) over the dup-injected corpus. */
+  val mediaDedup: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+       |SELECT sha256(text) AS payload_key, min(doc_id) AS keep_id,
+       |  count(*) AS n_copies,
+       |  ((count(*) - 1) * min(octet_length(encode(text))))::BIGINT
+       |    AS bytes_reclaimed
+       |FROM corpus GROUP BY 1""".stripMargin
+
   /** Synthetic media columns derived from documents (mirrors
     * `Multimodal.syntheticMedia` arithmetic). */
   private val mediaCte: String =

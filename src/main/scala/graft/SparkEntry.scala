@@ -188,6 +188,9 @@ object SparkEntry {
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
     // ---- multimodal columns (binary payload + typed metadata) ----
+    "media_dedup" -> ((s, dir) =>
+      Multimodal.mediaDedup(
+        Multimodal.syntheticMedia(Dedup.withExactDups(docs(s, dir))))),
     "media_meta" -> ((s, dir) =>
       Multimodal.syntheticMedia(docs(s, dir)).select(
         col("media_id"), col("kind"), col("meta.width"), col("meta.height"),
@@ -271,6 +274,7 @@ object SparkEntry {
     "ivf_topk_km2" -> OraclesLlm.ivfTopKKm2,
     "ivf_recall_km2" -> OraclesLlm.ivfRecallKm2,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
+    "media_dedup" -> OraclesLlm.mediaDedup,
     "media_meta" -> OraclesLlm.mediaMeta,
     "media_features" -> OraclesLlm.mediaFeatures,
     "frame_sample" -> OraclesLlm.frameSample,

@@ -121,6 +121,21 @@ object Multimodal {
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs)))
           .as("frame_ts_ms"))
 
+  /** Payload-level exact dedup — the first-line curation pass for
+    * media: identical encoded bytes (mirror crawls, re-uploads,
+    * retried fetches) collapse on a sha256 of the payload, keeping the
+    * min media_id. Same 100 TB shape as [[Dedup.exactDedup]]: only the
+    * 32-byte digest and id shuffle — the payload is read once at the
+    * scan and never moves. `bytes_reclaimed` prices the win:
+    * (n_copies − 1) · payload size. */
+  def mediaDedup(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), sha2(col("bytes"), 256).as("payload_key"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+      .groupBy("payload_key")
+      .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        ((count(lit(1)) - 1L) * min("n_bytes")).as("bytes_reclaimed"))
+
   /** End-to-end: media → features → embedding similarity (bridges the
     * multimodal path into [[Similarity]]'s ANN operators). */
   def mediaNearDup(media: DataFrame, dim: Int = 16): DataFrame = {

@@ -72,6 +72,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.toSeq.sorted == Seq((2L, 0L), (2L, 1000L), (2L, 2000L)))
   }
 
+  test("mediaDedup collapses identical payloads, prices the reclaim") {
+    val got = Multimodal.mediaDedup(Multimodal.syntheticMedia(docs))
+      .collect()
+      .map(r => r.getAs[Long]("keep_id") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("bytes_reclaimed"))).toMap
+    // docs 0 and 3 share payload "abc": keeper 0, one 3-byte copy freed
+    assert(got(0L) == ((2L, 3L)))
+    assert(got(1L) == ((1L, 0L)) && got(2L) == ((1L, 0L)))
+    assert(got.size == 3)
+  }
+
   test("mediaNearDup bridges features into embedding LSH (identical payloads pair)") {
     val pairs = Multimodal.mediaNearDup(Multimodal.syntheticMedia(docs))
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
