@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.polyhash)
     ext.injectFunction(GraftExtensions.sentiment)
     ext.injectFunction(GraftExtensions.cleanTweet)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }
 
@@ -39,11 +40,18 @@ object GraftExtensions {
 
   private val all = Seq(polyhash, sentiment, cleanTweet)
 
-  /** Imperative registration on a live session (tests, notebooks). */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration on a live session (tests, notebooks):
+    * functions plus the range-join rewrite (idempotent — the rule runs
+    * in the experimental batch when it can't be injected at session
+    * build time). */
+  def register(spark: SparkSession): Unit = {
     all.foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+  }
 
   /** Column-API access to the native expression (no registration needed). */
   def polyhashCol(c: Column): Column =

@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The naive-inequality-join rewrite: same rows as the nested loop,
+  * equi-join physical plan. */
+class RangeJoinRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[T](body: => T): T = {
+    graft.functions.GraftExtensions.register(spark)
+    try body
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RangeJoinRule)
+  }
+
+  private def joinNodes(df: DataFrame): Seq[String] = {
+    df.collect()
+    planNodes(df.queryExecution.executedPlan)
+      .map(_.getClass.getSimpleName).filter(_.contains("Join"))
+  }
+
+  private def pts = (0L until 300L).map(p => (p, s"p$p")).toDF("p", "tag")
+  private def ivs = (0L until 60L).map(i => (i, i * 4, i * 4 + 13))
+    .toDF("iv_id", "s", "e")
+
+  private def brute: Set[(Long, Long)] = (for {
+    p <- 0L until 300L
+    (id, s, e) <- (0L until 60L).map(i => (i, i * 4, i * 4 + 13))
+    if p >= s && p < e
+  } yield (id, p)).toSet
+
+  test("naive range join is rewritten to an equi-join with identical rows") {
+    withRule {
+      val df = pts.join(ivs, $"p" >= $"s" && $"p" < $"e")
+      val nodes = joinNodes(df)
+      assert(!nodes.exists(_.contains("BroadcastNestedLoopJoin")), nodes)
+      val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
+      assert(got == brute)
+    }
+  }
+
+  test("points side on the right rewrites too; schema order is preserved") {
+    withRule {
+      val df = ivs.join(pts, $"p" >= $"s" && $"p" < $"e")
+      assert(df.columns.toSeq == Seq("iv_id", "s", "e", "p", "tag"))
+      assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")))
+      assert(df.select("iv_id", "p").as[(Long, Long)].collect().toSet == brute)
+    }
+  }
+
+  test("operand order variants and empty/null intervals are exact") {
+    withRule {
+      val weird = Seq(
+        (1L, 5L, 9L),                              // normal
+        (2L, 7L, 7L),                              // empty
+        (3L, 290L, 1000L),                         // runs past domain
+        (4L, -8L, 3L)                              // negative start
+      ).toDF("iv_id", "s", "e")
+      // s <= p && e > p spelling
+      val df = pts.join(weird, $"s" <= $"p" && $"e" > $"p")
+      assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")))
+      val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
+      val want = (for {
+        p <- 0L until 300L
+        (id, s, e) <- Seq((1L, 5L, 9L), (2L, 7L, 7L), (3L, 290L, 1000L), (4L, -8L, 3L))
+        if p >= s && p < e
+      } yield (id, p)).toSet
+      assert(got == want)
+    }
+  }
+
+  test("non-matching shapes keep Spark's default plan") {
+    withRule {
+      // single inequality: not a point-in-interval test — untouched
+      val df = pts.join(ivs, $"p" >= $"s")
+      assert(joinNodes(df).exists(n =>
+        n.contains("BroadcastNestedLoopJoin") || n.contains("CartesianProduct")))
+      // equi-join: untouched (already scalable)
+      val eq = pts.join(ivs, $"p" === $"s")
+      assert(joinNodes(eq).exists(n => !n.contains("NestedLoop")))
+    }
+  }
+
+  test("rule result matches the library operator") {
+    withRule {
+      val viaRule = pts.join(ivs, $"p" >= $"s" && $"p" < $"e")
+        .select("iv_id", "p").as[(Long, Long)].collect().toSet
+      val viaLib = graft.ops.Ranges.pointInIntervalJoin(pts, "p", ivs, "s", "e")
+        .select("iv_id", "p").as[(Long, Long)].collect().toSet
+      assert(viaRule == viaLib)
+    }
+  }
+}
