@@ -625,6 +625,21 @@ object OraclesLlm {
        |  ${bucketE("doc_id")}::BIGINT AS bucket
        |FROM prof WHERE ${bucketE("doc_id")} < quality""".stripMargin
 
+  /** OOV permille vs the top-20-by-tf vocab (ties on token text). */
+  val oovRate: String =
+    s"""WITH t AS (SELECT doc_id, unnest(${toksE("text")}) AS token
+       |           FROM documents),
+       |g AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+       |v AS (SELECT token FROM (
+       |        SELECT token, row_number() OVER (ORDER BY tf DESC, token) AS r
+       |        FROM g) WHERE r <= 20)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov,
+       |  (1000 * sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT)
+       |    // count(*) AS oov_pm
+       |FROM t LEFT JOIN v ON t.token = v.token
+       |GROUP BY doc_id""".stripMargin
+
   /** Top-3 terms per doc by the integer tf-idf proxy. */
   val docKeywords: String =
     s"""WITH t AS (SELECT doc_id, unnest(${toksE("text")}) AS token

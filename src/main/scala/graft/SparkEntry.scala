@@ -151,6 +151,7 @@ object SparkEntry {
     "weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(docs(s, dir))),
     "source_mix" -> ((s, dir) => TextAnalysis.sourceMix(docs(s, dir))),
     "doc_keywords" -> ((s, dir) => TextAnalysis.docKeywords(docs(s, dir))),
+    "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(docs(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(docs(s, dir))),
     "top_quality_per_lang" -> ((s, dir) =>
@@ -260,6 +261,7 @@ object SparkEntry {
     "weighted_sample" -> OraclesLlm.weightedSample,
     "source_mix" -> OraclesLlm.sourceMix,
     "doc_keywords" -> OraclesLlm.docKeywords,
+    "oov_rate" -> OraclesLlm.oovRate,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,
     "training_pipeline" -> OraclesLlm.trainingPipeline,

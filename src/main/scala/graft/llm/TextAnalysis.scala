@@ -261,6 +261,33 @@ object TextAnalysis {
       .agg(sum("c").as("tf"), count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Out-of-vocabulary rate against the corpus top-`vocabSize`
+    * vocabulary — the tokenizer-coverage signal: a doc whose tokens
+    * mostly fall outside the head vocabulary will fragment into rare
+    * pieces (or <unk>) at training time. `oov_pm` = permille of the
+    * doc's token occurrences not in the top-K-by-tf vocab (ties break
+    * on token text, so the vocab is engine-independent).
+    *
+    * Scale shape: the vocab is one tf aggregate + a global top-K —
+    * `orderBy.limit` plans TakeOrderedAndProject (per-partition K-row
+    * heaps, driver merges K rows, never a global sort) — and K rows
+    * broadcast into the probe join, so the per-doc pass is one
+    * (doc_id)-keyed partial-aggregated shuffle of counts. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov"))
+      .withColumn("oov_pm", expr("(1000 * oov) div n_tokens"))
+  }
+
   /** Top-k characteristic terms per document, ranked by an
     * all-integer tf-idf proxy: `tfidf_pm = 1000·tf div df` (high when
     * a term repeats in THIS doc but touches few docs corpus-wide) —

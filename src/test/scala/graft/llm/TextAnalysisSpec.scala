@@ -208,6 +208,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("oovRate: head-vocab tokens are covered, tail tokens count as OOV") {
+    // vocabSize=2 → vocab is the two most frequent tokens: "aa" (5), "bb" (3)
+    val docs = Seq(
+      (1L, "aa aa bb zz"),   // 1 of 4 OOV
+      (2L, "aa bb bb"),      // all covered
+      (3L, "qq ww ee aa aa") // 3 of 5 OOV
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("oov"),
+          r.getAs[Long]("oov_pm"))).toMap
+    assert(got(1L) == ((4L, 1L, 250L)))
+    assert(got(2L) == ((3L, 0L, 0L)))
+    assert(got(3L) == ((5L, 3L, 600L)))
+  }
+
   test("docKeywords: repeated rare terms outrank common ones, k bounds rows") {
     val docs = Seq(
       (1L, "zebra zebra zebra the the a of and is"),
