@@ -157,6 +157,20 @@ object OraclesLlm {
        |    // count(*) AS drop_pm
        |FROM k JOIN m USING (ck) GROUP BY source""".stripMargin
 
+  /** Crawl-overlap matrix over the mirror-injected corpus. */
+  val crossSourceOverlap: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents UNION ALL
+       |  SELECT doc_id + 200000, 'mirror' AS source, text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |ks AS (
+       |  SELECT DISTINCT source,
+       |    sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS ck
+       |  FROM corpus)
+       |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |FROM ks a JOIN ks b ON a.ck = b.ck AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
   /** Shared CTE chain: near-dup corpus → shingle sets → signatures →
     * LSH bands → candidate pairs → exact Jaccard sizes (`scored`). */
   private val minhashCtes: String =

@@ -126,6 +126,8 @@ object SparkEntry {
     "dedup_rate_by_source" -> ((s, dir) =>
       Dedup.dedupRateBySource(
         Dedup.withExactDups(docs(s, dir), extra = Seq("source")))),
+    "cross_source_overlap" -> ((s, dir) =>
+      Dedup.crossSourceOverlap(Dedup.withMirroredDocs(docs(s, dir)))),
     "minhash_dedup" -> ((s, dir) =>
       Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "minhash_signatures" -> ((s, dir) =>
@@ -244,6 +246,7 @@ object SparkEntry {
     "ngram_counts" -> OraclesLlm.ngramCounts,
     "dedup_docs" -> OraclesLlm.dedupDocs,
     "dedup_rate_by_source" -> OraclesLlm.dedupRateBySource,
+    "cross_source_overlap" -> OraclesLlm.crossSourceOverlap,
     "minhash_dedup" -> OraclesLlm.minhashDedup,
     "minhash_signatures" -> OraclesLlm.minhashSignatures,
     "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,

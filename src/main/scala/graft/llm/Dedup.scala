@@ -59,6 +59,35 @@ object Dedup {
       .withColumn("drop_pm", expr("(1000 * n_dropped) div n_docs"))
   }
 
+  /** Which sources mirror each other — the pairwise companion to
+    * [[dedupRateBySource]]: for every unordered source pair, how many
+    * content classes appear in both (a crawl-overlap matrix; two
+    * sources sharing most of their classes are the same feed twice).
+    * The (digest, source) relation is distinct'd FIRST, so a class's
+    * fan-out in the self-join is bounded by the number of sources —
+    * quadratic only in |sources| (tiny), never in copies. */
+  def crossSourceOverlap(docs: DataFrame): DataFrame = {
+    val ks = docs
+      .select(col("source"),
+        sha2(TextAnalysis.normalize(col("text")), 256).as("content_key"))
+      .distinct()
+    ks.select(col("content_key"), col("source").as("src_a"))
+      .join(ks.select(col("content_key"), col("source").as("src_b")),
+        Seq("content_key"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Corpus with cross-source mirrors: every doc_id ≡ 0 (mod 10) is
+    * copied verbatim under doc_id+200000 with source 'mirror' — the
+    * fixture behind [[crossSourceOverlap]]'s query. */
+  def withMirroredDocs(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text", "source").unionAll(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+          lit("mirror").as("source")))
+
   // ---- MinHash + LSH ----
 
   /** MinHash parameters: H hashes in B bands of R rows (H = B*R).

@@ -179,6 +179,21 @@ class DedupSpec extends SparkSpec {
     assert(got("sB") == ((3L, 2L, 666L)))
   }
 
+  test("crossSourceOverlap counts shared classes once per pair, copies don't inflate") {
+    val docs = Seq(
+      (1L, "shared one", "sA"),
+      (2L, "shared one", "sA"),   // same class, same source: no self-pair
+      (3L, "shared one", "sB"),
+      (4L, "shared two", "sA"),
+      (5L, "shared two", "sC"),
+      (6L, "only in c", "sC")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_shared"))
+      .toMap
+    assert(got == Map(("sA", "sB") -> 1L, ("sA", "sC") -> 1L))
+  }
+
   test("contamination: training docs sharing eval shingles are flagged with counts") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),            // eval

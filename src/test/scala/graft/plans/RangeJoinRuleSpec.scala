@@ -85,6 +85,38 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("differential fuzz vs the nested loop: random intervals, negatives and nulls") {
+    val rnd = new scala.util.Random(20260812L)
+    val ptRows = (0 until 400).map { i =>
+      (i.toLong, if (rnd.nextInt(20) == 0) null
+        else java.lang.Long.valueOf(rnd.nextLong() % 200L))
+    }
+    val ivRows = (0 until 80).map { i =>
+      val s = rnd.nextLong() % 150L
+      val len = rnd.nextInt(40).toLong - 5L // some empty/negative-length
+      (i.toLong,
+        if (rnd.nextInt(20) == 0) null else java.lang.Long.valueOf(s),
+        if (rnd.nextInt(20) == 0) null else java.lang.Long.valueOf(s + len))
+    }
+    val pts = ptRows.toDF("pid", "p")
+    val ivs = ivRows.toDF("iv_id", "s", "e")
+    val want = (for {
+      (pid, p) <- ptRows if p != null
+      (id, s, e) <- ivRows if s != null && e != null
+      if p >= s && p < e
+    } yield (id, pid)).toSet
+    withRule {
+      val df = pts.join(ivs, $"p" >= $"s" && $"p" < $"e")
+      assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")))
+      val got = df.select("iv_id", "pid").as[(Long, Long)].collect().toSet
+      assert(got == want)
+    }
+    // control: identical rows from Spark's own nested loop, rule off
+    val ctl = pts.join(ivs, $"p" >= $"s" && $"p" < $"e")
+      .select("iv_id", "pid").as[(Long, Long)].collect().toSet
+    assert(ctl == want)
+  }
+
   test("rule result matches the library operator") {
     withRule {
       val viaRule = pts.join(ivs, $"p" >= $"s" && $"p" < $"e")
