@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.WireCodec
+
+class WireSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lines = Seq(
+    "#spark /TLOC/ 3.5 /TLOC/ positive /TLOC/ USA",
+    "#flink /TLOC/ 1.0 /TLOC/ negative /TLOC/ India",
+    "#beam /TLOC/ not-a-number /TLOC/ neutral /TLOC/ USA", // score -> NULL
+    "#short /TLOC/ 2.0",                                   // missing slots -> NULL
+    "#trail /TLOC/ 4.0 /TLOC/ positive /TLOC/ ",           // trailing empty kept
+    "no delimiter at all")
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("wire_src")
+    Files.write(d.resolve("a.txt"),
+      String.join("\n", lines.take(3): _*).getBytes("UTF-8"))
+    Files.write(d.resolve("b.txt"),
+      String.join("\n", lines.drop(3): _*).getBytes("UTF-8"))
+    d.toString
+  }
+
+  private def wire: DataFrame = spark.read.format("graft-wire").load(dir)
+
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    df.collect()
+    planNodes(df.queryExecution.executedPlan)
+      .collectFirst { case b: BatchScanExec => b }.get
+  }
+
+  test("decode is bit-identical to the WireCodec column twin") {
+    val got = wire.collect().map(_.toSeq).toSet
+    val twin = spark.read.textFile(dir).toDF("line")
+      .select(WireCodec.decodeMetric(col("line")).as("m"))
+      .select("m.hashtag", "m.sentiment_score", "m.sentiment_type", "m.country")
+    assert(got == twin.collect().map(_.toSeq).toSet)
+    assert(got.size == 6)
+    // spot-check the edge rows
+    assert(got.contains(Seq("#beam", null, "neutral", "USA")))
+    assert(got.contains(Seq("#short", 2.0, null, null)))
+    assert(got.contains(Seq("#trail", 4.0, "positive", "")))
+    assert(got.contains(Seq("no delimiter at all", null, null, null)))
+  }
+
+  test("column pruning reaches the reader: scan outputs only requested slots") {
+    val df = wire.select("hashtag")
+    val scan = scanOf(df)
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("hashtag"))
+    assert(df.collect().length == 6)
+  }
+
+  test("string-equality filters push into the reader and stay correct") {
+    val df = wire.filter($"country" === "USA")
+    val pushed = scanOf(df).scan.asInstanceOf[graft.sources.wire.WireScan].pushed
+    assert(pushed.map(_.toString).toSeq ==
+      Seq("""EqualTo(country,USA)"""))
+    val got = df.select("hashtag").as[String].collect().toSet
+    assert(got == Set("#spark", "#beam"))
+    // unsupported predicate shapes still evaluate correctly post-scan
+    val ge = wire.filter($"sentiment_score" >= 2.0)
+      .select("hashtag").as[String].collect().toSet
+    assert(ge == Set("#spark", "#short", "#trail"))
+  }
+
+  test("one input partition per file") {
+    assert(wire.rdd.getNumPartitions == 2)
+  }
+}
