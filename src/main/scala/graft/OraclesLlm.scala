@@ -544,7 +544,7 @@ object OraclesLlm {
     * quality)`. */
   private val profileCte: String = frag(
     s"""prof AS (
-       |  SELECT doc_id, source, wc,
+       |  SELECT doc_id, source, wc, ck,
        |    CASE WHEN cjk*10 > n*3 THEN 'zh'
        |         WHEN en+es+de+fr = 0 THEN 'und'
        |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
@@ -556,6 +556,7 @@ object OraclesLlm {
        |      + CASE WHEN wc = 0 THEN 0 ELSE (1000 * stop) // wc END) // 3 AS quality
        |  FROM (
        |    SELECT doc_id, source, length(text) AS n,
+       |      sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS ck,
        |      len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
        |      len(list_filter(${toksE("text")}, w -> w IN ('the','a','of','and','is')))::BIGINT AS en,
        |      len(list_filter(${toksE("text")}, w -> w IN ('el','la','los','de','que')))::BIGINT AS es,
@@ -622,6 +623,20 @@ object OraclesLlm {
        |  FROM prof)
        |SELECT pred_lang, doc_id, quality, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Funnel: one row per pipeline gate (en / quality≥400 / distinct
+    * content classes). */
+  val curationFunnel: String =
+    s"""WITH $profileCte
+       |SELECT '0_input' AS stage, count(*)::BIGINT AS n_docs FROM prof
+       |UNION ALL
+       |SELECT '1_lang', count(*)::BIGINT FROM prof WHERE pred_lang = 'en'
+       |UNION ALL
+       |SELECT '2_quality', count(*)::BIGINT FROM prof
+       |WHERE pred_lang = 'en' AND quality >= 400
+       |UNION ALL
+       |SELECT '3_dedup', count(DISTINCT ck)::BIGINT FROM prof
+       |WHERE pred_lang = 'en' AND quality >= 400""".stripMargin
 
   /** Per-source composition report; mean quality is an integer
     * division of the permille sum. */

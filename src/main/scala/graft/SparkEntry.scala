@@ -158,6 +158,8 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(docs(s, dir))),
     "top_quality_per_lang" -> ((s, dir) =>
       TextAnalysis.topQualityPerLang(docs(s, dir))),
+    "curation_funnel" -> ((s, dir) =>
+      Pipeline.curationFunnel(docs(s, dir))),
     "training_pipeline" -> ((s, dir) =>
       Pipeline.trainingPipeline(Dedup.withExactDups(docs(s, dir)))),
     // no oracleSql entries for the two sketch queries: HLL/percentile
@@ -267,6 +269,7 @@ object SparkEntry {
     "oov_rate" -> OraclesLlm.oovRate,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,
+    "curation_funnel" -> OraclesLlm.curationFunnel,
     "training_pipeline" -> OraclesLlm.trainingPipeline,
     "simhash_dedup" -> OraclesLlm.simhashDedup,
     "cosine_topk" -> OraclesLlm.cosineTopK,

@@ -72,6 +72,31 @@ object Pipeline {
         expr("pm_sum div 3").as("quality"))
   }
 
+  /** Funnel report over the pipeline's gates — the yield accounting a
+    * curation run publishes: how many docs enter, survive the language
+    * gate, survive the quality gate, and remain as distinct content
+    * classes after dedup. ONE corpus scan: every stage is a
+    * conditional aggregate over the same scored projection (the dedup
+    * stage is a `count(DISTINCT digest-if-survivor)`), then `stack`
+    * unpivots the four counters into (stage, n_docs) rows. At 100 TB
+    * this costs one pass + one distinct-agg shuffle of survivor
+    * digests — not four pipeline runs. */
+  def curationFunnel(docs: DataFrame, lang: String = "en",
+                     minQuality: Int = 400): DataFrame = {
+    val s = scored(docs).withColumn("ck",
+      sha2(TextAnalysis.normalize(col("text")), 256))
+    val langOk = col("pred_lang") === lang
+    val qualOk = langOk && col("quality") >= minQuality
+    s.select(
+        count(lit(1)).as("n0"),
+        sum(when(langOk, 1L).otherwise(0L)).as("n1"),
+        sum(when(qualOk, 1L).otherwise(0L)).as("n2"),
+        count_distinct(when(qualOk, col("ck"))).as("n3"))
+      .select(expr(
+        """stack(4, '0_input', n0, '1_lang', n1,
+          |'2_quality', n2, '3_dedup', n3) AS (stage, n_docs)""".stripMargin))
+  }
+
   /** The full pipeline. Output: one row per SURVIVING document (language
     * match, quality ≥ minQuality, canonical copy of its content class)
     * with its quality, its content class size, and token stats of the

@@ -35,4 +35,21 @@ class PipelineSpec extends SparkSpec {
     assert(row1.getAs[Long]("n_ws_tokens") == rawWs) // URL was one token, stays one (<URL>)
     assert(row1.getAs[Long]("n_chars") < 90)         // but the text got shorter
   }
+
+  test("curationFunnel: monotone stage counts, dup class counted once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick fox and the dog is here with many more of the words " * 2),
+      (2L, "the quick fox and the dog is here with many more of the words " * 2), // dup of 1
+      (3L, "el que la los de"),          // not english
+      (4L, "x"),                         // no markers -> und
+      (5L, "the the the")                // en but low quality
+    ).toDF("doc_id", "text")
+    val got = Pipeline.curationFunnel(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("0_input") == 5L)
+    assert(got("1_lang") < got("0_input") && got("2_quality") <= got("1_lang"))
+    assert(got("2_quality") >= 2L)
+    assert(got("3_dedup") == got("2_quality") - 1L) // docs 1,2 share one class
+  }
 }
