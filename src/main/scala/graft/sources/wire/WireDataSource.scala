@@ -6,9 +6,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,14 +61,17 @@ object WireTable {
     "^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$".r.pattern
 }
 
-class WireTable(path: String) extends Table with SupportsRead {
+class WireTable(path: String) extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graft-wire requires a path: .load(<dir or file>)")
   override def name(): String = s"graft-wire($path)"
   override def schema(): StructType = WireTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WireScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WireWriteBuilder(path, info.schema())
 }
 
 class WireScanBuilder(path: String) extends ScanBuilder

@@ -74,4 +74,29 @@ class WireSourceSpec extends SparkSpec {
   test("one input partition per file") {
     assert(wire.rdd.getNumPartitions == 2)
   }
+
+  test("write side: roundtrip keeps WireCodec's null-coalescing semantics") {
+    val outDir = Files.createTempDirectory("wire_out").toString
+    val rows = Seq(
+      ("#a", Some(3.5), "positive", "USA"),
+      ("#b", None, "neutral", "India"),          // null score -> "" -> NULL
+      (null, Some(1.0), null, "Japan")           // null strings -> "" on wire
+    ).toDF("hashtag", "sentiment_score", "sentiment_type", "country")
+    rows.write.format("graft-wire").mode("append").save(outDir)
+    val back = spark.read.format("graft-wire").load(outDir)
+      .collect().map(_.toSeq).toSet
+    // null STRINGS come back as "" (the wire cannot tell them apart —
+    // same loss as WireCodec encode->decode); null DOUBLES round-trip
+    assert(back == Set(
+      Seq("#a", 3.5, "positive", "USA"),
+      Seq("#b", null, "neutral", "India"),
+      Seq("", 1.0, "", "Japan")))
+    // the on-disk lines are exactly the encodeMetric rendering
+    val twin = rows.select(WireCodec.encodeMetric(
+        col("hashtag"), col("sentiment_score"),
+        col("sentiment_type"), col("country")).as("line"))
+      .as[String].collect().toSet
+    val disk = spark.read.textFile(outDir).collect().toSet
+    assert(disk == twin)
+  }
 }
