@@ -67,6 +67,7 @@ class WireTable(path: String) extends Table with SupportsRead with SupportsWrite
   override def schema(): StructType = WireTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WireScanBuilder(path)
@@ -104,6 +105,9 @@ class WireScan(path: String, required: StructType, val pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WireMicroBatchStream(path, required, pushed)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)

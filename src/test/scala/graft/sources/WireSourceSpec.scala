@@ -75,6 +75,34 @@ class WireSourceSpec extends SparkSpec {
     assert(wire.rdd.getNumPartitions == 2)
   }
 
+  test("streaming read: new files only, offsets survive restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Files.createTempDirectory("wire_stream")
+    val ckpt = Files.createTempDirectory("wire_ckpt").toString
+    Files.write(d.resolve("f1.txt"),
+      "#one /TLOC/ 1.0 /TLOC/ positive /TLOC/ USA".getBytes("UTF-8"))
+
+    def drain(): Seq[String] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format("graft-wire").load(d.toString)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("hashtag").collect().foreach(r => got.add(r.getString(0)))
+        }
+        .start()
+      q.awaitTermination(60000)
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    assert(drain() == Seq("#one"))
+
+    // a second file arrives; a restarted query reads ONLY the new file
+    Files.write(d.resolve("f2.txt"),
+      "#two /TLOC/ 2.0 /TLOC/ negative /TLOC/ India".getBytes("UTF-8"))
+    assert(drain() == Seq("#two"))
+  }
+
   test("write side: roundtrip keeps WireCodec's null-coalescing semantics") {
     val outDir = Files.createTempDirectory("wire_out").toString
     val rows = Seq(
