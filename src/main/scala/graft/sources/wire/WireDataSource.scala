@@ -67,15 +67,16 @@ class WireTable(path: String) extends Table with SupportsRead with SupportsWrite
   override def schema(): StructType = WireTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WireScanBuilder(path)
+    new WireScanBuilder(path,
+      options.getLong("maxSplitBytes", 128L * 1024 * 1024))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WireWriteBuilder(path, info.schema())
 }
 
-class WireScanBuilder(path: String) extends ScanBuilder
+class WireScanBuilder(path: String, maxSplitBytes: Long) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = WireTable.schema
   private var pushed: Array[Filter] = Array.empty
@@ -96,12 +97,20 @@ class WireScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WireScan(path, required, pushed)
+  override def build(): Scan = new WireScan(path, required, pushed, maxSplitBytes)
 }
 
-final case class WireFilePartition(file: String) extends InputPartition
+/** A byte range of one file. A line belongs to the split holding its
+  * FIRST byte: readers past offset 0 skip to the next line start, and
+  * every reader finishes the line it is inside when the range ends —
+  * the standard splittable-text contract, so ranges tile a file with
+  * no loss and no double-read. */
+final case class WireFilePartition(file: String, start: Long = 0L,
+                                   length: Long = Long.MaxValue)
+    extends InputPartition
 
-class WireScan(path: String, required: StructType, val pushed: Array[Filter])
+class WireScan(path: String, required: StructType, val pushed: Array[Filter],
+               maxSplitBytes: Long = 128L * 1024 * 1024)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -116,9 +125,15 @@ class WireScan(path: String, required: StructType, val pushed: Array[Filter])
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(s => s.isFile &&
           !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-          .map(_.getPath.toString).sorted
-      else Array(path)
-    files.map(f => WireFilePartition(f): InputPartition)
+          .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
+      else Array((path, fs.getFileStatus(p).getLen))
+    files.flatMap { case (f, len) =>
+      // large files split into byte ranges — at 100 TB the unit of
+      // parallelism must be the byte range, not the file
+      (0L until math.max(len, 1L) by maxSplitBytes).map(off =>
+        WireFilePartition(f, off, math.min(maxSplitBytes, len - off))
+          : InputPartition)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -128,13 +143,54 @@ class WireScan(path: String, required: StructType, val pushed: Array[Filter])
 
 class WireReaderFactory(columns: Array[String], eqFilters: Array[(String, String)])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WireReader(partition.asInstanceOf[WireFilePartition].file, columns, eqFilters)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WireFilePartition]
+    new WireReader(p, columns, eqFilters)
+  }
 }
 
-/** Line-at-a-time reader: split, filter on raw slots, convert only the
-  * pruned columns. */
-class WireReader(file: String, columns: Array[String],
+/** Byte-counting line reader over a seekable Hadoop stream —
+  * `BufferedReader.readLine` hides byte positions (multi-byte UTF-8),
+  * and the split contract is defined in BYTES. */
+private[wire] class ByteLineReader(in: java.io.InputStream) {
+  private val buf = new Array[Byte](64 * 1024)
+  private var len = 0
+  private var pos = 0
+  private val line = new java.io.ByteArrayOutputStream(256)
+  /** Bytes consumed so far, including each line's newline. */
+  var bytePos: Long = 0L
+
+  /** Next line (without newline), or null at EOF. A final unterminated
+    * line is returned. */
+  def readLine(): String = {
+    line.reset()
+    var sawAny = false
+    while (true) {
+      if (pos >= len) {
+        len = in.read(buf); pos = 0
+        if (len <= 0)
+          return if (sawAny) line.toString("UTF-8") else null
+      }
+      var i = pos
+      while (i < len && buf(i) != '\n') i += 1
+      line.write(buf, pos, i - pos)
+      sawAny = sawAny || i > pos
+      if (i < len) { // consumed the newline
+        bytePos += (i - pos) + 1
+        pos = i + 1
+        return line.toString("UTF-8")
+      }
+      bytePos += i - pos
+      pos = i
+    }
+    null // unreachable
+  }
+}
+
+/** Range reader: seeks to the split start, skips the partial line
+  * (owned by the previous split), emits every line STARTING inside
+  * [start, start+length), finishing the last line past the boundary. */
+class WireReader(part: WireFilePartition, columns: Array[String],
                  eqFilters: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
@@ -143,22 +199,36 @@ class WireReader(file: String, columns: Array[String],
   private val outSlots = columns.map(slotOf)
   private val filterSlots = eqFilters.map { case (a, v) => (slotOf(a), v) }
 
-  private val in = {
-    val p = new Path(file)
-    new java.io.BufferedReader(new java.io.InputStreamReader(
-      p.getFileSystem(new Configuration()).open(p), "UTF-8"))
+  private val stream = {
+    val p = new Path(part.file)
+    val s = p.getFileSystem(new Configuration()).open(p)
+    if (part.start > 0) s.seek(part.start)
+    s
   }
+  private val lines = new ByteLineReader(stream)
+  private val splitLen =
+    if (part.length == Long.MaxValue) Long.MaxValue
+    else part.length
+  // a reader starting mid-file does not own the line it landed in
+  if (part.start > 0) lines.readLine()
+
   private var row: InternalRow = _
 
   private def slot(parts: Array[String], i: Int): String =
     if (i < parts.length) parts(i) else null
 
+  // Ownership uses the Hadoop LineRecordReader convention: a non-first
+  // split ALWAYS skips the line it seeks into, and the previous split
+  // compensates by also emitting a line that starts EXACTLY on the
+  // boundary (<=, not <) — so a newline falling as a split's last byte
+  // loses nothing: the line after it is read by the earlier split and
+  // skipped by the later one.
   override def next(): Boolean = {
-    var line = in.readLine()
-    while (line != null) {
+    while (lines.bytePos <= splitLen) {
+      val line = lines.readLine()
+      if (line == null) return false
       val parts = line.split(WireTable.Delim, -1)
-      val pass = filterSlots.forall { case (i, v) => v == slot(parts, i) }
-      if (pass) {
+      if (filterSlots.forall { case (i, v) => v == slot(parts, i) }) {
         val values = new Array[Any](outSlots.length)
         var j = 0
         while (j < outSlots.length) {
@@ -175,11 +245,10 @@ class WireReader(file: String, columns: Array[String],
         row = new GenericInternalRow(values)
         return true
       }
-      line = in.readLine()
     }
     false
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = stream.close()
 }

@@ -4,6 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 
 /** Batch write side of the ` /TLOC/ ` wire source:
@@ -25,7 +26,34 @@ import org.apache.spark.sql.types.StructType
 class WireWriteBuilder(path: String, schema: StructType) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new WireBatchWrite(path, schema)
+    override def toStreaming: StreamingWrite = new WireStreamingWrite(path, schema)
   }
+}
+
+/** Streaming sink twin: each epoch's tasks write
+  * `epoch-<epochId>-part-<partition>-<task>.txt` — new files per
+  * micro-batch, which is exactly the contract [[WireMicroBatchStream]]
+  * reads (files are immutable once written), so a wire directory can
+  * be produced by one streaming query and tailed by another. At-least-
+  * once: a replayed epoch overwrites its own deterministically-named
+  * files rather than duplicating rows beside them. */
+class WireStreamingWrite(path: String, schema: StructType) extends StreamingWrite {
+  require(schema.fieldNames.toSeq == WireTable.schema.fieldNames.toSeq,
+    s"graft-wire expects columns ${WireTable.schema.fieldNames.mkString(", ")}; " +
+      s"got ${schema.fieldNames.mkString(", ")}")
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = new WireStreamingWriterFactory(path)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class WireStreamingWriterFactory(path: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    // name by (epoch, partition) ONLY — task ids change across retry
+    // attempts, and the replay-overwrites-itself guarantee needs the
+    // retried attempt to land on the same file
+    new WireWriter(path, f"epoch-$epochId-part-$partitionId%05d.txt")
 }
 
 final case class WireCommit(file: String) extends WriterCommitMessage
@@ -42,13 +70,13 @@ class WireBatchWrite(path: String, schema: StructType) extends BatchWrite {
 
 class WireWriterFactory(path: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WireWriter(path, partitionId, taskId)
+    new WireWriter(path, f"part-$partitionId%05d-$taskId.txt")
 }
 
-class WireWriter(dir: String, partitionId: Int, taskId: Long)
+class WireWriter(dir: String, fileName: String)
     extends DataWriter[InternalRow] {
 
-  private val file = new Path(dir, f"part-$partitionId%05d-$taskId.txt")
+  private val file = new Path(dir, fileName)
   private val fs = file.getFileSystem(new Configuration())
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(file, true), "UTF-8"))

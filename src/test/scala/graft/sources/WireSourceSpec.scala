@@ -75,6 +75,44 @@ class WireSourceSpec extends SparkSpec {
     assert(wire.rdd.getNumPartitions == 2)
   }
 
+  test("byte-range splits tile a file exactly — boundaries, multibyte, no loss/dup") {
+    val d = Files.createTempDirectory("wire_split")
+    val n = 200
+    val content = (0 until n)
+      .map(i => s"#t$i /TLOC/ $i.5 /TLOC/ s /TLOC/ cé$i") // é: 2-byte UTF-8
+      .mkString("\n")
+    Files.write(d.resolve("big.txt"), content.getBytes("UTF-8"))
+    val whole = spark.read.format("graft-wire").load(d.toString)
+      .collect().map(_.toSeq).toSet
+    assert(whole.size == n)
+    for (split <- Seq(7, 64, 101, 1 << 20)) {
+      val df = spark.read.format("graft-wire")
+        .option("maxSplitBytes", split.toString).load(d.toString)
+      if (split < content.length) assert(df.rdd.getNumPartitions > 1)
+      assert(df.count() == n, s"split=$split lost or duplicated rows")
+      assert(df.collect().map(_.toSeq).toSet == whole, s"split=$split")
+    }
+  }
+
+  test("streaming sink: epochs write immutable files the streaming source tails") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("wire_pipe_src")
+    val dst = Files.createTempDirectory("wire_pipe_dst").toString
+    Files.write(src.resolve("in.txt"),
+      "#in /TLOC/ 9.0 /TLOC/ positive /TLOC/ USA".getBytes("UTF-8"))
+    val q = spark.readStream.format("graft-wire").load(src.toString)
+      .writeStream.trigger(Trigger.AvailableNow()).format("graft-wire")
+      .option("checkpointLocation",
+        Files.createTempDirectory("wire_pipe_ckpt").toString)
+      .option("path", dst)
+      .start()
+    q.awaitTermination(60000)
+    val back = spark.read.format("graft-wire").load(dst)
+    assert(back.select("hashtag").as[String].collect().toSeq == Seq("#in"))
+    val names = new java.io.File(dst).listFiles().map(_.getName).filter(_.endsWith(".txt"))
+    assert(names.nonEmpty && names.forall(_.startsWith("epoch-")))
+  }
+
   test("streaming read: new files only, offsets survive restart") {
     import org.apache.spark.sql.streaming.Trigger
     val d = Files.createTempDirectory("wire_stream")
