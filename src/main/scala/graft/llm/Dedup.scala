@@ -290,13 +290,16 @@ object Dedup {
     * (exposed for convergence tests). */
   private[llm] def dedupClustersWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val p = pairs.select("doc_a", "doc_b").localCheckpoint(true)
-    // canonical parent-pointer edges: larger id → smaller id
+    // canonical parent-pointer edges: larger id → smaller id.
+    // localCheckpoint is LAZY here and everywhere in the loop: the
+    // count() that immediately follows materializes the checkpoint in
+    // the same job, so each round costs one pass, not two.
     var e = p
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var eCount = e.count()
     var converged = eCount == 0
     var rounds = 0
@@ -326,7 +329,8 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(ssJoined.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the count below
+
       // fixpoint ⟺ identical edge set: same cardinality and no novel
       // edge (both sides are distinct'd, so one-direction except + count
       // equality is full set equality)
