@@ -189,6 +189,14 @@ object Oracles {
        |SELECT doc_id, hashtag, sentiment_score, sentiment_type, country
        |FROM trows""".stripMargin
 
+  /** Rollup of the rows the wire files carry — NULL strings become ""
+    * on the wire (the documented loss), so the oracle coalesces. */
+  val wireScan: String =
+    s"""$trendRowsCte
+       |SELECT COALESCE(country, '') AS country, count(*) AS n_rows,
+       |  sum(round(sentiment_score * 10)::BIGINT)::BIGINT AS score_dm
+       |FROM trows GROUP BY 1""".stripMargin
+
   val windowedCounts: String =
     s"""SELECT sec - (sec % 60) AS window_start, event_type, count(*) AS cnt
        |FROM (SELECT floor(epoch(ts))::BIGINT AS sec, event_type FROM events)

@@ -81,6 +81,22 @@ object SparkEntry {
         Sentiment.weightedScore(
           regexp_replace(col("text"), "\\bbatch\\b", ".")).as("wscore"))),
     // P-6 / P-10 / T-2: encode → decode must be the identity
+    // the DSv2 wire source end-to-end: trend rows encoded to wire files
+    // by the graft-wire writer, scanned back by the graft-wire reader,
+    // aggregated — the oracle computes the same rollup straight from
+    // the rows, so the hash compare proves the source lossless
+    "wire_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_wire_scan").toString
+      TrendPipeline.trendRows(docs(s, dir))
+        .select(col("hashtag"), col("sentiment_score"),
+          col("sentiment_type"), col("country"))
+        .write.format("graft-wire").mode("append").save(tmp)
+      s.read.format("graft-wire").load(tmp)
+        .groupBy("country")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("sentiment_score") * 10).cast("long")).as("score_dm"))
+    }),
     "wire_roundtrip" -> ((s, dir) => {
       val rows = TrendPipeline.trendRows(docs(s, dir))
       rows
@@ -226,6 +242,7 @@ object SparkEntry {
     "sentiment_score" -> Oracles.sentimentScore,
     "weighted_sentiment" -> Oracles.weightedSentiment,
     "wire_roundtrip" -> Oracles.wireRoundtrip,
+    "wire_scan" -> Oracles.wireScan,
     "sentiment_distribution" -> Oracles.sentimentDistribution,
     "counts_by_country" -> Oracles.countsByCountry,
     "hashtag_timeseries" -> Oracles.hashtagTimeseries,
