@@ -614,6 +614,19 @@ object OraclesLlm {
        |WHERE ${bucketE("doc_id")} <
        |  CASE WHEN pred_lang = 'en' THEN 50 ELSE 1000 END""".stripMargin
 
+  /** k smallest sampling buckets per source (ties on doc_id). */
+  val examplesPerSource: String =
+    s"""WITH b AS (
+       |  SELECT source, doc_id, ${bucketE("doc_id")}::BIGINT AS bucket
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, bucket,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY bucket, doc_id) AS rank
+       |  FROM b)
+       |SELECT source, doc_id, bucket, rank::BIGINT AS rank
+       |FROM r WHERE rank <= 3""".stripMargin
+
   val topQualityPerLang: String =
     s"""WITH $profileCte,
        |ranked AS (

@@ -172,6 +172,8 @@ object SparkEntry {
     "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(docs(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(docs(s, dir))),
+    "examples_per_source" -> ((s, dir) =>
+      TextAnalysis.examplesPerSource(docs(s, dir))),
     "top_quality_per_lang" -> ((s, dir) =>
       TextAnalysis.topQualityPerLang(docs(s, dir))),
     "curation_funnel" -> ((s, dir) =>
@@ -285,6 +287,7 @@ object SparkEntry {
     "doc_keywords" -> OraclesLlm.docKeywords,
     "oov_rate" -> OraclesLlm.oovRate,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
+    "examples_per_source" -> OraclesLlm.examplesPerSource,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,
     "curation_funnel" -> OraclesLlm.curationFunnel,
     "training_pipeline" -> OraclesLlm.trainingPipeline,

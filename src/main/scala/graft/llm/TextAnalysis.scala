@@ -348,6 +348,30 @@ object TextAnalysis {
       .filter(col("bucket") < rate)
   }
 
+  /** K inspection examples per source, chosen by the deterministic
+    * sampling hash — "show me a few docs from each feed" without
+    * ORDER BY RANDOM(): the k smallest [[sampleBucket]] values per
+    * source are a uniform, rerun-stable pick. Same bounded-aggregator
+    * shape as [[topQualityPerLang]]: each partition ships ≤ k rows per
+    * source, no per-source window sort. */
+  def examplesPerSource(docs: DataFrame, k: Int = 3): DataFrame = {
+    import Similarity.{Hit, TopKAgg}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"), col("doc_id"),
+        sampleBucket(col("doc_id")).as("bucket"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => Hit(-t._3.toDouble, t._2)) // negate: smallest bucket wins
+      .agg(new TopKAgg(k).toColumn.name("hits"))
+      .toDF("source", "hits")
+      .select(col("source"), posexplode(col("hits")))
+      .select(col("source"), col("col.vecId").as("doc_id"),
+        (-col("col.cos")).cast("long").as("bucket"),
+        (col("pos") + 1L).cast("long").as("rank"))
+  }
+
   /** Fixed-size token chunking with overlap — the doc → training-example
     * splitter. Chunk i covers tokens [i·stride+1, i·stride+chunkSize]
     * (stride = chunkSize − overlap); a doc shorter than chunkSize yields

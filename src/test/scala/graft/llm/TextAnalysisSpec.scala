@@ -208,6 +208,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("examplesPerSource: k smallest buckets per source, rerun-stable") {
+    val docs = (0L until 100L).map(i => (i, s"d$i", s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.examplesPerSource(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank")) ->
+        (r.getLong(1), r.getAs[Long]("bucket"))).toMap
+    assert(got.size == 8) // 4 sources x 2 ranks
+    // each source's picks are its true 2 smallest buckets, ties by id
+    val buckets = TextAnalysis.hashSample(docs, 1000).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap
+    (0 until 4).foreach { s =>
+      val want = (0L until 100L).filter(_ % 4 == s)
+        .map(i => (buckets(i), i)).sorted.take(2)
+      val gotS = (1L to 2L).map(r => got((s"s$s", r)))
+        .map { case (id, b) => (b, id) }
+      assert(gotS == want, s"source s$s")
+    }
+  }
+
   test("oovRate: head-vocab tokens are covered, tail tokens count as OOV") {
     // vocabSize=2 → vocab is the two most frequent tokens: "aa" (5), "bb" (3)
     val docs = Seq(
