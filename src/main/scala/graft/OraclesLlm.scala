@@ -667,6 +667,20 @@ object OraclesLlm {
        |  ${bucketE("doc_id")}::BIGINT AS bucket
        |FROM prof WHERE ${bucketE("doc_id")} < quality""".stripMargin
 
+  /** Token-id encoding vs the top-50 vocab; OOV = 0. */
+  val encodeDocs: String =
+    s"""WITH d AS (SELECT doc_id, ${toksE("text")} AS toks FROM documents),
+       |t AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+       |        unnest(toks) AS token
+       |      FROM d),
+       |g AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+       |v AS (SELECT token,
+       |        row_number() OVER (ORDER BY tf DESC, token) AS token_id
+       |      FROM g ORDER BY tf DESC, token LIMIT 50)
+       |SELECT t.doc_id, t.pos::BIGINT AS pos,
+       |  COALESCE(v.token_id, 0)::BIGINT AS token_id
+       |FROM t LEFT JOIN v USING (token)""".stripMargin
+
   /** OOV permille vs the top-20-by-tf vocab (ties on token text). */
   val oovRate: String =
     s"""WITH t AS (SELECT doc_id, unnest(${toksE("text")}) AS token

@@ -170,6 +170,7 @@ object SparkEntry {
     "source_mix" -> ((s, dir) => TextAnalysis.sourceMix(docs(s, dir))),
     "doc_keywords" -> ((s, dir) => TextAnalysis.docKeywords(docs(s, dir))),
     "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(docs(s, dir))),
+    "encode_docs" -> ((s, dir) => TextAnalysis.encodeDocs(docs(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(docs(s, dir))),
     "examples_per_source" -> ((s, dir) =>
@@ -286,6 +287,7 @@ object SparkEntry {
     "source_mix" -> OraclesLlm.sourceMix,
     "doc_keywords" -> OraclesLlm.docKeywords,
     "oov_rate" -> OraclesLlm.oovRate,
+    "encode_docs" -> OraclesLlm.encodeDocs,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
     "examples_per_source" -> OraclesLlm.examplesPerSource,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,

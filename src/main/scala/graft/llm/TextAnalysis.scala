@@ -288,6 +288,35 @@ object TextAnalysis {
       .withColumn("oov_pm", expr("(1000 * oov) div n_tokens"))
   }
 
+  /** Token → id encoding against the corpus top-`vocabSize` vocabulary
+    * — the tokenize step that turns a curated corpus into trainable id
+    * sequences (the input [[Packing.packSequences]] windows). Vocab
+    * ids are 1..K by (tf desc, token); OOV encodes as 0 (the <unk>
+    * slot). Output is one row per token occurrence (doc_id, pos,
+    * token_id) — the exploded form keeps the oracle exact; a real
+    * export would `collect_list` back per doc after this projection.
+    *
+    * Scale shape: the vocab is a tf aggregate + `TakeOrderedAndProject`
+    * top-K + a K-row window for ids (domain-bounded, never data-
+    * bounded), broadcast into the probe; encoding itself is a
+    * stateless posexplode + broadcast lookup — text never shuffles. */
+  def encodeDocs(docs: DataFrame, vocabSize: Int = 50): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(vocabSize)
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("tf").desc, col("token"))).cast("long"))
+      .select("token", "token_id")
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+
   /** Top-k characteristic terms per document, ranked by an
     * all-integer tf-idf proxy: `tfidf_pm = 1000·tf div df` (high when
     * a term repeats in THIS doc but touches few docs corpus-wide) —

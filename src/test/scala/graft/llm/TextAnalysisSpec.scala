@@ -208,6 +208,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("encodeDocs: frequency-ranked ids, OOV is 0, positions ordered") {
+    // tf: aa=4, bb=3, cc=1, zz=1 -> vocab(2): aa=1, bb=2; cc/zz OOV
+    val docs = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, "bb aa zz bb aa")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.encodeDocs(docs, vocabSize = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("pos")) -> r.getAs[Long]("token_id"))
+      .toMap
+    assert(got == Map(
+      (1L, 0L) -> 1L, (1L, 1L) -> 2L, (1L, 2L) -> 1L, (1L, 3L) -> 0L,
+      (2L, 0L) -> 2L, (2L, 1L) -> 1L, (2L, 2L) -> 0L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 1L))
+  }
+
   test("examplesPerSource: k smallest buckets per source, rerun-stable") {
     val docs = (0L until 100L).map(i => (i, s"d$i", s"s${i % 4}"))
       .toDF("doc_id", "text", "source")
