@@ -539,6 +539,63 @@ object OraclesLlm {
        |FROM tr JOIN ev USING (shingle)
        |GROUP BY tr.doc_id""".stripMargin
 
+  /** Bloom-filter decontamination: identical corpus/shingle pipeline to
+    * [[contamination]], but membership goes through the 32768-bit Bloom
+    * filter (3 probe positions per shingle, MinHash permutation
+    * constants). The filter is equivalent to the DISTINCT set of probed
+    * positions — a bit is set iff some eval shingle probed it — so the
+    * oracle models the bit array as that set; a training shingle is
+    * flagged when all 3 of its probes hit. False positives are part of
+    * the contract and reproduce exactly. */
+  val bloomContamination: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+       |th AS (SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM corpus),
+       |sets AS (SELECT doc_id, sh FROM
+       |  (SELECT doc_id, ${shSetE("ths")} AS sh FROM th) WHERE len(sh) > 0),
+       |pos AS (
+       |  SELECT doc_id, shingle,
+       |    ((((2654435761*(j+1)+104729) % $P) * shingle
+       |      + (97531*(j+1)+12345) % $P) % $P) % 32768 AS pos
+       |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sets), range(3) t(j)),
+       |bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id < 20),
+       |hits AS (
+       |  SELECT p.doc_id, p.shingle
+       |  FROM pos p JOIN bits USING (pos)
+       |  WHERE p.doc_id >= 20
+       |  GROUP BY p.doc_id, p.shingle
+       |  HAVING count(*) = 3)
+       |SELECT doc_id, count(*) AS n_flagged_shingles
+       |FROM hits GROUP BY doc_id""".stripMargin
+
+  /** Chunk-level cross-doc dedup: 32-token zero-overlap chunks (the
+    * docChunks arithmetic), chunk hash = polynomial hash of the joined
+    * chunk text, boilerplate = hash in ≥ 2 distinct docs. */
+  val chunkDedup: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+       |t AS (SELECT doc_id, ${toksE("text")} AS toks FROM corpus),
+       |n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+       |c AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(range(0, greatest((n - 32 + 31) // 32, 0) + 1)) AS chunk_id
+       |  FROM n),
+       |ck AS (
+       |  SELECT doc_id,
+       |    ${polyE("array_to_string(toks[(chunk_id*32 + 1)::INT : (chunk_id*32 + 32)::INT], ' ')")} AS ch,
+       |    least(32, n - chunk_id*32)::BIGINT AS chunk_tokens
+       |  FROM c),
+       |b AS (SELECT ch FROM (SELECT DISTINCT ch, doc_id FROM ck)
+       |      GROUP BY ch HAVING count(*) >= 2)
+       |SELECT ck.doc_id, count(*) AS n_chunks,
+       |  count(b.ch) AS n_boilerplate,
+       |  coalesce(sum(CASE WHEN b.ch IS NULL THEN chunk_tokens ELSE 0 END), 0)::BIGINT
+       |    AS kept_tokens
+       |FROM ck LEFT JOIN b USING (ch)
+       |GROUP BY ck.doc_id""".stripMargin
+
   /** Fused doc profile (language + quality permille) — mirrors
     * `TextAnalysis.docProfile`. Defines CTE `prof(doc_id, pred_lang,
     * quality)`. */

@@ -163,6 +163,13 @@ object SparkEntry {
       TextAnalysis.bigramCommonness(docs(s, dir))),
     "contamination" -> ((s, dir) =>
       Dedup.contamination(Dedup.withExactDups(docs(s, dir)))),
+    // the no-broadcast scale twin: eval set folded to a fixed-size Bloom
+    // filter (bit_or-packed words), FPs reproduced exactly by the oracle
+    "bloom_contamination" -> ((s, dir) =>
+      Dedup.bloomContamination(Dedup.withExactDups(docs(s, dir)))),
+    // sub-document boilerplate: chunks repeated across >=2 distinct docs
+    "chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(Dedup.withExactDups(docs(s, dir)))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
     "shard_assign" -> ((s, dir) =>
       graft.sources.Shards.shardAssign(docs(s, dir))),
@@ -281,6 +288,8 @@ object SparkEntry {
     "pack_sequences" -> OraclesLlm.packSequences,
     "bigram_commonness" -> OraclesLlm.bigramCommonness,
     "contamination" -> OraclesLlm.contamination,
+    "bloom_contamination" -> OraclesLlm.bloomContamination,
+    "chunk_dedup" -> OraclesLlm.chunkDedup,
     "sample_docs" -> OraclesLlm.sampleDocs,
     "shard_assign" -> OraclesLlm.shardAssign,
     "weighted_sample" -> OraclesLlm.weightedSample,

@@ -463,6 +463,107 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Bloom-filter decontamination parameters: a [[BloomBits]]-bit filter
+    * (packed into 64-bit words) probed with [[BloomHashes]] positions per
+    * shingle. Position hashes reuse the MinHash permutation constants
+    * (`sigE` in the oracle): pos_j = ((a_j·h + b_j) mod P) mod m. */
+  val BloomBits = 32768L
+  val BloomHashes = 3
+
+  private def bloomPos(h: Column, j: Int): Column = {
+    val a = (2654435761L * (j + 1) + 104729L) % Prime
+    val b = (97531L * (j + 1) + 12345L) % Prime
+    pmod(pmod(lit(a) * h + lit(b), lit(Prime)), lit(BloomBits))
+  }
+
+  /** [[contamination]]'s no-broadcast scale path: the eval set is folded
+    * into a FIXED-SIZE Bloom filter and only the filter ships to the
+    * executors. [[contamination]] broadcasts the raw eval shingle set —
+    * fine for eval sets of thousands of docs, impossible when the
+    * "contamination source" is itself web-scale (e.g. decontaminating
+    * crawl B against crawl A). Here the eval side collapses to
+    * [[BloomBits]]/64 packed words via a `bit_or` aggregate — ~4 KB
+    * broadcast no matter how many billions of eval shingles went in —
+    * and a training shingle is flagged when all [[BloomHashes]] probed
+    * bits are set.
+    *
+    * The price is bounded false positives (a shingle whose probe
+    * positions are all covered by OTHER shingles' bits): with fill
+    * ratio f the FP rate is f^k. Both engines compute the identical
+    * filter, so the oracle reproduces even the false positives
+    * bit-for-bit — `n_flagged_shingles` here is ≥ the exact operator's
+    * `n_shared_shingles` by construction, never less.
+    *
+    * Shuffle shape: eval shingles partial-aggregate into ≤ m/64 words
+    * map-side (the `bit_or` groups by word index); the training side
+    * streams through a broadcast join on word index exactly like the
+    * exact operator, text and shingle sets never shuffle. */
+  def bloomContamination(docs: DataFrame, evalMaxId: Long = 20L): DataFrame = {
+    val sets = shingleSets(docs)
+    // (shingle, j, pos) rows; explode_outer for the same
+    // InferFiltersFromGenerate reason as [[contamination]]
+    def positions(sh: DataFrame): DataFrame =
+      sh.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("shingle"),
+          explode(array((0 until BloomHashes)
+            .map(j => bloomPos(col("shingle"), j)): _*)).as("pos"))
+    // the filter: bit_or of single-bit words, grouped by word index —
+    // at most BloomBits/64 rows regardless of eval-set size
+    val words = positions(sets.filter(col("doc_id") < evalMaxId))
+      .groupBy(expr("pos div 64").as("word_idx"))
+      .agg(bit_or(expr("shiftleft(1L, int(pmod(pos, 64)))")).as("word"))
+    positions(sets.filter(col("doc_id") >= evalMaxId))
+      .join(broadcast(words), expr("pos div 64") === col("word_idx"))
+      .filter(col("word").bitwiseAND(
+        expr("shiftleft(1L, int(pmod(pos, 64)))")) =!= 0L)
+      // a shingle is flagged only when ALL k probed bits are set; `pos`
+      // rows carry distinct j, so the hit count per (doc, shingle) is
+      // the number of probes that found their bit
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") === BloomHashes.toLong)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_flagged_shingles"))
+  }
+
+  // ---- chunk-level cross-document dedup ----
+
+  /** Sub-document dedup — the "repeated line removal" pass (à la
+    * C4/RefinedWeb boilerplate stripping) for a corpus whose documents
+    * have no line structure: documents are cut into deterministic
+    * fixed-size token chunks ([[TextAnalysis.chunkDocs]], zero overlap
+    * so chunks tile the doc), and a chunk whose hash occurs in
+    * [[minDocs]]+ DISTINCT documents is boilerplate. Per doc: total
+    * chunks, boilerplate chunks, and the token count that survives
+    * dropping them — the curation accounting a pipeline needs before
+    * committing to a rewrite pass.
+    *
+    * Scale shape: chunk TEXT never shuffles — the per-chunk projection
+    * reduces each chunk to a (hash, doc_id, n_tokens) triple. The
+    * distinct-doc count per hash is a two-level hash aggregate
+    * ((hash, doc_id) distinct, then count per hash), the boilerplate
+    * verdict joins back on the slim hash key, and the final per-doc
+    * rollup partial-aggregates. A hot boilerplate chunk (the classic
+    * cookie-banner-in-a-billion-docs) is ONE row after the distinct's
+    * partial aggregation — the skew lands on the bounded hash-count
+    * side, not on a replicated text blob. */
+  def chunkDedup(docs: DataFrame, chunkSize: Int = 32,
+                 minDocs: Long = 2L): DataFrame = {
+    val chunks = TextAnalysis.chunkDocs(docs, chunkSize, overlap = 0)
+      .select(col("doc_id"), polyHash(col("chunk_text")).as("ch"),
+        col("chunk_tokens"))
+    val boiler = chunks.select(col("ch"), col("doc_id")).distinct()
+      .groupBy("ch").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("ch"), lit(true).as("boiler"))
+    chunks.join(boiler, Seq("ch"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boilerplate"),
+        sum(when(col("boiler"), 0L).otherwise(col("chunk_tokens")))
+          .as("kept_tokens"))
+  }
+
   // ---- duplicate-injection fixtures ----
 
   /** Corpus with injected EXACT duplicates: every doc_id ≡ 0 (mod 10) is

@@ -207,4 +207,57 @@ class DedupSpec extends SparkSpec {
     // doc 32 shares both; doc 31 is absent
     assert(got == Map(30L -> 1L, 32L -> 2L))
   }
+
+  test("bloomContamination flags a superset of exact contamination") {
+    // the Bloom pass may add false positives but can never miss a truly
+    // shared shingle: every eval shingle's bits are in the filter
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (30L, "zz alpha beta gamma yy"),
+      (31L, "nothing in common here at all"),
+      (32L, "alpha beta gamma delta"),
+      (33L, "unrelated tokens that share no trigram with eval data")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.contamination(docs, evalMaxId = 20L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.bloomContamination(docs, evalMaxId = 20L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (doc, n) =>
+      assert(bloom.contains(doc) && bloom(doc) >= n,
+        s"doc $doc: bloom dropped or undercounted a real hit")
+    }
+    // with 2 eval shingles (6 bits max in 32768) the FP probability per
+    // probed shingle is < (6/32768)^3 ≈ 6e-12 — flagging anything the
+    // exact pass didn't would be a hash bug, not bad luck
+    assert(bloom.keySet == exact.keySet)
+    assert(bloom == Map(30L -> 1L, 32L -> 2L))
+  }
+
+  test("chunkDedup: injected whole-doc duplicates make every chunk boilerplate") {
+    // 70-token docs => chunks of 32/32/6 tokens; doc 50 is duplicated
+    val words = (0 until 70).map(i => s"w$i").mkString(" ")
+    val other = (0 until 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq((50L, words), (51L, other), (100050L, words))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_boilerplate"),
+          r.getAs[Long]("kept_tokens")))).toMap
+    assert(got(50L) == ((3L, 3L, 0L)))      // all three chunks shared
+    assert(got(100050L) == ((3L, 3L, 0L)))
+    assert(got(51L) == ((2L, 0L, 40L)))     // 32+8 tokens, all unique
+  }
+
+  test("chunkDedup: a shared chunk inside otherwise-unique docs is stripped") {
+    val shared = (0 until 32).map(i => s"s$i").mkString(" ")
+    val a = shared + " " + (0 until 32).map(i => s"a$i").mkString(" ")
+    val b = shared + " " + (0 until 32).map(i => s"b$i").mkString(" ")
+    val got = Dedup.chunkDedup(Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_boilerplate"),
+          r.getAs[Long]("kept_tokens")))).toMap
+    // chunk 0 (the shared 32 tokens) is boilerplate in both; chunk 1 kept
+    assert(got == Map(1L -> ((2L, 1L, 32L)), 2L -> ((2L, 1L, 32L))))
+  }
 }
