@@ -365,6 +365,74 @@ object OraclesLlm {
   val ivfRecallKm: String = ivfRecallSql(1, refine = 1)
   val ivfRecallKm2: String = ivfRecallSql(1, refine = 2)
 
+  /** PQ CTE block (mirrors `Similarity.pqTopK`): 8 sub-slices per
+    * vector, codebook = first-16 vectors' slices with integer norms²,
+    * encode = argmin exact squared L2 (row_number with code tiebreak ≡
+    * Spark's min_by on (dist2, code)), LUT = query-side exact dots,
+    * estimated cosine = LUT-sum over ‖q‖·√(Σ chosen entry norms²).
+    * Defines CTEs `vq, sub, cb, enc, lut, qn, scored`. */
+  private val pqCtes: String = frag(
+    s"""vq AS (SELECT vec_id, ${quantE("embedding")} AS qv FROM embeddings),
+       |sub AS (SELECT vec_id, m, qv[(m*8+1)::INT:(m*8+8)::INT] AS sv
+       |        FROM vq, range(8) t(m)),
+       |cb AS (SELECT m, vec_id::INT AS code, sv AS cbv,
+       |         list_sum([x*x for x in sv])::BIGINT AS cbn2
+       |       FROM sub WHERE vec_id < 16),
+       |enc AS (
+       |  SELECT vec_id, m, code, cbn2 FROM (
+       |    SELECT s.vec_id, s.m, c.code, c.cbn2,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        list_sum([(s.sv[i+1]-c.cbv[i+1])*(s.sv[i+1]-c.cbv[i+1])
+       |                  for i in range(8)])::BIGINT,
+       |        c.code) AS rn
+       |    FROM sub s JOIN cb c USING (m)) WHERE rn = 1),
+       |lut AS (SELECT s.vec_id AS query_id, s.m, c.code,
+       |          list_sum([s.sv[i+1]*c.cbv[i+1] for i in range(8)])::BIGINT AS dp
+       |        FROM sub s JOIN cb c USING (m) WHERE s.vec_id < 5),
+       |qn AS (SELECT vec_id AS query_id,
+       |         sqrt(list_sum([x*x for x in qv])::BIGINT::DOUBLE) AS qnrm
+       |       FROM vq WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT e2.query_id, e2.vec_id,
+       |    e2.est_dot::DOUBLE / (qn.qnrm * sqrt(e2.recon_n2::DOUBLE)) AS cos
+       |  FROM (
+       |    SELECT l.query_id, e.vec_id,
+       |      sum(l.dp)::BIGINT AS est_dot, sum(e.cbn2)::BIGINT AS recon_n2
+       |    FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+       |      AND e.vec_id <> l.query_id
+       |    GROUP BY 1, 2) e2 JOIN qn USING (query_id))""".stripMargin)
+
+  val pqTopK: String =
+    s"""WITH $pqCtes
+       |SELECT query_id, vec_id, round(cos, 6) AS score, rank
+       |FROM (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, vec_id) AS rank
+       |      FROM scored) WHERE rank <= 10""".stripMargin
+
+  val pqRecall: String =
+    s"""WITH bq AS (SELECT vec_id AS query_id, ${quantE("embedding")} AS qv
+       |           FROM embeddings WHERE vec_id < 5),
+       |bc AS (SELECT vec_id, ${quantE("embedding")} AS cv FROM embeddings),
+       |bscored AS (
+       |  SELECT query_id, vec_id, ${cosE("qv", "cv")} AS cos
+       |  FROM bc, bq WHERE vec_id <> query_id),
+       |brute AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM bscored) WHERE rank <= 10),
+       |$pqCtes,
+       |pq AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM scored) WHERE rank <= 10)
+       |SELECT b.query_id, (1000 * count(p.vec_id)) // 10 AS recall_pm
+       |FROM brute b LEFT JOIN pq p
+       |  ON b.query_id = p.query_id AND b.vec_id = p.vec_id
+       |GROUP BY b.query_id""".stripMargin
+
   /** The capstone composition (mirrors `Pipeline.trainingPipeline` over
     * the exact-dup-injected corpus): language filter → quality filter →
     * exact dedup keeping the min-id canonical copy → redaction → token

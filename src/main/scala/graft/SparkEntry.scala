@@ -215,6 +215,11 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), refineIters = 2)),
     "ivf_recall_km2" -> ((s, dir) =>
       Similarity.ivfRecall(Tables.embeddings(s, dir), refineIters = 2)),
+    // product quantization: 8-byte codes, asymmetric-LUT scoring
+    "pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir))),
+    "pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(Tables.embeddings(s, dir))),
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
@@ -312,6 +317,8 @@ object SparkEntry {
     "ivf_recall_km" -> OraclesLlm.ivfRecallKm,
     "ivf_topk_km2" -> OraclesLlm.ivfTopKKm2,
     "ivf_recall_km2" -> OraclesLlm.ivfRecallKm2,
+    "pq_topk" -> OraclesLlm.pqTopK,
+    "pq_recall" -> OraclesLlm.pqRecall,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "media_dedup" -> OraclesLlm.mediaDedup,
     "media_meta" -> OraclesLlm.mediaMeta,

@@ -282,6 +282,100 @@ object Similarity {
         expr(s"(1000 * hits) div $k").as("recall_pm"))
   }
 
+  // ---- product quantization (PQ) ----
+
+  /** PQ parameters: vectors split into [[PqM]] contiguous subspaces,
+    * each encoded as the id of its nearest codebook entry among
+    * [[PqK]] codes (nearest by exact integer squared L2). Codebooks are
+    * the first [[PqK]] corpus vectors' sub-slices — the same
+    * deterministic stand-in for a k-means pass as the IVF seeds. */
+  val PqM = 8
+  val PqK = 16
+
+  /** Exact integer squared L2 distance of two quantized sub-vectors. */
+  private def d2Q(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** (vec_id, m, sv): the M sub-slices of each vector — a stateless
+    * in-partition explode of slim 8-long arrays, no shuffle. */
+  private def subvectors(vecs: DataFrame, subDim: Int): DataFrame =
+    vecs.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qv"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+
+  /** PQ-compressed ANN: the memory-scale path. Each corpus vector is
+    * encoded ONCE as [[PqM]] one-byte codes (8 bytes vs 512 for the raw
+    * 64-float vector — the compression that lets a 100 TB corpus's
+    * index live in RAM); a query scores candidates with an asymmetric
+    * lookup table (its exact dot product against every codebook entry,
+    * nQueries × M × K rows) and never touches raw corpus vectors again.
+    * Estimated cosine = LUT-sum / (‖q‖ · ‖reconstruction‖), where the
+    * reconstruction norm² is the exact sum of the chosen entries'
+    * norms² — every term integer-exact, so the oracle reproduces the
+    * scores (and the quantization error itself) bit-for-bit.
+    *
+    * Shuffle shape: codebooks and LUT are broadcast (both bounded by
+    * parameters, not data); encoding is a broadcast join + argmin
+    * aggregate shipping ONE row per (vector, subspace); scoring
+    * partial-aggregates the M per-subspace terms map-side and ships one
+    * row per (query, vector) into the bounded [[TopKAgg]]. Raw vectors
+    * cross no shuffle anywhere past the sub-slice projection. */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val dim = 64 // driver embeddings are float[64] (TESTDATA.md)
+    val subDim = dim / PqM
+    val vecs = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val sub = subvectors(vecs, subDim)
+    val cb = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cbv"))
+      .withColumn("cbn2", norm2Q(col("cbv")))
+    // encode: nearest codebook entry per (vector, subspace); argmin as
+    // an aggregate (same shape as IVF's assignCells — the K candidate
+    // rows are born in-partition and combine map-side)
+    val encoded = sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"), col("cbn2"),
+        d2Q(col("sv"), col("cbv")).as("dist2"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("code"), col("cbn2")),
+        struct(col("dist2"), col("code"))).as("w"))
+      .select(col("vec_id"), col("m"),
+        col("w.code").as("code"), col("w.cbn2").as("cbn2"))
+    // asymmetric distance LUT: exact query-side dot against every entry
+    val lut = sub.filter(col("vec_id") < nQueries)
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("code"),
+        dotQ(col("sv"), col("cbv")).as("dp"))
+    val qn = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        sqrt(norm2Q(col("qv")).cast("double")).as("qnrm"))
+    val scored = encoded
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dp").as("est_dot"), sum("cbn2").as("recon_n2"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("est_dot").cast("double") /
+          (col("qnrm") * sqrt(col("recon_n2").cast("double")))).as("cos"))
+    topKByQuery(scored, k)
+  }
+
+  /** Recall@k of the PQ index vs brute force — the compression-loss
+    * measurement, exact permille per query (cf. [[ivfRecall]]). */
+  def pqRecall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val brute = cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id")
+    val pq = pqTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id").as("pq_vec"))
+    brute
+      .join(pq, brute("query_id") === pq("query_id") &&
+        brute("vec_id") === pq("pq_vec"), "left")
+      .groupBy(brute("query_id"))
+      .agg(count(col("pq_vec")).as("hits"))
+      .select(col("query_id"),
+        expr(s"(1000 * hits) div $k").as("recall_pm"))
+  }
+
   /** Corpus with injected identical vectors (vec_id ≡ 0 mod 10 copied
     * under vec_id+100000) — near-dup ground truth for the LSH pipeline. */
   def withDupVectors(embeddings: DataFrame): DataFrame =

@@ -109,6 +109,37 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfAll == brute, "nprobe=nCentroids must equal brute force")
   }
 
+  test("PQ: a copy of a seed query reconstructs exactly and ranks first at cos 1") {
+    // 20 synthetic 64-d vectors; vec 17 duplicates query vec 2. Vec 2 is
+    // a codebook seed (vec_id < 16), so vec 17's nearest entry in every
+    // subspace is vec 2's own slice at distance 0 — its reconstruction
+    // IS vec 2, and the estimated cosine against query 2 is exactly 1.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 17L).map(i =>
+      (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val vecs = base :+ (17L, base(2)._2)
+    val got = Similarity.pqTopK(emb(vecs: _*), nQueries = 5, k = 3)
+      .filter(col("query_id") === 2L && col("rank") === 1L).collect().head
+    assert(got.getAs[Long]("vec_id") == 17L)
+    assert(got.getAs[Double]("score") == 1.0)
+  }
+
+  test("PQ recall vs brute force on real embeddings (sf0.001)") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val embDf = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pq = Similarity.pqTopK(embDf, nQueries = 5, k = 10)
+    assert(pq.count() == 50)
+    val recalls = Similarity.pqRecall(embDf, nQueries = 5, k = 10)
+      .collect().map(r => r.getAs[Long]("recall_pm"))
+    assert(recalls.length == 5)
+    assert(recalls.forall(r => r >= 0 && r <= 1000))
+    // 16 codes per 8-dim subspace is a coarse codebook, but on 500
+    // random vectors the asymmetric estimate must keep real signal
+    assert(recalls.sum / recalls.length >= 200,
+      s"PQ mean recall collapsed: ${recalls.toSeq}")
+  }
+
   test("k-means-refined IVF returns full result sets and real recall (sf0.001)") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")
