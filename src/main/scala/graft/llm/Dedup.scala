@@ -498,21 +498,27 @@ object Dedup {
     * map-side (the `bit_or` groups by word index); the training side
     * streams through a broadcast join on word index exactly like the
     * exact operator, text and shingle sets never shuffle. */
-  def bloomContamination(docs: DataFrame, evalMaxId: Long = 20L): DataFrame = {
-    val sets = shingleSets(docs)
-    // (shingle, j, pos) rows; explode_outer for the same
-    // InferFiltersFromGenerate reason as [[contamination]]
-    def positions(sh: DataFrame): DataFrame =
-      sh.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
-        .select(col("doc_id"), col("shingle"),
-          explode(array((0 until BloomHashes)
-            .map(j => bloomPos(col("shingle"), j)): _*)).as("pos"))
-    // the filter: bit_or of single-bit words, grouped by word index —
-    // at most BloomBits/64 rows regardless of eval-set size
-    val words = positions(sets.filter(col("doc_id") < evalMaxId))
+  /** (doc_id, shingle, pos) probe rows of a [[shingleSets]] frame;
+    * explode_outer for the same InferFiltersFromGenerate reason as
+    * [[contamination]]. */
+  private def bloomPositions(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("shingle"),
+        explode(array((0 until BloomHashes)
+          .map(j => bloomPos(col("shingle"), j)): _*)).as("pos"))
+
+  /** The Bloom filter of a corpus' shingles as packed 64-bit words —
+    * `bit_or` of single-bit contributions grouped by word index, at
+    * most [[BloomBits]]/64 rows regardless of corpus size. */
+  def bloomWords(docs: DataFrame): DataFrame =
+    bloomPositions(shingleSets(docs))
       .groupBy(expr("pos div 64").as("word_idx"))
       .agg(bit_or(expr("shiftleft(1L, int(pmod(pos, 64)))")).as("word"))
-    positions(sets.filter(col("doc_id") >= evalMaxId))
+
+  def bloomContamination(docs: DataFrame, evalMaxId: Long = 20L): DataFrame = {
+    val sets = shingleSets(docs)
+    val words = bloomWords(docs.filter(col("doc_id") < evalMaxId))
+    bloomPositions(sets.filter(col("doc_id") >= evalMaxId))
       .join(broadcast(words), expr("pos div 64") === col("word_idx"))
       .filter(col("word").bitwiseAND(
         expr("shiftleft(1L, int(pmod(pos, 64)))")) =!= 0L)
@@ -525,6 +531,49 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_flagged_shingles"))
   }
+
+  /** The filter as a dense `Array[Long]` of [[BloomBits]]/64 words —
+    * the form that ships to executors as a literal. The collect here is
+    * bounded by the PARAMETER m (512 longs = 4 KB), never by data: for
+    * a Bloom filter, materializing the bit array IS the broadcast (the
+    * same role as broadcasting a trained model), and it is what makes a
+    * fully STATELESS streaming membership test possible
+    * ([[graft.streaming.DocStream.decontaminationGate]]). */
+  def bloomFilterArray(docs: DataFrame): Array[Long] = {
+    val arr = new Array[Long]((BloomBits / 64).toInt)
+    bloomWords(docs).collect().foreach { r =>
+      arr(r.getAs[Long]("word_idx").toInt) = r.getAs[Long]("word")
+    }
+    arr
+  }
+
+  /** Row-level contamination predicate of a SHINGLE-SET column (stage
+    * [[shingleSets]]'s projections first — the HOF no-CSE trap) against
+    * a materialized Bloom word array: true iff ANY shingle has all
+    * [[BloomHashes]] probed bits set. Pure projection — no join, no
+    * aggregation, no state — so it runs unchanged on a stream. A doc
+    * with fewer than [[ShingleK]] tokens has an empty set and is never
+    * flagged (vacuously clean, matching [[bloomContamination]]'s
+    * domain). */
+  def bloomContaminated(sh: Column, filterWords: Array[Long]): Column = {
+    val words = typedLit(filterWords.toSeq)
+    exists(sh, s =>
+      (0 until BloomHashes).map { j =>
+        val p = bloomPos(s, j)
+        val word = element_at(words,
+          floor(p.cast("double") / 64d).cast("int") + 1)
+        word.bitwiseAND(shiftleftCol(lit(1L),
+          pmod(p, lit(64L)).cast("int"))) =!= 0L
+      }.reduce(_ && _))
+  }
+
+  /** `shiftleft` with a COLUMN bit count (the Scala API only takes a
+    * literal Int; the Catalyst node takes any expression). */
+  private def shiftleftCol(v: Column, bits: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.GraftColumnBridge.expression(v),
+        org.apache.spark.sql.GraftColumnBridge.expression(bits)))
 
   // ---- chunk-level cross-document dedup ----
 

@@ -36,4 +36,31 @@ object DocStream {
   def qualityGate(docs: DataFrame, minQuality: Long = 300L): DataFrame =
     graft.llm.TextAnalysis.docProfile(docs.select("doc_id", "text"))
       .filter(col("quality") >= minQuality)
+
+  /** Online decontamination: drop streaming docs that share any shingle
+    * with a STATIC eval corpus, membership-tested against the same
+    * packed Bloom words as [[graft.llm.Dedup.bloomContamination]] —
+    * materialized once at stream-build time
+    * ([[graft.llm.Dedup.bloomFilterArray]], 4 KB bounded by the m
+    * parameter, never by eval-set size) and shipped as an array
+    * literal. The gate is a pure per-row filter: no join, no
+    * aggregation, no state store — the shape that keeps a
+    * 100 TB/day ingest stream's curation stage embarrassingly
+    * parallel.
+    *
+    * Flagging is conservative in exactly the Bloom way: every truly
+    * contaminated doc is caught; a bounded FP fraction of clean docs
+    * is dropped with them — the right trade for a training-corpus
+    * gate. */
+  def decontaminationGate(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    import graft.llm.{Dedup, TextFns}
+    val filt = Dedup.bloomFilterArray(evalDocs)
+    // shingle pipeline staged through projections (the HOF no-CSE trap)
+    docs
+      .withColumn("__ths", TextFns.tokenHashes(col("text")))
+      .withColumn("__sh",
+        TextFns.shingleHashSetFromTokenHashes(col("__ths"), Dedup.ShingleK))
+      .filter(!Dedup.bloomContaminated(col("__sh"), filt))
+      .drop("__ths", "__sh")
+  }
 }

@@ -60,4 +60,50 @@ class DocStreamSpec extends SparkSpec {
     val kept = spark.table("gate_out").select("doc_id").as[Long].collect().toSet
     assert(kept.contains(1L) && !kept.contains(2L))
   }
+
+  test("decontaminationGate drops stream docs sharing shingles with the static eval set") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((1L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    mem.addData(
+      (30L, "zz alpha beta gamma yy", ts(1)),           // contaminated
+      (31L, "nothing in common here at all", ts(2)),    // clean
+      (32L, "alpha beta gamma delta", ts(3)),           // identical to eval
+      (33L, "too short", ts(4)))                        // < k tokens: clean
+    val gated = DocStream.decontaminationGate(docs, evalDocs)
+    // stateless: the stream plan must contain no aggregation/state node
+    val plan = gated.queryExecution.analyzed.toString.toLowerCase
+    assert(!plan.contains("aggregate") && !plan.contains("join"))
+    val q = gated
+      .writeStream.trigger(Trigger.AvailableNow()).format("memory")
+      .queryName("decon_out")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+    val kept = spark.table("decon_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(31L, 33L))
+  }
+
+  test("bloom gate agrees with the distributed bloomContamination operator") {
+    import graft.llm.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),                   // eval
+      (30L, "zz alpha beta gamma yy"),
+      (31L, "nothing in common here at all"),
+      (32L, "alpha beta gamma delta"),
+      (33L, "unrelated clean words with no trigram overlap at all")
+    ).toDF("doc_id", "text")
+    val distributed = Dedup.bloomContamination(docs, evalMaxId = 20L)
+      .select("doc_id").as[Long].collect().toSet
+    val filt = Dedup.bloomFilterArray(docs.filter($"doc_id" < 20L))
+    val viaGate = docs.filter($"doc_id" >= 20L)
+      .withColumn("__ths", graft.llm.TextFns.tokenHashes($"text"))
+      .withColumn("__sh", graft.llm.TextFns
+        .shingleHashSetFromTokenHashes($"__ths", Dedup.ShingleK))
+      .filter(Dedup.bloomContaminated($"__sh", filt))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaGate == distributed)
+  }
 }
