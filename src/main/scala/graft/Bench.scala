@@ -48,23 +48,35 @@ object Bench {
         catch { case _: Throwable => () }
       }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // a rep either succeeds (Right time) or fails (Left error); the
-      // reported figure is the median of the SUCCESSFUL reps, and a
-      // query lands in `errors` only when every rep failed — a transient
-      // one-rep failure must not mark a working query broken, and a
-      // broken query must not report a time at all (its median slot
-      // falls back to the failing reps' wall time)
-      val reps = (1 to Reps).map { _ =>
-        val t0 = System.nanoTime()
-        val outcome =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
-          catch { case e: Throwable =>
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
-          }
-        (outcome, (System.nanoTime() - t0) / 1e9)
-      }
+    // Reps are INTERLEAVED round-robin (all queries once, then again),
+    // not back-to-back: the dominant noise source is multi-second
+    // host-level CPU-starvation windows, and three consecutive reps of
+    // one query all land inside the same window — observed as a 2 s
+    // query "measuring" 55 s at median-of-3. Spreading a query's reps
+    // across the whole sweep makes a single window cost each query at
+    // most one rep, which the median discards.
+    val names = SparkEntry.queries.keys.toVector
+    val repRuns = scala.collection.mutable.Map[String, Vector[(Option[String], Double)]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to Reps; name <- names) {
+      val t0 = System.nanoTime()
+      val outcome =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save(); None
+        } catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
+        }
+      repRuns(name) = repRuns(name) :+ ((outcome, (System.nanoTime() - t0) / 1e9))
+    }
+    // a query's reported figure is the median of its SUCCESSFUL reps;
+    // it lands in `errors` only when every rep failed — a transient
+    // one-rep failure must not mark a working query broken, and a
+    // broken query must not report a time at all (its median slot
+    // falls back to the failing reps' wall time)
+    val results = names.map { name =>
+      val reps = repRuns(name)
       val ok = reps.collect { case (None, t) => t }.sorted
       if (ok.isEmpty) {
         errors(name) = reps.last._1.get
@@ -99,10 +111,14 @@ object Bench {
     * `processedRowsPerSecond` on a saturated batch (rows ÷ batch
     * duration) is exactly the pipeline's processing speed; live
     * 1 s-trigger evidence lives in artifacts/SOAK*.jsonl ([[Soak]]). */
-  val FeedRowsPerCore = 240000L
-  val FeedFiles = 8
+  /** Feed sizing: 720k ids/core × 4 batches ⇒ ~5.3M-row micro-batches
+    * after the P-12 filter. Per-batch fixed costs (file listing, offset
+    * log commit, planning the noop write) measured ~1.5 s; at ~6 s of
+    * compute per batch they cost <20% of the reported rate, where the
+    * earlier 1.9M-row batches lost ~40% to them. */
+  val FeedRowsPerCore = 720000L
   val StreamBatches = 4
-  val StreamTimeoutMs = 120000L
+  val StreamTimeoutMs = 180000L
 
   private def streamThroughput(spark: SparkSession, cpus: Int): Double = {
     import graft.streaming._
@@ -112,23 +128,49 @@ object Bench {
       val ckpt = tmp.resolve("ckpt").toString
       // deterministic backlog: N ids → producer-filtered wire lines
       // (the P-12 filter keeps 24/35 of ids ≈ 5.3M rows at 32 cpus) in
-      // FeedFiles text files; maxFilesPerTrigger = 2 files/trigger
-      // yields StreamBatches equal micro-batches of ~1.3M rows each —
-      // big enough that per-batch fixed costs don't dominate the rate
+      // StreamBatches×cpus text files, cpus files per trigger. A file
+      // source's micro-batch parallelism IS its file count — the
+      // earlier 2-files-per-trigger shape ran each batch as two
+      // ~million-row tasks on a 32-core box and "measured" 2-core
+      // throughput. cpus equal files per batch put one ~60k-row task
+      // on every core; batches stay big enough (~1.9M rows at 32
+      // cpus) that per-batch fixed costs don't dominate the rate
+      // 2 waves × cpus EQUAL ~1.2 MB files per micro-batch. Two scan
+      // traps both zero 30 of 32 cores, and both were measured here:
+      // (a) the default openCostInBytes (4 MB) exceeds the file size,
+      // so FileScan's bin-packing stuffed a whole batch into ~2 scan
+      // partitions (52k rows/s total, 26k/core — exactly the soak's
+      // per-core rate — with 30 cores idle); (b) 2 MB maxPartitionBytes
+      // over 2.4 MB files cut uneven 2 MB + 0.4 MB splits whose
+      // stragglers serialized batch tails. Files sized UNDER
+      // maxPartitionBytes with a small open cost give one even task
+      // per file; confs restored after the phase.
+      val wavesPerBatch = 2
+      val files = StreamBatches * wavesPerBatch * cpus
       SyntheticTweets.wireLines(
-        spark.range(0, FeedRowsPerCore * cpus, 1, FeedFiles).toDF("id"))
+        spark.range(0, FeedRowsPerCore * cpus, 1, files).toDF("id"))
         .write.mode("overwrite").text(feedDir)
+      val oldMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      val oldCost = spark.conf.getOption("spark.sql.files.openCostInBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", (64L << 10).toString)
       val sink = new TrendSink {
         def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
           df.write.mode("overwrite").format("noop").save()
       }
       val rows = TrendStream.trendRows(
         TweetSource.FileSource(feedDir,
-          maxFilesPerTrigger = Some(FeedFiles / StreamBatches)).load(spark))
+          maxFilesPerTrigger = Some(wavesPerBatch * cpus)).load(spark))
       val q = TrendStream.writer(rows, sink,
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
         Some(ckpt)).start()
-      try q.awaitTermination(StreamTimeoutMs) finally q.stop()
+      try q.awaitTermination(StreamTimeoutMs) finally {
+        q.stop()
+        def restore(key: String, old: Option[String]): Unit =
+          old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+        restore("spark.sql.files.maxPartitionBytes", oldMax)
+        restore("spark.sql.files.openCostInBytes", oldCost)
+      }
       // median per-batch processedRowsPerSecond; the first batch is
       // dropped (cold file listing, codegen) unless it would leave
       // fewer than 2 samples

@@ -607,6 +607,16 @@ object OraclesLlm {
        |FROM tr JOIN ev USING (shingle)
        |GROUP BY tr.doc_id""".stripMargin
 
+  /** Heavy hitters: the engine prunes with a Misra-Gries sketch then
+    * re-counts candidates exactly; the sketch guarantee (every token
+    * above N/(capacity+1) survives) makes the result identical to the
+    * plain GROUP BY + HAVING stated here. */
+  val heavyHitters: String =
+    s"""WITH tok AS (SELECT unnest(${toksE("text")}) AS token FROM documents),
+       |tot AS (SELECT count(*) AS n FROM tok),
+       |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+       |SELECT token, cnt FROM c, tot WHERE cnt * 32 > n""".stripMargin
+
   /** Bloom-filter decontamination: identical corpus/shingle pipeline to
     * [[contamination]], but membership goes through the 32768-bit Bloom
     * filter (3 probe positions per shingle, MinHash permutation

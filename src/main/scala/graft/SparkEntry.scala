@@ -155,6 +155,10 @@ object SparkEntry {
     "redact_text" -> ((s, dir) => TextAnalysis.redactedDocs(docs(s, dir))),
     // corpus statistics + curation selection ops
     "vocab_df" -> ((s, dir) => TextAnalysis.vocabDf(docs(s, dir))),
+    // Misra-Gries candidates + exact recount: sketch-pruned scan,
+    // exact GROUP BY/HAVING answer (oracle states it that way)
+    "heavy_hitters" -> ((s, dir) =>
+      graft.llm.HeavyHitters.heavyHitters(docs(s, dir))),
     "token_quantiles" -> ((s, dir) => TextAnalysis.tokenQuantiles(docs(s, dir))),
     "doc_chunks" -> ((s, dir) => TextAnalysis.chunkDocs(docs(s, dir))),
     "doc_repetition" -> ((s, dir) => TextAnalysis.docRepetition(docs(s, dir))),
@@ -287,6 +291,7 @@ object SparkEntry {
     "dedup_clusters" -> OraclesLlm.dedupClusters,
     "redact_text" -> OraclesLlm.redactText,
     "vocab_df" -> OraclesLlm.vocabDf,
+    "heavy_hitters" -> OraclesLlm.heavyHitters,
     "token_quantiles" -> OraclesLlm.tokenQuantiles,
     "doc_chunks" -> OraclesLlm.docChunks,
     "doc_repetition" -> OraclesLlm.docRepetition,
