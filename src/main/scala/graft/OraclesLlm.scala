@@ -607,6 +607,51 @@ object OraclesLlm {
        |FROM tr JOIN ev USING (shingle)
        |GROUP BY tr.doc_id""".stripMargin
 
+  /** BPE merge training (mirrors `graft.llm.Bpe.merges`): word-count
+    * table, then per round pair counting → deterministic best pair
+    * (count desc, lexicographic) → left-to-right non-overlapping
+    * rewrite. DuckDB's `list_reduce` has no initial value, so the fold
+    * runs over singleton-list elements (acc seeds with the first
+    * symbol's singleton — identical to Spark's empty-seed fold after
+    * its first step). The back-looking merge rule is equivalent to the
+    * left-to-right scan because a fresh merge `lhs·rhs` never equals
+    * `lhs`. */
+  val bpeMerges: String = {
+    val rounds = 3
+    val head =
+      s"""WITH w AS (
+         |  SELECT token, count(*)::BIGINT AS cnt
+         |  FROM (SELECT unnest(${toksE("text")}) AS token FROM documents)
+         |  GROUP BY token),
+         |s0 AS (SELECT cnt, string_split(token, '') AS syms FROM w)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pr.pair[1] AS lhs, pr.pair[2] AS rhs,
+         |    sum(pr.cnt)::BIGINT AS pair_cnt
+         |  FROM (SELECT cnt,
+         |          unnest([ [syms[i+1], syms[i+2]]
+         |                   for i in range(len(syms)-1) ]) AS pair
+         |        FROM s${r - 1}) pr
+         |  GROUP BY 1, 2),
+         |best$r AS (
+         |  SELECT lhs, rhs, pair_cnt FROM p$r
+         |  ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
+         |s$r AS (
+         |  SELECT cnt,
+         |    list_reduce([ [s] for s in syms ],
+         |      (acc, x) -> CASE
+         |        WHEN len(acc) > 0 AND acc[-1] = b.lhs AND x[1] = b.rhs
+         |        THEN list_append(list_slice(acc, 1, len(acc)-1),
+         |                         b.lhs || b.rhs)
+         |        ELSE list_concat(acc, x) END) AS syms
+         |  FROM s${r - 1}, best$r b)""".stripMargin
+    }
+    val tail = (1 to rounds).map { r =>
+      s"SELECT $r::BIGINT AS round, lhs, rhs, lhs || rhs AS merged, pair_cnt FROM best$r"
+    }.mkString("\nUNION ALL ")
+    (head +: roundCtes).mkString(",\n") + "\n" + tail
+  }
+
   /** Heavy hitters: the engine prunes with a Misra-Gries sketch then
     * re-counts candidates exactly; the sketch guarantee (every token
     * above N/(capacity+1) survives) makes the result identical to the

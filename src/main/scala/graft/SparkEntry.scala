@@ -182,6 +182,9 @@ object SparkEntry {
     "doc_keywords" -> ((s, dir) => TextAnalysis.docKeywords(docs(s, dir))),
     "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(docs(s, dir))),
     "encode_docs" -> ((s, dir) => TextAnalysis.encodeDocs(docs(s, dir))),
+    // tokenizer TRAINING: the first 3 learned BPE merges, each round
+    // vocab-bounded after the one corpus-sized word-count aggregate
+    "bpe_merges" -> ((s, dir) => graft.llm.Bpe.merges(docs(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(docs(s, dir))),
     "examples_per_source" -> ((s, dir) =>
@@ -307,6 +310,7 @@ object SparkEntry {
     "doc_keywords" -> OraclesLlm.docKeywords,
     "oov_rate" -> OraclesLlm.oovRate,
     "encode_docs" -> OraclesLlm.encodeDocs,
+    "bpe_merges" -> OraclesLlm.bpeMerges,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
     "examples_per_source" -> OraclesLlm.examplesPerSource,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,

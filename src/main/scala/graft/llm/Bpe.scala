@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFns._
+
+/** BPE tokenizer TRAINING as a distributed dataflow: learn the top
+  * byte-pair (here: character-pair) merges of the corpus, the missing
+  * half of the tokenizer story next to [[TextAnalysis.encodeDocs]]
+  * (which APPLIES a vocabulary).
+  *
+  * Classic formulation (Sennrich et al. 2016): operate on the WORD
+  * COUNT table, not the raw corpus — each word is a symbol sequence
+  * seeded with its characters, and every round (a) counts adjacent
+  * symbol pairs weighted by word frequency, (b) picks the most
+  * frequent pair (count desc, then lexicographic — deterministic), and
+  * (c) rewrites every word's sequence merging that pair left-to-right
+  * non-overlapping.
+  *
+  * Scale shape: the corpus-sized work is the ONE `groupBy(token)`
+  * building word counts (a shuffle of (token, count) partials); every
+  * merge round after that is bounded by the VOCABULARY — pair counting
+  * is a hash aggregate over ≤ |vocab|·maxlen slim rows, the best pair
+  * is a `TakeOrderedAndProject` limit-1 (never a full sort), and the
+  * rewrite is a stateless projection against the 1-row broadcast. At
+  * 100 TB the rounds cost the same as at 100 GB.
+  *
+  * The rewrite fold is back-looking — append each symbol unless the
+  * accumulator's last symbol is `lhs` and the current is `rhs`, in
+  * which case replace the last with the merge. This is provably
+  * identical to the left-to-right scan (a merged symbol `lhs·rhs` can
+  * never equal `lhs`, so a fresh merge is never itself extended), and
+  * both Spark's `aggregate` HOF and DuckDB's `list_reduce` express it
+  * with identical semantics — the oracle replays every round
+  * bit-for-bit.
+  */
+object Bpe {
+
+  /** The first `rounds` learned merges: one row per round —
+    * (round, lhs, rhs, merged, pair_cnt). */
+  def merges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val words = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), chars(col("token")).as("syms"))
+    val (outs, _) = (1 to rounds).foldLeft((Vector.empty[DataFrame], words)) {
+      case ((acc, w), round) =>
+        val pairs = w
+          .select(col("cnt"),
+            explode_outer(when(size(col("syms")) >= 2,
+              transform(sequence(lit(1), size(col("syms")) - 1),
+                i => struct(element_at(col("syms"), i).as("l"),
+                  element_at(col("syms"), i + 1).as("r"))))).as("p"))
+          .filter(col("p").isNotNull)
+          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .agg(sum("cnt").as("pair_cnt"))
+        val best = pairs
+          .orderBy(col("pair_cnt").desc, col("lhs"), col("rhs")).limit(1)
+        val rewritten = w.crossJoin(broadcast(best))
+          .select(col("cnt"),
+            mergeFold(col("syms"), col("lhs"), col("rhs")).as("syms"))
+        val out = best.select(lit(round).cast("long").as("round"),
+          col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("pair_cnt"))
+        (acc :+ out, rewritten)
+    }
+    outs.reduce(_ unionAll _)
+  }
+
+  /** Left-to-right non-overlapping merge of adjacent (lhs, rhs) as a
+    * back-looking fold (see object doc for the equivalence argument).
+    * `&&` short-circuits, so `element_at(acc, -1)` never runs on the
+    * empty accumulator. */
+  private def mergeFold(syms: Column, lhs: Column, rhs: Column): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lhs && s === rhs,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(lhs, rhs))))
+          .otherwise(concat(acc, array(s))))
+}

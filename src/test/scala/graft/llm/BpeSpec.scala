@@ -1,0 +1,42 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BPE merges reproduce the classic low/lower/lowest example") {
+    val docs = Seq((0L, "low low low"), (1L, "lower lowest"))
+      .toDF("doc_id", "text")
+    val got = Bpe.merges(docs, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    // r1: l·o and o·w tie at 5 → lexicographic picks (l,o); r2 merges
+    // lo·w at 5; r3 low·e at 2 (lower + lowest)
+    assert(got.toSeq == Seq(
+      (1L, "l", "o", "lo", 5L),
+      (2L, "lo", "w", "low", 5L),
+      (3L, "low", "e", "lowe", 2L)))
+  }
+
+  test("merge rewrite is left-to-right non-overlapping (a a a a -> aa aa)") {
+    // merging (a,a): four a's collapse pairwise, three leave a tail 'a'
+    val docs = Seq((0L, "aaaa aaaa aaa")).toDF("doc_id", "text")
+    // 'aaaa' and 'aaa' are words of a-chars; round 1 best pair is (a,a)
+    val got = Bpe.merges(docs, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .sortBy(_._1)
+    // r1 pairs: 'aaaa'×2 → 3 each = 6, 'aaa' → 2; (a,a) cnt 8
+    assert(got(0) == ((1L, "a", "a", 8L)))
+    // after rewrite: aaaa→[aa,aa] (non-overlap!), aaa→[aa,a]
+    // r2 pairs: (aa,aa)×2=2, (aa,a)×1=1 → best (aa,aa) cnt 2
+    assert(got(1) == ((2L, "aa", "aa", 2L)))
+  }
+
+  test("single-char and unique words contribute no pairs but survive rewrites") {
+    val docs = Seq((0L, "x x x y z ab ab")).toDF("doc_id", "text")
+    val got = Bpe.merges(docs, rounds = 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", "b", 2L)))
+  }
+}
