@@ -616,10 +616,25 @@ object OraclesLlm {
     * its first step). The back-looking merge rule is equivalent to the
     * left-to-right scan because a fresh merge `lhs·rhs` never equals
     * `lhs`. */
-  val bpeMerges: String = {
-    val rounds = 3
+  /** The back-looking merge fold (left-to-right non-overlapping; see
+    * `graft.llm.Bpe`) over `syms`, with the pair from correlated CTE
+    * alias `b`. DuckDB's init-less `list_reduce` runs over
+    * singleton-list elements so the accumulator seeds with the first
+    * symbol — identical to Spark's empty-seed fold after one step. */
+  private def bpeFoldE: String = frag(
+    """list_reduce([ [s] for s in syms ],
+      |      (acc, x) -> CASE
+      |        WHEN len(acc) > 0 AND acc[-1] = b.lhs AND x[1] = b.rhs
+      |        THEN list_append(list_slice(acc, 1, len(acc)-1),
+      |                         b.lhs || b.rhs)
+      |        ELSE list_concat(acc, x) END)""".stripMargin)
+
+  /** Shared BPE training CTE block: word counts, then per round pair
+    * counting → deterministic best pair (count desc, lexicographic) →
+    * rewrite. Defines `w, s0..sN, p1..pN, best1..bestN`. */
+  private def bpeCtes(rounds: Int): String = {
     val head =
-      s"""WITH w AS (
+      s"""w AS (
          |  SELECT token, count(*)::BIGINT AS cnt
          |  FROM (SELECT unnest(${toksE("text")}) AS token FROM documents)
          |  GROUP BY token),
@@ -637,19 +652,39 @@ object OraclesLlm {
          |  SELECT lhs, rhs, pair_cnt FROM p$r
          |  ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
          |s$r AS (
-         |  SELECT cnt,
-         |    list_reduce([ [s] for s in syms ],
-         |      (acc, x) -> CASE
-         |        WHEN len(acc) > 0 AND acc[-1] = b.lhs AND x[1] = b.rhs
-         |        THEN list_append(list_slice(acc, 1, len(acc)-1),
-         |                         b.lhs || b.rhs)
-         |        ELSE list_concat(acc, x) END) AS syms
+         |  SELECT cnt, $bpeFoldE AS syms
          |  FROM s${r - 1}, best$r b)""".stripMargin
     }
+    (head +: roundCtes).mkString(",\n")
+  }
+
+  val bpeMerges: String = {
+    val rounds = 3
     val tail = (1 to rounds).map { r =>
       s"SELECT $r::BIGINT AS round, lhs, rhs, lhs || rhs AS merged, pair_cnt FROM best$r"
     }.mkString("\nUNION ALL ")
-    (head +: roundCtes).mkString(",\n") + "\n" + tail
+    "WITH " + bpeCtes(rounds) + "\n" + tail
+  }
+
+  /** Apply the learned merges to the corpus: per-doc token count and
+    * post-merge symbol count (docs with no tokens vanish via unnest,
+    * matching Spark's inner explode). */
+  val bpeEncode: String = {
+    val rounds = 3
+    val encCtes = (1 to rounds).map { r =>
+      s"""e$r AS (
+         |  SELECT doc_id, n_tokens, $bpeFoldE AS syms
+         |  FROM e${r - 1}, best$r b)""".stripMargin
+    }
+    ("WITH " + bpeCtes(rounds) + ",\n" +
+      s"""enc AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS n_tokens, unnest(toks) AS token
+         |  FROM (SELECT doc_id, ${toksE("text")} AS toks FROM documents)),
+         |e0 AS (SELECT doc_id, n_tokens, string_split(token, '') AS syms FROM enc)""".stripMargin +
+      ",\n" + encCtes.mkString(",\n") + "\n" +
+      s"""SELECT doc_id, max(n_tokens) AS n_tokens,
+         |  sum(len(syms))::BIGINT AS n_symbols
+         |FROM e$rounds GROUP BY doc_id""".stripMargin)
   }
 
   /** Heavy hitters: the engine prunes with a Misra-Gries sketch then

@@ -185,6 +185,9 @@ object SparkEntry {
     // tokenizer TRAINING: the first 3 learned BPE merges, each round
     // vocab-bounded after the one corpus-sized word-count aggregate
     "bpe_merges" -> ((s, dir) => graft.llm.Bpe.merges(docs(s, dir))),
+    // tokenizer application: per-doc compression accounting after the
+    // learned merges (train -> apply, one corpus scan each)
+    "bpe_encode" -> ((s, dir) => graft.llm.Bpe.encode(docs(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(docs(s, dir))),
     "examples_per_source" -> ((s, dir) =>
@@ -311,6 +314,7 @@ object SparkEntry {
     "oov_rate" -> OraclesLlm.oovRate,
     "encode_docs" -> OraclesLlm.encodeDocs,
     "bpe_merges" -> OraclesLlm.bpeMerges,
+    "bpe_encode" -> OraclesLlm.bpeEncode,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
     "examples_per_source" -> OraclesLlm.examplesPerSource,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 import TextFns._
 
-/** BPE tokenizer TRAINING as a distributed dataflow: learn the top
-  * byte-pair (here: character-pair) merges of the corpus, the missing
-  * half of the tokenizer story next to [[TextAnalysis.encodeDocs]]
-  * (which APPLIES a vocabulary).
+/** BPE tokenizer TRAINING and APPLICATION as distributed dataflow:
+  * learn the top byte-pair (here: character-pair) merges of the
+  * corpus, then encode documents with them — the tokenizer-lifecycle
+  * half next to [[TextAnalysis.encodeDocs]] (which applies a
+  * word-level vocabulary).
   *
   * Classic formulation (Sennrich et al. 2016): operate on the WORD
   * COUNT table, not the raw corpus — each word is a symbol sequence
@@ -24,7 +25,9 @@ import TextFns._
   * is a hash aggregate over ≤ |vocab|·maxlen slim rows, the best pair
   * is a `TakeOrderedAndProject` limit-1 (never a full sort), and the
   * rewrite is a stateless projection against the 1-row broadcast. At
-  * 100 TB the rounds cost the same as at 100 GB.
+  * 100 TB the rounds cost the same as at 100 GB. Application
+  * ([[encode]]) is one corpus scan through `rounds` chained stateless
+  * folds — no shuffle beyond the final per-doc rollup.
   *
   * The rewrite fold is back-looking — append each symbol unless the
   * accumulator's last symbol is `lhs` and the current is `rhs`, in
@@ -37,14 +40,15 @@ import TextFns._
   */
 object Bpe {
 
-  /** The first `rounds` learned merges: one row per round —
-    * (round, lhs, rhs, merged, pair_cnt). */
-  def merges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+  /** The per-round best-pair tables (each one row: lhs, rhs, pair_cnt),
+    * lazily chained — round r's pairs are counted over sequences
+    * rewritten by rounds 1..r−1. */
+  private def learn(docs: DataFrame, rounds: Int): Vector[DataFrame] = {
     val words = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), chars(col("token")).as("syms"))
-    val (outs, _) = (1 to rounds).foldLeft((Vector.empty[DataFrame], words)) {
-      case ((acc, w), round) =>
+    val (bests, _) = (1 to rounds).foldLeft((Vector.empty[DataFrame], words)) {
+      case ((acc, w), _) =>
         val pairs = w
           .select(col("cnt"),
             explode_outer(when(size(col("syms")) >= 2,
@@ -59,12 +63,42 @@ object Bpe {
         val rewritten = w.crossJoin(broadcast(best))
           .select(col("cnt"),
             mergeFold(col("syms"), col("lhs"), col("rhs")).as("syms"))
-        val out = best.select(lit(round).cast("long").as("round"),
-          col("lhs"), col("rhs"),
-          concat(col("lhs"), col("rhs")).as("merged"), col("pair_cnt"))
-        (acc :+ out, rewritten)
+        (acc :+ best, rewritten)
     }
-    outs.reduce(_ unionAll _)
+    bests
+  }
+
+  /** The first `rounds` learned merges: one row per round —
+    * (round, lhs, rhs, merged, pair_cnt). */
+  def merges(docs: DataFrame, rounds: Int = 3): DataFrame =
+    learn(docs, rounds).zipWithIndex.map { case (best, i) =>
+      best.select(lit(i + 1L).as("round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_cnt"))
+    }.reduce(_ unionAll _)
+
+  /** Apply the learned merges to the corpus: per doc, the token count
+    * and the symbol count after all `rounds` merges — the compression
+    * accounting that decides whether a merge budget is worth shipping.
+    * One corpus scan through chained stateless folds (each round's
+    * 1-row best broadcast); only (doc_id, counts) reach the rollup.
+    * Docs whose text yields no tokens vanish on both sides (inner
+    * explode ≡ the oracle's unnest). */
+  def encode(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val perToken = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        explode(col("toks")).as("token"))
+      .withColumn("syms", chars(col("token")))
+    val encoded = learn(docs, rounds).zipWithIndex
+      .foldLeft(perToken) { case (df, (best, i)) =>
+        df.crossJoin(broadcast(
+            best.select(col("lhs").as(s"l$i"), col("rhs").as(s"r$i"))))
+          .withColumn("syms", mergeFold(col("syms"), col(s"l$i"), col(s"r$i")))
+      }
+    encoded
+      .groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"),
+        sum(size(col("syms")).cast("long")).as("n_symbols"))
   }
 
   /** Left-to-right non-overlapping merge of adjacent (lhs, rhs) as a

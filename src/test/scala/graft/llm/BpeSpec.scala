@@ -39,4 +39,24 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
     assert(got.toSeq == Seq(("a", "b", 2L)))
   }
+
+  test("encode applies the learned merges: low/lower/lowest compresses as expected") {
+    val docs = Seq((0L, "low low low"), (1L, "lower lowest"))
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(docs, rounds = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_symbols")))).toMap
+    // merges: lo, low, lowe. doc 0: 3×"low" → [low] each = 3 symbols.
+    // doc 1: "lower" → [lowe, r] (2), "lowest" → [lowe, s, t] (3) = 5.
+    assert(got == Map(0L -> ((3L, 3L)), 1L -> ((2L, 5L))))
+  }
+
+  test("encode drops token-less docs on both sides and counts unmergeable chars") {
+    val docs = Seq((0L, "  "), (1L, "zq zq")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, rounds = 1).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_symbols")))).toMap
+    // doc 0 has no tokens → absent; merge (z,q) → each "zq" = 1 symbol
+    assert(got == Map(1L -> ((2L, 2L))))
+  }
 }
