@@ -112,7 +112,7 @@ object Bpe {
     * back-looking fold (see object doc for the equivalence argument).
     * `&&` short-circuits, so `element_at(acc, -1)` never runs on the
     * empty accumulator. */
-  private def mergeFold(syms: Column, lhs: Column, rhs: Column): Column =
+  private[llm] def mergeFold(syms: Column, lhs: Column, rhs: Column): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, s) =>
         when(size(acc) > 0 && element_at(acc, -1) === lhs && s === rhs,

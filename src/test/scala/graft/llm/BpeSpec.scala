@@ -51,6 +51,40 @@ class BpeSpec extends SparkSpec {
     assert(got == Map(0L -> ((3L, 3L)), 1L -> ((2L, 5L))))
   }
 
+  test("mergeFold equals a reference left-to-right scan on adversarial sequences") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // alphabet engineered so merged symbols collide with existing ones
+    // (merging (a,a) yields "aa" which is itself a symbol, etc.)
+    val sym = Gen.oneOf("a", "b", "aa", "ab", "ba")
+    val seqGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, sym))
+    val samples = Gen.listOfN(400, seqGen)
+      .apply(Gen.Parameters.default, Seed(91L)).get
+    def ref(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    for ((l, r) <- Seq(("a", "a"), ("a", "b"), ("aa", "a"), ("b", "aa"))) {
+      val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "syms")
+      val got = df.select($"id",
+          Bpe.mergeFold($"syms", org.apache.spark.sql.functions.lit(l),
+            org.apache.spark.sql.functions.lit(r)).as("m"))
+        .collect().map(row => row.getLong(0) -> row.getSeq[String](1).toList)
+        .toMap
+      samples.zipWithIndex.foreach { case (s, i) =>
+        assert(got(i.toLong) == ref(s, l, r),
+          s"pair ($l,$r) diverged on $s: ${got(i.toLong)} vs ${ref(s, l, r)}")
+      }
+    }
+  }
+
   test("encode drops token-less docs on both sides and counts unmergeable chars") {
     val docs = Seq((0L, "  "), (1L, "zq zq")).toDF("doc_id", "text")
     val got = Bpe.encode(docs, rounds = 1).collect()
