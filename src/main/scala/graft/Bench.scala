@@ -111,11 +111,12 @@ object Bench {
     * `processedRowsPerSecond` on a saturated batch (rows ÷ batch
     * duration) is exactly the pipeline's processing speed; live
     * 1 s-trigger evidence lives in artifacts/SOAK*.jsonl ([[Soak]]). */
-  /** Feed sizing: 720k ids/core × 4 batches ⇒ ~5.3M-row micro-batches
-    * after the P-12 filter. Per-batch fixed costs (file listing, offset
-    * log commit, planning the noop write) measured ~1.5 s; at ~6 s of
-    * compute per batch they cost <20% of the reported rate, where the
-    * earlier 1.9M-row batches lost ~40% to them. */
+  /** Feed sizing: 720k ids/core × 32 cores = 23M ids, P-12 keeps 24/35
+    * ⇒ ~15.8M wire lines, ~3.95M rows per batch across 4 batches.
+    * Per-batch fixed costs (file listing, offset log commit, planning
+    * the noop write) measured ~1.5 s; at ~4-5 s of compute per batch
+    * they cost <25% of the reported rate, where the earlier 1.9M-row
+    * batches lost ~40% to them. */
   val FeedRowsPerCore = 720000L
   val StreamBatches = 4
   val StreamTimeoutMs = 180000L
@@ -126,26 +127,22 @@ object Bench {
       val tmp = java.nio.file.Files.createTempDirectory("bench_stream")
       val feedDir = tmp.resolve("feed").toString
       val ckpt = tmp.resolve("ckpt").toString
-      // deterministic backlog: N ids → producer-filtered wire lines
-      // (the P-12 filter keeps 24/35 of ids ≈ 5.3M rows at 32 cpus) in
-      // StreamBatches×cpus text files, cpus files per trigger. A file
-      // source's micro-batch parallelism IS its file count — the
-      // earlier 2-files-per-trigger shape ran each batch as two
-      // ~million-row tasks on a 32-core box and "measured" 2-core
-      // throughput. cpus equal files per batch put one ~60k-row task
-      // on every core; batches stay big enough (~1.9M rows at 32
-      // cpus) that per-batch fixed costs don't dominate the rate
-      // 2 waves × cpus EQUAL ~1.2 MB files per micro-batch. Two scan
-      // traps both zero 30 of 32 cores, and both were measured here:
-      // (a) the default openCostInBytes (4 MB) exceeds the file size,
-      // so FileScan's bin-packing stuffed a whole batch into ~2 scan
-      // partitions (52k rows/s total, 26k/core — exactly the soak's
-      // per-core rate — with 30 cores idle); (b) 2 MB maxPartitionBytes
-      // over 2.4 MB files cut uneven 2 MB + 0.4 MB splits whose
-      // stragglers serialized batch tails. Files sized UNDER
-      // maxPartitionBytes with a small open cost give one even task
-      // per file; confs restored after the phase.
-      val wavesPerBatch = 2
+      // deterministic backlog: ids → producer-filtered wire lines in
+      // StreamBatches × wavesPerBatch × cpus EQUAL text files,
+      // wavesPerBatch×cpus files per trigger. A file source's
+      // micro-batch parallelism is its SPLIT count, and two scan traps
+      // both zeroed 30 of 32 cores here before they were measured and
+      // fixed: (a) the default openCostInBytes (4 MB) exceeds the
+      // file size, so FileScan's bin-packing stuffed a whole batch
+      // into ~2 scan partitions (52k rows/s total = 26k/core — the
+      // soak's per-core rate — with 30 cores idle); (b) files LARGER
+      // than maxPartitionBytes cut uneven tail splits (2 MB + rest)
+      // whose stragglers serialized batch tails. So: files sized
+      // UNDER the 2 MB maxPartitionBytes set below (~45k ids ⇒ ~31k
+      // lines ⇒ ~1.5 MB each) with a small open cost — one even task
+      // per file, 4 full waves per core per batch; confs restored
+      // after the phase.
+      val wavesPerBatch = 4
       val files = StreamBatches * wavesPerBatch * cpus
       SyntheticTweets.wireLines(
         spark.range(0, FeedRowsPerCore * cpus, 1, files).toDF("id"))

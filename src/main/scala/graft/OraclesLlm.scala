@@ -653,7 +653,7 @@ object OraclesLlm {
          |  ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
          |s$r AS (
          |  SELECT cnt, $bpeFoldE AS syms
-         |  FROM s${r - 1}, best$r b)""".stripMargin
+         |  FROM s${r - 1} LEFT JOIN best$r b ON true)""".stripMargin
     }
     (head +: roundCtes).mkString(",\n")
   }
@@ -674,7 +674,7 @@ object OraclesLlm {
     val encCtes = (1 to rounds).map { r =>
       s"""e$r AS (
          |  SELECT doc_id, n_tokens, $bpeFoldE AS syms
-         |  FROM e${r - 1}, best$r b)""".stripMargin
+         |  FROM e${r - 1} LEFT JOIN best$r b ON true)""".stripMargin
     }
     ("WITH " + bpeCtes(rounds) + ",\n" +
       s"""enc AS (

@@ -44,6 +44,7 @@ object Bpe {
     * lazily chained — round r's pairs are counted over sequences
     * rewritten by rounds 1..r−1. */
   private def learn(docs: DataFrame, rounds: Int): Vector[DataFrame] = {
+    require(rounds >= 1, "need at least one merge round")
     val words = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), chars(col("token")).as("syms"))
@@ -60,7 +61,12 @@ object Bpe {
           .agg(sum("cnt").as("pair_cnt"))
         val best = pairs
           .orderBy(col("pair_cnt").desc, col("lhs"), col("rhs")).limit(1)
-        val rewritten = w.crossJoin(broadcast(best))
+        // LEFT join on true, not crossJoin: when a corpus exhausts its
+        // learnable merges early, `best` is EMPTY and a cross join
+        // would annihilate the word table (and, downstream, the whole
+        // encode output). A null pair makes the fold an identity
+        // rewrite instead.
+        val rewritten = w.join(broadcast(best), lit(true), "left")
           .select(col("cnt"),
             mergeFold(col("syms"), col("lhs"), col("rhs")).as("syms"))
         (acc :+ best, rewritten)
@@ -93,8 +99,10 @@ object Bpe {
       .withColumn("syms", chars(col("token")))
     val encodedVocab = learn(docs, rounds).zipWithIndex
       .foldLeft(vocab) { case (df, (best, i)) =>
-        df.crossJoin(broadcast(
-            best.select(col("lhs").as(s"l$i"), col("rhs").as(s"r$i"))))
+        // left-on-true for the same empty-best identity as in [[learn]]
+        df.join(broadcast(
+            best.select(col("lhs").as(s"l$i"), col("rhs").as(s"r$i"))),
+            lit(true), "left")
           .withColumn("syms", mergeFold(col("syms"), col(s"l$i"), col(s"r$i")))
       }
       .select(col("token"), size(col("syms")).cast("long").as("token_syms"))

@@ -40,36 +40,48 @@ object HeavyHitters {
     * merge tree the total undercount is ≤ N/(capacity+1), so every
     * token with true count above that threshold keeps a positive
     * counter. */
+  /** Buffer/output carry the EXACT total token count alongside the
+    * sketch — the stream length N the threshold needs — so the total
+    * costs no extra corpus scan (a separate `count()` branch would
+    * re-tokenize everything; cf. the tokenQuantiles fused-scan note). */
   final class MisraGriesAgg(capacity: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[String, Map[String, Long], Array[String]] {
-    def zero: Map[String, Long] = Map.empty
-    def reduce(b: Map[String, Long], t: String): Map[String, Long] =
-      b.get(t) match {
-        case Some(v) => b.updated(t, v + 1L)
-        case None if b.size < capacity => b.updated(t, 1L)
+      extends org.apache.spark.sql.expressions.Aggregator[String, (Long, Map[String, Long]), (Long, Array[String])] {
+    def zero: (Long, Map[String, Long]) = (0L, Map.empty)
+    def reduce(b: (Long, Map[String, Long]), t: String): (Long, Map[String, Long]) = {
+      val m = b._2.get(t) match {
+        case Some(v) => b._2.updated(t, v + 1L)
+        case None if b._2.size < capacity => b._2.updated(t, 1L)
         case None =>
-          b.iterator.collect { case (k, v) if v > 1L => k -> (v - 1L) }.toMap
+          b._2.iterator.collect { case (k, v) if v > 1L => k -> (v - 1L) }.toMap
       }
-    def merge(l: Map[String, Long], r: Map[String, Long]): Map[String, Long] = {
-      val m = r.foldLeft(l) { case (acc, (k, v)) =>
+      (b._1 + 1L, m)
+    }
+    def merge(l: (Long, Map[String, Long]),
+              r: (Long, Map[String, Long])): (Long, Map[String, Long]) = {
+      val m = r._2.foldLeft(l._2) { case (acc, (k, v)) =>
         acc.updated(k, acc.getOrElse(k, 0L) + v)
       }
-      if (m.size <= capacity) m
-      else {
-        val d = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
-        m.iterator.collect { case (k, v) if v > d => k -> (v - d) }.toMap
-      }
+      val capped =
+        if (m.size <= capacity) m
+        else {
+          val d = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+          m.iterator.collect { case (k, v) if v > d => k -> (v - d) }.toMap
+        }
+      (l._1 + r._1, capped)
     }
-    def finish(b: Map[String, Long]): Array[String] = b.keys.toArray.sorted
-    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
-    def outputEncoder: org.apache.spark.sql.Encoder[Array[String]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+    def finish(b: (Long, Map[String, Long])): (Long, Array[String]) =
+      (b._1, b._2.keys.toArray.sorted)
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Map[String, Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Map[String, Long])]()
+    def outputEncoder: org.apache.spark.sql.Encoder[(Long, Array[String])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[String])]()
   }
 
   /** Tokens occurring more than N/[[ThresholdDiv]] times, with exact
     * counts. Output is plain GROUP BY + HAVING semantics; the sketch is
-    * only the scan-side pruning device (see object doc). */
+    * only the scan-side pruning device (see object doc). Exactly two
+    * corpus scans: sketch+total in one pass, candidate recount in the
+    * second. */
   def heavyHitters(docs: DataFrame, capacity: Int = Capacity,
                    thresholdDiv: Int = ThresholdDiv): DataFrame = {
     require(thresholdDiv <= capacity,
@@ -77,14 +89,14 @@ object HeavyHitters {
     val spark = docs.sparkSession
     import spark.implicits._
     val tok = docs.select(explode(tokens(col("text"))).as("token"))
+    // one row per candidate, each carrying the exact total N
+    // the typed tuple output flattens to top-level _1 (total) / _2
     val cands = tok.as[String]
-      .select(new MisraGriesAgg(capacity).toColumn.name("cands"))
-      .select(explode(col("cands")).as("token"))
-    val tot = tok.select(count(lit(1)).as("n"))
+      .select(new MisraGriesAgg(capacity).toColumn)
+      .select(col("_1").as("n"), explode(col("_2")).as("token"))
     tok.join(broadcast(cands), "token")
       .groupBy("token")
-      .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(tot))
+      .agg(count(lit(1)).as("cnt"), first("n").as("n"))
       .filter(col("cnt") * thresholdDiv > col("n"))
       .select(col("token"), col("cnt"))
   }

@@ -262,6 +262,20 @@ object Similarity {
     topKByQuery(probed, k)
   }
 
+  /** Recall@k permille of an approximate index's (query_id, vec_id)
+    * result set against the brute-force ground truth — shared by the
+    * IVF and PQ evaluations so the recall contract lives in one place. */
+  private def recallPm(brute: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val a = approx.select(col("query_id"), col("vec_id").as("hit_vec"))
+    brute
+      .join(a, brute("query_id") === a("query_id") &&
+        brute("vec_id") === a("hit_vec"), "left")
+      .groupBy(brute("query_id"))
+      .agg(count(col("hit_vec")).as("hits"))
+      .select(col("query_id"),
+        expr(s"(1000 * hits) div $k").as("recall_pm"))
+  }
+
   /** ANN evaluation: recall@k of the IVF index against the brute-force
     * ground truth, in exact permille per query — the measurement a
     * training pipeline runs before trusting an index at scale. Both
@@ -269,18 +283,9 @@ object Similarity {
     * oracle-checkable. */
   def ivfRecall(embeddings: DataFrame, nCentroids: Int = 16,
                 nQueries: Int = 5, k: Int = 10, nprobe: Int = 1,
-                refineIters: Int = 0): DataFrame = {
-    val brute = cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id")
-    val ivf = ivfTopK(embeddings, nCentroids, nQueries, k, nprobe, refineIters)
-      .select(col("query_id"), col("vec_id").as("ivf_vec"))
-    brute
-      .join(ivf, brute("query_id") === ivf("query_id") &&
-        brute("vec_id") === ivf("ivf_vec"), "left")
-      .groupBy(brute("query_id"))
-      .agg(count(col("ivf_vec")).as("hits"))
-      .select(col("query_id"),
-        expr(s"(1000 * hits) div $k").as("recall_pm"))
-  }
+                refineIters: Int = 0): DataFrame =
+    recallPm(cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id"),
+      ivfTopK(embeddings, nCentroids, nQueries, k, nprobe, refineIters), k)
 
   // ---- product quantization (PQ) ----
 
@@ -363,18 +368,9 @@ object Similarity {
 
   /** Recall@k of the PQ index vs brute force — the compression-loss
     * measurement, exact permille per query (cf. [[ivfRecall]]). */
-  def pqRecall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val brute = cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id")
-    val pq = pqTopK(embeddings, nQueries, k)
-      .select(col("query_id"), col("vec_id").as("pq_vec"))
-    brute
-      .join(pq, brute("query_id") === pq("query_id") &&
-        brute("vec_id") === pq("pq_vec"), "left")
-      .groupBy(brute("query_id"))
-      .agg(count(col("pq_vec")).as("hits"))
-      .select(col("query_id"),
-        expr(s"(1000 * hits) div $k").as("recall_pm"))
-  }
+  def pqRecall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
+    recallPm(cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id"),
+      pqTopK(embeddings, nQueries, k), k)
 
   /** Corpus with injected identical vectors (vec_id ≡ 0 mod 10 copied
     * under vec_id+100000) — near-dup ground truth for the LSH pipeline. */

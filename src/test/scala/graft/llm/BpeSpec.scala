@@ -85,6 +85,21 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("merges and encode survive a corpus whose merges exhaust before the budget") {
+    // one learnable merge: after (a,b)->ab every word is a single
+    // symbol, so rounds 2-3 have empty pair tables. The empty best
+    // must act as an identity rewrite (left join on true), not
+    // annihilate the vocabulary through a cross join.
+    val docs = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val m = Bpe.merges(docs, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq((1L, "ab", 2L)))
+    val e = Bpe.encode(docs, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_symbols")))
+    assert(e.toSeq == Seq((0L, 2L, 2L)))
+  }
+
   test("encode drops token-less docs on both sides and counts unmergeable chars") {
     val docs = Seq((0L, "  "), (1L, "zq zq")).toDF("doc_id", "text")
     val got = Bpe.encode(docs, rounds = 1).collect()
