@@ -727,6 +727,33 @@ object OraclesLlm {
        |SELECT doc_id, count(*) AS n_flagged_shingles
        |FROM hits GROUP BY doc_id""".stripMargin
 
+  /** Snapshot delta: snapshot B drops doc_id ≡ 3 (mod 7), edits
+    * doc_id ≡ 0 (mod 5) with a ' v2' suffix, adds doc_id+300000 for
+    * doc_id ≡ 0 (mod 11); the report full-outer joins (doc_id, digest)
+    * pairs. */
+  val corpusDelta: String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS dig_a
+       |  FROM documents),
+       |bsrc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 7 != 3
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 11 = 0),
+       |b AS (
+       |  SELECT doc_id,
+       |    sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS dig_b
+       |  FROM bsrc)
+       |SELECT CASE WHEN dig_a IS NULL THEN 'added'
+       |            WHEN dig_b IS NULL THEN 'removed'
+       |            WHEN dig_a != dig_b THEN 'changed'
+       |            ELSE 'unchanged' END AS change,
+       |  count(*) AS n_docs
+       |FROM a FULL OUTER JOIN b USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   /** Chunk-level cross-doc dedup: 32-token zero-overlap chunks (the
     * docChunks arithmetic), chunk hash = polynomial hash of the joined
     * chunk text, boilerplate = hash in ≥ 2 distinct docs. */

@@ -144,6 +144,9 @@ object SparkEntry {
         Dedup.withExactDups(docs(s, dir), extra = Seq("source")))),
     "cross_source_overlap" -> ((s, dir) =>
       Dedup.crossSourceOverlap(Dedup.withMirroredDocs(docs(s, dir)))),
+    // incremental-crawl delta: (doc_id, digest) full-outer compare
+    "corpus_delta" -> ((s, dir) =>
+      Dedup.corpusDelta(docs(s, dir), Dedup.withSnapshotB(docs(s, dir)))),
     "minhash_dedup" -> ((s, dir) =>
       Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "minhash_signatures" -> ((s, dir) =>
@@ -291,6 +294,7 @@ object SparkEntry {
     "dedup_docs" -> OraclesLlm.dedupDocs,
     "dedup_rate_by_source" -> OraclesLlm.dedupRateBySource,
     "cross_source_overlap" -> OraclesLlm.crossSourceOverlap,
+    "corpus_delta" -> OraclesLlm.corpusDelta,
     "minhash_dedup" -> OraclesLlm.minhashDedup,
     "minhash_signatures" -> OraclesLlm.minhashSignatures,
     "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,

@@ -575,6 +575,40 @@ object Dedup {
         org.apache.spark.sql.GraftColumnBridge.expression(v),
         org.apache.spark.sql.GraftColumnBridge.expression(bits)))
 
+  // ---- snapshot delta ----
+
+  /** Snapshot B of the corpus for [[corpusDelta]]'s fixture: docs with
+    * doc_id ≡ 3 (mod 7) dropped, docs with doc_id ≡ 0 (mod 5) edited
+    * (a version suffix), and new docs (doc_id+300000) for
+    * doc_id ≡ 0 (mod 11). */
+  def withSnapshotB(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+
+  /** Incremental-crawl accounting: compare two corpus snapshots by
+    * doc_id and report how many docs were added / removed / changed /
+    * unchanged — the delta report that decides whether a recrawl is
+    * worth a full re-curation pass. Each side collapses to
+    * (doc_id, digest) before the full-outer join, so the shuffle
+    * carries 40 bytes per doc regardless of document size; the rollup
+    * is a 4-row aggregate. */
+  def corpusDelta(a: DataFrame, b: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, name: String) =
+      df.select(col("doc_id"),
+        sha2(TextAnalysis.normalize(col("text")), 256).as(name))
+    keyed(a, "dig_a").join(keyed(b, "dig_b"), Seq("doc_id"), "full_outer")
+      .select(
+        when(col("dig_a").isNull, "added")
+          .when(col("dig_b").isNull, "removed")
+          .when(col("dig_a") =!= col("dig_b"), "changed")
+          .otherwise("unchanged").as("change"))
+      .groupBy("change").agg(count(lit(1)).as("n_docs"))
+  }
+
   // ---- chunk-level cross-document dedup ----
 
   /** Sub-document dedup — the "repeated line removal" pass (à la

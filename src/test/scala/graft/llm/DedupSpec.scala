@@ -248,6 +248,21 @@ class DedupSpec extends SparkSpec {
     assert(got(51L) == ((2L, 0L, 40L)))     // 32+8 tokens, all unique
   }
 
+  test("corpusDelta classifies added/removed/changed/unchanged by id+digest") {
+    val a = Seq(
+      (1L, "kept as is"), (2L, "will change"), (3L, "will be removed"))
+      .toDF("doc_id", "text")
+    val b = Seq(
+      (1L, "KEPT  as is"),        // digest-equal after normalization
+      (2L, "changed content"),
+      (4L, "brand new doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDelta(a, b).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   test("chunkDedup: a shared chunk inside otherwise-unique docs is stripped") {
     val shared = (0 until 32).map(i => s"s$i").mkString(" ")
     val a = shared + " " + (0 until 32).map(i => s"a$i").mkString(" ")
