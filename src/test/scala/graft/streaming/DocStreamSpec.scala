@@ -86,6 +86,42 @@ class DocStreamSpec extends SparkSpec {
     assert(kept == Set(31L, 33L))
   }
 
+  test("dedup state survives a restart: a post-recovery duplicate is still dropped") {
+    // the state store holds content digests; if only source offsets
+    // recovered (and not state), the batch-2 duplicate would pass
+    import org.apache.spark.sql.types._
+    val in = Files.createTempDirectory("docdedup_in").toString
+    val ckpt = Files.createTempDirectory("docdedup_ckpt").toString
+    val outDir = Files.createTempDirectory("docdedup_out").toString + "/out"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("event_time", TimestampType)))
+    def stream() = spark.readStream.schema(schema).csv(in)
+    Files.writeString(java.nio.file.Path.of(in, "a.csv"),
+      "1,duplicated content,2026-01-01T00:00:00.000Z\n" +
+        "2,other content,2026-01-01T00:00:01.000Z")
+    val q1 = DocStream.dedupDocs(stream())
+      .select("doc_id", "text")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(outDir).count() == 2)
+    // doc 3 duplicates doc 1's content, inside the 10-minute watermark
+    Files.writeString(java.nio.file.Path.of(in, "b.csv"),
+      "3,duplicated content,2026-01-01T00:01:00.000Z\n" +
+        "4,fresh content,2026-01-01T00:01:01.000Z")
+    val q2 = DocStream.dedupDocs(stream())
+      .select("doc_id", "text")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val ids = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L), s"got $ids")
+  }
+
   test("bloom gate agrees with the distributed bloomContamination operator") {
     import graft.llm.Dedup
     val docs = Seq(
