@@ -365,6 +365,30 @@ object OraclesLlm {
   val ivfRecallKm: String = ivfRecallSql(1, refine = 1)
   val ivfRecallKm2: String = ivfRecallSql(1, refine = 2)
 
+  /** Feature-hashed doc vectors (mirrors `TextAnalysis.hashVectors`:
+    * slot d counts tokens whose polyhash ≡ d mod 64; token-less docs
+    * drop) through the cosine top-k contract. */
+  val docSimTopK: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id AS vec_id,
+       |    [len(list_filter(ths, h -> h % 64 = d))::BIGINT
+       |     for d in range(64)] AS qv
+       |  FROM th WHERE len(ths) > 0),
+       |q AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id < 5),
+       |c AS (SELECT vec_id, qv AS cv FROM v),
+       |scored AS (
+       |  SELECT query_id, vec_id, ${cosE("qv", "cv")} AS cos
+       |  FROM c, q WHERE vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, round(cos, 6) AS score, rank
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** PQ CTE block (mirrors `Similarity.pqTopK`): 8 sub-slices per
     * vector, codebook = first-16 vectors' slices with integer norms²,
     * encode = argmin exact squared L2 (row_number with code tiebreak ≡

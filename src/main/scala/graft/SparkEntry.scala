@@ -228,6 +228,10 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), refineIters = 2)),
     "ivf_recall_km2" -> ((s, dir) =>
       Similarity.ivfRecall(Tables.embeddings(s, dir), refineIters = 2)),
+    // feature-hashed doc vectors through the shared cosine top-k:
+    // text-sourced and embedding-sourced vectors, one similarity stack
+    "doc_sim_topk" -> ((s, dir) =>
+      Similarity.cosineTopKQ(TextAnalysis.hashVectors(docs(s, dir)))),
     // product quantization: 8-byte codes, asymmetric-LUT scoring
     "pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir))),
@@ -334,6 +338,7 @@ object SparkEntry {
     "ivf_recall_km" -> OraclesLlm.ivfRecallKm,
     "ivf_topk_km2" -> OraclesLlm.ivfTopKKm2,
     "ivf_recall_km2" -> OraclesLlm.ivfRecallKm2,
+    "doc_sim_topk" -> OraclesLlm.docSimTopK,
     "pq_topk" -> OraclesLlm.pqTopK,
     "pq_recall" -> OraclesLlm.pqRecall,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,

@@ -89,16 +89,21 @@ object Similarity {
     * hash aggregate, NOT a per-query window: the window would shuffle
     * every scored corpus row to one task per query and sort the whole
     * corpus there; the aggregator ships ≤ k hits per (query, partition). */
-  def cosineTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+  def cosineTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
+    cosineTopKQ(embeddings.select(col("vec_id"),
+      quantize(col("embedding")).as("qv")), nQueries, k)
+
+  /** [[cosineTopK]] over ALREADY-quantized integer vectors — shared by
+    * the embedding path and the feature-hashed document vectors
+    * ([[TextAnalysis.hashVectors]]). */
+  def cosineTopKQ(vecs: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
     // norms staged per vector — recomputing them per (query, candidate)
     // pair would redo a 64-element fold n_queries times per corpus row
-    val q = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv"))
       .withColumn("qn", sqrt(norm2Q(col("qv")).cast("double")))
-    val c = embeddings
-      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+    val c = vecs
+      .select(col("vec_id"), col("qv").as("cv"))
       .withColumn("cn", sqrt(norm2Q(col("cv")).cast("double")))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -552,4 +552,31 @@ object TextAnalysis {
         col("col.cos").cast("long").as("quality"),
         (col("pos") + 1L).cast("long").as("rank"))
   }
+
+  /** Feature-hashing vectorizer (the "hashing trick"): each doc becomes
+    * a dense `dim`-long integer count vector — slot d counts the
+    * tokens whose polynomial hash lands in bucket d. No vocabulary to
+    * build or broadcast, bounded memory per doc, and the exact integer
+    * counts make the vectors oracle-reproducible. Output shape
+    * (vec_id, qv) plugs straight into the quantized similarity stack
+    * ([[Similarity.cosineTopKQ]]) — text-sourced vectors and embedding
+    * vectors share one top-k/ANN implementation.
+    *
+    * Shuffle shape: (doc_id, bucket) partial counts hash-aggregate,
+    * then ≤ dim entries per doc assemble via map lookup over a static
+    * sequence — the `collect_list` is bounded by the PARAMETER dim,
+    * never by document size. Token-less docs vanish (inner explode),
+    * so every emitted vector has a positive norm. */
+  def hashVectors(docs: DataFrame, dim: Int = 64): DataFrame =
+    docs
+      .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"), explode(col("ths")).as("th"))
+      .groupBy(col("doc_id"), pmod(col("th"), lit(dim.toLong)).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("d"), col("cnt"))))
+        .as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          d => coalesce(element_at(col("m"), d), lit(0L))).as("qv"))
 }

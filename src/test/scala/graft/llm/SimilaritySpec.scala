@@ -124,6 +124,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getAs[Double]("score") == 1.0)
   }
 
+  test("hashVectors: duplicate text ranks first at cosine 1 through the shared top-k") {
+    val docs = Seq(
+      (0L, "spark shuffles data across the cluster quickly"),
+      (1L, "totally different words about windows and joins"),
+      (2L, "filler content one"), (3L, "filler content two"),
+      (4L, "filler content three"),
+      (17L, "spark shuffles data across the cluster quickly") // dup of 0
+    ).toDF("doc_id", "text")
+    val vecs = TextAnalysis.hashVectors(docs)
+    // identical text → identical count vector → cosine exactly 1
+    val top = Similarity.cosineTopKQ(vecs, nQueries = 1, k = 3)
+      .filter(col("rank") === 1L).collect().head
+    assert(top.getAs[Long]("vec_id") == 17L)
+    assert(top.getAs[Double]("score") == 1.0)
+    // vector invariant: slot sums equal token counts
+    val sums = vecs.select(col("vec_id"),
+      aggregate(col("qv"), lit(0L), (a, x) => a + x).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums(0L) == 7L && sums(17L) == 7L && sums(1L) == 7L)
+  }
+
   test("PQ recall vs brute force on real embeddings (sf0.001)") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")
