@@ -248,6 +248,22 @@ class DedupSpec extends SparkSpec {
     assert(got(51L) == ((2L, 0L, 40L)))     // 32+8 tokens, all unique
   }
 
+  test("chunkDedup survives a pathologically hot chunk (10k identical docs)") {
+    // the cookie-banner case: one 32-token chunk shared by 10k docs.
+    // The distinct+count side collapses it to ONE row; no doc-sized
+    // rows or lists materialize anywhere.
+    val words = (0 until 32).map(i => s"w$i").mkString(" ")
+    val docs = spark.range(10000).select(col("id").as("doc_id"),
+      concat(lit(words), lit(" u"), col("id")).as("text"))
+    val got = Dedup.chunkDedup(docs).collect()
+      .map(r => (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_boilerplate"),
+        r.getAs[Long]("kept_tokens")))
+    assert(got.length == 10000)
+    // every doc: chunk 0 = the shared 32 tokens (boilerplate), chunk 1
+    // = its unique "u<id>" token (kept)
+    assert(got.forall(_ == ((2L, 1L, 1L))))
+  }
+
   test("corpusDelta classifies added/removed/changed/unchanged by id+digest") {
     val a = Seq(
       (1L, "kept as is"), (2L, "will change"), (3L, "will be removed"))
