@@ -752,9 +752,9 @@ object OraclesLlm {
        |FROM hits GROUP BY doc_id""".stripMargin
 
   /** Snapshot delta: snapshot B drops doc_id ≡ 3 (mod 7), edits
-    * doc_id ≡ 0 (mod 5) with a ' v2' suffix, adds doc_id+300000 for
-    * doc_id ≡ 0 (mod 11); the report full-outer joins (doc_id, digest)
-    * pairs. */
+    * doc_id ≡ 0 (mod 5) with a ' v2' suffix, adds −doc_id−1 for
+    * doc_id ≡ 0 (mod 11) (negative ids are disjoint from real ids at
+    * any SF); the report full-outer joins (doc_id, digest) pairs. */
   val corpusDelta: String =
     s"""WITH a AS (
        |  SELECT doc_id,
@@ -765,7 +765,7 @@ object OraclesLlm {
        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
        |  FROM documents WHERE doc_id % 7 != 3
        |  UNION ALL
-       |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 11 = 0),
+       |  SELECT -doc_id - 1, text FROM documents WHERE doc_id % 11 = 0),
        |b AS (
        |  SELECT doc_id,
        |    sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS dig_b

@@ -42,13 +42,15 @@ object Bpe {
 
   /** The per-round best-pair tables (each one row: lhs, rhs, pair_cnt),
     * lazily chained — round r's pairs are counted over sequences
-    * rewritten by rounds 1..r−1. */
-  private def learn(docs: DataFrame, rounds: Int): Vector[DataFrame] = {
+    * rewritten by rounds 1..r−1 — plus the FINAL word table
+    * (token, cnt, syms) after all rewrites, so [[encode]] can reuse it
+    * instead of re-aggregating the corpus and re-applying the merges. */
+  private def learn(docs: DataFrame, rounds: Int): (Vector[DataFrame], DataFrame) = {
     require(rounds >= 1, "need at least one merge round")
     val words = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), chars(col("token")).as("syms"))
-    val (bests, _) = (1 to rounds).foldLeft((Vector.empty[DataFrame], words)) {
+      .select(col("token"), col("cnt"), chars(col("token")).as("syms"))
+    (1 to rounds).foldLeft((Vector.empty[DataFrame], words)) {
       case ((acc, w), _) =>
         val pairs = w
           .select(col("cnt"),
@@ -67,17 +69,16 @@ object Bpe {
         // encode output). A null pair makes the fold an identity
         // rewrite instead.
         val rewritten = w.join(broadcast(best), lit(true), "left")
-          .select(col("cnt"),
+          .select(col("token"), col("cnt"),
             mergeFold(col("syms"), col("lhs"), col("rhs")).as("syms"))
         (acc :+ best, rewritten)
     }
-    bests
   }
 
   /** The first `rounds` learned merges: one row per round —
     * (round, lhs, rhs, merged, pair_cnt). */
   def merges(docs: DataFrame, rounds: Int = 3): DataFrame =
-    learn(docs, rounds).zipWithIndex.map { case (best, i) =>
+    learn(docs, rounds)._1.zipWithIndex.map { case (best, i) =>
       best.select(lit(i + 1L).as("round"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("pair_cnt"))
     }.reduce(_ unionAll _)
@@ -90,21 +91,13 @@ object Bpe {
     * Docs whose text yields no tokens vanish on both sides (inner
     * explode ≡ the oracle's unnest). */
   def encode(docs: DataFrame, rounds: Int = 3): DataFrame = {
-    // the folds run once per DISTINCT token (the same word-table trick
-    // as training — measured 4.6 s → corpus-independent on the fold
-    // side), then the corpus scan just explodes and joins the
-    // (token → symbol count) lookup; Catalyst broadcasts it when small
-    val vocab = docs.select(explode(tokens(col("text"))).as("token"))
-      .distinct()
-      .withColumn("syms", chars(col("token")))
-    val encodedVocab = learn(docs, rounds).zipWithIndex
-      .foldLeft(vocab) { case (df, (best, i)) =>
-        // left-on-true for the same empty-best identity as in [[learn]]
-        df.join(broadcast(
-            best.select(col("lhs").as(s"l$i"), col("rhs").as(s"r$i"))),
-            lit(true), "left")
-          .withColumn("syms", mergeFold(col("syms"), col(s"l$i"), col(s"r$i")))
-      }
+    // the folds ran once per DISTINCT token inside [[learn]]'s
+    // word-count table (measured 4.6 s → vocab-bounded), and the
+    // FINAL rewritten table comes back from learn directly — encode
+    // adds no second corpus aggregate and no re-application; the
+    // corpus scan just explodes and joins the (token → symbol count)
+    // lookup, which Catalyst broadcasts when small
+    val encodedVocab = learn(docs, rounds)._2
       .select(col("token"), size(col("syms")).cast("long").as("token_syms"))
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))

@@ -579,15 +579,18 @@ object Dedup {
 
   /** Snapshot B of the corpus for [[corpusDelta]]'s fixture: docs with
     * doc_id ≡ 3 (mod 7) dropped, docs with doc_id ≡ 0 (mod 5) edited
-    * (a version suffix), and new docs (doc_id+300000) for
-    * doc_id ≡ 0 (mod 11). */
+    * (a version suffix), and new docs under id −doc_id−1 for
+    * doc_id ≡ 0 (mod 11) — the negative id space is disjoint from any
+    * real (non-negative) doc_id at every scale factor, so snapshot B
+    * never carries a duplicate key and the delta categories always
+    * partition the corpus. */
   def withSnapshotB(docs: DataFrame): DataFrame =
     docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
       .select(col("doc_id"),
         when(pmod(col("doc_id"), lit(5)) === 0,
           concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
       .unionAll(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-        .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+        .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
 
   /** Incremental-crawl accounting: compare two corpus snapshots by
     * doc_id and report how many docs were added / removed / changed /
