@@ -201,6 +201,20 @@ object OraclesLlm {
        |SELECT doc_a, doc_b, inter_size, union_size
        |FROM scored WHERE inter_size * 1000 >= union_size * 800""".stripMargin
 
+  /** Near-dup yield curve over the LSH-detected pair set: docs whose
+    * max Jaccard to a smaller-id partner clears each threshold. */
+  val dedupRateCurve: String =
+    s"""WITH $minhashCtes,
+       |jp AS (
+       |  SELECT doc_b, (1000 * inter_size) // union_size AS jpm
+       |  FROM scored WHERE inter_size * 1000 >= union_size * 200),
+       |w AS (SELECT doc_b, max(jpm) AS mj FROM jp GROUP BY doc_b)
+       |SELECT t.threshold_pm::BIGINT AS threshold_pm,
+       |  count(*) AS n_docs_removed
+       |FROM w, (VALUES (500),(600),(700),(800),(900)) t(threshold_pm)
+       |WHERE w.mj >= t.threshold_pm
+       |GROUP BY 1""".stripMargin
+
   /** Connected components over the ≥0.8-Jaccard near-dup graph: each
     * clustered doc mapped to its cluster's min doc_id (the canonical
     * keeper). Transitive closure via recursive CTE — Spark's twin is a

@@ -153,6 +153,9 @@ object SparkEntry {
       Dedup.minhashSignatures(docs(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Dedup.withNearDups(docs(s, dir)))),
+    // threshold-tuning report: docs removed per Jaccard cutoff
+    "dedup_rate_curve" -> ((s, dir) =>
+      Dedup.dedupRateCurve(Dedup.withNearDups(docs(s, dir)))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir))))),
     "redact_text" -> ((s, dir) => TextAnalysis.redactedDocs(docs(s, dir))),
@@ -302,6 +305,7 @@ object SparkEntry {
     "minhash_dedup" -> OraclesLlm.minhashDedup,
     "minhash_signatures" -> OraclesLlm.minhashSignatures,
     "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,
+    "dedup_rate_curve" -> OraclesLlm.dedupRateCurve,
     "dedup_clusters" -> OraclesLlm.dedupClusters,
     "redact_text" -> OraclesLlm.redactText,
     "vocab_df" -> OraclesLlm.vocabDf,

@@ -256,6 +256,26 @@ object Dedup {
     minhashDedup(docs, minJaccardPm)
       .withColumn("jaccard_pm", expr("(1000 * inter_size) div union_size"))
 
+  /** Near-dup yield curve: how many docs each Jaccard cutoff would
+    * remove — the report a curation run reads before committing to a
+    * threshold. Pairwise keep-smallest semantics (a doc is removed at
+    * cutoff t when some SMALLER-id doc is ≥ t-similar to it); the
+    * transitive story is [[dedupClusters]]'s domain. Counts are over
+    * LSH-detected pairs, i.e. exact above the banding knee — the
+    * region thresholds live in. Shuffle shape: the pair table
+    * collapses to one (doc, max-jaccard) row per removable doc, then a
+    * |thresholds|-way explode feeds a tiny rollup. */
+  def dedupRateCurve(docs: DataFrame,
+                     thresholds: Seq[Int] = Seq(500, 600, 700, 800, 900)): DataFrame =
+    ngramJaccardPairs(docs)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(max("jaccard_pm").as("max_jpm"))
+      .select(col("max_jpm"),
+        explode(array(thresholds.map(t => lit(t.toLong)): _*)).as("threshold_pm"))
+      .filter(col("max_jpm") >= col("threshold_pm"))
+      .groupBy("threshold_pm")
+      .agg(count(lit(1)).as("n_docs_removed"))
+
   /** Safety bound on the CC fixpoint loop: alternating star rounds
     * converge in O(log² n) worst case, so 64 rounds covers any graph
     * that fits on hardware; exceeding it means a bug, not a big graph. */

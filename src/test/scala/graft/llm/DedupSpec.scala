@@ -264,6 +264,23 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_ == ((2L, 1L, 1L))))
   }
 
+  test("dedupRateCurve: counts are monotone in the threshold and exact on a known pair") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (10L, "a b c d e f g h i j"),          // jaccard 1000 vs 0
+      (1L, "k l m n o p q r s t"),
+      (11L, "zz k l m n o p q r s t"))       // high-but-<1000 vs 1
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupRateCurve(docs).collect()
+      .map(r => r.getAs[Long]("threshold_pm") -> r.getAs[Long]("n_docs_removed"))
+      .toMap
+    // doc 10 removable at every threshold; doc 11 at thresholds below
+    // its jaccard (8 shared shingles of 10 total... jaccard well > 500)
+    assert(got(900L) >= 1L && got(500L) >= got(900L))
+    val counts = Seq(500L, 600L, 700L, 800L, 900L).map(t => got.getOrElse(t, 0L))
+    assert(counts == counts.sorted.reverse, s"not monotone: $got")
+  }
+
   test("corpusDelta classifies added/removed/changed/unchanged by id+digest") {
     val a = Seq(
       (1L, "kept as is"), (2L, "will change"), (3L, "will be removed"))
