@@ -89,7 +89,19 @@ object Bench {
     val errs = obj(errors.map { case (k, v) => k -> ("\"" + v + "\"") })
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val streamTput = streamThroughput(spark, cpus.toInt)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"stream_rows_per_sec":$streamTput,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"stream_rows_per_sec":$streamTput,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line to a file: the driver captures stdout through
+    // a bounded tail buffer, and round 4's committed artifact came back
+    // truncated mid-JSON ("parsed": null). A file write can't be clipped.
+    try {
+      val out = java.nio.file.Paths.get("artifacts")
+      java.nio.file.Files.createDirectories(out)
+      java.nio.file.Files.write(out.resolve("BENCH_driver.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact file write failed: $e")
+    }
     spark.stop()
   }
 

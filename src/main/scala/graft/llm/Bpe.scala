@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import TextFns._
@@ -24,10 +24,24 @@ import TextFns._
   * merge round after that is bounded by the VOCABULARY — pair counting
   * is a hash aggregate over ≤ |vocab|·maxlen slim rows, the best pair
   * is a `TakeOrderedAndProject` limit-1 (never a full sort), and the
-  * rewrite is a stateless projection against the 1-row broadcast. At
-  * 100 TB the rounds cost the same as at 100 GB. Application
-  * ([[encode]]) is one corpus scan through `rounds` chained stateless
-  * folds — no shuffle beyond the final per-doc rollup.
+  * rewrite is a stateless projection with the pair inlined as
+  * LITERALS. At 100 TB the rounds cost the same as at 100 GB.
+  *
+  * Merge budget scaling (a real tokenizer runs thousands of rounds,
+  * not 3): each round's best pair is harvested EAGERLY — a bounded
+  * 1-row collect per round, the distributed analog of the classic
+  * algorithm's sequential merge loop — so the learned merges live on
+  * the driver as plain values and [[merges]] is a flat parallelized
+  * table instead of a union of `rounds` lazy plans sharing ever-longer
+  * lineage prefixes (which replayed O(rounds²) work). The word table
+  * is cut from the corpus lineage immediately after the one
+  * corpus-sized aggregate and re-materialized via `localCheckpoint`
+  * every [[CheckpointEvery]] rounds, so plan depth is bounded by a
+  * CONSTANT (≤ CheckpointEvery stateless projections over a
+  * vocab-sized leaf) no matter the budget — rounds=64 plans as flat
+  * as rounds=3 (BpeSpec pins this). Application ([[encode]]) is one
+  * corpus scan joined against the final (token → symbol count) table
+  * — no per-round work at all.
   *
   * The rewrite fold is back-looking — append each symbol unless the
   * accumulator's last symbol is `lhs` and the current is `rhs`, in
@@ -40,63 +54,89 @@ import TextFns._
   */
 object Bpe {
 
-  /** The per-round best-pair tables (each one row: lhs, rhs, pair_cnt),
-    * lazily chained — round r's pairs are counted over sequences
-    * rewritten by rounds 1..r−1 — plus the FINAL word table
+  /** Rounds between word-table re-materializations. Between
+    * checkpoints the table accrues one stateless mergeFold projection
+    * per round (replayed by later rounds in the window — O(k²) in the
+    * WINDOW size, constant overall); at the checkpoint the lineage
+    * collapses to a vocab-sized leaf. 8 keeps both the replay window
+    * and the plan depth small without a materialization job per round. */
+  private val CheckpointEvery = 8
+
+  /** One learned merge rule, harvested on the driver. */
+  private[llm] final case class MergeRule(
+    round: Int, lhs: String, rhs: String, pairCnt: Long)
+
+  /** Train `rounds` merges: the harvested rules (possibly fewer than
+    * `rounds` when the corpus exhausts its learnable pairs — every
+    * word a single symbol) plus the FINAL word table
     * (token, cnt, syms) after all rewrites, so [[encode]] can reuse it
     * instead of re-aggregating the corpus and re-applying the merges. */
-  private def learn(docs: DataFrame, rounds: Int): (Vector[DataFrame], DataFrame) = {
+  private[llm] def learn(docs: DataFrame, rounds: Int): (Vector[MergeRule], DataFrame) = {
     require(rounds >= 1, "need at least one merge round")
-    val words = docs.select(explode(tokens(col("text"))).as("token"))
+    // The ONLY corpus-sized step. localCheckpoint (eager=false: the
+    // round-1 harvest below materializes it) cuts the corpus lineage
+    // so no later round's plan reaches back to the raw scan, and keeps
+    // the vocab-sized table resident for the per-round re-scans.
+    var w = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .select(col("token"), col("cnt"), chars(col("token")).as("syms"))
-    (1 to rounds).foldLeft((Vector.empty[DataFrame], words)) {
-      case ((acc, w), _) =>
-        val pairs = w
-          .select(col("cnt"),
-            explode_outer(when(size(col("syms")) >= 2,
-              transform(sequence(lit(1), size(col("syms")) - 1),
-                i => struct(element_at(col("syms"), i).as("l"),
-                  element_at(col("syms"), i + 1).as("r"))))).as("p"))
-          .filter(col("p").isNotNull)
-          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-          .agg(sum("cnt").as("pair_cnt"))
-        val best = pairs
-          .orderBy(col("pair_cnt").desc, col("lhs"), col("rhs")).limit(1)
-        // LEFT join on true, not crossJoin: when a corpus exhausts its
-        // learnable merges early, `best` is EMPTY and a cross join
-        // would annihilate the word table (and, downstream, the whole
-        // encode output). A null pair makes the fold an identity
-        // rewrite instead.
-        val rewritten = w.join(broadcast(best), lit(true), "left")
-          .select(col("token"), col("cnt"),
-            mergeFold(col("syms"), col("lhs"), col("rhs")).as("syms"))
-        (acc :+ best, rewritten)
+      .localCheckpoint(false)
+    val learned = Vector.newBuilder[MergeRule]
+    var sinceCheckpoint = 0
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      // (lhs, rhs, pair_cnt) over adjacent symbol pairs weighted by
+      // word count; best = limit-1 under (count desc, lexicographic)
+      val best: Array[Row] = w
+        .select(col("cnt"),
+          explode_outer(when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("l"),
+                element_at(col("syms"), i + 1).as("r"))))).as("p"))
+        .filter(col("p").isNotNull)
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("cnt").as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .collect() // bounded: exactly ≤1 row per round
+      if (best.isEmpty) exhausted = true // no pairs left; remaining rounds are identity
+      else {
+        val (lhs, rhs) = (best(0).getString(0), best(0).getString(1))
+        learned += MergeRule(round, lhs, rhs, best(0).getLong(2))
+        w = w.select(col("token"), col("cnt"),
+          mergeFold(col("syms"), lit(lhs), lit(rhs)).as("syms"))
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= CheckpointEvery) {
+          w = w.localCheckpoint(false)
+          sinceCheckpoint = 0
+        }
+      }
+      round += 1
     }
+    (learned.result(), w)
   }
 
   /** The first `rounds` learned merges: one row per round —
-    * (round, lhs, rhs, merged, pair_cnt). */
-  def merges(docs: DataFrame, rounds: Int = 3): DataFrame =
-    learn(docs, rounds)._1.zipWithIndex.map { case (best, i) =>
-      best.select(lit(i + 1L).as("round"), col("lhs"), col("rhs"),
-        concat(col("lhs"), col("rhs")).as("merged"), col("pair_cnt"))
-    }.reduce(_ unionAll _)
+    * (round, lhs, rhs, merged, pair_cnt). A flat driver-built table
+    * (the rules were harvested during training), not a union of lazy
+    * per-round plans. */
+  def merges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learn(docs, rounds)._1
+      .map(m => (m.round.toLong, m.lhs, m.rhs, m.lhs + m.rhs, m.pairCnt))
+      .toDF("round", "lhs", "rhs", "merged", "pair_cnt")
+  }
 
   /** Apply the learned merges to the corpus: per doc, the token count
     * and the symbol count after all `rounds` merges — the compression
     * accounting that decides whether a merge budget is worth shipping.
-    * One corpus scan through chained stateless folds (each round's
-    * 1-row best broadcast); only (doc_id, counts) reach the rollup.
-    * Docs whose text yields no tokens vanish on both sides (inner
-    * explode ≡ the oracle's unnest). */
+    * One corpus scan joined against the final (token → symbol count)
+    * table from training (vocab-sized; Catalyst broadcasts when
+    * small); only (doc_id, counts) reach the rollup. Docs whose text
+    * yields no tokens vanish on both sides (inner explode ≡ the
+    * oracle's unnest). */
   def encode(docs: DataFrame, rounds: Int = 3): DataFrame = {
-    // the folds ran once per DISTINCT token inside [[learn]]'s
-    // word-count table (measured 4.6 s → vocab-bounded), and the
-    // FINAL rewritten table comes back from learn directly — encode
-    // adds no second corpus aggregate and no re-application; the
-    // corpus scan just explodes and joins the (token → symbol count)
-    // lookup, which Catalyst broadcasts when small
     val encodedVocab = learn(docs, rounds)._2
       .select(col("token"), size(col("syms")).cast("long").as("token_syms"))
     docs

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, length, size, sum}
 
 class BpeSpec extends SparkSpec {
   import spark.implicits._
@@ -98,6 +99,44 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
         r.getAs[Long]("n_symbols")))
     assert(e.toSeq == Seq((0L, 2L, 2L)))
+  }
+
+  test("a rounds=64 merge budget trains in bounded time with flat-depth plans") {
+    // The scale edge from round 4: rounds used to compose lazily, so
+    // plan depth grew linearly with the merge budget and `merges`
+    // replayed O(rounds²) shared-lineage work. Now best pairs are
+    // harvested eagerly and the word table is re-materialized every
+    // CheckpointEvery rounds, so a 64-round budget must (a) learn 64
+    // rules on a real corpus and (b) leave a final word table whose
+    // plan is a CONSTANT-depth tree over a checkpointed leaf — no
+    // deeper than a tiny budget's.
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory,
+      "driver testdata not present")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      df.queryExecution.logical.foreach(_ => n += 1)
+      n
+    }
+    val (rulesSmall, wSmall) = Bpe.learn(docs, 2)
+    assert(rulesSmall.length == 2)
+    val (rules, w) = Bpe.learn(docs, 64)
+    assert(rules.length == 64, "sf0.01 corpus must support 64 merges")
+    assert(rules.map(_.round) == (1 to 64).toVector)
+    // every rule is a genuine pair over previously-built symbols
+    assert(rules.forall(m => m.lhs.nonEmpty && m.rhs.nonEmpty && m.pairCnt > 0))
+    // flat depth: 64 rounds land exactly on a checkpoint boundary
+    // (64 % CheckpointEvery == 0), so the final table is a leaf —
+    // no larger a plan than after 2 rounds, and bounded tight in
+    // absolute terms
+    assert(planNodes(w) <= planNodes(wSmall),
+      s"rounds=64 plan (${planNodes(w)} nodes) grew past rounds=2 (${planNodes(wSmall)})")
+    assert(planNodes(w) <= 12, s"final word table plan not flat: ${planNodes(w)} nodes")
+    // and the learned rules are usable: total symbol count strictly
+    // shrinks vs the character baseline
+    val shrunk = w.select(sum(size(col("syms")) * col("cnt"))).collect()(0).getLong(0)
+    val baseline = w.select(sum(length(col("token")) * col("cnt"))).collect()(0).getLong(0)
+    assert(shrunk < baseline, s"64 merges must compress: $shrunk vs $baseline")
   }
 
   test("encode drops token-less docs on both sides and counts unmergeable chars") {
