@@ -403,19 +403,54 @@ object OraclesLlm {
        |SELECT query_id, vec_id, round(cos, 6) AS score, rank
        |FROM ranked WHERE rank <= 10""".stripMargin
 
-  /** PQ CTE block (mirrors `Similarity.pqTopK`): 8 sub-slices per
-    * vector, codebook = first-16 vectors' slices with integer norms²,
+  /** PQ CTE block (mirrors `Similarity.pqParts`): 8 sub-slices per
+    * vector, codebook = first-16 vectors' slices with integer norms²
+    * (with `refine` Lloyd rounds: re-assign by exact squared L2, then
+    * re-center each non-empty (m, code) entry at floor(per-dimension
+    * mean) — the recurrence `Similarity.refinedCodebook` folds),
     * encode = argmin exact squared L2 (row_number with code tiebreak ≡
-    * Spark's min_by on (dist2, code)), LUT = query-side exact dots,
-    * estimated cosine = LUT-sum over ‖q‖·√(Σ chosen entry norms²).
-    * Defines CTEs `vq, sub, cb, enc, lut, qn, scored`. */
-  private val pqCtes: String = frag(
-    s"""vq AS (SELECT vec_id, ${quantE("embedding")} AS qv FROM embeddings),
+    * Spark's min_by on (dist2, code)), LUT = query-side exact dots.
+    * Defines CTEs `vq, sub, cb, enc, lut, qn`. */
+  private def pqCoreCtes(refine: Int = 0): String = {
+    val cbBlock =
+      if (refine == 0)
+        frag(s"""cb AS (SELECT m, vec_id::INT AS code, sv AS cbv,
+           |         list_sum([x*x for x in sv])::BIGINT AS cbn2
+           |       FROM sub WHERE vec_id < 16)""".stripMargin)
+      else {
+        val seeds =
+          "pc0 AS (SELECT m, vec_id::INT AS code, sv AS cbv FROM sub WHERE vec_id < 16)"
+        val rounds = (1 to refine).map { i =>
+          val prev = s"pc${i - 1}"
+          frag(
+            s"""pr$i AS (
+               |  SELECT s.vec_id, s.m, s.sv, c.code,
+               |    row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+               |      list_sum([(s.sv[j+1]-c.cbv[j+1])*(s.sv[j+1]-c.cbv[j+1])
+               |                for j in range(8)])::BIGINT,
+               |      c.code) AS rn
+               |  FROM sub s JOIN $prev c USING (m)),
+               |pa$i AS (SELECT m, code, sv FROM pr$i WHERE rn = 1),
+               |pd$i AS (
+               |  SELECT m, code, u FROM (
+               |    SELECT m, code,
+               |      unnest([{'p': j, 'd': sv[j+1]} for j in range(len(sv))]) AS u
+               |    FROM pa$i)),
+               |pm$i AS (
+               |  SELECT m, code, u.p AS pos,
+               |    floor(sum(u.d)::DOUBLE / count(*)::DOUBLE)::BIGINT AS vdim
+               |  FROM pd$i GROUP BY m, code, u.p),
+               |pc$i AS (
+               |  SELECT m, code, list(vdim ORDER BY pos) AS cbv
+               |  FROM pm$i GROUP BY m, code)""".stripMargin)
+        }
+        (seeds +: rounds).mkString(",\n") +
+          s",\ncb AS (SELECT m, code, cbv, list_sum([x*x for x in cbv])::BIGINT AS cbn2 FROM pc$refine)"
+      }
+    frag(s"""vq AS (SELECT vec_id, ${quantE("embedding")} AS qv FROM embeddings),
        |sub AS (SELECT vec_id, m, qv[(m*8+1)::INT:(m*8+8)::INT] AS sv
        |        FROM vq, range(8) t(m)),
-       |cb AS (SELECT m, vec_id::INT AS code, sv AS cbv,
-       |         list_sum([x*x for x in sv])::BIGINT AS cbn2
-       |       FROM sub WHERE vec_id < 16),
+       |$cbBlock,
        |enc AS (
        |  SELECT vec_id, m, code, cbn2 FROM (
        |    SELECT s.vec_id, s.m, c.code, c.cbn2,
@@ -429,8 +464,13 @@ object OraclesLlm {
        |        FROM sub s JOIN cb c USING (m) WHERE s.vec_id < 5),
        |qn AS (SELECT vec_id AS query_id,
        |         sqrt(list_sum([x*x for x in qv])::BIGINT::DOUBLE) AS qnrm
-       |       FROM vq WHERE vec_id < 5),
-       |scored AS (
+       |       FROM vq WHERE vec_id < 5)""".stripMargin)
+  }
+
+  /** Unrestricted PQ scoring: estimated cosine = LUT-sum over
+    * ‖q‖·√(Σ chosen entry norms²), every (query, vector) pair. */
+  private val pqScoredCte: String = frag(
+    s"""pqscored AS (
        |  SELECT e2.query_id, e2.vec_id,
        |    e2.est_dot::DOUBLE / (qn.qnrm * sqrt(e2.recon_n2::DOUBLE)) AS cos
        |  FROM (
@@ -440,16 +480,21 @@ object OraclesLlm {
        |      AND e.vec_id <> l.query_id
        |    GROUP BY 1, 2) e2 JOIN qn USING (query_id))""".stripMargin)
 
-  val pqTopK: String =
-    s"""WITH $pqCtes
+  private def pqTopKSql(refine: Int = 0): String =
+    s"""WITH ${pqCoreCtes(refine)},
+       |$pqScoredCte
        |SELECT query_id, vec_id, round(cos, 6) AS score, rank
        |FROM (SELECT query_id, vec_id, cos,
        |        row_number() OVER (PARTITION BY query_id
        |          ORDER BY cos DESC, vec_id) AS rank
-       |      FROM scored) WHERE rank <= 10""".stripMargin
+       |      FROM pqscored) WHERE rank <= 10""".stripMargin
 
-  val pqRecall: String =
-    s"""WITH bq AS (SELECT vec_id AS query_id, ${quantE("embedding")} AS qv
+  val pqTopK: String = pqTopKSql()
+  val pqTopKKm: String = pqTopKSql(refine = 1)
+
+  /** Brute-force top-10 ground truth CTEs (`bq, bc, bscored, brute`). */
+  private val bruteCtes: String = frag(
+    s"""bq AS (SELECT vec_id AS query_id, ${quantE("embedding")} AS qv
        |           FROM embeddings WHERE vec_id < 5),
        |bc AS (SELECT vec_id, ${quantE("embedding")} AS cv FROM embeddings),
        |bscored AS (
@@ -459,17 +504,72 @@ object OraclesLlm {
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-       |    FROM bscored) WHERE rank <= 10),
-       |$pqCtes,
+       |    FROM bscored) WHERE rank <= 10)""".stripMargin)
+
+  private def pqRecallSql(refine: Int = 0): String =
+    s"""WITH $bruteCtes,
+       |${pqCoreCtes(refine)},
+       |$pqScoredCte,
        |pq AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-       |    FROM scored) WHERE rank <= 10)
+       |    FROM pqscored) WHERE rank <= 10)
        |SELECT b.query_id, (1000 * count(p.vec_id)) // 10 AS recall_pm
        |FROM brute b LEFT JOIN pq p
        |  ON b.query_id = p.query_id AND b.vec_id = p.vec_id
        |GROUP BY b.query_id""".stripMargin
+
+  val pqRecall: String = pqRecallSql()
+  val pqRecallKm: String = pqRecallSql(refine = 1)
+
+  /** Composed IVF-PQ scoring (mirrors `Similarity.ivfPqTopK`): a
+    * candidate must live in one of the query's probed cells (`assigned`
+    * ⋈ `q` from the IVF block) and is scored through the PQ LUT — the
+    * global-codebook composition, so probing every cell degrades to the
+    * unrestricted PQ scan. */
+  private val ivfPqScoredCte: String = frag(
+    s"""ivfpqscored AS (
+       |  SELECT e2.query_id, e2.vec_id,
+       |    e2.est_dot::DOUBLE / (qn.qnrm * sqrt(e2.recon_n2::DOUBLE)) AS cos
+       |  FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      sum(l.dp)::BIGINT AS est_dot, sum(e.cbn2)::BIGINT AS recon_n2
+       |    FROM enc e
+       |      JOIN assigned a ON e.vec_id = a.vec_id
+       |      JOIN q ON a.cent_id = q.qcent AND e.vec_id <> q.query_id
+       |      JOIN lut l ON l.query_id = q.query_id AND l.m = e.m
+       |        AND l.code = e.code
+       |    GROUP BY 1, 2) e2 JOIN qn USING (query_id))""".stripMargin)
+
+  private def ivfPqSql(nprobe: Int = 1, pqRefine: Int = 0): String =
+    s"""WITH ${ivfCtes(nprobe)},
+       |${pqCoreCtes(pqRefine)},
+       |$ivfPqScoredCte
+       |SELECT query_id, vec_id, round(cos, 6) AS score, rank
+       |FROM (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, vec_id) AS rank
+       |      FROM ivfpqscored) WHERE rank <= 10""".stripMargin
+
+  val ivfPqTopK: String = ivfPqSql()
+
+  private def ivfPqRecallSql(nprobe: Int = 1, pqRefine: Int = 0): String =
+    s"""WITH $bruteCtes,
+       |${ivfCtes(nprobe)},
+       |${pqCoreCtes(pqRefine)},
+       |$ivfPqScoredCte,
+       |ivfpq AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM ivfpqscored) WHERE rank <= 10)
+       |SELECT b.query_id, (1000 * count(p.vec_id)) // 10 AS recall_pm
+       |FROM brute b LEFT JOIN ivfpq p
+       |  ON b.query_id = p.query_id AND b.vec_id = p.vec_id
+       |GROUP BY b.query_id""".stripMargin
+
+  val ivfPqRecall: String = ivfPqRecallSql()
 
   /** The capstone composition (mirrors `Pipeline.trainingPipeline` over
     * the exact-dup-injected corpus): language filter → quality filter →

@@ -240,6 +240,16 @@ object SparkEntry {
       Similarity.pqTopK(Tables.embeddings(s, dir))),
     "pq_recall" -> ((s, dir) =>
       Similarity.pqRecall(Tables.embeddings(s, dir))),
+    // k-means-refined codebooks (one Lloyd round per subspace)
+    "pq_topk_km" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), refineIters = 1)),
+    "pq_recall_km" -> ((s, dir) =>
+      Similarity.pqRecall(Tables.embeddings(s, dir), refineIters = 1)),
+    // composed IVF-PQ: coarse cells bound candidates, codes bound bytes
+    "ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir))),
+    "ivfpq_recall" -> ((s, dir) =>
+      Similarity.ivfPqRecall(Tables.embeddings(s, dir))),
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
@@ -345,6 +355,10 @@ object SparkEntry {
     "doc_sim_topk" -> OraclesLlm.docSimTopK,
     "pq_topk" -> OraclesLlm.pqTopK,
     "pq_recall" -> OraclesLlm.pqRecall,
+    "pq_topk_km" -> OraclesLlm.pqTopKKm,
+    "pq_recall_km" -> OraclesLlm.pqRecallKm,
+    "ivfpq_topk" -> OraclesLlm.ivfPqTopK,
+    "ivfpq_recall" -> OraclesLlm.ivfPqRecall,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "media_dedup" -> OraclesLlm.mediaDedup,
     "media_meta" -> OraclesLlm.mediaMeta,

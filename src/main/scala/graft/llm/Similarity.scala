@@ -332,14 +332,49 @@ object Similarity {
     * partial-aggregates the M per-subspace terms map-side and ships one
     * row per (query, vector) into the bounded [[TopKAgg]]. Raw vectors
     * cross no shuffle anywhere past the sub-slice projection. */
-  def pqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+  /** One Lloyd refinement round over a PQ codebook, per subspace: every
+    * sub-vector goes to its min-distance code (exact integer squared L2,
+    * code tiebreak), then each non-empty (m, code) entry is re-centered
+    * at the floor of its members' per-dimension mean — the same exact
+    * recurrence as the IVF [[refinedCentroids]], keyed by (m, code)
+    * instead of cent_id. Codes that attract no members vanish on both
+    * engines. Shuffle shape: the re-center is a hash agg over
+    * (m, code, dim) — PqM×PqK×subDim grouped rows, corpus-independent
+    * thanks to partial aggregation. */
+  private def refinedCodebook(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sv"), col("code"),
+        d2Q(col("sv"), col("cbv")).as("dist2"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("sv"), col("code")),
+        struct(col("dist2"), col("code"))).as("w"))
+      .select(col("m"), col("w.code").as("code"), col("w.sv").as("sv"))
+      .select(col("m"), col("code"), posexplode(col("sv")))
+      .groupBy("m", "code", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .groupBy("m", "code")
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"),
+          floor(col("s").cast("double") / col("n").cast("double"))
+            .cast("long").as("v")))),
+        x => x("v")).as("cbv"))
+      .withColumn("cbn2", norm2Q(col("cbv")))
+      .select("m", "code", "cbv", "cbn2")
+
+  /** The PQ building blocks shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * per-vector byte codes with their entries' norms², the query-side
+    * asymmetric LUT, and query norms. `refineIters` Lloyd rounds
+    * upgrade the deterministic seed codebook ([[refinedCodebook]]). */
+  private def pqParts(embeddings: DataFrame, nQueries: Int, refineIters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val dim = 64 // driver embeddings are float[64] (TESTDATA.md)
     val subDim = dim / PqM
     val vecs = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val sub = subvectors(vecs, subDim)
-    val cb = sub.filter(col("vec_id") < PqK)
+    val seedCb = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cbv"))
       .withColumn("cbn2", norm2Q(col("cbv")))
+    val cb = (1 to refineIters).foldLeft(seedCb)((c, _) => refinedCodebook(sub, c))
     // encode: nearest codebook entry per (vector, subspace); argmin as
     // an aggregate (same shape as IVF's assignCells — the K candidate
     // rows are born in-partition and combine map-side)
@@ -359,6 +394,12 @@ object Similarity {
     val qn = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         sqrt(norm2Q(col("qv")).cast("double")).as("qnrm"))
+    (encoded, lut, qn)
+  }
+
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+             refineIters: Int = 0): DataFrame = {
+    val (encoded, lut, qn) = pqParts(embeddings, nQueries, refineIters)
     val scored = encoded
       .join(broadcast(lut), Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -373,9 +414,72 @@ object Similarity {
 
   /** Recall@k of the PQ index vs brute force — the compression-loss
     * measurement, exact permille per query (cf. [[ivfRecall]]). */
-  def pqRecall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
+  def pqRecall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+               refineIters: Int = 0): DataFrame =
     recallPm(cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id"),
-      pqTopK(embeddings, nQueries, k), k)
+      pqTopK(embeddings, nQueries, k, refineIters), k)
+
+  // ---- composed IVF-PQ ----
+
+  /** The production 100 TB index shape: IVF coarse cells bound the
+    * candidate set (a query scans ~nprobe/nCentroids of the corpus) and
+    * PQ codes bound the bytes per candidate (8 codes vs the raw
+    * vector) — composed from the two halves that previously existed
+    * separately. A corpus vector is (cell id, PqM codes); scoring joins
+    * the probed cells' candidates to the query LUT and never touches a
+    * raw corpus vector. Codes quantize the raw sub-vectors against the
+    * GLOBAL codebook (IVFFlat-style), not per-cell residuals, keeping
+    * encode identical to [[pqTopK]] — so probing every cell degrades
+    * exactly to the unrestricted PQ scan (SimilaritySpec pins this).
+    *
+    * Shuffle shape: cells and codes are corpus-sized but slim
+    * (vec_id-keyed equi-join between them); probes, LUT, and query
+    * norms broadcast; per-candidate scoring partial-aggregates the M
+    * LUT terms map-side into the bounded [[TopKAgg]]. */
+  def ivfPqTopK(embeddings: DataFrame, nCentroids: Int = 16,
+                nQueries: Int = 5, k: Int = 10, nprobe: Int = 1,
+                pqRefine: Int = 0): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
+    val cents = vecs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    val cells = assignCells(vecs, cents).select("vec_id", "cent_id")
+    // query probe cells: the nprobe max-cosine cells, ranked on the tiny
+    // query set only (cf. [[ivfTopK]])
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val probes = vecs.filter(col("vec_id") < nQueries)
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dotQ(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
+          .as("cos_c"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("qcent"))
+    val (encoded, lut, qn) = pqParts(embeddings, nQueries, pqRefine)
+    val scored = encoded
+      .join(cells, Seq("vec_id"))
+      .join(broadcast(probes),
+        col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dp").as("est_dot"), sum("cbn2").as("recon_n2"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("est_dot").cast("double") /
+          (col("qnrm") * sqrt(col("recon_n2").cast("double")))).as("cos"))
+    topKByQuery(scored, k)
+  }
+
+  /** Recall@k of the composed IVF-PQ index vs brute force — measures
+    * the cell-miss and compression losses together (cf. [[ivfRecall]],
+    * [[pqRecall]]). */
+  def ivfPqRecall(embeddings: DataFrame, nCentroids: Int = 16,
+                  nQueries: Int = 5, k: Int = 10, nprobe: Int = 1,
+                  pqRefine: Int = 0): DataFrame =
+    recallPm(cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id"),
+      ivfPqTopK(embeddings, nCentroids, nQueries, k, nprobe, pqRefine), k)
 
   /** Corpus with injected identical vectors (vec_id ≡ 0 mod 10 copied
     * under vec_id+100000) — near-dup ground truth for the LSH pipeline. */
