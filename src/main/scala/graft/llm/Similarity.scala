@@ -113,7 +113,7 @@ object Similarity {
   }
 
   /** (query_id, vec_id, cos) → per-query top-k rows via [[TopKAgg]]. */
-  private def topKByQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[llm] def topKByQuery(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored.as[(Long, Long, Double)]
@@ -199,7 +199,7 @@ object Similarity {
     * dragging the 64-dim vector along. Tie-break identical to the
     * window form: highest cosine, then lowest cent_id (the negated id
     * in the ordering struct). */
-  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+  private[llm] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.join(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("nrm"), col("cent_id"),
         (dotQ(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
@@ -211,7 +211,7 @@ object Similarity {
       .select(col("vec_id"), col("w.qv").as("qv"), col("w.nrm").as("nrm"),
         col("w.cent_id").as("cent_id"))
 
-  private def refinedCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
+  private[llm] def refinedCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val assigned = assignCells(vecs, cents)
     assigned
       .select(col("cent_id"), posexplode(col("qv")))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule that makes naive range joins scale: a user writes the
   * natural thing —
@@ -25,20 +25,29 @@ import org.apache.spark.sql.types.LongType
   * the library" safety net, the role AQE plays for skew.
   *
   * Conservative by design — fires only on an INNER join whose
-  * condition is EXACTLY a half-open point-in-interval test on bare
-  * LongType columns (`p >= s AND p < e`, in either operand order,
-  * with p from one side and s, e both from the other), and never
-  * re-fires (the rewritten join has an equality conjunct, which the
+  * condition is EXACTLY a two-conjunct point-in-interval test on bare
+  * IntegerType/LongType columns, with p from one side and s, e both
+  * from the other. All four bound combinations match — `p >= s`/`p > s`
+  * below, `p < e`/`p <= e` above, each in either operand order (so
+  * `s < p AND p <= e` chains match too) — and the rule never re-fires
+  * (the rewritten join has an equality conjunct, which the two-conjunct
   * matcher excludes). Anything fancier stays on Spark's default path.
   *
   * Semantics are preserved exactly: a point lands in ONE bucket, so no
-  * pair can match twice (no dedup needed); `Filter(e > s)` keeps empty
-  * intervals out of the Generate (Sequence would reject a descending
-  * range); NULL bounds produce a NULL sequence → zero generated rows,
-  * matching the nested-loop's null-comparison drop; bucket arithmetic
-  * is `(x − pmod(x, W)) div W` — exact floor division for negative
-  * domains too. Bucket width: `spark.graft.rangeJoin.bucketWidth`
-  * (default 16).
+  * pair can match twice (no dedup needed). The matching points form the
+  * closed integer interval [lo, hi] (lo = s or s+1, hi = e−1 or e, per
+  * bound openness); `Filter(hi >= lo)` keeps empty intervals out of the
+  * Generate (Sequence would reject a descending range); NULL bounds
+  * null-propagate through lo/hi into that filter → zero generated rows,
+  * matching the nested-loop's null-comparison drop. Integer columns are
+  * widened with an exact `Cast` to long for the bucket math only — the
+  * original condition rides along as the residual untouched. Bucket
+  * arithmetic is `(x − pmod(x, W)) div W` — exact floor division for
+  * negative domains too. Bucket width:
+  * `spark.graft.rangeJoin.bucketWidth` (default 16). Out of scope, by
+  * the ±1 arithmetic: open bounds sitting exactly at Long.MIN/MAX
+  * sentinels (the residual still guarantees row-level correctness; the
+  * generated bucket range would just be wasteful).
   */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -47,25 +56,51 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def width: Long =
     conf.getConfString(WidthKey, "16").toLong
 
-  /** (point, bound) from a `point >= bound`-shaped conjunct. */
-  private def lowerBound(e: Expression): Option[(AttributeReference, AttributeReference)] =
-    e match {
-      case GreaterThanOrEqual(p: AttributeReference, s: AttributeReference) => Some((p, s))
-      case LessThanOrEqual(s: AttributeReference, p: AttributeReference) => Some((p, s))
-      case _ => None
-    }
+  private type AR = AttributeReference
 
-  /** (point, bound) from a `point < bound`-shaped conjunct. */
-  private def upperBound(e: Expression): Option[(AttributeReference, AttributeReference)] =
-    e match {
-      case LessThan(p: AttributeReference, ee: AttributeReference) => Some((p, ee))
-      case GreaterThan(ee: AttributeReference, p: AttributeReference) => Some((p, ee))
+  /** A bare column, possibly under the exact int→long widening cast the
+    * analyzer inserts to equalize a mixed int/long comparison. */
+  private object BareCol {
+    def unapply(e: Expression): Option[AR] = e match {
+      case a: AR => Some(a)
+      case Cast(a: AR, LongType, _, _) if a.dataType == IntegerType => Some(a)
       case _ => None
     }
+  }
+
+  /** Candidate readings of a conjunct as a lower bound on a point:
+    * (point, bound, closed). `GreaterThan(a, b)` is genuinely ambiguous
+    * in isolation (a > b reads as "point a above open bound b" or
+    * "point b below open bound a"), so parses return ALL readings and
+    * the caller disambiguates by matching the point attribute across
+    * the two conjuncts. */
+  private def lowerParses(e: Expression): Seq[(AR, AR, Boolean)] = e match {
+    case GreaterThanOrEqual(BareCol(p), BareCol(s)) => Seq((p, s, true))
+    case LessThanOrEqual(BareCol(s), BareCol(p)) => Seq((p, s, true))
+    case GreaterThan(BareCol(p), BareCol(s)) => Seq((p, s, false))
+    case LessThan(BareCol(s), BareCol(p)) => Seq((p, s, false))
+    case _ => Seq.empty
+  }
+
+  /** Candidate readings as an upper bound: (point, bound, closed). */
+  private def upperParses(e: Expression): Seq[(AR, AR, Boolean)] = e match {
+    case LessThan(BareCol(p), BareCol(ee)) => Seq((p, ee, false))
+    case GreaterThan(BareCol(ee), BareCol(p)) => Seq((p, ee, false))
+    case LessThanOrEqual(BareCol(p), BareCol(ee)) => Seq((p, ee, true))
+    case GreaterThanOrEqual(BareCol(ee), BareCol(p)) => Seq((p, ee, true))
+    case _ => Seq.empty
+  }
 
   /** Exact floor(x / w) for any sign, in long arithmetic. */
   private def bucketOf(x: Expression, w: Long): Expression =
     IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
+
+  private def supportedType(a: AR): Boolean =
+    a.dataType == LongType || a.dataType == IntegerType
+
+  /** Exact widening to long for the bucket arithmetic. */
+  private def asLong(a: AR): Expression =
+    if (a.dataType == LongType) a else Cast(a, LongType)
 
   private def fromOneSide(a: AttributeReference, side: LogicalPlan): Boolean =
     a.references.subsetOf(side.outputSet)
@@ -73,38 +108,42 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val rewritten = for {
-        _ <- Some(()).filter(_ => conjuncts.length == 2)
-        (p1, s) <- lowerBound(conjuncts(0)).orElse(lowerBound(conjuncts(1)))
-        (p2, e) <- upperBound(conjuncts(1)).orElse(upperBound(conjuncts(0)))
+      val rewritten = (for {
+        _ <- Iterator.single(()).filter(_ => conjuncts.length == 2)
+        (li, ui) <- Iterator((0, 1), (1, 0))
+        (p1, s, loClosed) <- lowerParses(conjuncts(li)).iterator
+        (p2, e, hiClosed) <- upperParses(conjuncts(ui)).iterator
         if p1.semanticEquals(p2)
-        if Seq(p1, s, e).forall(_.dataType == LongType)
+        if Seq(p1, s, e).forall(supportedType)
         // p from one side; s and e both from the other
         (pSide, ivSide, pIsLeft) <-
-          if (fromOneSide(p1, left) && fromOneSide(s, right) && fromOneSide(e, right))
+          (if (fromOneSide(p1, left) && fromOneSide(s, right) && fromOneSide(e, right))
             Some((left, right, true))
           else if (fromOneSide(p1, right) && fromOneSide(s, left) && fromOneSide(e, left))
             Some((right, left, false))
-          else None
+          else None).iterator
       } yield {
         val w = width
-        val pBucket = Alias(bucketOf(p1, w), "__graft_bucket_p")()
+        val pBucket = Alias(bucketOf(asLong(p1), w), "__graft_bucket_p")()
         val pProj = Project(pSide.output :+ pBucket, pSide)
+        // matching points form the closed interval [lo, hi]
+        val lo = if (loClosed) asLong(s) else Add(asLong(s), Literal(1L))
+        val hi = if (hiClosed) asLong(e) else Subtract(asLong(e), Literal(1L))
         // Sequence is TimeZoneAware — a None zone leaves it unresolved
         // even for integral sequences, and the optimizer rejects plans
         // that become unresolved
         val seq = new Sequence(
-          bucketOf(s, w), bucketOf(Subtract(e, Literal(1L)), w),
+          bucketOf(lo, w), bucketOf(hi, w),
           Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
         val ivBucket = AttributeReference("__graft_bucket_iv", LongType)()
         val ivGen = Generate(Explode(seq), unrequiredChildIndex = Nil,
           outer = false, qualifier = None, generatorOutput = Seq(ivBucket),
-          child = Filter(GreaterThan(e, s), ivSide))
+          child = Filter(GreaterThanOrEqual(hi, lo), ivSide))
         val newCond = And(EqualTo(pBucket.toAttribute, ivBucket), cond)
         val (nl, nr) =
           if (pIsLeft) (pProj, ivGen: LogicalPlan) else (ivGen: LogicalPlan, pProj)
         Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
-      }
+      }).nextOption()
       rewritten.getOrElse(j)
   }
 }

@@ -30,6 +30,30 @@ object DocStream {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("content_key")
 
+  /** Within-watermark NEAR-dup gate: [[dedupDocs]] only kills
+    * byte-level (post-normalization) duplicates; this stage keys the
+    * same `dropDuplicatesWithinWatermark` state machine on the 32-bit
+    * SimHash sketch of the token-hash multiset
+    * ([[graft.llm.Dedup.simhashFromTokenHashes]] — the batch near-dup
+    * operator's exact sketch), so reorderings and other edits that
+    * leave every sketch bit unchanged collapse to the first-seen doc.
+    * The streaming trade: batch `simhashDedup` bands sketches and
+    * verifies Hamming ≤ 3 across a join — unbounded lookback, two
+    * shuffles; a stream gets ONE key-equality state probe per row, so
+    * the gate catches the sketch-identical near-dup class (plus all
+    * exact dups, trivially) with 8 bytes of state per doc and leaves
+    * the long tail to the periodic batch pass, same as the exact gate.
+    * State discipline matches [[dedupDocs]]: only the sketch rides the
+    * state store, never text, and the watermark bounds lookback. */
+  def nearDupGate(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__ths", graft.llm.TextFns.tokenHashes(col("text")))
+      .withColumn("sketch_key",
+        graft.llm.Dedup.simhashFromTokenHashes(col("__ths")))
+      .drop("__ths")
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("sketch_key")
+
   /** Online quality gate: the stateless [[graft.llm.TextAnalysis]]
     * profile runs per-row on the stream (no state at all), keeping
     * docs at or above `minQuality` permille. */

@@ -1,0 +1,47 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Index lifecycle: build persists the IVF halves through the bucketed
+  * layout, query serves from disk alone and matches the in-memory
+  * operator exactly. */
+class AnnIndexSpec extends SparkSpec {
+
+  test("build then query-from-disk matches in-memory ivfTopK exactly") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    AnnIndex.build(emb, "annspec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    val fromDisk = rows(AnnIndex.query(spark, "annspec"))
+    val inMemory = rows(Similarity.ivfTopK(emb))
+    assert(fromDisk.nonEmpty && fromDisk == inMemory,
+      "stored index must answer identically to the in-memory operator")
+    // multi-probe serves from the same stored layout
+    val disk3 = rows(AnnIndex.query(spark, "annspec", nprobe = 3))
+    val mem3 = rows(Similarity.ivfTopK(emb, nprobe = 3))
+    assert(disk3 == mem3)
+    // the cells table really is bucketed on the probe key — the layout
+    // IS the point (co-located probe reads, bucket pruning on cent_id)
+    val ddl = spark.sql(s"SHOW CREATE TABLE ${AnnIndex.cellsTable("annspec")}")
+      .collect().head.getString(0).toLowerCase
+    assert(ddl.contains("clustered by") && ddl.contains("cent_id"), ddl)
+  }
+
+  test("a refined index persists refined centroids, and rebuild overwrites cleanly") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    AnnIndex.build(emb, "annspec_km", refineIters = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(rows(AnnIndex.query(spark, "annspec_km")) ==
+      rows(Similarity.ivfTopK(emb, refineIters = 1)))
+    // rebuilding with different parameters overwrites in place
+    AnnIndex.build(emb, "annspec_km", refineIters = 0)
+    assert(rows(AnnIndex.query(spark, "annspec_km")) ==
+      rows(Similarity.ivfTopK(emb)))
+  }
+}

@@ -73,6 +73,54 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("all four bound-openness variants rewrite and match the nested loop exactly") {
+    val ivRows = Seq(
+      (1L, 5L, 9L), (2L, 7L, 7L), (3L, 290L, 1000L), (4L, -8L, 3L),
+      (5L, 40L, 41L)) // adjacent bounds: (s,e) open-open is empty
+    val weird = ivRows.toDF("iv_id", "s", "e")
+    val variants: Seq[(String, org.apache.spark.sql.Column, (Long, Long, Long) => Boolean)] = Seq(
+      ("closed-open", $"p" >= $"s" && $"p" < $"e", (p, s, e) => p >= s && p < e),
+      ("closed-closed", $"p" >= $"s" && $"p" <= $"e", (p, s, e) => p >= s && p <= e),
+      ("open-open", $"p" > $"s" && $"p" < $"e", (p, s, e) => p > s && p < e),
+      ("open-closed", $"p" > $"s" && $"p" <= $"e", (p, s, e) => p > s && p <= e),
+      // chain spelling: s < p AND p <= e reads as an interval test too
+      ("chain", $"s" < $"p" && $"p" <= $"e", (p, s, e) => p > s && p <= e))
+    withRule {
+      for ((name, cond, pred) <- variants) {
+        val df = pts.join(weird, cond)
+        assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")),
+          s"$name not rewritten")
+        val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
+        val want = (for {
+          p <- 0L until 300L
+          (id, s, e) <- ivRows if pred(p, s, e)
+        } yield (id, p)).toSet
+        assert(got == want, s"$name rows diverged")
+      }
+    }
+  }
+
+  test("IntegerType columns rewrite through an exact widening cast") {
+    val ptsI = (0 until 300).map(p => (p, s"p$p")).toDF("p", "tag")
+    val ivsI = (0 until 60).map(i => (i, i * 4, i * 4 + 13)).toDF("iv_id", "s", "e")
+    withRule {
+      val df = ptsI.join(ivsI, $"p" >= $"s" && $"p" < $"e")
+      assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")))
+      val got = df.select("iv_id", "p").as[(Int, Int)].collect().toSet
+      val want = (for {
+        p <- 0 until 300
+        (id, s, e) <- (0 until 60).map(i => (i, i * 4, i * 4 + 13))
+        if p >= s && p < e
+      } yield (id, p)).toSet
+      assert(got == want)
+      // mixed int point / long bounds widens too
+      val mixed = ptsI.join(ivs, $"p" >= $"s" && $"p" < $"e")
+      assert(!joinNodes(mixed).exists(_.contains("BroadcastNestedLoopJoin")))
+      assert(mixed.select("iv_id", "p").as[(Long, Int)].collect().toSet ==
+        brute.map { case (id, p) => (id, p.toInt) })
+    }
+  }
+
   test("non-matching shapes keep Spark's default plan") {
     withRule {
       // single inequality: not a point-in-interval test — untouched

@@ -43,6 +43,37 @@ class DocStreamSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("deduplicatewithinwatermark"))
   }
 
+  test("streaming nearDupGate drops a sketch-identical near-dup that exact dedup would pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    // doc 2 permutes doc 1's tokens: different bytes (and different
+    // normalized digest — dedupDocs would PASS it) but the same
+    // token-hash multiset, hence bit-identical SimHash. doc 3 shares
+    // no tokens and must survive.
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog", ts(10)),
+      (2L, "quick the brown fox jumps over the dog lazy", ts(20)),
+      (3L, "completely unrelated payload about spark plans", ts(30)))
+    val gated = DocStream.nearDupGate(docs)
+    // state key is the 8-byte sketch, not text
+    val plan = gated.queryExecution.analyzed.toString
+    assert(plan.contains("sketch_key"))
+    assert(plan.toLowerCase.contains("deduplicatewithinwatermark"))
+    val q = gated.select("doc_id")
+      .writeStream.trigger(Trigger.AvailableNow()).format("memory")
+      .queryName("neardup_out")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("neardup_out").select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"got $got")
+    // cross-check the premise: exact dedup keys differ, so doc 2 was
+    // dropped by the SKETCH, not by content identity
+    val keys = DocStream.dedupDocs(docs).queryExecution.analyzed.toString
+    assert(keys.contains("content_key"))
+  }
+
   test("qualityGate streams statelessly and keeps only docs above the bar") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
