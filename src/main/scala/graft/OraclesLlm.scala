@@ -553,6 +553,7 @@ object OraclesLlm {
        |      FROM ivfpqscored) WHERE rank <= 10""".stripMargin
 
   val ivfPqTopK: String = ivfPqSql()
+  val ivfPqTopKP3: String = ivfPqSql(nprobe = 3)
 
   private def ivfPqRecallSql(nprobe: Int = 1, pqRefine: Int = 0): String =
     s"""WITH $bruteCtes,
@@ -570,6 +571,7 @@ object OraclesLlm {
        |GROUP BY b.query_id""".stripMargin
 
   val ivfPqRecall: String = ivfPqRecallSql()
+  val ivfPqRecallP3: String = ivfPqRecallSql(nprobe = 3)
 
   /** The capstone composition (mirrors `Pipeline.trainingPipeline` over
     * the exact-dup-injected corpus): language filter → quality filter →

@@ -250,6 +250,10 @@ object SparkEntry {
       Similarity.ivfPqTopK(Tables.embeddings(s, dir))),
     "ivfpq_recall" -> ((s, dir) =>
       Similarity.ivfPqRecall(Tables.embeddings(s, dir))),
+    "ivfpq_topk_p3" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), nprobe = 3)),
+    "ivfpq_recall_p3" -> ((s, dir) =>
+      Similarity.ivfPqRecall(Tables.embeddings(s, dir), nprobe = 3)),
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
@@ -359,6 +363,8 @@ object SparkEntry {
     "pq_recall_km" -> OraclesLlm.pqRecallKm,
     "ivfpq_topk" -> OraclesLlm.ivfPqTopK,
     "ivfpq_recall" -> OraclesLlm.ivfPqRecall,
+    "ivfpq_topk_p3" -> OraclesLlm.ivfPqTopKP3,
+    "ivfpq_recall_p3" -> OraclesLlm.ivfPqRecallP3,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "media_dedup" -> OraclesLlm.mediaDedup,
     "media_meta" -> OraclesLlm.mediaMeta,
