@@ -573,6 +573,87 @@ object OraclesLlm {
   val ivfPqRecall: String = ivfPqRecallSql()
   val ivfPqRecallP3: String = ivfPqRecallSql(nprobe = 3)
 
+  /** Residual-encoded IVF-PQ CTE block (mirrors
+    * `Similarity.ivfPqResTopK`): codes quantize `qv − cv` against a
+    * residual codebook; scoring recombines exactly —
+    * est_dot = q·cv + Σ LUT, recon² = ‖cv‖² + 2·Σ cv·r̂ + Σ ‖r̂‖² —
+    * every term an exact integer. Needs `vecs, cents, assigned, q`
+    * from `ivfCtes`; defines `resscored`. */
+  private val ivfPqResCtes: String = frag(
+    s"""rsub AS (
+       |  SELECT a.vec_id, a.cent_id, m,
+       |    [a.qv[m*8+i+1] - c.cv[m*8+i+1] for i in range(8)] AS rsv
+       |  FROM assigned a, cents c, range(8) t(m)
+       |  WHERE a.cent_id = c.cent_id),
+       |rcb AS (
+       |  SELECT m, vec_id::INT AS code, rsv AS rbv,
+       |    list_sum([x*x for x in rsv])::BIGINT AS rbn2
+       |  FROM rsub WHERE vec_id < 16),
+       |renc AS (
+       |  SELECT vec_id, cent_id, m, code, rbn2 FROM (
+       |    SELECT s.vec_id, s.cent_id, s.m, c.code, c.rbn2,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        list_sum([(s.rsv[i+1]-c.rbv[i+1])*(s.rsv[i+1]-c.rbv[i+1])
+       |                  for i in range(8)])::BIGINT,
+       |        c.code) AS rn
+       |    FROM rsub s JOIN rcb c USING (m)) WHERE rn = 1),
+       |ccross AS (
+       |  SELECT c.cent_id, b.m, b.code,
+       |    list_sum([c.cv[b.m*8+i+1] * b.rbv[i+1] for i in range(8)])::BIGINT AS cvdot
+       |  FROM cents c, rcb b),
+       |rlut AS (
+       |  SELECT v.vec_id AS query_id, b.m, b.code,
+       |    list_sum([v.qv[b.m*8+i+1] * b.rbv[i+1] for i in range(8)])::BIGINT AS dp
+       |  FROM vecs v, rcb b WHERE v.vec_id < 5),
+       |qprobe AS (
+       |  SELECT q.query_id, q.qcent,
+       |    list_sum([q.qqv[i+1] * c.cv[i+1] for i in range(64)])::BIGINT AS qcv,
+       |    list_sum([x*x for x in c.cv])::BIGINT AS cn2,
+       |    sqrt(list_sum([x*x for x in q.qqv])::BIGINT::DOUBLE) AS qnrm
+       |  FROM q JOIN cents c ON q.qcent = c.cent_id),
+       |resscored AS (
+       |  SELECT s2.query_id, s2.vec_id,
+       |    (s2.qcv + s2.sdp)::DOUBLE /
+       |      (s2.qnrm * sqrt((s2.cn2 + 2*s2.scv + s2.srb)::DOUBLE)) AS cos
+       |  FROM (
+       |    SELECT p.query_id, e.vec_id, p.qcv, p.cn2, p.qnrm,
+       |      sum(l.dp)::BIGINT AS sdp, sum(x.cvdot)::BIGINT AS scv,
+       |      sum(e.rbn2)::BIGINT AS srb
+       |    FROM renc e
+       |      JOIN qprobe p ON e.cent_id = p.qcent AND e.vec_id <> p.query_id
+       |      JOIN rlut l ON l.query_id = p.query_id AND l.m = e.m
+       |        AND l.code = e.code
+       |      JOIN ccross x ON x.cent_id = e.cent_id AND x.m = e.m
+       |        AND x.code = e.code
+       |    GROUP BY 1, 2, 3, 4, 5) s2)""".stripMargin)
+
+  private def ivfPqResSql(nprobe: Int = 1): String =
+    s"""WITH ${ivfCtes(nprobe)},
+       |$ivfPqResCtes
+       |SELECT query_id, vec_id, round(cos, 6) AS score, rank
+       |FROM (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, vec_id) AS rank
+       |      FROM resscored) WHERE rank <= 10""".stripMargin
+
+  val ivfPqResTopK: String = ivfPqResSql()
+
+  private def ivfPqResRecallSql(nprobe: Int = 1): String =
+    s"""WITH $bruteCtes,
+       |${ivfCtes(nprobe)},
+       |$ivfPqResCtes,
+       |respq AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM resscored) WHERE rank <= 10)
+       |SELECT b.query_id, (1000 * count(p.vec_id)) // 10 AS recall_pm
+       |FROM brute b LEFT JOIN respq p
+       |  ON b.query_id = p.query_id AND b.vec_id = p.vec_id
+       |GROUP BY b.query_id""".stripMargin
+
+  val ivfPqResRecall: String = ivfPqResRecallSql()
+
   /** The capstone composition (mirrors `Pipeline.trainingPipeline` over
     * the exact-dup-injected corpus): language filter → quality filter →
     * exact dedup keeping the min-id canonical copy → redaction → token

@@ -254,6 +254,11 @@ object SparkEntry {
       Similarity.ivfPqTopK(Tables.embeddings(s, dir), nprobe = 3)),
     "ivfpq_recall_p3" -> ((s, dir) =>
       Similarity.ivfPqRecall(Tables.embeddings(s, dir), nprobe = 3)),
+    // residual encoding (Jégou-style): codes quantize qv − cv
+    "ivfpq_topk_res" -> ((s, dir) =>
+      Similarity.ivfPqResTopK(Tables.embeddings(s, dir))),
+    "ivfpq_recall_res" -> ((s, dir) =>
+      Similarity.ivfPqResRecall(Tables.embeddings(s, dir))),
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
@@ -365,6 +370,8 @@ object SparkEntry {
     "ivfpq_recall" -> OraclesLlm.ivfPqRecall,
     "ivfpq_topk_p3" -> OraclesLlm.ivfPqTopKP3,
     "ivfpq_recall_p3" -> OraclesLlm.ivfPqRecallP3,
+    "ivfpq_topk_res" -> OraclesLlm.ivfPqResTopK,
+    "ivfpq_recall_res" -> OraclesLlm.ivfPqResRecall,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "media_dedup" -> OraclesLlm.mediaDedup,
     "media_meta" -> OraclesLlm.mediaMeta,

@@ -481,6 +481,114 @@ object Similarity {
     recallPm(cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id"),
       ivfPqTopK(embeddings, nCentroids, nQueries, k, nprobe, pqRefine), k)
 
+  /** RESIDUAL-encoded IVF-PQ — the classic production formulation
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search"): PQ codes quantize each vector's residual `qv − cv`
+    * against its assigned cell's centroid, not the raw vector, so the
+    * codebook spends its 16 entries per subspace on the (much
+    * tighter) within-cell distribution. The reconstruction is
+    * `cv + r̂`, and every scoring term stays integer-exact:
+    *
+    *   est_dot  = q·cv + Σₘ dot(qₘ, r̂ₘ)                (LUT per (m, code))
+    *   ‖cv+r̂‖² = ‖cv‖² + 2·Σₘ dot(cvₘ, r̂ₘ) + Σₘ ‖r̂ₘ‖²
+    *
+    * — the cv·r̂ cross terms come from a (cell × subspace × code)
+    * table of nCentroids·PqM·PqK rows (16·8·16 = 2048): parameter-
+    * bounded, broadcast, corpus-independent. A vector whose residual
+    * IS a codebook entry (the seeds: vec_id < PqK at distance 0)
+    * reconstructs exactly, so its estimated cosine equals the true
+    * quantized cosine — SimilaritySpec pins that invariant.
+    *
+    * Shuffle shape matches [[ivfPqTopK]]: corpus-sized tables are
+    * slim and vec_id/cell-keyed; codebooks, LUTs, cross-term table,
+    * probes, and query norms all broadcast. */
+  def ivfPqResTopK(embeddings: DataFrame, nCentroids: Int = 16,
+                   nQueries: Int = 5, k: Int = 10,
+                   nprobe: Int = 1): DataFrame = {
+    val dim = 64
+    val subDim = dim / PqM
+    val vecs = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
+    val cents = vecs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    // (vec_id, cent_id, residual) — the only corpus-sized frames from
+    // here on carry the 8-long residual slices or the final codes
+    val assigned = assignCells(vecs, cents)
+    val resid = assigned.join(broadcast(cents), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("rv"))
+    val rsub = resid
+      .select(col("vec_id"), col("cent_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("rv"))
+      .select(col("vec_id"), col("cent_id"), col("m"),
+        slice(col("rv"), col("m") * subDim + 1, lit(subDim)).as("rsv"))
+    // residual codebook: the first PqK vectors' residual slices
+    val rcb = rsub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("rsv").as("rbv"))
+      .withColumn("rbn2", norm2Q(col("rbv")))
+    val encoded = rsub.join(broadcast(rcb), Seq("m"))
+      .select(col("vec_id"), col("cent_id"), col("m"), col("code"), col("rbn2"),
+        d2Q(col("rsv"), col("rbv")).as("dist2"))
+      .groupBy("vec_id", "cent_id", "m")
+      .agg(min_by(struct(col("code"), col("rbn2")),
+        struct(col("dist2"), col("code"))).as("w"))
+      .select(col("vec_id"), col("cent_id"), col("m"),
+        col("w.code").as("code"), col("w.rbn2").as("rbn2"))
+    // cell × codebook cross terms: dot(cv sub-slice, codebook entry)
+    val cellCross = cents
+      .select(col("cent_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("cv"))
+      .select(col("cent_id"), col("m"),
+        slice(col("cv"), col("m") * subDim + 1, lit(subDim)).as("csv"))
+      .join(broadcast(rcb), Seq("m"))
+      .select(col("cent_id"), col("m"), col("code"),
+        dotQ(col("csv"), col("rbv")).as("cvdot"))
+    // query probe cells with exact q·cv and ‖cv‖² staged per probe
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val probes = vecs.filter(col("vec_id") < nQueries)
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dotQ(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
+          .as("cos_c"),
+        dotQ(col("qv"), col("cv")).as("qcv"),
+        norm2Q(col("cv")).as("cn2"),
+        col("nrm"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("qcent"),
+        col("qcv"), col("cn2"), col("nrm").as("qnrm"))
+    // query-side LUT against the residual codebook
+    val lut = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("qv"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qv"), col("m") * subDim + 1, lit(subDim)).as("qsv"))
+      .join(broadcast(rcb), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("code"),
+        dotQ(col("qsv"), col("rbv")).as("dp"))
+    val scored = encoded
+      .join(broadcast(probes),
+        col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .join(broadcast(cellCross), Seq("cent_id", "m", "code"))
+      .groupBy("query_id", "vec_id", "qcv", "cn2", "qnrm")
+      .agg(sum("dp").as("sdp"), sum("cvdot").as("scv"), sum("rbn2").as("srb"))
+      .select(col("query_id"), col("vec_id"),
+        ((col("qcv") + col("sdp")).cast("double") /
+          (col("qnrm") * sqrt((col("cn2") + lit(2L) * col("scv") + col("srb"))
+            .cast("double")))).as("cos"))
+    topKByQuery(scored, k)
+  }
+
+  /** Recall@k of the residual-encoded IVF-PQ index vs brute force. */
+  def ivfPqResRecall(embeddings: DataFrame, nCentroids: Int = 16,
+                     nQueries: Int = 5, k: Int = 10,
+                     nprobe: Int = 1): DataFrame =
+    recallPm(cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id"),
+      ivfPqResTopK(embeddings, nCentroids, nQueries, k, nprobe), k)
+
   /** Corpus with injected identical vectors (vec_id ≡ 0 mod 10 copied
     * under vec_id+100000) — near-dup ground truth for the LSH pipeline. */
   def withDupVectors(embeddings: DataFrame): DataFrame =

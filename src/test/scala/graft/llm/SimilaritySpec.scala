@@ -236,6 +236,37 @@ class SimilaritySpec extends SparkSpec {
       "refinement changed nothing — suspicious")
   }
 
+  test("residual IVF-PQ: a copy of a seed reconstructs exactly and ranks first at cos 1") {
+    // Same construction as the plain-PQ exactness test: vec 17 copies
+    // query vec 2. Identical vectors land in the same cell, so vec
+    // 17's RESIDUAL equals vec 2's — and vec 2 is a residual-codebook
+    // seed, so vec 17 encodes at distance 0 in every subspace. Its
+    // reconstruction cv + r̂ is exactly its own vector, making the
+    // estimated cosine against query 2 exactly 1 — the recombination
+    // identity (q·cv + Σ LUT over ‖cv‖²+2Σcv·r̂+Σ‖r̂‖²) holds
+    // bit-for-bit, not just approximately.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 17L).map(i =>
+      (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val vecs = base :+ (17L, base(2)._2)
+    val got = Similarity.ivfPqResTopK(emb(vecs: _*), nQueries = 5, k = 3)
+      .filter(col("query_id") === 2L && col("rank") === 1L).collect().head
+    assert(got.getAs[Long]("vec_id") == 17L)
+    assert(got.getAs[Double]("score") == 1.0)
+  }
+
+  test("residual IVF-PQ on real embeddings: full result sets, bounded recall (sf0.001)") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val embDf = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val res = Similarity.ivfPqResTopK(embDf).collect()
+    assert(res.length == 50)
+    val recalls = Similarity.ivfPqResRecall(embDf).collect()
+      .map(_.getAs[Long]("recall_pm"))
+    assert(recalls.length == 5 && recalls.forall(r => r >= 0 && r <= 1000))
+    assert(recalls.max > 0, "residual IVF-PQ found no true neighbors at all")
+  }
+
   test("quantize floors on exact float->double widening") {
     val got = spark.range(1).select(
       Similarity.quantize(array(lit(0.5f), lit(-0.5f), lit(0.0001f))).as("q"))
