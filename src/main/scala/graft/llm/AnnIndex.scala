@@ -31,6 +31,8 @@ object AnnIndex {
 
   def centroidsTable(name: String): String = name + "_centroids"
   def cellsTable(name: String): String = name + "_cells"
+  def codebookTable(name: String): String = name + "_codebook"
+  def codesTable(name: String): String = name + "_codes"
 
   /** Build and persist the index: quantize, (optionally Lloyd-refine)
     * the first-`nCentroids` seed centroids, assign every vector to its
@@ -64,9 +66,21 @@ object AnnIndex {
             k: Int = 10, nprobe: Int = 1): DataFrame = {
     val cents = spark.table(centroidsTable(name))
     val cells = spark.table(cellsTable(name))
+    val probed = cells.join(broadcast(probes(cells, cents, nQueries, nprobe)),
+        col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotQ(col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm")))
+          .as("cos"))
+    topKByQuery(probed, k)
+  }
+
+  /** The query set's `nprobe` max-cosine stored cells:
+    * (query_id, qqv, qnrm, qcent). */
+  private def probes(cells: DataFrame, cents: DataFrame,
+                     nQueries: Int, nprobe: Int): DataFrame = {
     val byVec = Window.partitionBy("vec_id")
       .orderBy(col("cos_c").desc, col("cent_id"))
-    val probes = cells.filter(col("vec_id") < nQueries)
+    cells.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("qv"), col("nrm"))
       .join(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("nrm"), col("cent_id"),
@@ -76,11 +90,62 @@ object AnnIndex {
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nrm").as("qnrm"), col("cent_id").as("qcent"))
-    val probed = cells.join(broadcast(probes),
+  }
+
+  /** [[build]] plus the PQ-compressed half: the global codebook and
+    * every vector's (cell, PqM codes) rows, codes bucketed on cent_id
+    * like the cells — the full byte-budget index on disk. After this,
+    * [[queryPq]] serves without the raw-vector cells table ever being
+    * scanned corpus-wide (only the nQueries query rows are read from
+    * it). */
+  def buildPq(embeddings: DataFrame, name: String, nCentroids: Int = 16,
+              buckets: Int = 8): Unit = {
+    build(embeddings, name, nCentroids, refineIters = 0, buckets)
+    val spark = embeddings.sparkSession
+    val (cb, encoded, _, _) = pqParts(embeddings, nQueries = 0, refineIters = 0)
+    cb.write.mode("overwrite").format("parquet")
+      .saveAsTable(codebookTable(name))
+    // codes join the STORED assignment so the two tables agree
+    val codes = encoded.join(
+      spark.table(cellsTable(name)).select("vec_id", "cent_id"), Seq("vec_id"))
+    graft.sources.Bucketed.writeBucketed(
+      codes, codesTable(name), "cent_id", buckets)
+  }
+
+  /** Serve IVF-PQ top-k from the stored code + codebook tables: probe
+    * cells as [[query]] does, rebuild the tiny query-side LUT from the
+    * stored codebook, and score candidates purely from their 8 stored
+    * codes — identical arithmetic to [[Similarity.ivfPqTopK]]
+    * (AnnIndexSpec pins the equality). */
+  def queryPq(spark: SparkSession, name: String, nQueries: Int = 5,
+              k: Int = 10, nprobe: Int = 1): DataFrame = {
+    val cents = spark.table(centroidsTable(name))
+    val cells = spark.table(cellsTable(name))
+    val cb = spark.table(codebookTable(name))
+    val codes = spark.table(codesTable(name))
+    val subDim = 64 / PqM
+    val probeSet = probes(cells, cents, nQueries, nprobe)
+      .select("query_id", "qcent")
+    val qsub = cells.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qv"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+    val lut = qsub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("code"),
+        dotQ(col("sv"), col("cbv")).as("dp"))
+    val qn = cells.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"))
+    val scored = codes
+      .join(broadcast(probeSet),
         col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dp").as("est_dot"), sum("cbn2").as("recon_n2"))
+      .join(broadcast(qn), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (dotQ(col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm")))
-          .as("cos"))
-    topKByQuery(probed, k)
+        (col("est_dot").cast("double") /
+          (col("qnrm") * sqrt(col("recon_n2").cast("double")))).as("cos"))
+    topKByQuery(scored, k)
   }
 }

@@ -361,12 +361,13 @@ object Similarity {
       .withColumn("cbn2", norm2Q(col("cbv")))
       .select("m", "code", "cbv", "cbn2")
 
-  /** The PQ building blocks shared by [[pqTopK]] and [[ivfPqTopK]]:
-    * per-vector byte codes with their entries' norms², the query-side
-    * asymmetric LUT, and query norms. `refineIters` Lloyd rounds
-    * upgrade the deterministic seed codebook ([[refinedCodebook]]). */
-  private def pqParts(embeddings: DataFrame, nQueries: Int, refineIters: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+  /** The PQ building blocks shared by [[pqTopK]], [[ivfPqTopK]], and
+    * [[AnnIndex]]: the codebook, per-vector byte codes with their
+    * entries' norms², the query-side asymmetric LUT, and query norms.
+    * `refineIters` Lloyd rounds upgrade the deterministic seed
+    * codebook ([[refinedCodebook]]). */
+  private[llm] def pqParts(embeddings: DataFrame, nQueries: Int, refineIters: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val dim = 64 // driver embeddings are float[64] (TESTDATA.md)
     val subDim = dim / PqM
     val vecs = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
@@ -394,12 +395,12 @@ object Similarity {
     val qn = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         sqrt(norm2Q(col("qv")).cast("double")).as("qnrm"))
-    (encoded, lut, qn)
+    (cb, encoded, lut, qn)
   }
 
   def pqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
              refineIters: Int = 0): DataFrame = {
-    val (encoded, lut, qn) = pqParts(embeddings, nQueries, refineIters)
+    val (_, encoded, lut, qn) = pqParts(embeddings, nQueries, refineIters)
     val scored = encoded
       .join(broadcast(lut), Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -457,7 +458,7 @@ object Similarity {
       .withColumn("rn", row_number().over(byVec))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("qcent"))
-    val (encoded, lut, qn) = pqParts(embeddings, nQueries, pqRefine)
+    val (_, encoded, lut, qn) = pqParts(embeddings, nQueries, pqRefine)
     val scored = encoded
       .join(cells, Seq("vec_id"))
       .join(broadcast(probes),

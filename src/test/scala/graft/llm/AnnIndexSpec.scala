@@ -30,6 +30,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(ddl.contains("clustered by") && ddl.contains("cent_id"), ddl)
   }
 
+  test("buildPq then queryPq-from-disk matches in-memory ivfPqTopK exactly") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    AnnIndex.buildPq(emb, "annspec_pq")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    assert(rows(AnnIndex.queryPq(spark, "annspec_pq")) ==
+      rows(Similarity.ivfPqTopK(emb)))
+    assert(rows(AnnIndex.queryPq(spark, "annspec_pq", nprobe = 3)) ==
+      rows(Similarity.ivfPqTopK(emb, nprobe = 3)))
+    // the compressed table really is the byte-budget shape: 8 code
+    // rows per vector, codes within the one-byte codebook range
+    val codes = spark.table(AnnIndex.codesTable("annspec_pq"))
+    val n = spark.table(AnnIndex.cellsTable("annspec_pq")).count()
+    assert(codes.count() == n * Similarity.PqM)
+    import org.apache.spark.sql.functions.{col, max, min}
+    val mm = codes.select(min(col("code")), max(col("code"))).collect().head
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) < Similarity.PqK)
+  }
+
   test("a refined index persists refined centroids, and rebuild overwrites cleanly") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")
