@@ -100,6 +100,22 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("Column.between rewrites through the closed-closed matcher") {
+    // the API users actually reach for: between desugars to
+    // (p >= s) AND (p <= e), exactly the closed-closed conjunct pair
+    withRule {
+      val df = pts.join(ivs, $"p".between($"s", $"e"))
+      assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")))
+      val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
+      val want = (for {
+        p <- 0L until 300L
+        (id, s, e) <- (0L until 60L).map(i => (i, i * 4, i * 4 + 13))
+        if p >= s && p <= e
+      } yield (id, p)).toSet
+      assert(got == want)
+    }
+  }
+
   test("IntegerType columns rewrite through an exact widening cast") {
     val ptsI = (0 until 300).map(p => (p, s"p$p")).toDF("p", "tag")
     val ivsI = (0 until 60).map(i => (i, i * 4, i * 4 + 13)).toDF("iv_id", "s", "e")
