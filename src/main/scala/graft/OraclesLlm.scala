@@ -879,19 +879,23 @@ object OraclesLlm {
     (head +: roundCtes).mkString(",\n")
   }
 
-  val bpeMerges: String = {
-    val rounds = 3
+  private def bpeMergesSql(rounds: Int): String = {
     val tail = (1 to rounds).map { r =>
       s"SELECT $r::BIGINT AS round, lhs, rhs, lhs || rhs AS merged, pair_cnt FROM best$r"
     }.mkString("\nUNION ALL ")
     "WITH " + bpeCtes(rounds) + "\n" + tail
   }
 
+  val bpeMerges: String = bpeMergesSql(3)
+  // rounds = 8 lands exactly on the engine's localCheckpoint boundary
+  // (CheckpointEvery = 8), so the cross-engine gate exercises the
+  // checkpointed word table, not just the projection-chained one
+  val bpeMerges8: String = bpeMergesSql(8)
+
   /** Apply the learned merges to the corpus: per-doc token count and
     * post-merge symbol count (docs with no tokens vanish via unnest,
     * matching Spark's inner explode). */
-  val bpeEncode: String = {
-    val rounds = 3
+  private def bpeEncodeSql(rounds: Int): String = {
     val encCtes = (1 to rounds).map { r =>
       s"""e$r AS (
          |  SELECT doc_id, n_tokens, $bpeFoldE AS syms
@@ -907,6 +911,9 @@ object OraclesLlm {
          |  sum(len(syms))::BIGINT AS n_symbols
          |FROM e$rounds GROUP BY doc_id""".stripMargin)
   }
+
+  val bpeEncode: String = bpeEncodeSql(3)
+  val bpeEncode8: String = bpeEncodeSql(8)
 
   /** Heavy hitters: the engine prunes with a Misra-Gries sketch then
     * re-counts candidates exactly; the sketch guarantee (every token

@@ -191,6 +191,10 @@ object SparkEntry {
     // tokenizer TRAINING: the first 3 learned BPE merges, each round
     // vocab-bounded after the one corpus-sized word-count aggregate
     "bpe_merges" -> ((s, dir) => graft.llm.Bpe.merges(docs(s, dir))),
+    // 8 rounds = exactly one localCheckpoint boundary: the oracle
+    // replays the checkpointed training path bit-for-bit
+    "bpe_merges_8" -> ((s, dir) => graft.llm.Bpe.merges(docs(s, dir), rounds = 8)),
+    "bpe_encode_8" -> ((s, dir) => graft.llm.Bpe.encode(docs(s, dir), rounds = 8)),
     // tokenizer application: per-doc compression accounting after the
     // learned merges (train -> apply, one corpus scan each)
     "bpe_encode" -> ((s, dir) => graft.llm.Bpe.encode(docs(s, dir))),
@@ -346,6 +350,8 @@ object SparkEntry {
     "encode_docs" -> OraclesLlm.encodeDocs,
     "bpe_merges" -> OraclesLlm.bpeMerges,
     "bpe_encode" -> OraclesLlm.bpeEncode,
+    "bpe_merges_8" -> OraclesLlm.bpeMerges8,
+    "bpe_encode_8" -> OraclesLlm.bpeEncode8,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
     "examples_per_source" -> OraclesLlm.examplesPerSource,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,

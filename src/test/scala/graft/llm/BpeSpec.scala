@@ -101,6 +101,23 @@ class BpeSpec extends SparkSpec {
     assert(e.toSeq == Seq((0L, 2L, 2L)))
   }
 
+  test("exhaustion past a checkpoint boundary: 11 learnable merges under a 16 budget") {
+    // "abcdefghijkl" folds left one pair per round ((a,b) wins the
+    // all-tied round 1 lexicographically, then (ab,c) < (c,d), ...)
+    // and collapses to one symbol after 11 merges — past the round-8
+    // localCheckpoint, before the budget. The empty round 12 must stop
+    // training without disturbing the checkpointed word table.
+    val docs = Seq((0L, "abcdefghijkl abcdefghijkl")).toDF("doc_id", "text")
+    val m = Bpe.merges(docs, rounds = 16).collect()
+      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    assert(m.length == 11, s"expected 11 merges, got ${m.length}")
+    assert(m.last == ((11L, "abcdefghijkl")))
+    val e = Bpe.encode(docs, rounds = 16).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_symbols")))
+    assert(e.toSeq == Seq((0L, 2L, 2L)))
+  }
+
   test("a rounds=64 merge budget trains in bounded time with flat-depth plans") {
     // The scale edge from round 4: rounds used to compose lazily, so
     // plan depth grew linearly with the merge budget and `merges`
