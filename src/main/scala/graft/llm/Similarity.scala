@@ -303,13 +303,13 @@ object Similarity {
   val PqK = 16
 
   /** Exact integer squared L2 distance of two quantized sub-vectors. */
-  private def d2Q(a: Column, b: Column): Column =
+  private[llm] def d2Q(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
   /** (vec_id, m, sv): the M sub-slices of each vector — a stateless
     * in-partition explode of slim 8-long arrays, no shuffle. */
-  private def subvectors(vecs: DataFrame, subDim: Int): DataFrame =
+  private[llm] def subvectors(vecs: DataFrame, subDim: Int): DataFrame =
     vecs.select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
       .select(col("vec_id"), col("m"),

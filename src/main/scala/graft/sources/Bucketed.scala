@@ -30,6 +30,17 @@ object Bucketed {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** Append rows to an existing bucketed table with the SAME bucket
+    * spec — new files land in the matching buckets, so the co-location
+    * contract survives incremental loads (Spark rejects a mismatched
+    * spec rather than silently degrading the layout). */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int, sorted: Boolean = true): Unit = {
+    val w: DataFrameWriter[Row] = df.write
+      .mode("append").format("parquet").bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
   /** Equi-join of two same-key, same-bucket-count tables — planned
     * exchange-free (the point of the layout). */
   def colocatedJoin(spark: SparkSession, left: String, right: String,

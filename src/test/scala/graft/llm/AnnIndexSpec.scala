@@ -52,6 +52,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(mm.getInt(0) >= 0 && mm.getInt(1) < Similarity.PqK)
   }
 
+  test("incremental append equals a full rebuild when seeds live in the first batch") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions.col
+    // seeds are vec_id < 16, well inside the first batch — so stored
+    // centroids/codebook are identical to a full build's, and per-
+    // vector assignment/encoding is batch-independent
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    AnnIndex.buildPq(first, "annspec_inc")
+    AnnIndex.appendPq(rest, "annspec_inc")
+    AnnIndex.buildPq(emb, "annspec_full")
+    assert(rows(AnnIndex.query(spark, "annspec_inc")) ==
+      rows(AnnIndex.query(spark, "annspec_full")))
+    assert(rows(AnnIndex.queryPq(spark, "annspec_inc", nprobe = 3)) ==
+      rows(AnnIndex.queryPq(spark, "annspec_full", nprobe = 3)))
+    // and both equal the in-memory operators over the union corpus
+    assert(rows(AnnIndex.query(spark, "annspec_inc")) ==
+      rows(Similarity.ivfTopK(emb)))
+    assert(rows(AnnIndex.queryPq(spark, "annspec_inc")) ==
+      rows(Similarity.ivfPqTopK(emb)))
+    // appended rows really landed in the bucketed tables
+    assert(spark.table(AnnIndex.cellsTable("annspec_inc")).count() == emb.count())
+    assert(spark.table(AnnIndex.codesTable("annspec_inc")).count() ==
+      emb.count() * Similarity.PqM)
+  }
+
   test("a refined index persists refined centroids, and rebuild overwrites cleanly") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")
