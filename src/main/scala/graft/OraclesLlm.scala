@@ -586,9 +586,9 @@ object OraclesLlm {
        |  FROM assigned a, cents c, range(8) t(m)
        |  WHERE a.cent_id = c.cent_id),
        |rcb AS (
-       |  SELECT m, vec_id::INT AS code, rsv AS rbv,
+       |  SELECT m, (vec_id - 16)::INT AS code, rsv AS rbv,
        |    list_sum([x*x for x in rsv])::BIGINT AS rbn2
-       |  FROM rsub WHERE vec_id < 16),
+       |  FROM rsub WHERE vec_id >= 16 AND vec_id < 32),
        |renc AS (
        |  SELECT vec_id, cent_id, m, code, rbn2 FROM (
        |    SELECT s.vec_id, s.cent_id, s.m, c.code, c.rbn2,

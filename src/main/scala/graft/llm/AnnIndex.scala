@@ -83,40 +83,38 @@ object AnnIndex {
     * per-vector against fixed centroids, build(A ∪ B) ≡ build(A)
     * then append(B) whenever the seed vectors live in A (AnnIndexSpec
     * pins the equality). */
-  def append(embeddings: DataFrame, name: String, buckets: Int = 8): Unit = {
+  def append(embeddings: DataFrame, name: String, buckets: Int = 8): Unit =
+    appendImpl(embeddings, name, buckets, withCodes = false)
+
+  /** [[append]] plus the compressed half: encode the new batch against
+    * the STORED codebook and append its (cell, codes) rows. */
+  def appendPq(embeddings: DataFrame, name: String, buckets: Int = 8): Unit =
+    appendImpl(embeddings, name, buckets, withCodes = true)
+
+  private def appendImpl(embeddings: DataFrame, name: String,
+                         buckets: Int, withCodes: Boolean): Unit = {
     val spark = embeddings.sparkSession
     val vecs = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
     val assigned = assignCells(vecs, spark.table(centroidsTable(name)))
       .select("vec_id", "qv", "nrm", "cent_id")
-    graft.sources.Bucketed.appendBucketed(
-      assigned, cellsTable(name), "cent_id", buckets)
-  }
-
-  /** [[append]] plus the compressed half: encode the new batch against
-    * the STORED codebook and append its (cell, codes) rows. */
-  def appendPq(embeddings: DataFrame, name: String, buckets: Int = 8): Unit = {
-    append(embeddings, name, buckets)
-    val spark = embeddings.sparkSession
-    val cb = spark.table(codebookTable(name))
-    val vecs = embeddings
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
-    val sub = subvectors(vecs.select("vec_id", "qv"), 64 / PqM)
-    val encoded = sub.join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), col("code"), col("cbn2"),
-        d2Q(col("sv"), col("cbv")).as("dist2"))
-      .groupBy("vec_id", "m")
-      .agg(min_by(struct(col("code"), col("cbn2")),
-        struct(col("dist2"), col("code"))).as("w"))
-      .select(col("vec_id"), col("m"),
-        col("w.code").as("code"), col("w.cbn2").as("cbn2"))
-    val codes = encoded.join(
-      assignCells(vecs, spark.table(centroidsTable(name)))
-        .select("vec_id", "cent_id"), Seq("vec_id"))
-    graft.sources.Bucketed.appendBucketed(
-      codes, codesTable(name), "cent_id", buckets)
+    // cells and codes share the assignment; cache it across the two
+    // writes so the batch is quantized and assigned exactly once
+    if (withCodes) assigned.persist()
+    try {
+      graft.sources.Bucketed.appendBucketed(
+        assigned, cellsTable(name), "cent_id", buckets)
+      if (withCodes) {
+        val cb = spark.table(codebookTable(name))
+        val encoded = Similarity.encodeSub(
+          subvectors(assigned.select("vec_id", "qv"), 64 / PqM), cb)
+        val codes = encoded.join(
+          assigned.select("vec_id", "cent_id"), Seq("vec_id"))
+        graft.sources.Bucketed.appendBucketed(
+          codes, codesTable(name), "cent_id", buckets)
+      }
+    } finally if (withCodes) assigned.unpersist()
   }
 
   /** The query set's `nprobe` max-cosine stored cells:

@@ -107,6 +107,12 @@ object Bpe {
           mergeFold(col("syms"), lit(lhs), lit(rhs)).as("syms"))
         sinceCheckpoint += 1
         if (sinceCheckpoint >= CheckpointEvery) {
+          // superseded checkpoints are not manually unpersisted: once
+          // this reassignment drops the last reference to the previous
+          // checkpointed plan, Spark's ContextCleaner reclaims its
+          // blocks after GC — and an eager unpersist BEFORE the new
+          // (lazy) checkpoint materializes would destroy the only copy
+          // of the data its lineage-truncated plan reads from
           w = w.localCheckpoint(false)
           sinceCheckpoint = 0
         }

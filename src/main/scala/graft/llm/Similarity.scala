@@ -376,17 +376,7 @@ object Similarity {
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cbv"))
       .withColumn("cbn2", norm2Q(col("cbv")))
     val cb = (1 to refineIters).foldLeft(seedCb)((c, _) => refinedCodebook(sub, c))
-    // encode: nearest codebook entry per (vector, subspace); argmin as
-    // an aggregate (same shape as IVF's assignCells — the K candidate
-    // rows are born in-partition and combine map-side)
-    val encoded = sub.join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), col("code"), col("cbn2"),
-        d2Q(col("sv"), col("cbv")).as("dist2"))
-      .groupBy("vec_id", "m")
-      .agg(min_by(struct(col("code"), col("cbn2")),
-        struct(col("dist2"), col("code"))).as("w"))
-      .select(col("vec_id"), col("m"),
-        col("w.code").as("code"), col("w.cbn2").as("cbn2"))
+    val encoded = encodeSub(sub, cb)
     // asymmetric distance LUT: exact query-side dot against every entry
     val lut = sub.filter(col("vec_id") < nQueries)
       .join(broadcast(cb), Seq("m"))
@@ -397,6 +387,23 @@ object Similarity {
         sqrt(norm2Q(col("qv")).cast("double")).as("qnrm"))
     (cb, encoded, lut, qn)
   }
+
+  /** Encode sub-vectors against a codebook: nearest entry per
+    * (vector, subspace) by exact squared L2 (code tiebreak); argmin as
+    * an aggregate (same shape as IVF's [[assignCells]] — the K
+    * candidate rows are born in-partition and combine map-side). The
+    * ONE derivation of PQ codes, shared by [[pqParts]] and
+    * [[AnnIndex]]'s incremental ingest so stored and in-memory codes
+    * cannot diverge. */
+  private[llm] def encodeSub(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"), col("cbn2"),
+        d2Q(col("sv"), col("cbv")).as("dist2"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("code"), col("cbn2")),
+        struct(col("dist2"), col("code"))).as("w"))
+      .select(col("vec_id"), col("m"),
+        col("w.code").as("code"), col("w.cbn2").as("cbn2"))
 
   def pqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
              refineIters: Int = 0): DataFrame = {
@@ -496,7 +503,8 @@ object Similarity {
     * — the cv·r̂ cross terms come from a (cell × subspace × code)
     * table of nCentroids·PqM·PqK rows (16·8·16 = 2048): parameter-
     * bounded, broadcast, corpus-independent. A vector whose residual
-    * IS a codebook entry (the seeds: vec_id < PqK at distance 0)
+    * IS a codebook entry (the seeds: vec_id in
+    * [nCentroids, nCentroids+PqK), at distance 0)
     * reconstructs exactly, so its estimated cosine equals the true
     * quantized cosine — SimilaritySpec pins that invariant.
     *
@@ -524,9 +532,16 @@ object Similarity {
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("rv"))
       .select(col("vec_id"), col("cent_id"), col("m"),
         slice(col("rv"), col("m") * subDim + 1, lit(subDim)).as("rsv"))
-    // residual codebook: the first PqK vectors' residual slices
-    val rcb = rsub.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").cast("int").as("code"), col("rsv").as("rbv"))
+    // residual codebook: the residual slices of the PqK vectors AFTER
+    // the centroid seeds. NOT vec_id < PqK: those vectors ARE the
+    // centroids (vec i assigns to cell i at cosine 1), so their
+    // residuals are all-zero and the codebook would be 16 copies of
+    // the zero vector — codes carrying no information, scores
+    // collapsing to the cell-centroid cosine
+    val rcb = rsub
+      .filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + PqK)
+      .select(col("m"), (col("vec_id") - nCentroids).cast("int").as("code"),
+        col("rsv").as("rbv"))
       .withColumn("rbn2", norm2Q(col("rbv")))
     val encoded = rsub.join(broadcast(rcb), Seq("m"))
       .select(col("vec_id"), col("cent_id"), col("m"), col("code"), col("rbn2"),

@@ -34,20 +34,23 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * matcher excludes). Anything fancier stays on Spark's default path.
   *
   * Semantics are preserved exactly: a point lands in ONE bucket, so no
-  * pair can match twice (no dedup needed). The matching points form the
-  * closed integer interval [lo, hi] (lo = s or s+1, hi = e−1 or e, per
-  * bound openness); `Filter(hi >= lo)` keeps empty intervals out of the
-  * Generate (Sequence would reject a descending range); NULL bounds
-  * null-propagate through lo/hi into that filter → zero generated rows,
-  * matching the nested-loop's null-comparison drop. Integer columns are
-  * widened with an exact `Cast` to long for the bucket math only — the
+  * pair can match twice (no dedup needed). The generated bucket range
+  * is `bucketOf(s) .. bucketOf(e)` on the RAW bounds for every
+  * openness variant — a superset of the buckets that can hold a
+  * matching point (at most one wasted bucket per end, which the
+  * residual original condition filters exactly), deliberately free of
+  * any ±1 arithmetic: adjusting bounds by one would overflow on
+  * Long.MIN/MAX sentinel bounds and, under ANSI mode, turn a row the
+  * nested loop handles fine into a query-killing ArithmeticException.
+  * `Filter(e >= s)` (raw operands, no arithmetic) keeps descending
+  * ranges out of the Generate (Sequence rejects them); NULL bounds
+  * null-propagate into that filter → zero generated rows, matching the
+  * nested-loop's null-comparison drop. Integer columns are widened
+  * with an exact `Cast` to long for the bucket math only — the
   * original condition rides along as the residual untouched. Bucket
   * arithmetic is `(x − pmod(x, W)) div W` — exact floor division for
   * negative domains too. Bucket width:
-  * `spark.graft.rangeJoin.bucketWidth` (default 16). Out of scope, by
-  * the ±1 arithmetic: open bounds sitting exactly at Long.MIN/MAX
-  * sentinels (the residual still guarantees row-level correctness; the
-  * generated bucket range would just be wasteful).
+  * `spark.graft.rangeJoin.bucketWidth` (default 16).
   */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -111,8 +114,8 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val rewritten = (for {
         _ <- Iterator.single(()).filter(_ => conjuncts.length == 2)
         (li, ui) <- Iterator((0, 1), (1, 0))
-        (p1, s, loClosed) <- lowerParses(conjuncts(li)).iterator
-        (p2, e, hiClosed) <- upperParses(conjuncts(ui)).iterator
+        (p1, s, _) <- lowerParses(conjuncts(li)).iterator
+        (p2, e, _) <- upperParses(conjuncts(ui)).iterator
         if p1.semanticEquals(p2)
         if Seq(p1, s, e).forall(supportedType)
         // p from one side; s and e both from the other
@@ -126,19 +129,20 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         val w = width
         val pBucket = Alias(bucketOf(asLong(p1), w), "__graft_bucket_p")()
         val pProj = Project(pSide.output :+ pBucket, pSide)
-        // matching points form the closed interval [lo, hi]
-        val lo = if (loClosed) asLong(s) else Add(asLong(s), Literal(1L))
-        val hi = if (hiClosed) asLong(e) else Subtract(asLong(e), Literal(1L))
+        // raw-bound bucket range: superset of the matching points'
+        // buckets for every openness variant (see object doc — no ±1,
+        // so sentinel bounds can't overflow); the residual original
+        // condition keeps row-level exactness.
         // Sequence is TimeZoneAware — a None zone leaves it unresolved
         // even for integral sequences, and the optimizer rejects plans
         // that become unresolved
         val seq = new Sequence(
-          bucketOf(lo, w), bucketOf(hi, w),
+          bucketOf(asLong(s), w), bucketOf(asLong(e), w),
           Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
         val ivBucket = AttributeReference("__graft_bucket_iv", LongType)()
         val ivGen = Generate(Explode(seq), unrequiredChildIndex = Nil,
           outer = false, qualifier = None, generatorOutput = Seq(ivBucket),
-          child = Filter(GreaterThanOrEqual(hi, lo), ivSide))
+          child = Filter(GreaterThanOrEqual(asLong(e), asLong(s)), ivSide))
         val newCond = And(EqualTo(pBucket.toAttribute, ivBucket), cond)
         val (nl, nr) =
           if (pIsLeft) (pProj, ivGen: LogicalPlan) else (ivGen: LogicalPlan, pProj)

@@ -35,24 +35,36 @@ object DocStream {
     * same `dropDuplicatesWithinWatermark` state machine on the 32-bit
     * SimHash sketch of the token-hash multiset
     * ([[graft.llm.Dedup.simhashFromTokenHashes]] — the batch near-dup
-    * operator's exact sketch), so reorderings and other edits that
-    * leave every sketch bit unchanged collapse to the first-seen doc.
-    * The streaming trade: batch `simhashDedup` bands sketches and
-    * verifies Hamming ≤ 3 across a join — unbounded lookback, two
-    * shuffles; a stream gets ONE key-equality state probe per row, so
-    * the gate catches the sketch-identical near-dup class (plus all
-    * exact dups, trivially) with 8 bytes of state per doc and leaves
-    * the long tail to the periodic batch pass, same as the exact gate.
-    * State discipline matches [[dedupDocs]]: only the sketch rides the
-    * state store, never text, and the watermark bounds lookback. */
+    * operator's exact sketch) PLUS the token count, so reorderings and
+    * other edits that leave every sketch bit and the length unchanged
+    * collapse to the first-seen doc. The streaming trade: batch
+    * `simhashDedup` bands sketches and verifies Hamming ≤ 3 across a
+    * join — unbounded lookback, two shuffles; a stream gets ONE
+    * key-equality state probe per row, so the gate catches the
+    * sketch-identical near-dup class (plus all exact dups, trivially)
+    * with ~16 bytes of state per doc and leaves the banded-Hamming
+    * tail to the periodic batch pass, same as the exact gate.
+    *
+    * Like the Bloom decontamination gate, this drop is CONSERVATIVE
+    * with a bounded false-positive side: two unrelated docs colliding
+    * in (32-bit sketch, token count) within one watermark window are
+    * collapsed as if near-dups. The token count in the key exists to
+    * push that collision probability well below the bare sketch's
+    * birthday bound (colliders must also have EXACTLY equal lengths);
+    * a corpus that cannot tolerate any sketch-collision loss should
+    * run [[dedupDocs]] online and leave near-dups wholly to the batch
+    * verify-join. State discipline matches [[dedupDocs]]: only the
+    * sketch and count ride the state store, never text, and the
+    * watermark bounds lookback. */
   def nearDupGate(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     docs
       .withColumn("__ths", graft.llm.TextFns.tokenHashes(col("text")))
       .withColumn("sketch_key",
         graft.llm.Dedup.simhashFromTokenHashes(col("__ths")))
+      .withColumn("sketch_len", size(col("__ths")).cast("long"))
       .drop("__ths")
       .withWatermark("event_time", watermark)
-      .dropDuplicatesWithinWatermark("sketch_key")
+      .dropDuplicatesWithinWatermark("sketch_key", "sketch_len")
 
   /** Online quality gate: the stateless [[graft.llm.TextAnalysis]]
     * profile runs per-row on the stream (no state at all), keeping

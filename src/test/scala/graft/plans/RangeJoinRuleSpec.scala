@@ -100,6 +100,33 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("Long.MIN/MAX sentinel bounds neither crash nor mismatch the nested loop") {
+    // bucket bounds use the RAW s/e with no ±1 arithmetic: a sentinel
+    // bound must not overflow (ANSI ArithmeticException) or explode
+    // the generated bucket sequence — it either filters out (e < s)
+    // or is handled by the residual predicate
+    val ivRows = Seq(
+      (1L, 5L, 9L),                       // normal
+      (2L, Long.MaxValue, Long.MinValue), // descending sentinels: empty
+      (3L, 250L, 260L))
+    val weird = ivRows.toDF("iv_id", "s", "e")
+    withRule {
+      for ((name, cond, pred) <- Seq[(String, org.apache.spark.sql.Column,
+          (Long, Long, Long) => Boolean)](
+        ("closed-open", $"p" >= $"s" && $"p" < $"e", (p, s, e) => p >= s && p < e),
+        ("open-closed", $"p" > $"s" && $"p" <= $"e", (p, s, e) => p > s && p <= e))) {
+        val df = pts.join(weird, cond)
+        assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")))
+        val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
+        val want = (for {
+          p <- 0L until 300L
+          (id, s, e) <- ivRows if pred(p, s, e)
+        } yield (id, p)).toSet
+        assert(got == want, s"$name diverged on sentinel bounds")
+      }
+    }
+  }
+
   test("Column.between rewrites through the closed-closed matcher") {
     // the API users actually reach for: between desugars to
     // (p >= s) AND (p <= e), exactly the closed-closed conjunct pair
