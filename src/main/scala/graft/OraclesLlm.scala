@@ -637,6 +637,8 @@ object OraclesLlm {
        |      FROM resscored) WHERE rank <= 10""".stripMargin
 
   val ivfPqResTopK: String = ivfPqResSql()
+  // residual + multi-probe: the highest-recall compressed configuration
+  val ivfPqResTopKP3: String = ivfPqResSql(nprobe = 3)
 
   private def ivfPqResRecallSql(nprobe: Int = 1): String =
     s"""WITH $bruteCtes,
@@ -653,6 +655,20 @@ object OraclesLlm {
        |GROUP BY b.query_id""".stripMargin
 
   val ivfPqResRecall: String = ivfPqResRecallSql()
+  val ivfPqResRecallP3: String = ivfPqResRecallSql(nprobe = 3)
+
+  /** Per-cell IVF population stats (mirrors `Similarity.cellStats`):
+    * cell sizes of the max-cosine assignment plus integer-exact share
+    * and skew permille — the rebuild-trigger maintenance signal. */
+  val annCellStats: String =
+    s"""WITH ${ivfCtes(1)},
+       |cc AS (SELECT cent_id, count(*)::BIGINT AS n_vecs
+       |       FROM assigned GROUP BY cent_id),
+       |t AS (SELECT sum(n_vecs)::BIGINT AS total FROM cc)
+       |SELECT cent_id, n_vecs,
+       |  (1000 * n_vecs) // total AS share_pm,
+       |  (1000 * n_vecs * 16) // total AS skew_pm
+       |FROM cc, t""".stripMargin
 
   /** The capstone composition (mirrors `Pipeline.trainingPipeline` over
     * the exact-dup-injected corpus): language filter → quality filter →

@@ -263,6 +263,16 @@ object SparkEntry {
       Similarity.ivfPqResTopK(Tables.embeddings(s, dir))),
     "ivfpq_recall_res" -> ((s, dir) =>
       Similarity.ivfPqResRecall(Tables.embeddings(s, dir))),
+    // residual + multi-probe composed: the highest-recall compressed
+    // configuration in the variant matrix
+    "ivfpq_topk_res_p3" -> ((s, dir) =>
+      Similarity.ivfPqResTopK(Tables.embeddings(s, dir), nprobe = 3)),
+    "ivfpq_recall_res_p3" -> ((s, dir) =>
+      Similarity.ivfPqResRecall(Tables.embeddings(s, dir), nprobe = 3)),
+    // index-maintenance observability: per-cell size/share/skew — the
+    // rebuild-vs-append decision signal
+    "ann_cell_stats" -> ((s, dir) =>
+      Similarity.cellStats(Tables.embeddings(s, dir))),
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
@@ -378,6 +388,9 @@ object SparkEntry {
     "ivfpq_recall_p3" -> OraclesLlm.ivfPqRecallP3,
     "ivfpq_topk_res" -> OraclesLlm.ivfPqResTopK,
     "ivfpq_recall_res" -> OraclesLlm.ivfPqResRecall,
+    "ivfpq_topk_res_p3" -> OraclesLlm.ivfPqResTopKP3,
+    "ivfpq_recall_res_p3" -> OraclesLlm.ivfPqResRecallP3,
+    "ann_cell_stats" -> OraclesLlm.annCellStats,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "media_dedup" -> OraclesLlm.mediaDedup,
     "media_meta" -> OraclesLlm.mediaMeta,

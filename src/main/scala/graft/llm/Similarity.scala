@@ -598,6 +598,40 @@ object Similarity {
     topKByQuery(scored, k)
   }
 
+  /** Per-cell population stats of the IVF assignment — the
+    * index-maintenance signal a deployment watches to decide
+    * rebuild-vs-append. [[AnnIndex.append]] keeps centroids fixed, so
+    * drift shows up here as cell-size skew: `skew_pm` is the cell's
+    * size relative to the perfectly-balanced share in permille
+    * (1000 = exactly balanced); a max skew_pm of several thousand
+    * means probe fan-out is dominated by one hot cell and a rebuild
+    * (re-seed + re-assign) is due. Every column is integer-exact, so
+    * even the maintenance signal is oracle-checkable.
+    *
+    * Shuffle shape: one assignment pass (broadcast centroids, one
+    * shuffled row per vector — [[assignCells]]) into a
+    * nCentroids-row aggregate; the total joins back as a broadcast
+    * single row. */
+  def cellStats(embeddings: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
+    val cents = vecs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    cellStatsFromCells(assignCells(vecs, cents), nCentroids)
+  }
+
+  /** [[cellStats]] over a PERSISTED index's cells table (see
+    * [[AnnIndex]]): the same aggregate, but from the stored layout —
+    * the form a production deployment actually runs after appends. */
+  private[llm] def cellStatsFromCells(cells: DataFrame, nCentroids: Int): DataFrame = {
+    val counts = cells.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+    counts.join(broadcast(counts.agg(sum("n_vecs").as("total"))))
+      .select(col("cent_id"), col("n_vecs"),
+        expr("(1000 * n_vecs) div total").as("share_pm"),
+        expr(s"(1000 * n_vecs * $nCentroids) div total").as("skew_pm"))
+  }
+
   /** Recall@k of the residual-encoded IVF-PQ index vs brute force. */
   def ivfPqResRecall(embeddings: DataFrame, nCentroids: Int = 16,
                      nQueries: Int = 5, k: Int = 10,

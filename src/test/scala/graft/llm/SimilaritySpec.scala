@@ -267,6 +267,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.max > 0, "residual IVF-PQ found no true neighbors at all")
   }
 
+  test("residual multi-probe: recall never below single-probe, per query (sf0.001)") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val embDf = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val p1 = Similarity.ivfPqResRecall(embDf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("recall_pm")).toMap
+    val p3 = Similarity.ivfPqResRecall(embDf, nprobe = 3).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("recall_pm")).toMap
+    assert(p1.keySet == p3.keySet)
+    p1.foreach { case (q, r1) =>
+      assert(p3(q) >= r1, s"query $q: nprobe=3 recall ${p3(q)} < nprobe=1 $r1")
+    }
+  }
+
+  test("ann_cell_stats: every vector counted once, shares sum to ~1000") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val embDf = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val stats = Similarity.cellStats(embDf).collect()
+    val total = stats.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == embDf.count())
+    // integer-floor shares: sum within nCells of 1000, never over
+    val shareSum = stats.map(_.getAs[Long]("share_pm")).sum
+    assert(shareSum <= 1000 && shareSum > 1000 - stats.length)
+    // skew_pm = share_pm scaled by nCells: a perfectly balanced cell
+    // reads 1000; all entries positive and consistent with counts
+    stats.foreach { r =>
+      val expect = 1000L * r.getAs[Long]("n_vecs") * 16 / total
+      assert(r.getAs[Long]("skew_pm") == expect)
+    }
+  }
+
   test("quantize floors on exact float->double widening") {
     val got = spark.range(1).select(
       Similarity.quantize(array(lit(0.5f), lit(-0.5f), lit(0.0001f))).as("q"))
