@@ -57,4 +57,11 @@ object GraftExtensions {
   def polyhashCol(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       PolyHashExpression(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
+  /** The second polynomial family (see [[PolyHashExpression.Mult2]]) —
+    * used where one hash family's collisions must not be fatal. */
+  def polyhash2Col(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      PolyHashExpression(org.apache.spark.sql.GraftColumnBridge.expression(c),
+        PolyHashExpression.Mult2, PolyHashExpression.Prime2))
 }

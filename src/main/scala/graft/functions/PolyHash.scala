@@ -19,7 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Registered as SQL function `graft_polyhash` by [[GraftExtensions]].
   */
-case class PolyHashExpression(child: Expression) extends UnaryExpression {
+case class PolyHashExpression(child: Expression,
+    mult: Long = 31L, prime: Long = PolyHashExpression.Prime)
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_polyhash"
@@ -33,7 +35,7 @@ case class PolyHashExpression(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def nullSafeEval(input: Any): Any =
-    PolyHashExpression.hash(input.asInstanceOf[UTF8String].toString)
+    PolyHashExpression.hash(input.asInstanceOf[UTF8String].toString, mult, prime)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -45,7 +47,7 @@ case class PolyHashExpression(child: Expression) extends UnaryExpression {
          |long $acc = 0L;
          |for (int $i = 0; $i < $s.length(); ) {
          |  int cp = $s.codePointAt($i);
-         |  $acc = (($acc * 31L) + (long) cp) % ${PolyHashExpression.Prime}L;
+         |  $acc = (($acc * ${mult}L) + (long) cp) % ${prime}L;
          |  $i += Character.charCount(cp);
          |}
          |${ev.value} = $acc;
@@ -56,14 +58,25 @@ case class PolyHashExpression(child: Expression) extends UnaryExpression {
 object PolyHashExpression {
   val Prime = 1000000007L
 
+  /** Second, independent polynomial family (different multiplier AND
+    * modulus): two strings colliding under the default (31, 1e9+7)
+    * family collide here only by a fresh ~2⁻³⁰ accident — the
+    * decorrelation the 64-bit streaming near-dup key is built on
+    * ([[graft.streaming.DocStream.nearDupGate]]). A collision in
+    * family 1 CANNOT be washed out downstream of the hash (every
+    * function of an equal hash is equal), so the second family must
+    * re-read the string itself, as this does. */
+  val Mult2 = 37L
+  val Prime2 = 998244353L
+
   /** Interpreted twin of the generated loop (code-point iteration, so
     * supplementary characters hash identically to `ascii()`-per-char). */
-  def hash(s: String): Long = {
+  def hash(s: String, mult: Long = 31L, prime: Long = Prime): Long = {
     var acc = 0L
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      acc = (acc * 31L + cp) % Prime
+      acc = (acc * mult + cp) % prime
       i += Character.charCount(cp)
     }
     acc

@@ -55,6 +55,15 @@ object TextFns {
   def tokenHashes(text: Column): Column =
     transform(tokens(text), t => polyHash(t))
 
+  /** Per-token hashes under the SECOND polynomial family
+    * ([[graft.functions.PolyHashExpression.Mult2]]): independent of
+    * [[tokenHashes]] — a family-1 token collision stays a collision
+    * through any function of the hash, so decorrelation has to start
+    * from the token string itself. */
+  def tokenHashes2(text: Column): Column =
+    transform(tokens(text),
+      t => graft.functions.GraftExtensions.polyhash2Col(t))
+
   /** Distinct shingle hash set from a *materialized* token-hash array
     * column — the unit of Jaccard similarity for MinHash / n-gram dedup.
     *

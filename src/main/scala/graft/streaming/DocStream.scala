@@ -32,37 +32,51 @@ object DocStream {
 
   /** Within-watermark NEAR-dup gate: [[dedupDocs]] only kills
     * byte-level (post-normalization) duplicates; this stage keys the
-    * same `dropDuplicatesWithinWatermark` state machine on the 32-bit
-    * SimHash sketch of the token-hash multiset
+    * same `dropDuplicatesWithinWatermark` state machine on a 64-bit
+    * sketch — the 32-bit SimHash of the token-hash multiset
     * ([[graft.llm.Dedup.simhashFromTokenHashes]] — the batch near-dup
-    * operator's exact sketch) PLUS the token count, so reorderings and
-    * other edits that leave every sketch bit and the length unchanged
-    * collapse to the first-seen doc. The streaming trade: batch
-    * `simhashDedup` bands sketches and verifies Hamming ≤ 3 across a
-    * join — unbounded lookback, two shuffles; a stream gets ONE
-    * key-equality state probe per row, so the gate catches the
-    * sketch-identical near-dup class (plus all exact dups, trivially)
-    * with ~16 bytes of state per doc and leaves the banded-Hamming
-    * tail to the periodic batch pass, same as the exact gate.
+    * operator's exact sketch) in the high half, and the SimHash over a
+    * SECOND, independent polynomial token-hash family
+    * ([[graft.llm.TextFns.tokenHashes2]]) in the low half — PLUS the
+    * token count, so reorderings and other edits that leave every
+    * sketch bit of both families and the length unchanged collapse to
+    * the first-seen doc. The streaming trade: batch `simhashDedup`
+    * bands sketches and verifies Hamming ≤ 3 across a join — unbounded
+    * lookback, two shuffles; a stream gets ONE key-equality state
+    * probe per row, so the gate catches the sketch-identical near-dup
+    * class (plus all exact dups, trivially) with ~16 bytes of state
+    * per doc and leaves the banded-Hamming tail to the periodic batch
+    * pass, same as the exact gate.
     *
-    * Like the Bloom decontamination gate, this drop is CONSERVATIVE
-    * with a bounded false-positive side: two unrelated docs colliding
-    * in (32-bit sketch, token count) within one watermark window are
-    * collapsed as if near-dups. The token count in the key exists to
-    * push that collision probability well below the bare sketch's
-    * birthday bound (colliders must also have EXACTLY equal lengths);
-    * a corpus that cannot tolerate any sketch-collision loss should
-    * run [[dedupDocs]] online and leave near-dups wholly to the batch
-    * verify-join. State discipline matches [[dedupDocs]]: only the
-    * sketch and count ride the state store, never text, and the
-    * watermark bounds lookback. */
+    * Why 64 bits: at the 100 TB/day design point a 10-minute watermark
+    * window holds 10⁸–10⁹ docs — far past a 32-bit birthday bound, so
+    * single-family collisions are GUARANTEED there, and every one is a
+    * silently dropped clean doc. The second family multiplies the
+    * collision odds by ~2⁻³⁰, pushing the expected false-drop count in
+    * any realistic window below one. It must be an independent hash of
+    * the token STRINGS (different multiplier and modulus), not a
+    * rehash of the family-1 values — equal inputs stay equal through
+    * any function, so downstream mixing cannot undo a collision
+    * (DocStreamSpec pins this with a real family-1 collision pair).
+    *
+    * Like the Bloom decontamination gate, the drop stays CONSERVATIVE
+    * with a bounded false-positive side: colliders must now agree on
+    * BOTH 32-bit family sketches and the exact token count within one
+    * watermark window. A corpus that cannot tolerate any
+    * sketch-collision loss should run [[dedupDocs]] online and leave
+    * near-dups wholly to the batch verify-join. State discipline
+    * matches [[dedupDocs]]: only the 8-byte combined sketch and the
+    * count ride the state store, never text, and the watermark bounds
+    * lookback. */
   def nearDupGate(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     docs
       .withColumn("__ths", graft.llm.TextFns.tokenHashes(col("text")))
+      .withColumn("__ths2", graft.llm.TextFns.tokenHashes2(col("text")))
       .withColumn("sketch_key",
-        graft.llm.Dedup.simhashFromTokenHashes(col("__ths")))
+        shiftleft(graft.llm.Dedup.simhashFromTokenHashes(col("__ths")), 32)
+          .bitwiseOR(graft.llm.Dedup.simhashFromTokenHashes(col("__ths2"))))
       .withColumn("sketch_len", size(col("__ths")).cast("long"))
-      .drop("__ths")
+      .drop("__ths", "__ths2")
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("sketch_key", "sketch_len")
 

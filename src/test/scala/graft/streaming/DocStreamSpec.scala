@@ -74,6 +74,47 @@ class DocStreamSpec extends SparkSpec {
     assert(keys.contains("content_key"))
   }
 
+  test("nearDupGate 64-bit key: a family-1 sketch collision does not drop a clean doc") {
+    // Find two DIFFERENT tokens with the same family-1 polynomial hash
+    // (birthday search over ~|P1|^0.5 candidates). A single-token doc's
+    // 32-bit SimHash IS its token hash (one +1/-1 vote per bit), so
+    // under the old (family-1 sketch, token count) key these two docs
+    // collide exactly and the second would be silently dropped — the
+    // 100 TB failure mode. The widened key adds an independent second
+    // family, which must disagree on any non-identical pair.
+    import graft.functions.PolyHashExpression.{hash, Mult2, Prime2}
+    val seen = scala.collection.mutable.HashMap[Long, String]()
+    var pair: Option[(String, String)] = None
+    var i = 0
+    while (pair.isEmpty && i < 500000) {
+      val t = "w" + java.lang.Long.toString(i, 36)
+      val h = hash(t)
+      seen.get(h) match {
+        case Some(prev) if hash(prev, Mult2, Prime2) != hash(t, Mult2, Prime2) =>
+          pair = Some((prev, t))
+        case Some(_) => () // double collision: astronomically unlikely, skip
+        case None => seen(h) = t
+      }
+      i += 1
+    }
+    assert(pair.nonEmpty, "no family-1 collision found in search budget")
+    val (ta, tb) = pair.get
+    assert(ta != tb && hash(ta) == hash(tb))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    mem.addData((1L, ta, ts(10)), (2L, tb, ts(20)))
+    val q = DocStream.nearDupGate(docs).select("doc_id")
+      .writeStream.trigger(Trigger.AvailableNow()).format("memory")
+      .queryName("collision_out")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+    val kept = spark.table("collision_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L),
+      s"family-1 collision pair ($ta, $tb) must BOTH survive the 64-bit gate; got $kept")
+  }
+
   test("qualityGate streams statelessly and keeps only docs above the bar") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
