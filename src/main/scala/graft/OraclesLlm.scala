@@ -869,11 +869,11 @@ object OraclesLlm {
   /** Shared BPE training CTE block: word counts, then per round pair
     * counting → deterministic best pair (count desc, lexicographic) →
     * rewrite. Defines `w, s0..sN, p1..pN, best1..bestN`. */
-  private def bpeCtes(rounds: Int): String = {
+  private def bpeCtes(rounds: Int, trainWhere: String = ""): String = {
     val head =
       s"""w AS (
          |  SELECT token, count(*)::BIGINT AS cnt
-         |  FROM (SELECT unnest(${toksE("text")}) AS token FROM documents)
+         |  FROM (SELECT unnest(${toksE("text")}) AS token FROM documents$trainWhere)
          |  GROUP BY token),
          |s0 AS (SELECT cnt, string_split(token, '') AS syms FROM w)""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
@@ -911,16 +911,17 @@ object OraclesLlm {
   /** Apply the learned merges to the corpus: per-doc token count and
     * post-merge symbol count (docs with no tokens vanish via unnest,
     * matching Spark's inner explode). */
-  private def bpeEncodeSql(rounds: Int): String = {
+  private def bpeEncodeSql(rounds: Int, trainWhere: String = "",
+                           applyWhere: String = ""): String = {
     val encCtes = (1 to rounds).map { r =>
       s"""e$r AS (
          |  SELECT doc_id, n_tokens, $bpeFoldE AS syms
          |  FROM e${r - 1} LEFT JOIN best$r b ON true)""".stripMargin
     }
-    ("WITH " + bpeCtes(rounds) + ",\n" +
+    ("WITH " + bpeCtes(rounds, trainWhere) + ",\n" +
       s"""enc AS (
          |  SELECT doc_id, len(toks)::BIGINT AS n_tokens, unnest(toks) AS token
-         |  FROM (SELECT doc_id, ${toksE("text")} AS toks FROM documents)),
+         |  FROM (SELECT doc_id, ${toksE("text")} AS toks FROM documents$applyWhere)),
          |e0 AS (SELECT doc_id, n_tokens, string_split(token, '') AS syms FROM enc)""".stripMargin +
       ",\n" + encCtes.mkString(",\n") + "\n" +
       s"""SELECT doc_id, max(n_tokens) AS n_tokens,
@@ -930,6 +931,13 @@ object OraclesLlm {
 
   val bpeEncode: String = bpeEncodeSql(3)
   val bpeEncode8: String = bpeEncodeSql(8)
+  /** Cross-corpus tokenizer transfer (mirrors `Bpe.encodeCross`): the
+    * merge rules come from the EVEN-doc_id half; the per-doc fold
+    * replay runs over the ODD half. The replay is uniform — the
+    * engine's vocab-reuse is provably identical to replaying the rules
+    * on a token's characters, so the oracle needs no vocab split. */
+  val bpeEncodeCross: String =
+    bpeEncodeSql(3, " WHERE doc_id % 2 = 0", " WHERE doc_id % 2 = 1")
 
   /** Heavy hitters: the engine prunes with a Misra-Gries sketch then
     * re-counts candidates exactly; the sketch guarantee (every token

@@ -198,6 +198,9 @@ object SparkEntry {
     // tokenizer application: per-doc compression accounting after the
     // learned merges (train -> apply, one corpus scan each)
     "bpe_encode" -> ((s, dir) => graft.llm.Bpe.encode(docs(s, dir))),
+    // train-once/apply-many: merges learned on the even-doc half
+    // applied (via the reusable-rules API) to the odd half
+    "bpe_encode_cross" -> ((s, dir) => graft.llm.Bpe.encodeCross(docs(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(docs(s, dir))),
     "examples_per_source" -> ((s, dir) =>
@@ -362,6 +365,7 @@ object SparkEntry {
     "bpe_encode" -> OraclesLlm.bpeEncode,
     "bpe_merges_8" -> OraclesLlm.bpeMerges8,
     "bpe_encode_8" -> OraclesLlm.bpeEncode8,
+    "bpe_encode_cross" -> OraclesLlm.bpeEncodeCross,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
     "examples_per_source" -> OraclesLlm.examplesPerSource,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,

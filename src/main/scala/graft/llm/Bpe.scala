@@ -62,25 +62,40 @@ object Bpe {
     * and the plan depth small without a materialization job per round. */
   private val CheckpointEvery = 8
 
-  /** One learned merge rule, harvested on the driver. */
-  private[llm] final case class MergeRule(
+  /** One learned merge rule, harvested on the driver — the unit of the
+    * train-once/apply-many lifecycle: [[learn]] produces them,
+    * [[encodeWith]] replays them on ANY corpus. */
+  final case class MergeRule(
     round: Int, lhs: String, rhs: String, pairCnt: Long)
 
   /** Train `rounds` merges: the harvested rules (possibly fewer than
     * `rounds` when the corpus exhausts its learnable pairs — every
     * word a single symbol) plus the FINAL word table
     * (token, cnt, syms) after all rewrites, so [[encode]] can reuse it
-    * instead of re-aggregating the corpus and re-applying the merges. */
-  private[llm] def learn(docs: DataFrame, rounds: Int): (Vector[MergeRule], DataFrame) = {
+    * instead of re-aggregating the corpus and re-applying the merges.
+    *
+    * Checkpoint durability: `localCheckpoint` stores the truncated
+    * lineage's blocks on executor/driver storage — NOT reliable
+    * storage — so losing an executor mid-training fails the job
+    * instead of recomputing (the pure-lineage fold could replay, at
+    * O(rounds²) cost). That is the right local-mode trade; a cluster
+    * run that must survive executor loss passes
+    * `reliableCheckpoint = true` to use `Dataset.checkpoint` against
+    * `spark.sparkContext.setCheckpointDir` (HDFS/object store) — same
+    * truncation, durable blocks, one extra write per
+    * [[CheckpointEvery]] rounds of a vocab-sized table. */
+  def learn(docs: DataFrame, rounds: Int,
+            reliableCheckpoint: Boolean = false): (Vector[MergeRule], DataFrame) = {
     require(rounds >= 1, "need at least one merge round")
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(false) else df.localCheckpoint(false)
     // The ONLY corpus-sized step. localCheckpoint (eager=false: the
     // round-1 harvest below materializes it) cuts the corpus lineage
     // so no later round's plan reaches back to the raw scan, and keeps
     // the vocab-sized table resident for the per-round re-scans.
-    var w = docs.select(explode(tokens(col("text"))).as("token"))
+    var w = cut(docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .select(col("token"), col("cnt"), chars(col("token")).as("syms"))
-      .localCheckpoint(false)
+      .select(col("token"), col("cnt"), chars(col("token")).as("syms")))
     val learned = Vector.newBuilder[MergeRule]
     var sinceCheckpoint = 0
     var round = 1
@@ -113,7 +128,7 @@ object Bpe {
           // blocks after GC — and an eager unpersist BEFORE the new
           // (lazy) checkpoint materializes would destroy the only copy
           // of the data its lineage-truncated plan reads from
-          w = w.localCheckpoint(false)
+          w = cut(w)
           sinceCheckpoint = 0
         }
       }
@@ -153,6 +168,79 @@ object Bpe {
       .groupBy("doc_id")
       .agg(max("n_tokens").as("n_tokens"),
         sum("token_syms").as("n_symbols"))
+  }
+
+  /** Replay learned merge rules, in training order, over a
+    * (…, syms) table — each rule is a stateless [[mergeFold]]
+    * projection with the pair inlined as literals, re-materialized
+    * every [[CheckpointEvery]] rules exactly like training, so plan
+    * depth stays constant in the rule count here too. */
+  private def applyMerges(table: DataFrame, rules: Seq[MergeRule]): DataFrame = {
+    var t = table
+    var sinceCheckpoint = 0
+    rules.foreach { r =>
+      t = t.withColumn("syms", mergeFold(col("syms"), lit(r.lhs), lit(r.rhs)))
+      sinceCheckpoint += 1
+      if (sinceCheckpoint >= CheckpointEvery) {
+        t = t.localCheckpoint(false)
+        sinceCheckpoint = 0
+      }
+    }
+    t
+  }
+
+  /** Apply an ALREADY-LEARNED tokenizer to a corpus — the
+    * train-once/apply-many half of the lifecycle, where [[encode]]
+    * retrains internally: rules (and optionally the training run's
+    * final word table, from [[learn]]._2) come from corpus A, the
+    * docs are corpus B. Tokens of B found in A's vocabulary reuse the
+    * stored symbol sequences outright; unseen tokens seed their
+    * characters and replay the rules — which yields EXACTLY the
+    * stored sequences for known tokens too (training applied the same
+    * folds in the same order), so the vocab is purely a
+    * skip-the-replay optimization and `vocab = None` is bit-identical
+    * (BpeSpec pins the equivalence).
+    *
+    * Scale shape matches [[encode]]: the corpus-sized work is one
+    * tokenize scan and the final (token → symbol count) join; the
+    * replay runs over B's DISTINCT unseen tokens only —
+    * vocabulary-bounded, constant plan depth via [[applyMerges]]. */
+  def encodeWith(docs: DataFrame, rules: Seq[MergeRule],
+                 vocab: Option[DataFrame] = None): DataFrame = {
+    val bTokens = docs
+      .select(explode(tokens(col("text"))).as("token")).distinct()
+    val tokenSyms = vocab match {
+      case Some(v) =>
+        val known = bTokens.join(v.select("token", "syms"), Seq("token"))
+        val unseen = applyMerges(
+          bTokens.join(v.select("token"), Seq("token"), "left_anti")
+            .select(col("token"), chars(col("token")).as("syms")), rules)
+        known.unionByName(unseen)
+      case None =>
+        applyMerges(
+          bTokens.select(col("token"), chars(col("token")).as("syms")), rules)
+    }
+    val encodedVocab = tokenSyms
+      .select(col("token"), size(col("syms")).cast("long").as("token_syms"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        explode(col("toks")).as("token"))
+      .join(encodedVocab, Seq("token"))
+      .groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"),
+        sum("token_syms").as("n_symbols"))
+  }
+
+  /** The cross-corpus lifecycle as one query: learn the merges on the
+    * even-doc_id half of the corpus, apply them (reusing the trained
+    * word table) to the odd half — proof that a learned tokenizer
+    * transfers, with the transfer itself oracle-checked. */
+  def encodeCross(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (rules, trained) =
+      learn(docs.filter(pmod(col("doc_id"), lit(2)) === 0), rounds)
+    encodeWith(docs.filter(pmod(col("doc_id"), lit(2)) === 1), rules,
+      Some(trained))
   }
 
   /** Left-to-right non-overlapping merge of adjacent (lhs, rhs) as a

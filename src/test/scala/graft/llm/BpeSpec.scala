@@ -156,6 +156,53 @@ class BpeSpec extends SparkSpec {
     assert(shrunk < baseline, s"64 merges must compress: $shrunk vs $baseline")
   }
 
+  test("encodeWith: vocab reuse is bit-identical to full rule replay on a new corpus") {
+    // train on A; apply to B, which shares some tokens with A (vocab
+    // path) and introduces unseen ones (replay path). The two paths
+    // must agree exactly — the invariant that makes the stored vocab a
+    // pure optimization.
+    val a = Seq((0L, "low low low lower"), (2L, "lowest low")).toDF("doc_id", "text")
+    val b = Seq((1L, "low lowly slow"), (3L, "glow lower")).toDF("doc_id", "text")
+    val (rules, trained) = Bpe.learn(a, rounds = 3)
+    assert(rules.nonEmpty)
+    val withVocab = Bpe.encodeWith(b, rules, Some(trained)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val replayed = Bpe.encodeWith(b, rules, None).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(withVocab.toSeq == replayed.toSeq)
+    // merges learned on A really transfer: 'slow'/'glow' contain the
+    // learned 'low' merge chain, so they compress below char count
+    val byDoc = withVocab.map(t => t._1 -> t._3).toMap
+    assert(byDoc(1L) < "lowlowlyslow".length)
+  }
+
+  test("encodeCross matches learn-then-encodeWith composed by hand") {
+    val docs = Seq(
+      (0L, "low low lower"), (1L, "low lowest"),
+      (2L, "lower lowest low"), (3L, "slow glow low")).toDF("doc_id", "text")
+    val got = Bpe.encodeCross(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // only odd docs in the output
+    assert(got.map(_._1).toSeq == Seq(1L, 3L))
+    val (rules, trained) = Bpe.learn(
+      docs.filter(col("doc_id") % 2 === 0), rounds = 3)
+    val manual = Bpe.encodeWith(
+      docs.filter(col("doc_id") % 2 === 1), rules, Some(trained)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == manual.toSeq)
+  }
+
+  test("reliable checkpoint opt-in learns identical merges across a boundary") {
+    val ckptDir = java.nio.file.Files.createTempDirectory("bpe_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val docs = Seq((0L, "low low low lower lowest lowly slow glow flow"))
+      .toDF("doc_id", "text")
+    // 10 rounds crosses the CheckpointEvery=8 boundary on both paths
+    val local = Bpe.learn(docs, rounds = 10)._1
+    val reliable = Bpe.learn(docs, rounds = 10, reliableCheckpoint = true)._1
+    assert(local == reliable)
+  }
+
   test("encode drops token-less docs on both sides and counts unmergeable chars") {
     val docs = Seq((0L, "  "), (1L, "zq zq")).toDF("doc_id", "text")
     val got = Bpe.encode(docs, rounds = 1).collect()
