@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Optimizer rule that makes naive range joins scale: a user writes the
   * natural thing —
@@ -51,13 +51,41 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * arithmetic is `(x − pmod(x, W)) div W` — exact floor division for
   * negative domains too. Bucket width:
   * `spark.graft.rangeJoin.bucketWidth` (default 16).
+  *
+  * ASCENDING sentinel / unbounded intervals (s = Long.MIN or
+  * e = Long.MAX used as "no bound") are the one shape bucket
+  * replication cannot absorb: `Sequence(bucketOf(s), bucketOf(e))`
+  * would generate ~2⁶⁰ rows where the nested-loop baseline runs fine.
+  * The rewrite therefore SPLITS the interval side on a per-row span
+  * guard: intervals spanning ≤ `spark.graft.rangeJoin.maxSpanBuckets`
+  * buckets (default 65536) take the bucketed equi-join; wider ones —
+  * in practice the handful of sentinel "match everything after t"
+  * rows — fall back to a nested-loop join on the untouched original
+  * predicate, and the two branches union. Each interval row routes to
+  * exactly one branch (the guards are complements of one expression),
+  * so no pair can match twice. The span guard compares the two bucket
+  * ids in DOUBLE arithmetic: overflow-free for any sentinel (long
+  * subtraction could wrap for width 1), and any rounding slack at the
+  * cap boundary only moves a row between two CORRECT branches. The
+  * fallback join's condition carries a redundant `IsNotNull(s)` third
+  * conjunct — null-bound rows match nothing either way — purely so
+  * this rule's exactly-two-conjunct matcher cannot re-fire on its own
+  * fallback inside the fixed-point optimizer batch. Set
+  * `spark.graft.rangeJoin.sentinelFallback=false` to restore the
+  * single-branch plan when intervals are known bounded.
   */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthKey = "spark.graft.rangeJoin.bucketWidth"
+  val MaxSpanKey = "spark.graft.rangeJoin.maxSpanBuckets"
+  val FallbackKey = "spark.graft.rangeJoin.sentinelFallback"
 
   private def width: Long =
     conf.getConfString(WidthKey, "16").toLong
+  private def maxSpanBuckets: Long =
+    conf.getConfString(MaxSpanKey, "65536").toLong
+  private def sentinelFallback: Boolean =
+    conf.getConfString(FallbackKey, "true").toBoolean
 
   private type AR = AttributeReference
 
@@ -129,6 +157,14 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         val w = width
         val pBucket = Alias(bucketOf(asLong(p1), w), "__graft_bucket_p")()
         val pProj = Project(pSide.output :+ pBucket, pSide)
+        val ascending = GreaterThanOrEqual(asLong(e), asLong(s))
+        // per-row span guard (object doc): double arithmetic cannot
+        // overflow on sentinel bounds, and both branches filter on the
+        // SAME expression, so every row lands in exactly one branch
+        val spanSmall = LessThanOrEqual(
+          Subtract(Cast(bucketOf(asLong(e), w), DoubleType),
+            Cast(bucketOf(asLong(s), w), DoubleType)),
+          Literal(maxSpanBuckets.toDouble))
         // raw-bound bucket range: superset of the matching points'
         // buckets for every openness variant (see object doc — no ±1,
         // so sentinel bounds can't overflow); the residual original
@@ -140,13 +176,29 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           bucketOf(asLong(s), w), bucketOf(asLong(e), w),
           Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
         val ivBucket = AttributeReference("__graft_bucket_iv", LongType)()
+        val smallGuard =
+          if (sentinelFallback) And(ascending, spanSmall) else ascending
         val ivGen = Generate(Explode(seq), unrequiredChildIndex = Nil,
           outer = false, qualifier = None, generatorOutput = Seq(ivBucket),
-          child = Filter(GreaterThanOrEqual(asLong(e), asLong(s)), ivSide))
+          child = Filter(smallGuard, ivSide))
         val newCond = And(EqualTo(pBucket.toAttribute, ivBucket), cond)
         val (nl, nr) =
           if (pIsLeft) (pProj, ivGen: LogicalPlan) else (ivGen: LogicalPlan, pProj)
-        Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+        val bucketed = Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+        if (!sentinelFallback) bucketed
+        else {
+          // sentinel/huge-span rows: nested loop on the original
+          // predicate — correct for the shapes bucket replication
+          // can't absorb, empty for bounded workloads. IsNotNull(s) is
+          // the re-fire guard (see object doc).
+          val ivBig = Filter(And(ascending, Not(spanSmall)), ivSide)
+          val (fl, fr) =
+            if (pIsLeft) (pSide, ivBig: LogicalPlan)
+            else (ivBig: LogicalPlan, pSide)
+          val fallback = Project(j.output,
+            Join(fl, fr, Inner, Some(And(cond, IsNotNull(s))), hint))
+          Union(bucketed, fallback)
+        }
       }).nextOption()
       rewritten.getOrElse(j)
   }

@@ -23,6 +23,16 @@ class RangeJoinRuleSpec extends SparkSpec {
       .map(_.getClass.getSimpleName).filter(_.contains("Join"))
   }
 
+  /** The rewrite fired: the bucketed branch plans as an EQUI join.
+    * (A BroadcastNestedLoopJoin may legitimately coexist — it is the
+    * span-guarded sentinel fallback branch, empty for bounded
+    * intervals; `sentinelFallback=false` removes it.) */
+  private def assertBucketed(df: DataFrame): Unit = {
+    val nodes = joinNodes(df)
+    assert(nodes.exists(n => n.contains("HashJoin") || n.contains("SortMergeJoin")),
+      s"no equi-join branch in $nodes")
+  }
+
   private def pts = (0L until 300L).map(p => (p, s"p$p")).toDF("p", "tag")
   private def ivs = (0L until 60L).map(i => (i, i * 4, i * 4 + 13))
     .toDF("iv_id", "s", "e")
@@ -36,8 +46,7 @@ class RangeJoinRuleSpec extends SparkSpec {
   test("naive range join is rewritten to an equi-join with identical rows") {
     withRule {
       val df = pts.join(ivs, $"p" >= $"s" && $"p" < $"e")
-      val nodes = joinNodes(df)
-      assert(!nodes.exists(_.contains("BroadcastNestedLoopJoin")), nodes)
+      assertBucketed(df)
       val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
       assert(got == brute)
     }
@@ -47,7 +56,7 @@ class RangeJoinRuleSpec extends SparkSpec {
     withRule {
       val df = ivs.join(pts, $"p" >= $"s" && $"p" < $"e")
       assert(df.columns.toSeq == Seq("iv_id", "s", "e", "p", "tag"))
-      assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")))
+      assertBucketed(df)
       assert(df.select("iv_id", "p").as[(Long, Long)].collect().toSet == brute)
     }
   }
@@ -62,7 +71,7 @@ class RangeJoinRuleSpec extends SparkSpec {
       ).toDF("iv_id", "s", "e")
       // s <= p && e > p spelling
       val df = pts.join(weird, $"s" <= $"p" && $"e" > $"p")
-      assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")))
+      assertBucketed(df)
       val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
       val want = (for {
         p <- 0L until 300L
@@ -88,8 +97,7 @@ class RangeJoinRuleSpec extends SparkSpec {
     withRule {
       for ((name, cond, pred) <- variants) {
         val df = pts.join(weird, cond)
-        assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")),
-          s"$name not rewritten")
+        assertBucketed(df)
         val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
         val want = (for {
           p <- 0L until 300L
@@ -116,7 +124,7 @@ class RangeJoinRuleSpec extends SparkSpec {
         ("closed-open", $"p" >= $"s" && $"p" < $"e", (p, s, e) => p >= s && p < e),
         ("open-closed", $"p" > $"s" && $"p" <= $"e", (p, s, e) => p > s && p <= e))) {
         val df = pts.join(weird, cond)
-        assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")))
+        assertBucketed(df)
         val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
         val want = (for {
           p <- 0L until 300L
@@ -132,7 +140,7 @@ class RangeJoinRuleSpec extends SparkSpec {
     // (p >= s) AND (p <= e), exactly the closed-closed conjunct pair
     withRule {
       val df = pts.join(ivs, $"p".between($"s", $"e"))
-      assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")))
+      assertBucketed(df)
       val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
       val want = (for {
         p <- 0L until 300L
@@ -148,7 +156,7 @@ class RangeJoinRuleSpec extends SparkSpec {
     val ivsI = (0 until 60).map(i => (i, i * 4, i * 4 + 13)).toDF("iv_id", "s", "e")
     withRule {
       val df = ptsI.join(ivsI, $"p" >= $"s" && $"p" < $"e")
-      assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")))
+      assertBucketed(df)
       val got = df.select("iv_id", "p").as[(Int, Int)].collect().toSet
       val want = (for {
         p <- 0 until 300
@@ -158,7 +166,7 @@ class RangeJoinRuleSpec extends SparkSpec {
       assert(got == want)
       // mixed int point / long bounds widens too
       val mixed = ptsI.join(ivs, $"p" >= $"s" && $"p" < $"e")
-      assert(!joinNodes(mixed).exists(_.contains("BroadcastNestedLoopJoin")))
+      assertBucketed(mixed)
       assert(mixed.select("iv_id", "p").as[(Long, Int)].collect().toSet ==
         brute.map { case (id, p) => (id, p.toInt) })
     }
@@ -198,7 +206,7 @@ class RangeJoinRuleSpec extends SparkSpec {
     } yield (id, pid)).toSet
     withRule {
       val df = pts.join(ivs, $"p" >= $"s" && $"p" < $"e")
-      assert(!joinNodes(df).exists(_.contains("BroadcastNestedLoopJoin")))
+      assertBucketed(df)
       val got = df.select("iv_id", "pid").as[(Long, Long)].collect().toSet
       assert(got == want)
     }
@@ -215,6 +223,66 @@ class RangeJoinRuleSpec extends SparkSpec {
       val viaLib = graft.ops.Ranges.pointInIntervalJoin(pts, "p", ivs, "s", "e")
         .select("iv_id", "p").as[(Long, Long)].collect().toSet
       assert(viaRule == viaLib)
+    }
+  }
+
+  test("ASCENDING sentinel/unbounded intervals route through the span-guard fallback") {
+    // s = Long.MIN / e = Long.MAX as "no bound": bucket replication
+    // would need ~2^60 generated rows per interval — the one shape the
+    // equi rewrite cannot absorb. The span guard sends exactly these
+    // rows to a nested-loop branch on the original predicate; bounded
+    // rows still take the bucketed join, and the union is exact.
+    val ivRows = Seq(
+      (1L, 5L, 9L),                  // bounded: bucketed branch
+      (2L, 100L, Long.MaxValue),     // unbounded above: fallback
+      (3L, Long.MinValue, 10L),      // unbounded below: fallback
+      (4L, Long.MinValue, Long.MaxValue), // matches every point: fallback
+      (5L, 250L, 260L))              // bounded: bucketed branch
+    val weird = ivRows.toDF("iv_id", "s", "e")
+    withRule {
+      val df = pts.join(weird, $"p" >= $"s" && $"p" < $"e")
+      val nodes = joinNodes(df)
+      assertBucketed(df)
+      assert(nodes.exists(_.contains("BroadcastNestedLoopJoin")),
+        s"sentinel rows need the fallback branch; plan had $nodes")
+      val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
+      val want = (for {
+        p <- 0L until 300L
+        (id, s, e) <- ivRows if p >= s && p < e
+      } yield (id, p)).toSet
+      assert(got == want, "sentinel intervals diverged from the nested-loop rows")
+    }
+  }
+
+  test("sentinelFallback=false restores the single-branch plan for bounded intervals") {
+    withRule {
+      spark.conf.set(RangeJoinRule.FallbackKey, "false")
+      try {
+        val df = pts.join(ivs, $"p" >= $"s" && $"p" < $"e")
+        val nodes = joinNodes(df)
+        assert(!nodes.exists(_.contains("BroadcastNestedLoopJoin")), nodes)
+        assert(df.select("iv_id", "p").as[(Long, Long)].collect().toSet == brute)
+      } finally spark.conf.unset(RangeJoinRule.FallbackKey)
+    }
+  }
+
+  test("span cap is honored: a wide-but-finite interval beyond the cap uses the fallback") {
+    withRule {
+      spark.conf.set(RangeJoinRule.MaxSpanKey, "4")
+      try {
+        // width 16 × cap 4 ⇒ spans beyond ~64 domain units fall back
+        val weird = Seq((1L, 5L, 9L), (2L, 0L, 10000L)).toDF("iv_id", "s", "e")
+        val df = pts.join(weird, $"p" >= $"s" && $"p" < $"e")
+        val nodes = joinNodes(df)
+        assertBucketed(df)
+        assert(nodes.exists(_.contains("BroadcastNestedLoopJoin")), nodes)
+        val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
+        val want = (for {
+          p <- 0L until 300L
+          (id, s, e) <- Seq((1L, 5L, 9L), (2L, 0L, 10000L)) if p >= s && p < e
+        } yield (id, p)).toSet
+        assert(got == want)
+      } finally spark.conf.unset(RangeJoinRule.MaxSpanKey)
     }
   }
 }
