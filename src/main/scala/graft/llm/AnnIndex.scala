@@ -33,6 +33,8 @@ object AnnIndex {
   def cellsTable(name: String): String = name + "_cells"
   def codebookTable(name: String): String = name + "_codebook"
   def codesTable(name: String): String = name + "_codes"
+  def resCodebookTable(name: String): String = name + "_rcodebook"
+  def resCodesTable(name: String): String = name + "_rcodes"
 
   /** Build and persist the index: quantize, (optionally Lloyd-refine)
     * the first-`nCentroids` seed centroids, assign every vector to its
@@ -154,6 +156,90 @@ object AnnIndex {
     graft.sources.Bucketed.writeBucketed(
       codes, codesTable(name), "cent_id", buckets)
   }
+
+  /** [[build]] plus the RESIDUAL-encoded compressed half (Jégou-style,
+    * [[Similarity.ivfPqResTopK]]): codes quantize each vector's
+    * residual against its assigned cell's centroid — the
+    * best-compressed-recall configuration — persisted as the residual
+    * codebook plus the (cell, codes) rows, bucketed on cent_id like
+    * everything else. Residuals and codes derive from the STORED
+    * centroids/cells, and encoding reads the STORED codebook back, so
+    * no pair of tables can disagree. */
+  def buildPqRes(embeddings: DataFrame, name: String, nCentroids: Int = 16,
+                 buckets: Int = 8): Unit = {
+    build(embeddings, name, nCentroids, refineIters = 0, buckets)
+    val spark = embeddings.sparkSession
+    val subDim = 64 / PqM
+    val cents = spark.table(centroidsTable(name))
+    val assigned = spark.table(cellsTable(name))
+    val rsub = Similarity.resSubvectors(assigned, cents, subDim)
+    Similarity.resCodebook(rsub, nCentroids)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(resCodebookTable(name))
+    val encoded = Similarity.encodeRes(
+      rsub, spark.table(resCodebookTable(name)))
+    graft.sources.Bucketed.writeBucketed(
+      encoded, resCodesTable(name), "cent_id", buckets)
+  }
+
+  /** Serve residual IVF-PQ top-k from the stored tables alone: probes,
+    * LUT, and cross terms rebuild from the parameter-sized
+    * centroids/codebook; candidates are scored purely from their 8
+    * stored residual codes — identical arithmetic to
+    * [[Similarity.ivfPqResTopK]] (AnnIndexSpec pins the equality,
+    * single- and multi-probe). */
+  def queryPqRes(spark: SparkSession, name: String, nQueries: Int = 5,
+                 k: Int = 10, nprobe: Int = 1): DataFrame = {
+    val subDim = 64 / PqM
+    val cents = spark.table(centroidsTable(name))
+    val cells = spark.table(cellsTable(name))
+    val rcb = spark.table(resCodebookTable(name))
+    val encoded = spark.table(resCodesTable(name))
+    val qvecs = cells.filter(col("vec_id") < nQueries)
+      .select("vec_id", "qv", "nrm")
+    val probes = Similarity.resProbes(qvecs, cents, nprobe)
+    val lut = Similarity.resLut(qvecs, rcb, subDim)
+    val cellCross = Similarity.resCellCross(cents, rcb, subDim)
+    topKByQuery(Similarity.scoreRes(encoded, probes, lut, cellCross), k)
+  }
+
+  /** [[append]] plus the residual-compressed half: assign the new
+    * batch against the STORED centroids, encode its residuals against
+    * the STORED residual codebook, and append both bucketed tables —
+    * build(A)+appendPqRes(B) ≡ buildPqRes(A∪B) whenever the centroid
+    * AND codebook seed vectors (vec_id < nCentroids + PqK) live in A
+    * (AnnIndexSpec pins it). */
+  def appendPqRes(embeddings: DataFrame, name: String, buckets: Int = 8): Unit = {
+    val spark = embeddings.sparkSession
+    val subDim = 64 / PqM
+    val vecs = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
+    val cents = spark.table(centroidsTable(name))
+    val assigned = assignCells(vecs, cents)
+      .select("vec_id", "qv", "nrm", "cent_id")
+    assigned.persist()
+    try {
+      graft.sources.Bucketed.appendBucketed(
+        assigned, cellsTable(name), "cent_id", buckets)
+      val encoded = Similarity.encodeRes(
+        Similarity.resSubvectors(assigned, cents, subDim),
+        spark.table(resCodebookTable(name)))
+      graft.sources.Bucketed.appendBucketed(
+        encoded, resCodesTable(name), "cent_id", buckets)
+    } finally assigned.unpersist()
+  }
+
+  /** Index-maintenance signal from the STORED layout: per-cell
+    * count/share/skew of the cells table
+    * ([[Similarity.cellStatsFromCells]]) — what a deployment reads
+    * after a run of [[append]]s to decide whether centroid drift
+    * warrants a rebuild (rule of thumb: max skew_pm in the thousands
+    * means probes are dominated by one hot cell). */
+  def cellStats(spark: SparkSession, name: String,
+                nCentroids: Int = 16): DataFrame =
+    Similarity.cellStatsFromCells(
+      spark.table(cellsTable(name)), nCentroids)
 
   /** Serve IVF-PQ top-k from the stored code + codebook tables: probe
     * cells as [[query]] does, rebuild the tiny query-side LUT from the

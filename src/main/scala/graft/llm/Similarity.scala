@@ -514,8 +514,7 @@ object Similarity {
   def ivfPqResTopK(embeddings: DataFrame, nCentroids: Int = 16,
                    nQueries: Int = 5, k: Int = 10,
                    nprobe: Int = 1): DataFrame = {
-    val dim = 64
-    val subDim = dim / PqM
+    val subDim = 64 / PqM
     val vecs = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
@@ -524,26 +523,48 @@ object Similarity {
     // (vec_id, cent_id, residual) — the only corpus-sized frames from
     // here on carry the 8-long residual slices or the final codes
     val assigned = assignCells(vecs, cents)
-    val resid = assigned.join(broadcast(cents), Seq("cent_id"))
+    val rsub = resSubvectors(assigned, cents, subDim)
+    val rcb = resCodebook(rsub, nCentroids)
+    val encoded = encodeRes(rsub, rcb)
+    val cellCross = resCellCross(cents, rcb, subDim)
+    val qvecs = vecs.filter(col("vec_id") < nQueries)
+    val probes = resProbes(qvecs, cents, nprobe)
+    val lut = resLut(qvecs, rcb, subDim)
+    topKByQuery(scoreRes(encoded, probes, lut, cellCross), k)
+  }
+
+  /** Residual sub-slices of an assignment against its centroids:
+    * (vec_id, cent_id, m, rsv) — the PQ input of the residual
+    * formulation, shared by the in-memory operator and the persisted
+    * [[AnnIndex]] so stored and in-memory codes cannot diverge. */
+  private[llm] def resSubvectors(assigned: DataFrame, cents: DataFrame,
+                                 subDim: Int): DataFrame =
+    assigned.join(broadcast(cents.select("cent_id", "cv")), Seq("cent_id"))
       .select(col("vec_id"), col("cent_id"),
         zip_with(col("qv"), col("cv"), (x, c) => x - c).as("rv"))
-    val rsub = resid
       .select(col("vec_id"), col("cent_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("rv"))
       .select(col("vec_id"), col("cent_id"), col("m"),
         slice(col("rv"), col("m") * subDim + 1, lit(subDim)).as("rsv"))
-    // residual codebook: the residual slices of the PqK vectors AFTER
-    // the centroid seeds. NOT vec_id < PqK: those vectors ARE the
-    // centroids (vec i assigns to cell i at cosine 1), so their
-    // residuals are all-zero and the codebook would be 16 copies of
-    // the zero vector — codes carrying no information, scores
-    // collapsing to the cell-centroid cosine
-    val rcb = rsub
+
+  /** Residual codebook: the residual slices of the PqK vectors AFTER
+    * the centroid seeds. NOT vec_id < PqK: those vectors ARE the
+    * centroids (vec i assigns to cell i at cosine 1), so their
+    * residuals are all-zero and the codebook would be 16 copies of
+    * the zero vector — codes carrying no information, scores
+    * collapsing to the cell-centroid cosine. */
+  private[llm] def resCodebook(rsub: DataFrame, nCentroids: Int): DataFrame =
+    rsub
       .filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + PqK)
       .select(col("m"), (col("vec_id") - nCentroids).cast("int").as("code"),
         col("rsv").as("rbv"))
       .withColumn("rbn2", norm2Q(col("rbv")))
-    val encoded = rsub.join(broadcast(rcb), Seq("m"))
+
+  /** Encode residual slices against the codebook: argmin exact squared
+    * L2, code tiebreak, as a map-side-combining aggregate —
+    * (vec_id, cent_id, m, code, rbn2). */
+  private[llm] def encodeRes(rsub: DataFrame, rcb: DataFrame): DataFrame =
+    rsub.join(broadcast(rcb), Seq("m"))
       .select(col("vec_id"), col("cent_id"), col("m"), col("code"), col("rbn2"),
         d2Q(col("rsv"), col("rbv")).as("dist2"))
       .groupBy("vec_id", "cent_id", "m")
@@ -551,8 +572,12 @@ object Similarity {
         struct(col("dist2"), col("code"))).as("w"))
       .select(col("vec_id"), col("cent_id"), col("m"),
         col("w.code").as("code"), col("w.rbn2").as("rbn2"))
-    // cell × codebook cross terms: dot(cv sub-slice, codebook entry)
-    val cellCross = cents
+
+  /** Cell × codebook cross terms dot(cv sub-slice, codebook entry):
+    * nCentroids·PqM·PqK rows, parameter-bounded, broadcastable. */
+  private[llm] def resCellCross(cents: DataFrame, rcb: DataFrame,
+                                subDim: Int): DataFrame =
+    cents
       .select(col("cent_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
         col("cv"))
       .select(col("cent_id"), col("m"),
@@ -560,10 +585,16 @@ object Similarity {
       .join(broadcast(rcb), Seq("m"))
       .select(col("cent_id"), col("m"), col("code"),
         dotQ(col("csv"), col("rbv")).as("cvdot"))
-    // query probe cells with exact q·cv and ‖cv‖² staged per probe
+
+  /** The query rows' nprobe max-cosine cells, with exact q·cv and ‖cv‖²
+    * staged per probe: (query_id, qcent, qcv, cn2, qnrm). `qvecs` is
+    * the already-filtered query set (vec_id, qv, nrm) — tiny, so the
+    * ranking window is fine. */
+  private[llm] def resProbes(qvecs: DataFrame, cents: DataFrame,
+                             nprobe: Int): DataFrame = {
     val byVec = Window.partitionBy("vec_id")
       .orderBy(col("cos_c").desc, col("cent_id"))
-    val probes = vecs.filter(col("vec_id") < nQueries)
+    qvecs
       .join(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         (dotQ(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
@@ -575,8 +606,13 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("qcent"),
         col("qcv"), col("cn2"), col("nrm").as("qnrm"))
-    // query-side LUT against the residual codebook
-    val lut = vecs.filter(col("vec_id") < nQueries)
+  }
+
+  /** Query-side LUT against the residual codebook:
+    * (query_id, m, code, dp) with dp the exact integer dot. */
+  private[llm] def resLut(qvecs: DataFrame, rcb: DataFrame,
+                          subDim: Int): DataFrame =
+    qvecs
       .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
         col("qv"))
       .select(col("vec_id"), col("m"),
@@ -584,7 +620,13 @@ object Similarity {
       .join(broadcast(rcb), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("code"),
         dotQ(col("qsv"), col("rbv")).as("dp"))
-    val scored = encoded
+
+  /** Score probed candidates from codes alone:
+    * est_dot = q·cv + Σ LUT, recon² = ‖cv‖² + 2·Σ cv·r̂ + Σ ‖r̂‖² —
+    * every term integer-exact (see [[ivfPqResTopK]] doc). */
+  private[llm] def scoreRes(encoded: DataFrame, probes: DataFrame,
+                            lut: DataFrame, cellCross: DataFrame): DataFrame =
+    encoded
       .join(broadcast(probes),
         col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "m", "code"))
@@ -595,8 +637,6 @@ object Similarity {
         ((col("qcv") + col("sdp")).cast("double") /
           (col("qnrm") * sqrt((col("cn2") + lit(2L) * col("scv") + col("srb"))
             .cast("double")))).as("cos"))
-    topKByQuery(scored, k)
-  }
 
   /** Per-cell population stats of the IVF assignment — the
     * index-maintenance signal a deployment watches to decide

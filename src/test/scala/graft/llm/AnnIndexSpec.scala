@@ -83,6 +83,65 @@ class AnnIndexSpec extends SparkSpec {
       emb.count() * Similarity.PqM)
   }
 
+  test("buildPqRes then queryPqRes-from-disk matches in-memory ivfPqResTopK exactly") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    AnnIndex.buildPqRes(emb, "annspec_res")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    val disk1 = rows(AnnIndex.queryPqRes(spark, "annspec_res"))
+    assert(disk1.nonEmpty && disk1 == rows(Similarity.ivfPqResTopK(emb)))
+    // residual + multi-probe serves from the same stored layout
+    assert(rows(AnnIndex.queryPqRes(spark, "annspec_res", nprobe = 3)) ==
+      rows(Similarity.ivfPqResTopK(emb, nprobe = 3)))
+    // byte-budget shape: 8 residual-code rows per vector, codes in range
+    val codes = spark.table(AnnIndex.resCodesTable("annspec_res"))
+    val n = spark.table(AnnIndex.cellsTable("annspec_res")).count()
+    assert(codes.count() == n * Similarity.PqM)
+    import org.apache.spark.sql.functions.{col, max, min}
+    val mm = codes.select(min(col("code")), max(col("code"))).collect().head
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) < Similarity.PqK)
+  }
+
+  test("appendPqRes equals a full residual rebuild when all seeds live in the first batch") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions.col
+    // centroid seeds (vec_id < 16) AND residual-codebook seeds
+    // (vec_id in [16, 32)) are inside the first batch, so the stored
+    // parameter tables equal a full build's and per-vector
+    // assignment/encoding is batch-independent
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    AnnIndex.buildPqRes(first, "annspec_rinc")
+    AnnIndex.appendPqRes(rest, "annspec_rinc")
+    AnnIndex.buildPqRes(emb, "annspec_rfull")
+    assert(rows(AnnIndex.queryPqRes(spark, "annspec_rinc")) ==
+      rows(AnnIndex.queryPqRes(spark, "annspec_rfull")))
+    assert(rows(AnnIndex.queryPqRes(spark, "annspec_rinc", nprobe = 3)) ==
+      rows(Similarity.ivfPqResTopK(emb, nprobe = 3)))
+    assert(spark.table(AnnIndex.resCodesTable("annspec_rinc")).count() ==
+      emb.count() * Similarity.PqM)
+  }
+
+  test("cellStats from the stored index equals the in-memory maintenance signal") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    AnnIndex.build(emb, "annspec_stats")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("cent_id"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("share_pm"), r.getAs[Long]("skew_pm"))).toSet
+    assert(rows(AnnIndex.cellStats(spark, "annspec_stats")) ==
+      rows(Similarity.cellStats(emb)))
+  }
+
   test("a refined index persists refined centroids, and rebuild overwrites cleanly") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")
