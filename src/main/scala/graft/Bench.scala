@@ -88,17 +88,30 @@ object Bench {
     val qs = obj(results.map { case (k, v) => k -> v.toString })
     val errs = obj(errors.map { case (k, v) => k -> ("\"" + v + "\"") })
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val streamTput = streamThroughput(spark, cpus.toInt)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"stream_rows_per_sec":$streamTput,"sf":"$sfDir"}"""
+    val (streamTput, streamRates) = streamThroughput(spark, cpus.toInt)
+    // the per-batch series makes the figure self-diagnosing: a host
+    // throttle window shows up as a slow prefix/suffix around normal
+    // batches, where a bare median under a capped drain once read as a
+    // 10× regression on unchanged code (round-5 post-mortem)
+    val ratesJson = streamRates.map(r => (math.round(r * 10) / 10.0).toString)
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"stream_rows_per_sec":$streamTput,"stream_batch_rates":$ratesJson,"stream_batches":${streamRates.length},"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: the driver captures stdout through
     // a bounded tail buffer, and round 4's committed artifact came back
     // truncated mid-JSON ("parsed": null). A file write can't be clipped.
+    // The directory resolves from SPARK_GRAFT_ARTIFACTS when set (a bench
+    // launched from another CWD would otherwise write the repo-relative
+    // default elsewhere and silently miss the harness); the absolute path
+    // is logged either way.
     try {
-      val out = java.nio.file.Paths.get("artifacts")
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS", "artifacts"))
       java.nio.file.Files.createDirectories(out)
-      java.nio.file.Files.write(out.resolve("BENCH_driver.json"),
+      val file = out.resolve("BENCH_driver.json")
+      java.nio.file.Files.write(file,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] artifact written: ${file.toAbsolutePath}")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact file write failed: $e")
     }
@@ -131,9 +144,17 @@ object Bench {
     * batches lost ~40% to them. */
   val FeedRowsPerCore = 720000L
   val StreamBatches = 4
-  val StreamTimeoutMs = 180000L
+  /** Generous on purpose: a 180 s cap once left only throttle-window
+    * batches in the sample (median read as a 10× regression on
+    * unchanged code). The drain is bounded — 4 batches — so the
+    * timeout is a hang backstop, not a sampling window; normal drains
+    * finish in ~20-30 s and never see it. */
+  val StreamTimeoutMs = 600000L
 
-  private def streamThroughput(spark: SparkSession, cpus: Int): Double = {
+  /** Returns (median per-batch rows/s, the full per-batch rate series
+    * in batch order — cold first batch included, so the artifact can
+    * explain its own median). */
+  private def streamThroughput(spark: SparkSession, cpus: Int): (Double, Seq[Double]) = {
     import graft.streaming._
     try {
       val tmp = java.nio.file.Files.createTempDirectory("bench_stream")
@@ -182,16 +203,19 @@ object Bench {
       }
       // median per-batch processedRowsPerSecond; the first batch is
       // dropped (cold file listing, codegen) unless it would leave
-      // fewer than 2 samples
+      // fewer than 2 samples. The UNSORTED full series is returned
+      // alongside so the committed artifact shows per-batch behavior.
       val all = q.recentProgress
         .filter(p => p.numInputRows > 0)
         .map(_.processedRowsPerSecond).filter(r => !r.isNaN && r > 0).toSeq
       val rates = (if (all.length > 2) all.drop(1) else all).sorted
-      if (rates.isEmpty) 0.0
-      else math.round(rates(rates.length / 2) * 10) / 10.0
+      val median =
+        if (rates.isEmpty) 0.0
+        else math.round(rates(rates.length / 2) * 10) / 10.0
+      (median, all)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream throughput failed: $e")
-      -1.0
+      (-1.0, Seq.empty)
     }
   }
 }
