@@ -205,10 +205,11 @@ object AnnIndex {
 
   /** [[append]] plus the residual-compressed half: assign the new
     * batch against the STORED centroids, encode its residuals against
-    * the STORED residual codebook, and append both bucketed tables —
-    * build(A)+appendPqRes(B) ≡ buildPqRes(A∪B) whenever the centroid
-    * AND codebook seed vectors (vec_id < nCentroids + PqK) live in A
-    * (AnnIndexSpec pins it). */
+    * the STORED residual codebook (so the index must have been built
+    * with [[buildPqRes]], which writes that codebook), and append both
+    * bucketed tables — buildPqRes(A)+appendPqRes(B) ≡ buildPqRes(A∪B)
+    * whenever the centroid AND codebook seed vectors
+    * (vec_id < nCentroids + PqK) live in A (AnnIndexSpec pins it). */
   def appendPqRes(embeddings: DataFrame, name: String, buckets: Int = 8): Unit = {
     val spark = embeddings.sparkSession
     val subDim = 64 / PqM
@@ -235,11 +236,15 @@ object AnnIndex {
     * ([[Similarity.cellStatsFromCells]]) — what a deployment reads
     * after a run of [[append]]s to decide whether centroid drift
     * warrants a rebuild (rule of thumb: max skew_pm in the thousands
-    * means probes are dominated by one hot cell). */
-  def cellStats(spark: SparkSession, name: String,
-                nCentroids: Int = 16): DataFrame =
+    * means probes are dominated by one hot cell). The cell count for
+    * the skew scale comes from the STORED centroids table, never a
+    * caller parameter — a stale/wrong caller value would silently
+    * rescale skew_pm and mask a hot cell. */
+  def cellStats(spark: SparkSession, name: String): DataFrame = {
+    val nCentroids = spark.table(centroidsTable(name)).count().toInt
     Similarity.cellStatsFromCells(
       spark.table(cellsTable(name)), nCentroids)
+  }
 
   /** Serve IVF-PQ top-k from the stored code + codebook tables: probe
     * cells as [[query]] does, rebuild the tiny query-side LUT from the

@@ -173,16 +173,19 @@ object Bpe {
   /** Replay learned merge rules, in training order, over a
     * (…, syms) table — each rule is a stateless [[mergeFold]]
     * projection with the pair inlined as literals, re-materialized
-    * every [[CheckpointEvery]] rules exactly like training, so plan
+    * every [[CheckpointEvery]] rules exactly like training (same
+    * `reliableCheckpoint` durability trade as [[learn]]), so plan
     * depth stays constant in the rule count here too. */
-  private def applyMerges(table: DataFrame, rules: Seq[MergeRule]): DataFrame = {
+  private def applyMerges(table: DataFrame, rules: Seq[MergeRule],
+                          reliableCheckpoint: Boolean): DataFrame = {
     var t = table
     var sinceCheckpoint = 0
     rules.foreach { r =>
       t = t.withColumn("syms", mergeFold(col("syms"), lit(r.lhs), lit(r.rhs)))
       sinceCheckpoint += 1
       if (sinceCheckpoint >= CheckpointEvery) {
-        t = t.localCheckpoint(false)
+        t = if (reliableCheckpoint) t.checkpoint(false)
+            else t.localCheckpoint(false)
         sinceCheckpoint = 0
       }
     }
@@ -206,7 +209,8 @@ object Bpe {
     * replay runs over B's DISTINCT unseen tokens only —
     * vocabulary-bounded, constant plan depth via [[applyMerges]]. */
   def encodeWith(docs: DataFrame, rules: Seq[MergeRule],
-                 vocab: Option[DataFrame] = None): DataFrame = {
+                 vocab: Option[DataFrame] = None,
+                 reliableCheckpoint: Boolean = false): DataFrame = {
     val bTokens = docs
       .select(explode(tokens(col("text"))).as("token")).distinct()
     val tokenSyms = vocab match {
@@ -214,11 +218,13 @@ object Bpe {
         val known = bTokens.join(v.select("token", "syms"), Seq("token"))
         val unseen = applyMerges(
           bTokens.join(v.select("token"), Seq("token"), "left_anti")
-            .select(col("token"), chars(col("token")).as("syms")), rules)
+            .select(col("token"), chars(col("token")).as("syms")),
+          rules, reliableCheckpoint)
         known.unionByName(unseen)
       case None =>
         applyMerges(
-          bTokens.select(col("token"), chars(col("token")).as("syms")), rules)
+          bTokens.select(col("token"), chars(col("token")).as("syms")),
+          rules, reliableCheckpoint)
     }
     val encodedVocab = tokenSyms
       .select(col("token"), size(col("syms")).cast("long").as("token_syms"))
@@ -236,11 +242,13 @@ object Bpe {
     * even-doc_id half of the corpus, apply them (reusing the trained
     * word table) to the odd half — proof that a learned tokenizer
     * transfers, with the transfer itself oracle-checked. */
-  def encodeCross(docs: DataFrame, rounds: Int = 3): DataFrame = {
+  def encodeCross(docs: DataFrame, rounds: Int = 3,
+                  reliableCheckpoint: Boolean = false): DataFrame = {
     val (rules, trained) =
-      learn(docs.filter(pmod(col("doc_id"), lit(2)) === 0), rounds)
+      learn(docs.filter(pmod(col("doc_id"), lit(2)) === 0), rounds,
+        reliableCheckpoint)
     encodeWith(docs.filter(pmod(col("doc_id"), lit(2)) === 1), rules,
-      Some(trained))
+      Some(trained), reliableCheckpoint)
   }
 
   /** Left-to-right non-overlapping merge of adjacent (lhs, rhs) as a

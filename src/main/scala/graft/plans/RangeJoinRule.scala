@@ -70,9 +70,18 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * fallback join's condition carries a redundant `IsNotNull(s)` third
   * conjunct — null-bound rows match nothing either way — purely so
   * this rule's exactly-two-conjunct matcher cannot re-fire on its own
-  * fallback inside the fixed-point optimizer batch. Set
+  * fallback inside the fixed-point optimizer batch.
+  *
+  * Cost of the safety: the fallback branch is a SECOND scan of both
+  * inputs (the filters differ per branch, so no exchange reuse), paid
+  * even when every interval is bounded and the branch is empty at
+  * runtime. That is the right default for a safety-net rule — the
+  * alternative is a runtime failure on the first sentinel row — but a
+  * workload that KNOWS its intervals are bounded should set
   * `spark.graft.rangeJoin.sentinelFallback=false` to restore the
-  * single-branch plan when intervals are known bounded.
+  * single-branch plan (or call
+  * [[graft.ops.Ranges.pointInIntervalJoin]] directly, which never
+  * adds the fallback).
   */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 

@@ -67,7 +67,16 @@ object DocStream {
     * near-dups wholly to the batch verify-join. State discipline
     * matches [[dedupDocs]]: only the 8-byte combined sketch and the
     * count ride the state store, never text, and the watermark bounds
-    * lookback. */
+    * lookback.
+    *
+    * Upgrade note: the key VALUES changed when the second family was
+    * added (same schema — long, long), so a query resuming a
+    * checkpoint written by the 32-bit gate resumes WITHOUT error but
+    * its old state entries can never match a new key: near-dups
+    * straddling the upgrade inside one watermark window are admitted,
+    * and stale entries sit in the store until the watermark expires
+    * them. Start a fresh checkpoint on upgrade (or accept that
+    * one-window gap — the batch pass catches what it misses). */
   def nearDupGate(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     docs
       .withColumn("__ths", graft.llm.TextFns.tokenHashes(col("text")))
