@@ -140,6 +140,18 @@ class AnnIndexSpec extends SparkSpec {
         r.getAs[Long]("share_pm"), r.getAs[Long]("skew_pm"))).toSet
     assert(rows(AnnIndex.cellStats(spark, "annspec_stats")) ==
       rows(Similarity.cellStats(emb)))
+    // the skew scale must come from the STORED centroid count, not a
+    // default: on an 8-cell index skew_pm is share × 8, and a wrong
+    // 16-cell scale would double every value and mask hot cells
+    AnnIndex.build(emb, "annspec_stats8", nCentroids = 8)
+    assert(rows(AnnIndex.cellStats(spark, "annspec_stats8")) ==
+      rows(Similarity.cellStats(emb, nCentroids = 8)))
+    val skews = AnnIndex.cellStats(spark, "annspec_stats8").collect()
+      .map(r => (r.getAs[Long]("share_pm"), r.getAs[Long]("skew_pm")))
+    skews.foreach { case (share, skew) =>
+      assert(skew >= share * 8 - 8 && skew <= share * 8 + 8,
+        s"skew_pm $skew inconsistent with share_pm $share at 8 cells")
+    }
   }
 
   test("a refined index persists refined centroids, and rebuild overwrites cleanly") {
