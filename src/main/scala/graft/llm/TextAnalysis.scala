@@ -182,6 +182,14 @@ object TextAnalysis {
   def docProfile(docs: DataFrame): DataFrame =
     profiled(docs, Nil).select("doc_id", "pred_lang", "quality")
 
+  /** [[docProfile]] with extra input columns carried through untouched —
+    * the form a STREAMING consumer needs (the bare profile would drop
+    * `event_time`/`text` and strand the stateful stages downstream;
+    * see [[graft.streaming.DocStream.curate]]). */
+  def docProfile(docs: DataFrame, keep: Seq[String]): DataFrame =
+    profiled(docs, keep)
+      .select(("doc_id" +: "pred_lang" +: "quality" +: keep).map(col): _*)
+
   /** The fused profile scan behind [[docProfile]] / [[sourceMix]]:
     * doc_id, wc, pred_lang, quality, plus `keep` columns carried
     * through untouched. Every derived scalar is staged through its own

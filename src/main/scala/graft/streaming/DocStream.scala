@@ -122,4 +122,37 @@ object DocStream {
       .filter(!Dedup.bloomContaminated(col("__sh"), filt))
       .drop("__ths", "__sh")
   }
+
+  /** The FULL online curation gate — the streaming twin of the batch
+    * [[graft.llm.Pipeline.trainingPipeline]] funnel, composed in cost
+    * order so each stage sees only the previous stage's survivors:
+    *
+    *   1. quality filter — stateless, one fused profile scan
+    *      ([[graft.llm.TextAnalysis.docProfile]] carrying
+    *      text/event_time through), drops junk before anything
+    *      stateful runs;
+    *   2. decontamination — stateless broadcast-Bloom per-row filter;
+    *   3. exact dedup — digest-keyed watermark state
+    *      ([[dedupDocs]]);
+    *   4. near-dup gate — 64-bit-sketch watermark state
+    *      ([[nearDupGate]]).
+    *
+    * Two chained `dropDuplicatesWithinWatermark` state machines in one
+    * append-mode query is the Spark-4 multiple-stateful-operator
+    * shape; both key on fixed-size digests/sketches, never text, so
+    * per-doc state stays ~48 bytes across the two stores combined and
+    * the whole gate remains embarrassingly parallel but for the two
+    * state-store exchanges. Output is the curated (doc_id, text,
+    * event_time) stream — the rows a corpus store should ingest. */
+  def curate(docs: DataFrame, evalDocs: DataFrame,
+             watermark: String = "10 minutes",
+             minQuality: Long = 300L): DataFrame = {
+    val quality = graft.llm.TextAnalysis
+      .docProfile(docs, keep = Seq("text", "event_time"))
+      .filter(col("quality") >= minQuality)
+      .select("doc_id", "text", "event_time")
+    val clean = decontaminationGate(quality, evalDocs)
+    nearDupGate(dedupDocs(clean, watermark), watermark)
+      .select("doc_id", "text", "event_time")
+  }
 }

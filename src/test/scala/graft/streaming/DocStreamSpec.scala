@@ -158,6 +158,37 @@ class DocStreamSpec extends SparkSpec {
     assert(kept == Set(31L, 33L))
   }
 
+  test("curate composes all four gates: junk, contaminated, exact and near dups all drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    val good = "the quick brown fox jumps over a lazy dog and the cat is amused " * 3
+    val good2 = "every sentence here is different and the words keep their own meanings " * 3
+    mem.addData(
+      (1L, good, ts(10)),                                // survives
+      (2L, "x x x x", ts(20)),                           // junk: quality gate
+      (3L, "zz alpha beta gamma yy " + good, ts(30)),    // contaminated: bloom gate
+      (4L, good, ts(40)),                                // exact dup of 1
+      // token reorder of 1: same multiset, different bytes — near-dup gate
+      (5L, ("amused is cat the and dog lazy a over jumps fox brown quick the " * 3)
+        .split(" ").mkString(" "), ts(50)),
+      (6L, good2, ts(60)))                               // survives
+    val gated = DocStream.curate(docs, evalDocs)
+    assert(gated.columns.toSeq == Seq("doc_id", "text", "event_time"))
+    // two chained dedup state machines, no join/aggregate in the plan
+    val plan = gated.queryExecution.analyzed.toString.toLowerCase
+    assert(plan.split("deduplicatewithinwatermark").length - 1 == 2, plan)
+    val q = gated.select("doc_id")
+      .writeStream.trigger(Trigger.AvailableNow()).format("memory")
+      .queryName("curate_out")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+    val kept = spark.table("curate_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L), s"got $kept")
+  }
+
   test("dedup state survives a restart: a post-recovery duplicate is still dropped") {
     // the state store holds content digests; if only source offsets
     // recovered (and not state), the batch-2 duplicate would pass
