@@ -24,11 +24,26 @@ object DocStream {
     * Text never enters the dedup state — only the digest key rides the
     * state store. */
   def dedupDocs(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    docs
-      .withColumn("content_key",
-        sha2(graft.llm.TextAnalysis.normalize(col("text")), 256))
+    withContentKey(docs)
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("content_key")
+
+  /** The exact-dedup state key: content digest of the normalized text. */
+  private def withContentKey(docs: DataFrame): DataFrame =
+    docs.withColumn("content_key",
+      sha2(graft.llm.TextAnalysis.normalize(col("text")), 256))
+
+  /** The near-dup state key: 64-bit two-family sketch + token count
+    * (see [[nearDupGate]] doc). */
+  private def withSketchKey(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__ths", graft.llm.TextFns.tokenHashes(col("text")))
+      .withColumn("__ths2", graft.llm.TextFns.tokenHashes2(col("text")))
+      .withColumn("sketch_key",
+        shiftleft(graft.llm.Dedup.simhashFromTokenHashes(col("__ths")), 32)
+          .bitwiseOR(graft.llm.Dedup.simhashFromTokenHashes(col("__ths2"))))
+      .withColumn("sketch_len", size(col("__ths")).cast("long"))
+      .drop("__ths", "__ths2")
 
   /** Within-watermark NEAR-dup gate: [[dedupDocs]] only kills
     * byte-level (post-normalization) duplicates; this stage keys the
@@ -78,14 +93,7 @@ object DocStream {
     * them. Start a fresh checkpoint on upgrade (or accept that
     * one-window gap — the batch pass catches what it misses). */
   def nearDupGate(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    docs
-      .withColumn("__ths", graft.llm.TextFns.tokenHashes(col("text")))
-      .withColumn("__ths2", graft.llm.TextFns.tokenHashes2(col("text")))
-      .withColumn("sketch_key",
-        shiftleft(graft.llm.Dedup.simhashFromTokenHashes(col("__ths")), 32)
-          .bitwiseOR(graft.llm.Dedup.simhashFromTokenHashes(col("__ths2"))))
-      .withColumn("sketch_len", size(col("__ths")).cast("long"))
-      .drop("__ths", "__ths2")
+    withSketchKey(docs)
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("sketch_key", "sketch_len")
 
@@ -152,7 +160,17 @@ object DocStream {
       .filter(col("quality") >= minQuality)
       .select("doc_id", "text", "event_time")
     val clean = decontaminationGate(quality, evalDocs)
-    nearDupGate(dedupDocs(clean, watermark), watermark)
+    // BOTH dedup keys are projected up front and the watermark is
+    // marked ONCE: composing dedupDocs(nearDupGate(...)) would call
+    // withWatermark again downstream of a stateful operator, which
+    // Spark rejects when it plans the SECOND micro-batch
+    // ("Redefining watermark is disallowed") — a failure mode a
+    // single-drain test cannot see (DocStreamSpec drives two batches
+    // through this for exactly that reason)
+    withSketchKey(withContentKey(clean))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("content_key")
+      .dropDuplicatesWithinWatermark("sketch_key", "sketch_len")
       .select("doc_id", "text", "event_time")
   }
 }

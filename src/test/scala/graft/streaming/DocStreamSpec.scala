@@ -179,14 +179,25 @@ class DocStreamSpec extends SparkSpec {
     // two chained dedup state machines, no join/aggregate in the plan
     val plan = gated.queryExecution.analyzed.toString.toLowerCase
     assert(plan.split("deduplicatewithinwatermark").length - 1 == 2, plan)
+    // run MULTIPLE micro-batches: watermark chaining across two
+    // stateful operators only fails when the SECOND batch is planned
+    // ("Redefining watermark is disallowed") — a single AvailableNow
+    // drain masked exactly that bug once
     val q = gated.select("doc_id")
-      .writeStream.trigger(Trigger.AvailableNow()).format("memory")
+      .writeStream.format("memory")
       .queryName("curate_out")
       .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
       .start()
-    q.awaitTermination(60000)
+    q.processAllAvailable()
+    // batch 2: a cross-batch exact dup (within watermark) and a new doc
+    mem.addData(
+      (7L, good, ts(70)),                                // dup of 1, batch 2
+      (8L, good2 + " extra distinct tail words", ts(80))) // survives
+    q.processAllAvailable()
+    q.stop()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
     val kept = spark.table("curate_out").select("doc_id").as[Long].collect().toSet
-    assert(kept == Set(1L, 6L), s"got $kept")
+    assert(kept == Set(1L, 6L, 8L), s"got $kept")
   }
 
   test("dedup state survives a restart: a post-recovery duplicate is still dropped") {
