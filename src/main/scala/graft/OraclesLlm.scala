@@ -979,6 +979,38 @@ object OraclesLlm {
        |SELECT doc_id, count(*) AS n_flagged_shingles
        |FROM hits GROUP BY doc_id""".stripMargin
 
+  /** Kept side of the row-level Bloom gate
+    * (`Dedup.bloomContaminatedFromTokenHashes`, the native
+    * single-loop expression the streaming curation stage runs): a doc
+    * passes iff NONE of its shingles probes 3 set bits in the filter
+    * built from the eval docs (doc_id < 20). Docs with fewer than 3
+    * tokens have no shingle and pass vacuously; NULL text drops (a
+    * NULL predicate fails the filter). Independent DuckDB bloom math —
+    * pins the generated-code loop, not just the column twin. */
+  val bloomGateKept: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+       |th AS (SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM corpus),
+       |sets AS (SELECT doc_id, sh FROM
+       |  (SELECT doc_id, ${shSetE("ths")} AS sh FROM th) WHERE len(sh) > 0),
+       |pos AS (
+       |  SELECT doc_id, shingle,
+       |    ((((2654435761*(j+1)+104729) % $P) * shingle
+       |      + (97531*(j+1)+12345) % $P) % $P) % 32768 AS pos
+       |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sets), range(3) t(j)),
+       |bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id < 20),
+       |flagged AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT p.doc_id, p.shingle
+       |    FROM pos p JOIN bits USING (pos)
+       |    WHERE p.doc_id >= 20
+       |    GROUP BY p.doc_id, p.shingle
+       |    HAVING count(*) = 3))
+       |SELECT c.doc_id FROM corpus c
+       |WHERE c.doc_id >= 20 AND c.text IS NOT NULL
+       |  AND c.doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin
+
   /** Snapshot delta: snapshot B drops doc_id ≡ 3 (mod 7), edits
     * doc_id ≡ 0 (mod 5) with a ' v2' suffix, adds −doc_id−1 for
     * doc_id ≡ 0 (mod 11) (negative ids are disjoint from real ids at

@@ -177,6 +177,18 @@ object SparkEntry {
     // filter (bit_or-packed words), FPs reproduced exactly by the oracle
     "bloom_contamination" -> ((s, dir) =>
       Dedup.bloomContamination(Dedup.withExactDups(docs(s, dir)))),
+    // the ROW-LEVEL form of the same gate — the native single-loop
+    // BloomShingleHitExpression that the streaming curation stage runs
+    // per row, here oracle-pinned against DuckDB's independent bloom
+    // math (kept = docs whose every shingle misses at least one bit)
+    "bloom_gate_kept" -> ((s, dir) => {
+      val corpus = Dedup.withExactDups(docs(s, dir))
+      val filt = Dedup.bloomFilterArray(corpus.filter(col("doc_id") < 20L))
+      corpus.filter(col("doc_id") >= 20L)
+        .filter(!Dedup.bloomContaminatedFromTokenHashes(
+          graft.llm.TextFns.tokenHashes(col("text")), filt))
+        .select("doc_id")
+    }),
     // sub-document boilerplate: chunks repeated across >=2 distinct docs
     "chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(Dedup.withExactDups(docs(s, dir)))),
@@ -353,6 +365,7 @@ object SparkEntry {
     "bigram_commonness" -> OraclesLlm.bigramCommonness,
     "contamination" -> OraclesLlm.contamination,
     "bloom_contamination" -> OraclesLlm.bloomContamination,
+    "bloom_gate_kept" -> OraclesLlm.bloomGateKept,
     "chunk_dedup" -> OraclesLlm.chunkDedup,
     "sample_docs" -> OraclesLlm.sampleDocs,
     "shard_assign" -> OraclesLlm.shardAssign,

@@ -60,6 +60,39 @@ object SketchOps {
     new GenericArrayData(sig)
   }
 
+  /** Any-shingle Bloom hit over a token-hash array: for each k-gram of
+    * `ths`, the polynomial combine (`fold acc*31+h mod prime`, seeded
+    * with the first token hash — [[graft.llm.TextFns.shingleHashSetFromTokenHashes]]'s
+    * exact math), probed against the packed filter words under the
+    * `nHashes` universal hashes of `graft.llm.Dedup.bloomPos`; true iff
+    * any shingle finds all its bits set. Fewer than k tokens ⇒ false
+    * (no defined shingle), matching `exists` over the empty set. */
+  def bloomShingleHit(ths: ArrayData, k: Int, prime: Long, bloomBits: Long,
+                      nHashes: Int, words: Array[Long]): Boolean = {
+    val n = ths.numElements()
+    var i = 0
+    while (i <= n - k) {
+      var acc = ths.getLong(i)
+      var o = 1
+      while (o < k) {
+        acc = Math.floorMod(acc * 31L + ths.getLong(i + o), prime)
+        o += 1
+      }
+      var allSet = true
+      var j = 0
+      while (allSet && j < nHashes) {
+        val a = (2654435761L * (j + 1) + 104729L) % prime
+        val b = (97531L * (j + 1) + 12345L) % prime
+        val p = Math.floorMod(Math.floorMod(a * acc + b, prime), bloomBits)
+        allSet = (words((p / 64L).toInt) & (1L << (p % 64L).toInt)) != 0L
+        j += 1
+      }
+      if (allSet) return true
+      i += 1
+    }
+    false
+  }
+
   /** Exact integer dot product. Lengths must match — the expression
     * nulls out mismatched pairs before calling, and the `require` turns
     * any out-of-contract caller into an exception rather than a silent
@@ -207,6 +240,52 @@ case class MinHashSigExpression(
   }
 }
 
+/** `bloom_shingle_hit(array<bigint>) -> boolean` — see
+  * [[SketchOps.bloomShingleHit]]. Exists because the column form of the
+  * same test (`exists(shingleHashSet(ths), bloomProbe)`) is destroyed
+  * by predicate pushdown: the filter is pushed below the projections
+  * that stage `ths`/`sh` as attributes, re-inlining the token-hash
+  * expression into every `element_at` reference of the shingle lambda —
+  * k re-evaluations of the FULL per-doc token-hash array per shingle
+  * (measured 23× on the streaming curation gate). A native expression
+  * evaluates its child exactly once per row no matter where the
+  * optimizer moves the predicate, so the gate survives pushdown at
+  * full scan speed. The filter words are plan-time constants
+  * (reference-object in codegen), bounded by the Bloom m parameter —
+  * 4 KB — never by eval-set size. */
+case class BloomShingleHitExpression(
+    child: Expression,
+    k: Int,
+    prime: Long,
+    bloomBits: Long,
+    nHashes: Int,
+    words: Seq[Long]) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_shingle_hit"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires array<bigint>, got $t")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomShingleHitExpression =
+    copy(child = newChild)
+
+  @transient private lazy val wordsArr = words.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.bloomShingleHit(
+      input.asInstanceOf[ArrayData], k, prime, bloomBits, nHashes, wordsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("bloomWords", wordsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.SketchOps.bloomShingleHit(
+         |  $c, $k, ${prime}L, ${bloomBits}L, $nHashes, $wordsRef);""".stripMargin)
+  }
+}
+
 object SketchExpressions {
   import org.apache.spark.sql.GraftColumnBridge._
 
@@ -219,4 +298,9 @@ object SketchExpressions {
 
   def dotQCol(a: Column, b: Column): Column =
     column(DotQExpression(expression(a), expression(b)))
+
+  def bloomShingleHitCol(ths: Column, k: Int, prime: Long, bloomBits: Long,
+                         nHashes: Int, words: Seq[Long]): Column =
+    column(BloomShingleHitExpression(
+      expression(ths), k, prime, bloomBits, nHashes, words))
 }

@@ -587,6 +587,20 @@ object Dedup {
       }.reduce(_ && _))
   }
 
+  /** [[bloomContaminated]] from the TOKEN-HASH array, as the native
+    * [[graft.functions.BloomShingleHitExpression]] — shingle combine
+    * and Bloom probes in one generated loop, the child evaluated
+    * exactly once per row. This is the form a FILTER must use: the
+    * column twin above depends on its shingle-set argument being a
+    * staged attribute, and predicate pushdown un-stages it (re-inlining
+    * the token-hash expression into every `element_at` of the shingle
+    * lambda — measured 23× on the streaming gate). Bit-identical to
+    * `bloomContaminated(shingleHashSetFromTokenHashes(ths, ShingleK), words)`
+    * (DedupSpec pins it). */
+  def bloomContaminatedFromTokenHashes(ths: Column, filterWords: Array[Long]): Column =
+    graft.functions.SketchExpressions.bloomShingleHitCol(
+      ths, ShingleK, Prime, BloomBits, BloomHashes, filterWords.toSeq)
+
   /** `shiftleft` with a COLUMN bit count (the Scala API only takes a
     * literal Int; the Catalyst node takes any expression). */
   private def shiftleftCol(v: Column, bits: Column): Column =

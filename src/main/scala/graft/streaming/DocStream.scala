@@ -122,13 +122,14 @@ object DocStream {
   def decontaminationGate(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
     import graft.llm.{Dedup, TextFns}
     val filt = Dedup.bloomFilterArray(evalDocs)
-    // shingle pipeline staged through projections (the HOF no-CSE trap)
-    docs
-      .withColumn("__ths", TextFns.tokenHashes(col("text")))
-      .withColumn("__sh",
-        TextFns.shingleHashSetFromTokenHashes(col("__ths"), Dedup.ShingleK))
-      .filter(!Dedup.bloomContaminated(col("__sh"), filt))
-      .drop("__ths", "__sh")
+    // The membership test is the native single-loop expression, NOT the
+    // staged-projection column form: a filter predicate gets pushed
+    // below any projection staging, re-inlining the token-hash array
+    // into every element_at of the shingle lambda — measured 23× slower
+    // (6.6k vs 150k+ docs/s at 32 cores). The native child evaluates
+    // once per row wherever the optimizer moves the predicate.
+    docs.filter(!Dedup.bloomContaminatedFromTokenHashes(
+      TextFns.tokenHashes(col("text")), filt))
   }
 
   /** The FULL online curation gate — the streaming twin of the batch

@@ -233,6 +233,40 @@ class DedupSpec extends SparkSpec {
     assert(bloom == Map(30L -> 1L, 32L -> 2L))
   }
 
+  test("native bloomContaminatedFromTokenHashes ≡ HOF bloomContaminated") {
+    val eval = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "shared trigram lives here too")).toDF("doc_id", "text")
+    val filt = Dedup.bloomFilterArray(eval)
+    // real corpus + crafted edges: a contaminated doc, a 2-token doc
+    // (< ShingleK ⇒ no shingle ⇒ never flagged), empty and NULL text
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+      .unionAll(Seq(
+        (9001L, "zz alpha beta gamma delta yy"),
+        (9002L, "alpha beta"),
+        (9003L, ""),
+        (9004L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val native = docs.filter(
+        Dedup.bloomContaminatedFromTokenHashes(TextFns.tokenHashes(col("text")), filt))
+      .select("doc_id").as[Long].collect().toSet
+    val hof = docs
+      .withColumn("__ths", TextFns.tokenHashes(col("text")))
+      .withColumn("__sh", TextFns.shingleHashSetFromTokenHashes(col("__ths"), Dedup.ShingleK))
+      .filter(Dedup.bloomContaminated(col("__sh"), filt))
+      .select("doc_id").as[Long].collect().toSet
+    assert(native == hof)
+    assert(native.contains(9001L))
+    assert(!native.exists(Set(9002L, 9003L, 9004L)))
+    // the kept side must agree as well (NULL text drops on BOTH forms:
+    // a NULL predicate fails the filter whether negated or not)
+    val keptNative = docs.filter(
+        !Dedup.bloomContaminatedFromTokenHashes(TextFns.tokenHashes(col("text")), filt))
+      .select("doc_id").as[Long].collect().toSet
+    assert((keptNative ++ native) == docs.filter(col("text").isNotNull)
+      .select("doc_id").as[Long].collect().toSet -- Set(9004L))
+  }
+
   test("chunkDedup: injected whole-doc duplicates make every chunk boilerplate") {
     // 70-token docs => chunks of 32/32/6 tokens; doc 50 is duplicated
     val words = (0 until 70).map(i => s"w$i").mkString(" ")
