@@ -201,6 +201,45 @@ object OraclesLlm {
        |SELECT doc_a, doc_b, inter_size, union_size
        |FROM scored WHERE inter_size * 1000 >= union_size * 800""".stripMargin
 
+  /** Stored-index near-dup probe ([[graft.llm.LshIndex.query]] after
+    * `build`): the cross-batch slice of the minhash pair set — stored
+    * (base-corpus) doc on the left, injected-batch doc on the right.
+    * Per-pair candidate generation and verification make this slice
+    * independent of whether the rest of the corpus was banded in the
+    * same pass, which is exactly the incremental-index contract. */
+  val lshIndexQuery: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b, inter_size, union_size
+       |FROM scored
+       |WHERE inter_size * 1000 >= union_size * 800
+       |  AND doc_a < 100000 AND doc_b >= 100000""".stripMargin
+
+  /** Per-band bucket occupancy ([[graft.llm.LshIndex.bucketStatsOf]]):
+    * bucket count, hottest bucket, and the exact candidate-pair load
+    * Σ c·(c−1)/2 each band would contribute to a self-join. */
+  val lshBucketStats: String =
+    s"""WITH $minhashCtes,
+       |bc AS (SELECT band, band_key, count(*) AS c
+       |       FROM bands GROUP BY 1, 2)
+       |SELECT band, count(*) AS n_buckets, max(c) AS max_bucket,
+       |  (sum((c * (c - 1)) // 2))::BIGINT AS cand_pairs
+       |FROM bc GROUP BY band""".stripMargin
+
+  /** Analytic LSH S-curve (Broder/MMDS): detection probability
+    * 1 − (1 − t^r)^b for every (bands, rows) factorization of the
+    * 16-hash signature across a Jaccard grid — the math that justifies
+    * the engine's (4, 4) default (knee (1/b)^(1/r) ≈ 0.7). */
+  val lshTuning: String =
+    s"""WITH f(n_bands, rows_per_band) AS
+       |  (VALUES (1,16),(2,8),(4,4),(8,2),(16,1)),
+       |g AS (SELECT 50*j AS jaccard_pm FROM range(1, 20) t(j))
+       |SELECT n_bands::BIGINT AS n_bands,
+       |  rows_per_band::BIGINT AS rows_per_band,
+       |  jaccard_pm::BIGINT AS jaccard_pm,
+       |  round(1000 * (1 - pow(1 - pow(jaccard_pm/1000.0, rows_per_band),
+       |    n_bands)), 0)::BIGINT AS detect_pm
+       |FROM f, g""".stripMargin
+
   /** Near-dup yield curve over the LSH-detected pair set: docs whose
     * max Jaccard to a smaller-id partner clears each threshold. */
   val dedupRateCurve: String =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Country, Sentiment}
-import graft.llm.{Dedup, Multimodal, Packing, Pipeline, Similarity, TextAnalysis}
+import graft.llm.{Dedup, LshIndex, Multimodal, Packing, Pipeline, Similarity, TextAnalysis}
 import graft.model.WireCodec
 import graft.ops.{Ranges, Relational, TrendPipeline, Windows}
 import graft.text.TextOps
@@ -151,6 +151,37 @@ object SparkEntry {
       Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "minhash_signatures" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir))),
+    // persisted LSH near-dup index (the AnnIndex analog for dedup):
+    // build on the base corpus, probe the injected near-dup batch
+    // against the STORED bucketed tables — must reproduce DuckDB's
+    // from-scratch band math row-for-row
+    "lsh_index_query" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LshIndex.build(d, "lsh_oracle")
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("dup "), col("text")).as("text"))
+      LshIndex.query(batch, "lsh_oracle")
+    }),
+    // LSH maintenance signal: per-band bucket occupancy + candidate load
+    "lsh_bucket_stats" -> ((s, dir) =>
+      LshIndex.bucketStatsOf(Dedup.lshBands(Dedup.shingleSets(
+        Dedup.withNearDups(docs(s, dir)))))),
+    // analytic S-curve behind the (bands, rows) default — engine-side
+    // pow/round over the parameter grid
+    "lsh_tuning" -> ((s, _) => {
+      val grid = for {
+        (b, r) <- Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+        j <- 50 to 950 by 50
+      } yield (b.toLong, r.toLong, j.toLong)
+      val s2 = s
+      import s2.implicits._
+      grid.toDF("n_bands", "rows_per_band", "jaccard_pm")
+        .select(col("n_bands"), col("rows_per_band"), col("jaccard_pm"),
+          round(lit(1000.0) * (lit(1.0) -
+            pow(lit(1.0) - pow(col("jaccard_pm") / 1000.0, col("rows_per_band")),
+              col("n_bands"))), 0).cast("long").as("detect_pm"))
+    }),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Dedup.withNearDups(docs(s, dir)))),
     // threshold-tuning report: docs removed per Jaccard cutoff
@@ -351,6 +382,9 @@ object SparkEntry {
     "cross_source_overlap" -> OraclesLlm.crossSourceOverlap,
     "corpus_delta" -> OraclesLlm.corpusDelta,
     "minhash_dedup" -> OraclesLlm.minhashDedup,
+    "lsh_index_query" -> OraclesLlm.lshIndexQuery,
+    "lsh_bucket_stats" -> OraclesLlm.lshBucketStats,
+    "lsh_tuning" -> OraclesLlm.lshTuning,
     "minhash_signatures" -> OraclesLlm.minhashSignatures,
     "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,
     "dedup_rate_curve" -> OraclesLlm.dedupRateCurve,

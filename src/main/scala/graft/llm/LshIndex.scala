@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted lifecycle of MinHash near-dup detection — the dedup
+  * twin of [[AnnIndex]]. [[Dedup.minhashDedup]] re-shingles and
+  * re-signs the WHOLE corpus inside every query plan, which is right
+  * for an oracle-checked one-shot and wrong for how dedup actually
+  * runs at 100 TB: the corpus is an accumulating store and every new
+  * crawl batch must be checked against it (and then join it). The
+  * corpus-sized hashing pass should be paid once per document ever,
+  * not once per batch.
+  *
+  * [[build]] persists the two halves through [[graft.sources.Bucketed]]:
+  *   - `<name>_sets`  — (doc_id, sh): each doc's distinct shingle-hash
+  *     set, BUCKETED on doc_id — the verification join's key is the
+  *     physical layout;
+  *   - `<name>_bands` — (doc_id, band, band_key): the LSH band keys,
+  *     BUCKETED on band_key — the candidate join's key is the physical
+  *     layout, so probing never reshuffles the corpus side, only the
+  *     (small) incoming batch.
+  *
+  * [[query]] answers "which stored docs is each new doc a near-dup
+  * of" from the stored tables alone; [[append]] admits the batch into
+  * the index afterwards. Both tables are per-doc deterministic
+  * derivations, so build(A) + append(B) ≡ build(A ∪ B) unconditionally
+  * (no analog of [[AnnIndex]]'s seed-placement caveat — there are no
+  * trained parameters), and the composed incremental flow is exactly
+  * the batch semantics: minhashDedup(A ∪ B) = minhashDedup(A) ∪
+  * query(B vs index(A)) ∪ minhashDedup(B) pair-for-pair, because LSH
+  * candidate generation and Jaccard verification are both per-pair.
+  * LshIndexSpec pins all three equalities; the cross-batch slice is
+  * additionally oracle-checked end-to-end (`lsh_index_query` builds
+  * the index on the base corpus, queries the injected near-dup batch
+  * against the STORED tables, and must reproduce DuckDB's from-scratch
+  * band math row-for-row).
+  *
+  * [[bucketStats]] is the maintenance signal (the [[AnnIndex.cellStats]]
+  * analog): per-band bucket occupancy. A hot band bucket is the LSH
+  * failure mode — a bucket of c docs contributes c·(c−1)/2 candidate
+  * pairs to every future query, so `max_bucket`/`cand_pairs` growing
+  * superlinearly in corpus size says the band hashes have collapsed
+  * (degenerate text, too-coarse signature) and verification cost, not
+  * recall, is about to dominate.
+  */
+object LshIndex {
+
+  def setsTable(name: String): String = name + "_sets"
+  def bandsTable(name: String): String = name + "_bands"
+
+  /** Build and persist the index — the one corpus-sized
+    * shingle/signature pass this corpus ever pays. Bands derive from
+    * the STORED sets table, so the two tables can never disagree about
+    * a document's shingles. A rebuild over an existing name is a
+    * normal operation (the answer to [[bucketStats]] drift), so stale
+    * state is cleared first — including a leftover managed-table
+    * directory from a PREVIOUS session, which `saveAsTable` would
+    * otherwise refuse (the in-memory catalog forgets the table, the
+    * warehouse directory survives, LOCATION_ALREADY_EXISTS). */
+  def build(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    Seq(setsTable(name), bandsTable(name)).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    graft.sources.Bucketed.writeBucketed(
+      Dedup.shingleSets(docs), setsTable(name), "doc_id", buckets)
+    graft.sources.Bucketed.writeBucketed(
+      Dedup.lshBands(spark.table(setsTable(name))),
+      bandsTable(name), "band_key", buckets)
+  }
+
+  /** Admit a batch into the index: one hashing pass over the NEW docs
+    * only, appended to both bucketed tables under their existing bucket
+    * specs (the co-location contract survives incremental loads).
+    * Caller contract: batch doc_ids are disjoint from stored ones —
+    * same as any append-only store. */
+  def append(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
+    val sets = Dedup.shingleSets(docs)
+    // sets feed both writes; cache so the batch is hashed exactly once
+    sets.persist()
+    try {
+      graft.sources.Bucketed.appendBucketed(
+        sets, setsTable(name), "doc_id", buckets)
+      graft.sources.Bucketed.appendBucketed(
+        Dedup.lshBands(sets), bandsTable(name), "band_key", buckets)
+    } finally sets.unpersist()
+  }
+
+  /** Near-dup pairs between a NEW batch and the stored corpus:
+    * candidates from band-key collisions against the stored bands
+    * table (whose bucketing means the corpus side of this join is
+    * already laid out on the join key — only the batch side shuffles),
+    * deduped BEFORE verification, then exact-Jaccard verified against
+    * the stored sets table (bucketed on its join key likewise).
+    * Output: (doc_a = stored doc, doc_b = batch doc, inter_size,
+    * union_size), one row per pair with Jaccard ≥ minJaccardPm/1000 —
+    * the same integer cross-multiplied compare as
+    * [[Dedup.minhashDedup]]. */
+  def query(newDocs: DataFrame, name: String,
+            minJaccardPm: Int = 800): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSets = Dedup.shingleSets(newDocs)
+    val newBands = Dedup.lshBands(newSets)
+    val cands = spark.table(bandsTable(name)).as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(spark.table(setsTable(name))
+        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(newSets
+        .select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter_size"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("union_size"))
+      .filter(col("inter_size") * 1000L >= col("union_size") * minJaccardPm)
+  }
+
+  /** Index-maintenance signal from the STORED layout: per-band bucket
+    * occupancy of the bands table. `cand_pairs` is the exact number of
+    * candidate pairs each band would contribute to a self-join —
+    * Σ c·(c−1)/2 over its buckets — the quantity that blows up when
+    * band hashes collapse. */
+  def bucketStats(spark: SparkSession, name: String): DataFrame =
+    bucketStatsOf(spark.table(bandsTable(name)))
+
+  /** [[bucketStats]] over any (doc_id, band, band_key) band relation —
+    * shared by the stored-index path and the batch oracle query. Two
+    * slim hash aggregations; the first is on the bands table's own
+    * bucket key, so the stored path aggregates exchange-free. */
+  def bucketStatsOf(bands: DataFrame): DataFrame =
+    bands
+      .groupBy(col("band").cast("long").as("band"), col("band_key"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max("c").as("max_bucket"),
+        // c·(c−1) is even, so integer div is exact
+        sum(expr("(c * (c - 1)) div 2")).as("cand_pairs"))
+}

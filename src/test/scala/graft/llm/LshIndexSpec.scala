@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted MinHash/LSH index lifecycle: build persists the shingle
+  * and band halves through the bucketed layout, query answers a new
+  * batch from the stored tables alone, append composes with build so
+  * the incremental flow reproduces the batch operator pair-for-pair. */
+class LshIndexSpec extends SparkSpec {
+
+  private def base: DataFrame = {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+  }
+
+  private def nearDupBatch(d: DataFrame): DataFrame =
+    d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("dup "), col("text")).as("text"))
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("inter_size"), r.getAs[Long]("union_size"))).toSet
+
+  test("build then query-from-disk equals the cross-batch slice of batch minhashDedup") {
+    val d = base
+    LshIndex.build(d, "lshspec")
+    val batch = nearDupBatch(d)
+    val fromDisk = pairs(LshIndex.query(batch, "lshspec"))
+    // the batch operator over the union, restricted to cross pairs
+    val whole = pairs(Dedup.minhashDedup(d.unionAll(batch)))
+      .filter(p => p._1 < 100000L && p._2 >= 100000L)
+    assert(fromDisk.nonEmpty && fromDisk == whole,
+      "stored index must answer identically to the batch operator")
+    // both halves really are bucketed on their join keys — the layout
+    // is the point (corpus side of probe/verify never reshuffles)
+    for ((t, k) <- Seq(LshIndex.bandsTable("lshspec") -> "band_key",
+                       LshIndex.setsTable("lshspec") -> "doc_id")) {
+      val ddl = spark.sql(s"SHOW CREATE TABLE $t")
+        .collect().head.getString(0).toLowerCase
+      assert(ddl.contains("clustered by") && ddl.contains(k), ddl)
+    }
+  }
+
+  test("build(A) + append(B) ≡ build(A ∪ B) — per-doc derivations, no trained state") {
+    val d = base
+    val (a, b) = (d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    LshIndex.build(a, "lshspec_inc")
+    LshIndex.append(b, "lshspec_inc")
+    LshIndex.build(d, "lshspec_full")
+    val probe = nearDupBatch(d)
+    assert(pairs(LshIndex.query(probe, "lshspec_inc")) ==
+      pairs(LshIndex.query(probe, "lshspec_full")))
+    // stored rows agree table-for-table, not just through one probe
+    def stored(t: String) = spark.table(t)
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(stored(LshIndex.bandsTable("lshspec_inc")) ==
+      stored(LshIndex.bandsTable("lshspec_full")))
+  }
+
+  test("bucketStats: occupancy and candidate load reconcile with the band table") {
+    val d = base
+    val bands = Dedup.lshBands(Dedup.shingleSets(Dedup.withNearDups(d)))
+    val stats = LshIndex.bucketStatsOf(bands).collect()
+      .map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("n_buckets"), r.getAs[Long]("max_bucket"),
+          r.getAs[Long]("cand_pairs")))).toMap
+    assert(stats.keySet == Set(0L, 1L, 2L, 3L), "one row per band")
+    val docsPerBand = bands.groupBy("band").count()
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    for ((band, (nBuckets, maxBucket, candPairs)) <- stats) {
+      assert(nBuckets <= docsPerBand(band))
+      assert(maxBucket >= 1L)
+      // candidate load is what the near-dup batch actually induces:
+      // Σ c·(c−1)/2 ≥ (docs − buckets) (pigeonhole, pairs ≥ collisions)
+      assert(candPairs >= docsPerBand(band) - nBuckets)
+    }
+    // the injected ~10% near-dups guarantee real collisions somewhere
+    assert(stats.values.map(_._3).sum > 0L)
+  }
+
+  test("bucketStats over the STORED table: bucket-key aggregation plans exchange-free") {
+    val d = base
+    LshIndex.build(d, "lshspec_stats")
+    val stored = LshIndex.bucketStats(spark, "lshspec_stats")
+    // same answer as the from-scratch derivation…
+    val fresh = LshIndex.bucketStatsOf(Dedup.lshBands(Dedup.shingleSets(d)))
+    assert(stored.collect().toSet == fresh.collect().toSet)
+    // …but the first (per-bucket) aggregation rides the table's own
+    // bucketing: the only exchange in the whole plan is the trivial
+    // 4-row per-band rollup, never the corpus-sized bucket count
+    val exchanges = planNodes(stored.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length == 1,
+      s"expected only the per-band rollup exchange:\n${stored.queryExecution.executedPlan}")
+  }
+}
