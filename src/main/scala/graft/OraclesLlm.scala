@@ -173,8 +173,11 @@ object OraclesLlm {
 
   /** Shared CTE chain: near-dup corpus → shingle sets → signatures →
     * LSH bands → candidate pairs → exact Jaccard sizes (`scored`). */
-  private val minhashCtes: String =
-    s"""$nearDupCorpus,
+  private val minhashCtes: String = minhashCtesOver(nearDupCorpus)
+
+  /** The same CTE chain over any `corpus AS (...)` definition. */
+  private def minhashCtesOver(corpusCte: String): String =
+    s"""$corpusCte,
        |th AS (SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM corpus),
        |sets AS (SELECT doc_id, sh FROM
        |  (SELECT doc_id, ${shSetE("ths")} AS sh FROM th) WHERE len(sh) > 0),
@@ -213,6 +216,32 @@ object OraclesLlm {
        |FROM scored
        |WHERE inter_size * 1000 >= union_size * 800
        |  AND doc_a < 100000 AND doc_b >= 100000""".stripMargin
+
+  /** Kept side of the stored-index history gate
+    * ([[graft.llm.LshIndex.gate]], the per-micro-batch check
+    * [[graft.streaming.DocStream.ingest]] runs): batch docs (ids ≥
+    * 100000) with NO verified ≥0.8-Jaccard partner in the stored base
+    * corpus. The +300000 rows keep only their first two tokens —
+    * below shingle size, so they have no defined n-gram Jaccard and
+    * must pass vacuously. */
+  val lshHistoryGate: String = {
+    val gateCorpus =
+      s"""corpus AS (
+         |  SELECT doc_id, text FROM documents UNION ALL
+         |  SELECT doc_id + 100000, 'dup ' || text
+         |  FROM documents WHERE doc_id % 10 = 0 UNION ALL
+         |  SELECT doc_id + 300000,
+         |    array_to_string((${toksE("text")})[1:2], ' ')
+         |  FROM documents WHERE doc_id % 10 = 7)""".stripMargin
+    s"""WITH ${minhashCtesOver(gateCorpus)},
+       |flagged AS (
+       |  SELECT DISTINCT doc_b FROM scored
+       |  WHERE inter_size * 1000 >= union_size * 800
+       |    AND doc_a < 100000 AND doc_b >= 100000)
+       |SELECT doc_id FROM corpus
+       |WHERE doc_id >= 100000
+       |  AND doc_id NOT IN (SELECT doc_b FROM flagged)""".stripMargin
+  }
 
   /** Per-band bucket occupancy ([[graft.llm.LshIndex.bucketStatsOf]]):
     * bucket count, hottest bucket, and the exact candidate-pair load

@@ -163,6 +163,21 @@ object SparkEntry {
           concat(lit("dup "), col("text")).as("text"))
       LshIndex.query(batch, "lsh_oracle")
     }),
+    // the KEPT side of the stored-index history gate (the per-batch
+    // check DocStream.ingest runs): near-dups of indexed docs drop,
+    // sub-shingle-size docs pass vacuously
+    "lsh_history_gate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LshIndex.build(d, "lsh_gate_oracle")
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("dup "), col("text")).as("text"))
+        .unionAll(d.filter(pmod(col("doc_id"), lit(10)) === 7)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat_ws(" ", slice(graft.llm.TextFns.tokens(col("text")), 1, 2))
+              .as("text")))
+      LshIndex.gate(batch, "lsh_gate_oracle").select("doc_id")
+    }),
     // LSH maintenance signal: per-band bucket occupancy + candidate load
     "lsh_bucket_stats" -> ((s, dir) =>
       LshIndex.bucketStatsOf(Dedup.lshBands(Dedup.shingleSets(
@@ -383,6 +398,7 @@ object SparkEntry {
     "corpus_delta" -> OraclesLlm.corpusDelta,
     "minhash_dedup" -> OraclesLlm.minhashDedup,
     "lsh_index_query" -> OraclesLlm.lshIndexQuery,
+    "lsh_history_gate" -> OraclesLlm.lshHistoryGate,
     "lsh_bucket_stats" -> OraclesLlm.lshBucketStats,
     "lsh_tuning" -> OraclesLlm.lshTuning,
     "minhash_signatures" -> OraclesLlm.minhashSignatures,

@@ -125,6 +125,22 @@ object LshIndex {
       .filter(col("inter_size") * 1000L >= col("union_size") * minJaccardPm)
   }
 
+  /** History gate: the KEPT side of [[query]] — the batch rows with NO
+    * verified near-dup in the stored corpus, the form an ingest loop
+    * actually consumes ([[graft.streaming.DocStream.ingest]] runs it
+    * per micro-batch). Docs with fewer than ShingleK tokens — empty,
+    * NULL, or near-empty text — pass vacuously: they have no defined
+    * n-gram Jaccard, so there is nothing to collide (the quality gate,
+    * not the dedup gate, is what drops junk). The flagged set is
+    * `distinct` BEFORE the anti join, so duplicate band collisions (or
+    * duplicate index entries from a replayed append — see [[append]])
+    * cannot change the kept set. */
+  def gate(batch: DataFrame, name: String, minJaccardPm: Int = 800): DataFrame =
+    batch.join(
+      query(batch, name, minJaccardPm)
+        .select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** Index-maintenance signal from the STORED layout: per-band bucket
     * occupancy of the bands table. `cand_pairs` is the exact number of
     * candidate pairs each band would contribute to a self-join —

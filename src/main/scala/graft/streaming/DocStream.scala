@@ -174,4 +174,59 @@ object DocStream {
       .dropDuplicatesWithinWatermark("sketch_key", "sketch_len")
       .select("doc_id", "text", "event_time")
   }
+
+  /** The full ingest loop: [[curate]] in-plan, then per micro-batch a
+    * near-dup check against the PERSISTED historical corpus
+    * ([[graft.llm.LshIndex.gate]]) — survivors append to the corpus
+    * store AND to the index itself, so each batch near-dups against
+    * everything ever admitted, not just the current watermark window.
+    *
+    * This closes the dedup matrix's last cell. In-plan, the watermark
+    * gates kill the near-in-time duplicate classes with bounded state;
+    * what they cannot see is a near-dup of a doc admitted an hour (or
+    * a year) ago. That is exactly what the LSH index stores — and
+    * because [[graft.llm.LshIndex.append]] admits each batch's
+    * survivors before the next batch is gated, the lookback horizon is
+    * "the whole corpus", with per-batch cost bounded by the batch's
+    * own band collisions (the corpus side of both joins rides its
+    * bucketed layout and never reshuffles).
+    *
+    * The history check runs in `foreachBatch` rather than in-plan
+    * because its flagged set derives from the batch itself — in-plan
+    * that is a stream joining a derivative of itself (a stream-stream
+    * self-join Spark would have to state-buffer); per micro-batch it
+    * is plain batch semantics, the same reason the reference's output
+    * loop is batch-shaped (S-2).
+    *
+    * Failure/replay contract: `foreachBatch` is at-least-once — a
+    * recovered query may re-run a batch, double-appending its
+    * survivors. That degrades STORAGE, never gating correctness:
+    * duplicate index entries only produce duplicate candidate flags,
+    * which [[graft.llm.LshIndex.gate]]'s distinct absorbs, and the
+    * corpus store's duplicates are exactly what the periodic batch
+    * exact-dedup pass removes. A deployment wanting exactly-once
+    * storage partitions the corpus write by batch_id and makes the
+    * append conditional on it (idempotent overwrite), at the price of
+    * a small-files compaction pass.
+    *
+    * Caller contract: [[graft.llm.LshIndex.build]] must have run once
+    * (possibly on an empty seed corpus) before the query starts. */
+  def ingest(docs: DataFrame, evalDocs: DataFrame, indexName: String,
+             corpusPath: String,
+             watermark: String = "10 minutes",
+             minQuality: Long = 300L,
+             minJaccardPm: Int = 800): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    curate(docs, evalDocs, watermark, minQuality).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors =
+          graft.llm.LshIndex.gate(batch, indexName, minJaccardPm)
+        // survivors feed two writes; cache so the batch is shingled,
+        // probed, and verified exactly once
+        survivors.persist()
+        try {
+          survivors.write.mode("append").parquet(corpusPath)
+          graft.llm.LshIndex.append(
+            survivors.select("doc_id", "text"), indexName)
+        } finally survivors.unpersist()
+      }
 }

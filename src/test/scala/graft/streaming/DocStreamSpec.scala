@@ -200,6 +200,53 @@ class DocStreamSpec extends SparkSpec {
     assert(kept == Set(1L, 6L, 8L), s"got $kept")
   }
 
+  test("ingest: history gate drops near-dups of the stored corpus AND of earlier batches' survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.LshIndex
+    val evalDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val seedText =
+      "the history corpus keeps many distinct tokens and each one is meaningful here " * 3
+    LshIndex.build(Seq((1L, seedText)).toDF("doc_id", "text"), "ingest_idx")
+    val corpusDir = Files.createTempDirectory("ingest_corpus").toString + "/corpus"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    val fresh1 =
+      "a completely original batch payload and the words are quite useful inside " * 3
+    val fresh2 =
+      "another independent document is here and the vocabulary overlaps nobody else " * 3
+    val q = DocStream.ingest(docs, evalDocs, "ingest_idx", corpusDir)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    mem.addData(
+      (101L, "dup " + seedText, ts(10)), // near-dup of the SEED corpus
+      (102L, fresh1, ts(20)))            // survives, admitted to the index
+    q.processAllAvailable()
+    // batch 2: 201 near-dups a batch-1 SURVIVOR — not the seed corpus,
+    // and its sketch differs from 102's (extra token), so neither the
+    // seed index as-built nor the in-plan watermark gate can drop it:
+    // only the per-batch append making the index grow catches it
+    mem.addData(
+      (201L, "dup " + fresh1, ts(30)),
+      (202L, fresh2, ts(40)))            // survives
+    q.processAllAvailable()
+    q.stop()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    val stored = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored == Set(102L, 202L), s"got $stored")
+    // the index admitted exactly the survivors on top of the seed.
+    // (The appends ran in the streaming query's cloned session; this
+    // session's cached relation predates them — standard Spark table
+    // cache semantics, same as any cross-session append — so refresh.
+    // That 201 was dropped above already proves batch 2's gate saw
+    // batch 1's append WITHOUT a refresh: each micro-batch re-resolves
+    // the table in its own execution.)
+    spark.catalog.refreshTable(LshIndex.setsTable("ingest_idx"))
+    val indexed = spark.table(LshIndex.setsTable("ingest_idx"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 102L, 202L), s"got $indexed")
+  }
+
   test("dedup state survives a restart: a post-recovery duplicate is still dropped") {
     // the state store holds content digests; if only source offsets
     // recovered (and not state), the batch-2 duplicate would pass
