@@ -49,7 +49,7 @@ object CurateSoak {
     * `(a·seed + b·slot) mod P mod |vocab|` (whose texts collapse to
     * |vocab| equivalence classes of `seed mod |vocab|`, a degeneracy
     * that turned the first draft's feed into 257 distinct docs). */
-  private def docText(seed: org.apache.spark.sql.Column) = {
+  private[graft] def docText(seed: org.apache.spark.sql.Column) = {
     val vocab = array(Vocab.map(lit): _*)
     val len = (pmod(xxhash64(seed, lit(0)), lit(21L)) + 30L).cast("int")
     concat_ws(" ",

@@ -1,0 +1,132 @@
+package graft
+
+import java.io.{File, PrintWriter}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Streaming soak for the INDEX-IN-THE-LOOP ingest path
+  * ([[graft.streaming.DocStream.ingest]]): seed a persisted
+  * [[graft.llm.LshIndex]], then drive a rate-source document feed
+  * through curate → history gate → corpus append → index append,
+  * logging every micro-batch — the measured evidence that the full
+  * loop (including the per-batch bucketed-table appends) sustains its
+  * feed, and that the history gate actually drops near-dups of the
+  * SEED corpus that no watermark state could see.
+  *
+  * The feed reuses [[CurateSoak]]'s synthesis discipline (mixing-hash
+  * word choice over a 4096-word vocabulary — see its scaladoc for the
+  * two degeneracies that shaped it) and adds the history class: every
+  * 20th doc is a one-token-prepended near-dup of a seed doc, which
+  * only the index can catch. Expected steady-state drop profile:
+  * ~1/17 junk (quality), ~1/20 seed near-dups (history gate), ~10%
+  * exact dups (digest state), the rest kept and admitted.
+  *
+  * Env: SPARK_GRAFT_CPUS (32), INGEST_DOCS_PER_SEC (20000),
+  * INGEST_SECONDS (120), INGEST_SEEDS (10000),
+  * INGEST_OUT (artifacts/INGEST_SOAK.jsonl). */
+object IngestSoak {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val rate = sys.env.getOrElse("INGEST_DOCS_PER_SEC", "20000").toInt
+    val seconds = sys.env.getOrElse("INGEST_SECONDS", "120").toInt
+    val nSeeds = sys.env.getOrElse("INGEST_SEEDS", "10000").toInt
+    val outPath = sys.env.getOrElse("INGEST_OUT", "artifacts/INGEST_SOAK.jsonl")
+
+    val wh = java.nio.file.Files.createTempDirectory("ingest_soak_wh").toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    Option(new File(outPath).getAbsoluteFile.getParentFile).foreach(_.mkdirs())
+    val log = new PrintWriter(new File(outPath))
+    val rates = scala.collection.mutable.ArrayBuffer[Double]()
+    var inputRows = 0L
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        log.synchronized {
+          val p = e.progress
+          if (p.numInputRows > 0) {
+            log.println(p.json)
+            rates += p.processedRowsPerSecond
+            inputRows += p.numInputRows
+          }
+        }
+    }
+    spark.streams.addListener(listener)
+
+    // seed corpus + persisted index: the history the gate checks against
+    val seeds = spark.range(nSeeds.toLong)
+      .select(col("id").as("doc_id"),
+        CurateSoak.docText(col("id") + 555000L).as("text"))
+    graft.llm.LshIndex.build(seeds, "ingest_soak_idx")
+
+    // tiny static eval corpus for the Bloom gate
+    val evalDocs = (0L until 20L).toDF("doc_id")
+      .select(col("doc_id"), CurateSoak.docText(col("doc_id") + 777000L).as("text"))
+
+    val feed = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate)
+      .option("numPartitions", cpus)
+      .load()
+      .select(
+        // feed ids live above the seed range: LshIndex.append's caller
+        // contract (disjoint ids, like any append-only store) — the
+        // first soak draft violated it and found a real bug for its
+        // trouble (see LshIndex.query's no-id-guard comment)
+        (col("value") + 10000000L).as("doc_id"),
+        // every 20th doc near-dups a SEED doc (history-gate class) —
+        // seed choice is a mixing hash so all nSeeds seeds are hit,
+        // not the 1-in-20 congruence class an affine pick collapses
+        // to; every 17th is quality junk; every 5th duplicates its
+        // block-of-10 anchor (exact-dedup class); rest are fresh
+        when(pmod(col("value"), lit(20)) === 3,
+          concat(lit("dup "),
+            CurateSoak.docText(
+              pmod(xxhash64(col("value")), lit(nSeeds.toLong)) + 555000L)))
+          .when(pmod(col("value"), lit(17)) === 0, lit("x x"))
+          .otherwise(CurateSoak.docText(
+            when(pmod(col("value"), lit(5)) === 0,
+              col("value") - pmod(col("value"), lit(10)))
+              .otherwise(col("value")))).as("text"),
+        col("timestamp").as("event_time"))
+
+    val corpusDir = java.nio.file.Files.createTempDirectory("ingest_soak_corpus")
+      .toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_soak_ckpt").toString
+    val q = graft.streaming.DocStream
+      .ingest(feed, evalDocs, "ingest_soak_idx", corpusDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try Thread.sleep(seconds * 1000L) finally q.stop()
+    spark.streams.removeListener(listener)
+    log.synchronized(log.close())
+
+    // ground truth from the stores the loop wrote
+    val corpusRows = spark.read.parquet(corpusDir).count()
+    spark.catalog.refreshTable(graft.llm.LshIndex.setsTable("ingest_soak_idx"))
+    val indexRows =
+      spark.table(graft.llm.LshIndex.setsTable("ingest_soak_idx")).count()
+    val sorted = rates.sorted
+    def pct(p: Double): Double =
+      if (sorted.isEmpty) 0.0 else sorted(((sorted.length - 1) * p).toInt)
+    println(s"""{"metric":"ingest_soak","feed_docs_per_sec":$rate,"seconds":$seconds,""" +
+      s""""cpus":$cpus,"seed_docs":$nSeeds,"batches":${rates.length},""" +
+      s""""input_rows":$inputRows,"corpus_rows":$corpusRows,""" +
+      s""""index_rows":$indexRows,""" +
+      f""""median_docs_per_sec":${pct(0.5)}%.1f,"p05":${pct(0.05)}%.1f,""" +
+      f""""p95":${pct(0.95)}%.1f,"artifact":"$outPath"}""")
+    spark.stop()
+  }
+}

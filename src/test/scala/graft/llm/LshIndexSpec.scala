@@ -64,6 +64,24 @@ class LshIndexSpec extends SparkSpec {
       stored(LshIndex.bandsTable("lshspec_full")))
   }
 
+  test("gate flags a near-dup whose batch id EQUALS its stored partner's id") {
+    import spark.implicits._
+    // the ingest-soak bug: stored and batch ids are different
+    // namespaces, so an equal-id pair must not hide a true near-dup
+    // (the inherited self-join guard did exactly that)
+    val text = ("the stored document keeps thirty or so distinct tokens " +
+      "so that a single prepended token leaves the jaccard similarity " +
+      "far above the detection threshold every time").trim
+    LshIndex.build(Seq((7L, text)).toDF("doc_id", "text"), "lshspec_idguard")
+    val batch = Seq(
+      (7L, "dup " + text), // same id as its true stored partner
+      (8L, "a wholly different payload sharing no trigram with anything indexed here")
+    ).toDF("doc_id", "text")
+    val kept = LshIndex.gate(batch, "lshspec_idguard")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(8L), s"got $kept")
+  }
+
   test("bucketStats: occupancy and candidate load reconcile with the band table") {
     val d = base
     val bands = Dedup.lshBands(Dedup.shingleSets(Dedup.withNearDups(d)))
