@@ -93,14 +93,23 @@ object LshIndex {
 
   /** Near-dup pairs between a NEW batch and the stored corpus:
     * candidates from band-key collisions against the stored bands
-    * table (whose bucketing means the corpus side of this join is
-    * already laid out on the join key — only the batch side shuffles),
-    * deduped BEFORE verification, then exact-Jaccard verified against
-    * the stored sets table (bucketed on its join key likewise).
-    * Output: (doc_a = stored doc, doc_b = batch doc, inter_size,
-    * union_size), one row per pair with Jaccard ≥ minJaccardPm/1000 —
-    * the same integer cross-multiplied compare as
-    * [[Dedup.minhashDedup]]. */
+    * table, deduped BEFORE verification, then exact-Jaccard verified
+    * against the stored sets table. Output: (doc_a = stored doc,
+    * doc_b = batch doc, inter_size, union_size), one row per pair with
+    * Jaccard ≥ minJaccardPm/1000 — the same integer cross-multiplied
+    * compare as [[Dedup.minhashDedup]].
+    *
+    * The batch side is explicitly BROADCAST in both the candidate and
+    * verification joins: a batch is one trigger's worth of docs while
+    * the corpus is unbounded, so the corpus side must stream through
+    * linear scans with no shuffle and no sort. Left to size estimates,
+    * a large batch tips the planner into sort-merge — which re-sorts
+    * the ACCUMULATING corpus tables on every probe, a per-batch cost
+    * that grows with corpus size (the ingest soak measured the cliff:
+    * throughput fell as the corpus grew, superlinearly with batch
+    * size). Contract: the batch must fit a broadcast (Spark's 8 GB
+    * cap ≈ 10M docs' band rows) — any sane trigger interval is orders
+    * of magnitude under that. */
   def query(newDocs: DataFrame, name: String,
             minJaccardPm: Int = 800): DataFrame = {
     val spark = newDocs.sparkSession
@@ -116,16 +125,16 @@ object LshIndex {
     // soak: feed ids overlapped the seed range and every first-seen
     // near-dup of a same-id seed sailed through the gate).
     val cands = spark.table(bandsTable(name)).as("a")
-      .join(newBands.as("b"),
+      .join(broadcast(newBands.as("b")),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands
+    broadcast(cands)
       .join(spark.table(setsTable(name))
         .select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(newSets
-        .select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(broadcast(newSets
+        .select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter_size"),
@@ -145,8 +154,8 @@ object LshIndex {
     * cannot change the kept set. */
   def gate(batch: DataFrame, name: String, minJaccardPm: Int = 800): DataFrame =
     batch.join(
-      query(batch, name, minJaccardPm)
-        .select(col("doc_b").as("doc_id")).distinct(),
+      broadcast(query(batch, name, minJaccardPm)
+        .select(col("doc_b").as("doc_id")).distinct()),
       Seq("doc_id"), "left_anti")
 
   /** Index-maintenance signal from the STORED layout: per-band bucket
