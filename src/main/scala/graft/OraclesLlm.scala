@@ -204,6 +204,64 @@ object OraclesLlm {
        |SELECT doc_a, doc_b, inter_size, union_size
        |FROM scored WHERE inter_size * 1000 >= union_size * 800""".stripMargin
 
+  /** Boilerplate-injected corpus + stride-1 window hashes shared by the
+    * substring-dedup oracles (mirrors [[graft.llm.Dedup.withBoilerplate]]
+    * and [[graft.llm.Dedup.windowHashRows]] — seed-with-first polynomial
+    * combine over each 8-token window, 1-based positions). */
+  private val spanCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text ||
+       |    ' standard footer boilerplate notice appended to every' ||
+       |    ' seventh document for compliance review purposes under' ||
+       |    ' policy nine' ELSE text END AS text FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, text FROM base UNION ALL
+       |  SELECT doc_id + 100000, text FROM base WHERE doc_id % 10 = 0),
+       |th AS (SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM corpus),
+       |w0 AS (
+       |  SELECT doc_id,
+       |    [{'pos': i + 1,
+       |      'whash': list_reduce(ths[i+1:i+8], (acc, x) -> (acc*31 + x) % $P)}
+       |     for i in range(len(ths) - 7)] AS ws
+       |  FROM th WHERE len(ths) >= 8),
+       |w AS (SELECT doc_id, u.pos AS pos, u.whash AS whash
+       |      FROM (SELECT doc_id, unnest(ws) AS u FROM w0)),
+       |rep AS (SELECT whash FROM
+       |  (SELECT whash, count(DISTINCT doc_id) AS nd FROM w GROUP BY whash)
+       |  WHERE nd >= 2),
+       |hits AS (SELECT doc_id, pos FROM w JOIN rep USING (whash)),
+       |flag AS (SELECT doc_id, pos,
+       |  CASE WHEN lag(pos) OVER bd IS NULL
+       |        OR pos > lag(pos) OVER bd + 8 THEN 1 ELSE 0 END AS ns
+       |  FROM hits WINDOW bd AS (PARTITION BY doc_id ORDER BY pos)),
+       |sp AS (SELECT doc_id, pos, sum(ns) OVER
+       |  (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+       |  FROM flag),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+       |  FROM sp GROUP BY doc_id, span_id)""".stripMargin
+
+  /** Maximal repeated ≥8-token spans
+    * ([[graft.llm.Dedup.repeatedSpans]]): windows whose hash occurs in
+    * ≥2 distinct docs, merged per doc by island detection. */
+  val repeatedSpans: String =
+    s"""WITH $spanCtes
+       |SELECT doc_id, span_start, span_end FROM spans""".stripMargin
+
+  /** Per-doc repeated-token coverage in permille
+    * ([[graft.llm.Dedup.repeatedTokenFraction]] — the Lee et al. 2022
+    * curation signal; zero for span-free and sub-window docs). */
+  val repeatedTokenFraction: String =
+    s"""WITH $spanCtes,
+       |cov AS (SELECT doc_id,
+       |  (sum(span_end - span_start + 1))::BIGINT AS covered
+       |  FROM spans GROUP BY doc_id)
+       |SELECT c.doc_id,
+       |  len(${toksE("c.text")})::BIGINT AS n_tokens,
+       |  ((coalesce(v.covered, 0) * 1000) //
+       |    greatest(len(${toksE("c.text")}), 1))::BIGINT AS repeated_pm
+       |FROM corpus c LEFT JOIN cov v USING (doc_id)""".stripMargin
+
   /** Stored-index near-dup probe ([[graft.llm.LshIndex.query]] after
     * `build`): the cross-batch slice of the minhash pair set — stored
     * (base-corpus) doc on the left, injected-batch doc on the right.

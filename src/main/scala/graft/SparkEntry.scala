@@ -238,6 +238,13 @@ object SparkEntry {
     // sub-document boilerplate: chunks repeated across >=2 distinct docs
     "chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(Dedup.withExactDups(docs(s, dir)))),
+    // exact substring dedup (Lee et al. 2022): maximal repeated
+    // >=8-token spans via the native O(n) rolling window hash
+    "repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(Dedup.withBoilerplate(docs(s, dir)))),
+    // the curation signal: per-doc repeated-token coverage permille
+    "repeated_token_fraction" -> ((s, dir) =>
+      Dedup.repeatedTokenFraction(Dedup.withBoilerplate(docs(s, dir)))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
     "shard_assign" -> ((s, dir) =>
       graft.sources.Shards.shardAssign(docs(s, dir))),
@@ -417,6 +424,8 @@ object SparkEntry {
     "bloom_contamination" -> OraclesLlm.bloomContamination,
     "bloom_gate_kept" -> OraclesLlm.bloomGateKept,
     "chunk_dedup" -> OraclesLlm.chunkDedup,
+    "repeated_spans" -> OraclesLlm.repeatedSpans,
+    "repeated_token_fraction" -> OraclesLlm.repeatedTokenFraction,
     "sample_docs" -> OraclesLlm.sampleDocs,
     "shard_assign" -> OraclesLlm.shardAssign,
     "weighted_sample" -> OraclesLlm.weightedSample,

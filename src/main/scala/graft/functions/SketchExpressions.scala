@@ -93,6 +93,37 @@ object SketchOps {
     false
   }
 
+  /** All k-token rolling window hashes of a token-hash array, in
+    * position order: window at 0-based offset i covers `ths[i, i+k)`
+    * and hashes to the same polynomial combine as the shingle math
+    * (seed = first element, then `acc*31 + h mod prime`). Computed in
+    * ONE O(n) pass via the rolling update — drop the outgoing term
+    * (`ths[i]·31^(k-1)`), shift, add the incoming — instead of the
+    * O(n·k) per-window refold a HOF spelling pays. Fewer than k
+    * tokens ⇒ empty array (no defined window). */
+  def windowHashes(ths: ArrayData, k: Int, prime: Long): ArrayData = {
+    val n = ths.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = Math.floorMod(pow * 31L, prime); i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var acc = Math.floorMod(ths.getLong(0), prime)
+    var j = 1
+    while (j < k) { acc = Math.floorMod(acc * 31L + ths.getLong(j), prime); j += 1 }
+    out(0) = acc
+    var s = 1
+    while (s <= n - k) {
+      acc = Math.floorMod(
+        acc - Math.floorMod(Math.floorMod(ths.getLong(s - 1), prime) * pow, prime),
+        prime)
+      acc = Math.floorMod(acc * 31L + ths.getLong(s + k - 1), prime)
+      out(s) = acc
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Exact integer dot product. Lengths must match — the expression
     * nulls out mismatched pairs before calling, and the `require` turns
     * any out-of-contract caller into an exception rather than a silent
@@ -286,6 +317,37 @@ case class BloomShingleHitExpression(
   }
 }
 
+/** `window_hashes(array<bigint>) -> array<bigint>` — see
+  * [[SketchOps.windowHashes]]. The stride-1 window explode behind
+  * exact-substring dedup: one O(n) rolling pass per row where the
+  * column-form refold is O(n·k) interpreted lambda evaluations, and a
+  * native child is evaluated exactly once per row no matter where the
+  * optimizer moves the consuming expression (the same no-CSE-in-HOFs
+  * trap every other sketch expression here exists to dodge). */
+case class WindowHashesExpression(
+    child: Expression,
+    k: Int,
+    prime: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires array<bigint>, got $t")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashesExpression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.windowHashes(input.asInstanceOf[ArrayData], k, prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchOps.windowHashes($c, $k, ${prime}L);")
+}
+
 object SketchExpressions {
   import org.apache.spark.sql.GraftColumnBridge._
 
@@ -303,4 +365,7 @@ object SketchExpressions {
                          nHashes: Int, words: Seq[Long]): Column =
     column(BloomShingleHitExpression(
       expression(ths), k, prime, bloomBits, nHashes, words))
+
+  def windowHashesCol(ths: Column, k: Int, prime: Long): Column =
+    column(WindowHashesExpression(expression(ths), k, prime))
 }

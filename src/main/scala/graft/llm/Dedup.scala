@@ -684,6 +684,107 @@ object Dedup {
           .as("kept_tokens"))
   }
 
+  // ---- exact substring dedup (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better") ----
+
+  /** Every k-token rolling window of every doc, stride 1:
+    * (doc_id, pos, whash) with pos the 1-based token offset. The
+    * window hashes come from the native O(n)-rolling
+    * [[graft.functions.WindowHashesExpression]] (a HOF refold is
+    * O(n·k) interpreted lambdas); docs with fewer than k tokens have
+    * no window and contribute no rows. Cost note, honestly: stride-1
+    * windows mean roughly ONE OUTPUT ROW PER CORPUS TOKEN — this is
+    * the Spark analog of the suffix-array pass in the paper, and its
+    * shuffle is corpus-token-sized by construction (slim: two longs
+    * and an int per row). [[chunkDedup]] is the cheap non-overlapping
+    * sibling when that cost is not warranted. */
+  def windowHashRows(docs: DataFrame, k: Int = SpanK): DataFrame =
+    docs
+      .filter(size(tokens(col("text"))) >= k)
+      .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.SketchExpressions
+          .windowHashesCol(col("ths"), k, Prime)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("whash"))
+
+  /** Default substring-dedup window: 8 tokens — long enough that an
+    * organic 8-gram collision across docs is rare, short enough to
+    * catch license headers / navigation chrome / injected footers. */
+  val SpanK = 8
+
+  /** Maximal repeated spans: token ranges [span_start, span_end]
+    * (1-based, inclusive) covered by k-windows whose hash occurs in at
+    * least `minDocs` DISTINCT docs. Overlapping and adjacent repeated
+    * windows merge into one span (classic island detection: a window
+    * starting more than k past its predecessor opens a new island —
+    * implemented as a running sum over the per-doc position order, so
+    * the only corpus-sized shuffles are the count-distinct aggregate
+    * and the per-doc window, both on slim rows). The repeated-window
+    * set is NOT broadcast: boilerplate-heavy corpora make it
+    * arbitrarily large, so the hash join shuffles (whash, id, pos) —
+    * slim by design. */
+  def repeatedSpans(docs: DataFrame, k: Int = SpanK,
+                    minDocs: Long = 2L): DataFrame = {
+    val wh = windowHashRows(docs, k)
+    val rep = wh.select(col("whash"), col("doc_id")).distinct()
+      .groupBy("whash").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("whash")
+    val hits = wh.join(rep, Seq("whash")).select("doc_id", "pos")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("newspan",
+        when(col("prev").isNull || col("pos") > col("prev") + k, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum("newspan").over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** The curation signal substring dedup exists for: per doc, the
+    * fraction (permille, exact integer) of token positions covered by
+    * repeated spans. 1000 = the whole doc is boilerplate/duplicated
+    * text (an exact-dup pair scores 1000 on both sides); docs with no
+    * repeated span — including sub-k-token docs — score 0. Merged
+    * spans are disjoint by construction, so coverage is a plain sum. */
+  def repeatedTokenFraction(docs: DataFrame, k: Int = SpanK,
+                            minDocs: Long = 2L): DataFrame = {
+    val cov = repeatedSpans(docs, k, minDocs)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start") + 1L).as("covered"))
+    docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (coalesce(col("covered"), lit(0L)) * 1000L)
+          .divide(greatest(col("n_tokens"), lit(1L))).cast("long")
+          .as("repeated_pm"))
+  }
+
+  /** Corpus with injected sub-document BOILERPLATE: every doc_id ≡ 3
+    * (mod 7) gets a fixed 16-token footer appended — the repeated-span
+    * shape (license header / site chrome) that whole-doc and
+    * chunk-level dedup both miss — plus the usual verbatim +100000
+    * copies of doc_id ≡ 0 (mod 10), whose every window repeats. */
+  def withBoilerplate(docs: DataFrame): DataFrame = {
+    val footer = " standard footer boilerplate notice appended to" +
+      " every seventh document for compliance review purposes under" +
+      " policy nine"
+    val based = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(7)) === 3,
+        concat(col("text"), lit(footer))).otherwise(col("text")).as("text"))
+    based.unionAll(
+      based.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+  }
+
   // ---- duplicate-injection fixtures ----
 
   /** Corpus with injected EXACT duplicates: every doc_id ≡ 0 (mod 10) is

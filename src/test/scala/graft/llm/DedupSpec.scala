@@ -267,6 +267,54 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet -- Set(9004L))
   }
 
+  test("native windowHashes ≡ seeded-fold HOF twin, including sub-k and exactly-k docs") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+      .unionAll(Seq(
+        (9101L, "only seven words live in this doc"),          // k-1: no window
+        (9102L, "exactly eight tokens sit right here just so"), // one window
+        (9103L, "")).toDF("doc_id", "text"))
+    val k = Dedup.SpanK
+    val staged = docs.select(col("doc_id"), TextFns.tokenHashes(col("text")).as("ths"))
+    val native = staged.select(col("doc_id"),
+      graft.functions.SketchExpressions.windowHashesCol(col("ths"), k, TextFns.Prime).as("wh"))
+    val hof = staged.select(col("doc_id"),
+      when(size(col("ths")) >= k,
+        transform(sequence(lit(1), size(col("ths")) - (k - 1)),
+          i => aggregate(slice(col("ths"), i + 1, lit(k - 1)), element_at(col("ths"), i),
+            (acc, x) => pmod(acc * 31L + x, lit(TextFns.Prime)))))
+        .otherwise(array()).as("wh"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val (n, h) = (rows(native), rows(hof))
+    assert(n == h)
+    assert(n(9101L).isEmpty && n(9102L).length == 1 && n(9103L).isEmpty)
+  }
+
+  test("repeatedSpans: a shared footer is found exactly; an exact dup covers the whole doc") {
+    val body1 = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val body2 = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val footer = (1 to 10).map(i => s"foot$i").mkString(" ")
+    val twin = (1 to 15).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq(
+      (1L, body1 + " " + footer), // footer at tokens 21..30
+      (2L, body2 + " " + footer),
+      (3L, twin), (4L, twin),     // exact pair: whole doc repeated
+      (5L, (1 to 12).map(i => s"delta$i").mkString(" ")), // unique
+      (6L, "five short tokens only here")                 // sub-k
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // straddling windows are doc-unique, so the merged span is the
+    // footer range exactly; the twin pair spans its full 15 tokens
+    assert(spans == Set((1L, 21L, 30L), (2L, 21L, 30L),
+      (3L, 1L, 15L), (4L, 1L, 15L)), s"got $spans")
+    val frac = Dedup.repeatedTokenFraction(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(frac == Map(1L -> 333L, 2L -> 333L, 3L -> 1000L, 4L -> 1000L,
+      5L -> 0L, 6L -> 0L), s"got $frac")
+  }
+
   test("chunkDedup: injected whole-doc duplicates make every chunk boilerplate") {
     // 70-token docs => chunks of 32/32/6 tokens; doc 50 is duplicated
     val words = (0 until 70).map(i => s"w$i").mkString(" ")
