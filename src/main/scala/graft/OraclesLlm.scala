@@ -262,6 +262,29 @@ object OraclesLlm {
        |    greatest(len(${toksE("c.text")}), 1))::BIGINT AS repeated_pm
        |FROM corpus c LEFT JOIN cov v USING (doc_id)""".stripMargin
 
+  /** Span-excised text ([[graft.llm.Dedup.stripRepeatedSpans]]):
+    * tokens inside any repeated span drop, survivors rejoin with
+    * single spaces (the module's whitespace normalization). DuckDB's
+    * list_filter index is 1-based, matching the span positions
+    * directly. */
+  val stripRepeatedSpans: String =
+    s"""WITH $spanCtes,
+       |sb AS (SELECT doc_id,
+       |  list(struct_pack(s := span_start, e := span_end)) AS sps
+       |  FROM spans GROUP BY doc_id)
+       |SELECT c.doc_id,
+       |  coalesce(array_to_string(
+       |    CASE WHEN v.sps IS NULL THEN ${toksE("c.text")}
+       |    ELSE list_filter(${toksE("c.text")}, (t, i) ->
+       |      len(list_filter(v.sps, p -> i >= p.s AND i <= p.e)) = 0)
+       |    END, ' '), '') AS clean_text,
+       |  (len(${toksE("c.text")}) - CASE WHEN v.sps IS NULL
+       |    THEN len(${toksE("c.text")})
+       |    ELSE len(list_filter(${toksE("c.text")}, (t, i) ->
+       |      len(list_filter(v.sps, p -> i >= p.s AND i <= p.e)) = 0))
+       |    END)::BIGINT AS removed_tokens
+       |FROM corpus c LEFT JOIN sb v USING (doc_id)""".stripMargin
+
   /** Stored-index near-dup probe ([[graft.llm.LshIndex.query]] after
     * `build`): the cross-batch slice of the minhash pair set — stored
     * (base-corpus) doc on the left, injected-batch doc on the right.

@@ -245,6 +245,9 @@ object SparkEntry {
     // the curation signal: per-doc repeated-token coverage permille
     "repeated_token_fraction" -> ((s, dir) =>
       Dedup.repeatedTokenFraction(Dedup.withBoilerplate(docs(s, dir)))),
+    // the transform the spans feed: text with repeated spans excised
+    "strip_repeated_spans" -> ((s, dir) =>
+      Dedup.stripRepeatedSpans(Dedup.withBoilerplate(docs(s, dir)))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
     "shard_assign" -> ((s, dir) =>
       graft.sources.Shards.shardAssign(docs(s, dir))),
@@ -426,6 +429,7 @@ object SparkEntry {
     "chunk_dedup" -> OraclesLlm.chunkDedup,
     "repeated_spans" -> OraclesLlm.repeatedSpans,
     "repeated_token_fraction" -> OraclesLlm.repeatedTokenFraction,
+    "strip_repeated_spans" -> OraclesLlm.stripRepeatedSpans,
     "sample_docs" -> OraclesLlm.sampleDocs,
     "shard_assign" -> OraclesLlm.shardAssign,
     "weighted_sample" -> OraclesLlm.weightedSample,

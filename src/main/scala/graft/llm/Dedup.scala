@@ -768,6 +768,34 @@ object Dedup {
           .as("repeated_pm"))
   }
 
+  /** The transform the span detection feeds: each doc's text with its
+    * repeated spans excised (whitespace-normalized — tokens rejoin with
+    * single spaces, the same normalization every hash in this module
+    * already applies). Spans arrive as a per-doc array via one slim
+    * groupBy (a doc has few spans), and the excision itself is a
+    * per-row lambda over the token array — no token-level shuffle, so
+    * the only corpus-token-sized cost stays inside [[repeatedSpans]].
+    * Docs with no spans pass through verbatim-after-normalization;
+    * `removed_tokens` makes the cut auditable. */
+  def stripRepeatedSpans(docs: DataFrame, k: Int = SpanK,
+                         minDocs: Long = 2L): DataFrame = {
+    val spansByDoc = repeatedSpans(docs, k, minDocs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs
+      .join(spansByDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), tokens(col("text")).as("toks"), col("spans"))
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("toks")).otherwise(
+          filter(col("toks"), (_, i) => !exists(col("spans"),
+            s => (i + 1) >= s.getField("span_start") &&
+              (i + 1) <= s.getField("span_end")))).as("kept"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("removed_tokens"))
+  }
+
   /** Corpus with injected sub-document BOILERPLATE: every doc_id ≡ 3
     * (mod 7) gets a fixed 16-token footer appended — the repeated-span
     * shape (license header / site chrome) that whole-doc and

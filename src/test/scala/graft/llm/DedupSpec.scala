@@ -313,6 +313,13 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(frac == Map(1L -> 333L, 2L -> 333L, 3L -> 1000L, 4L -> 1000L,
       5L -> 0L, 6L -> 0L), s"got $frac")
+    // the excision transform: footer gone, body intact, dup pair empty
+    val clean = Dedup.stripRepeatedSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(clean(1L) == (body1, 10L), s"got ${clean(1L)}")
+    assert(clean(2L) == (body2, 10L))
+    assert(clean(3L) == ("", 15L) && clean(4L) == ("", 15L))
+    assert(clean(5L)._2 == 0L && clean(6L)._2 == 0L)
   }
 
   test("chunkDedup: injected whole-doc duplicates make every chunk boilerplate") {
