@@ -131,9 +131,22 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => Seq.empty
   }
 
-  /** Exact floor(x / w) for any sign, in long arithmetic. */
-  private def bucketOf(x: Expression, w: Long): Expression =
-    IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
+  /** Exact floor(x / w) for any sign, in long arithmetic — overflow-free
+    * over the FULL long domain for any w > 0: truncating divide plus a
+    * remainder-sign fix-up. The previous form, `(x − pmod(x, w)) div w`,
+    * wrapped for x within w of Long.MinValue under a non-power-of-two
+    * width (pmod(x, w) > 0 pushes the subtract below Long.MinValue),
+    * which mis-bucketed the documented descending/unbounded sentinel
+    * bounds and routed them into the bucketed branch the span guard
+    * exists to keep them out of. Here nothing can wrap: `x div w` only
+    * hits Long.MinValue at w = 1, where the remainder is 0 and the
+    * `q − 1` branch never fires; Remainder follows the dividend's sign,
+    * so `r < 0` is exactly "x negative and not on a bucket boundary". */
+  private def bucketOf(x: Expression, w: Long): Expression = {
+    val q = IntegralDivide(x, Literal(w))
+    val r = Remainder(x, Literal(w))
+    If(LessThan(r, Literal(0L)), Subtract(q, Literal(1L)), q)
+  }
 
   private def supportedType(a: AR): Boolean =
     a.dataType == LongType || a.dataType == IntegerType

@@ -254,6 +254,41 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("non-power-of-two width: sentinel bounds near Long.MinValue stay exact (no overflow)") {
+    // ADVICE r6: the old bucketOf — (x − pmod(x, w)) div w — wrapped for
+    // x within w of Long.MinValue under a non-power-of-two width
+    // (pmod > 0 pushes the subtract past the representable range), so
+    // the span guard saw a huge-NEGATIVE span, classified the unbounded
+    // interval as small, and the bucketed branch's Sequence blew up at
+    // runtime. Powers of two dodge it (pmod(Long.MinValue, 2^k) = 0),
+    // which is why the width-16 default never tripped. Pin widths 10
+    // and 7 against the nested loop, including bounds AT and NEAR
+    // Long.MinValue on both ends.
+    val ivRows = Seq(
+      (1L, 5L, 9L),                            // bounded: bucketed branch
+      (2L, Long.MinValue, 10L),                // unbounded below: fallback
+      (3L, Long.MinValue + 3L, 20L),           // within w of MinValue: fallback
+      (4L, Long.MinValue, Long.MaxValue),      // fully unbounded: fallback
+      (5L, Long.MaxValue, Long.MinValue),      // descending sentinels: empty
+      (6L, 250L, 260L))                        // bounded: bucketed branch
+    val weird = ivRows.toDF("iv_id", "s", "e")
+    val want = (for {
+      p <- 0L until 300L
+      (id, s, e) <- ivRows if p >= s && p < e
+    } yield (id, p)).toSet
+    withRule {
+      for (w <- Seq("10", "7")) {
+        spark.conf.set(RangeJoinRule.WidthKey, w)
+        try {
+          val df = pts.join(weird, $"p" >= $"s" && $"p" < $"e")
+          assertBucketed(df)
+          val got = df.select("iv_id", "p").as[(Long, Long)].collect().toSet
+          assert(got == want, s"width $w diverged on MinValue-adjacent sentinels")
+        } finally spark.conf.unset(RangeJoinRule.WidthKey)
+      }
+    }
+  }
+
   test("sentinelFallback=false restores the single-branch plan for bounded intervals") {
     withRule {
       spark.conf.set(RangeJoinRule.FallbackKey, "false")
