@@ -84,18 +84,21 @@ object AnnIndex {
     * the running corpus never rebuilds, and because assignment is
     * per-vector against fixed centroids, build(A ∪ B) ≡ build(A)
     * then append(B) whenever the seed vectors live in A (AnnIndexSpec
-    * pins the equality). */
-  def append(embeddings: DataFrame, name: String, buckets: Int = 8): Unit =
-    appendImpl(embeddings, name, buckets, withCodes = false)
+    * pins the equality). Bucket counts come from the STORED tables'
+    * catalog entries — a wrong caller value would make every append
+    * throw on the mismatched spec. */
+  def append(embeddings: DataFrame, name: String): Unit =
+    appendImpl(embeddings, name, withCodes = false)
 
   /** [[append]] plus the compressed half: encode the new batch against
     * the STORED codebook and append its (cell, codes) rows. */
-  def appendPq(embeddings: DataFrame, name: String, buckets: Int = 8): Unit =
-    appendImpl(embeddings, name, buckets, withCodes = true)
+  def appendPq(embeddings: DataFrame, name: String): Unit =
+    appendImpl(embeddings, name, withCodes = true)
 
   private def appendImpl(embeddings: DataFrame, name: String,
-                         buckets: Int, withCodes: Boolean): Unit = {
+                         withCodes: Boolean): Unit = {
     val spark = embeddings.sparkSession
+    def buckets(t: String) = graft.sources.Bucketed.bucketCount(spark, t)
     val vecs = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
@@ -106,7 +109,7 @@ object AnnIndex {
     if (withCodes) assigned.persist()
     try {
       graft.sources.Bucketed.appendBucketed(
-        assigned, cellsTable(name), "cent_id", buckets)
+        assigned, cellsTable(name), "cent_id", buckets(cellsTable(name)))
       if (withCodes) {
         val cb = spark.table(codebookTable(name))
         val encoded = Similarity.encodeSub(
@@ -114,7 +117,7 @@ object AnnIndex {
         val codes = encoded.join(
           assigned.select("vec_id", "cent_id"), Seq("vec_id"))
         graft.sources.Bucketed.appendBucketed(
-          codes, codesTable(name), "cent_id", buckets)
+          codes, codesTable(name), "cent_id", buckets(codesTable(name)))
       }
     } finally if (withCodes) assigned.unpersist()
   }
@@ -210,8 +213,9 @@ object AnnIndex {
     * bucketed tables — buildPqRes(A)+appendPqRes(B) ≡ buildPqRes(A∪B)
     * whenever the centroid AND codebook seed vectors
     * (vec_id < nCentroids + PqK) live in A (AnnIndexSpec pins it). */
-  def appendPqRes(embeddings: DataFrame, name: String, buckets: Int = 8): Unit = {
+  def appendPqRes(embeddings: DataFrame, name: String): Unit = {
     val spark = embeddings.sparkSession
+    def buckets(t: String) = graft.sources.Bucketed.bucketCount(spark, t)
     val subDim = 64 / PqM
     val vecs = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
@@ -222,12 +226,12 @@ object AnnIndex {
     assigned.persist()
     try {
       graft.sources.Bucketed.appendBucketed(
-        assigned, cellsTable(name), "cent_id", buckets)
+        assigned, cellsTable(name), "cent_id", buckets(cellsTable(name)))
       val encoded = Similarity.encodeRes(
         Similarity.resSubvectors(assigned, cents, subDim),
         spark.table(resCodebookTable(name)))
       graft.sources.Bucketed.appendBucketed(
-        encoded, resCodesTable(name), "cent_id", buckets)
+        encoded, resCodesTable(name), "cent_id", buckets(resCodesTable(name)))
     } finally assigned.unpersist()
   }
 

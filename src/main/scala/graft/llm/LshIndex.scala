@@ -76,19 +76,54 @@ object LshIndex {
 
   /** Admit a batch into the index: one hashing pass over the NEW docs
     * only, appended to both bucketed tables under their existing bucket
-    * specs (the co-location contract survives incremental loads).
+    * specs (the co-location contract survives incremental loads). The
+    * bucket counts are read from the STORED tables' catalog entries,
+    * never a caller parameter — a caller guessing wrong would make
+    * every subsequent append throw on the mismatched spec and
+    * permanently stall an ingest loop built on this call.
     * Caller contract: batch doc_ids are disjoint from stored ones —
     * same as any append-only store. */
-  def append(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
+  def append(docs: DataFrame, name: String): Unit = {
     val sets = Dedup.shingleSets(docs)
     // sets feed both writes; cache so the batch is hashed exactly once
     sets.persist()
-    try {
-      graft.sources.Bucketed.appendBucketed(
-        sets, setsTable(name), "doc_id", buckets)
-      graft.sources.Bucketed.appendBucketed(
-        Dedup.lshBands(sets), bandsTable(name), "band_key", buckets)
-    } finally sets.unpersist()
+    try appendFromSets(sets, name)
+    finally sets.unpersist()
+  }
+
+  /** [[append]] from an already-materialized (doc_id, sh) sets frame —
+    * the entry point for callers that have ALREADY paid the batch's
+    * shingling pass (the ingest loop derives sets once and reuses them
+    * across gate and append; re-deriving here would double the batch's
+    * dominant cost). The caller should hand over a cached frame. */
+  def appendFromSets(sets: DataFrame, name: String): Unit = {
+    val spark = sets.sparkSession
+    graft.sources.Bucketed.appendBucketed(
+      sets, setsTable(name), "doc_id",
+      graft.sources.Bucketed.bucketCount(spark, setsTable(name)))
+    graft.sources.Bucketed.appendBucketed(
+      Dedup.lshBands(sets), bandsTable(name), "band_key",
+      graft.sources.Bucketed.bucketCount(spark, bandsTable(name)))
+  }
+
+  /** Collapse append fragmentation: rewrite both bucketed tables under
+    * their existing bucket specs, one file per bucket
+    * ([[graft.sources.Bucketed.compact]]). At a 15 s trigger the
+    * ingest loop appends ~5,760 times a day, each adding files to
+    * every touched bucket — without periodic compaction the probe-side
+    * scan cost grows with BATCH COUNT instead of corpus size, which is
+    * the round-6 ingest loop's own scale-killer. Row-level dedup rides
+    * along: both tables are per-doc deterministic derivations, so the
+    * byte-identical rows an at-least-once replayed append leaves
+    * behind vanish losslessly, making compaction the garbage collector
+    * for the ingest loop's failure window as well as its file counts.
+    * Query results are unchanged by construction (same rows, same
+    * layout contract) — LshIndexSpec pins query-after ≡ query-before. */
+  def compact(spark: SparkSession, name: String): Unit = {
+    graft.sources.Bucketed.compact(
+      spark, setsTable(name), "doc_id", dedup = true)
+    graft.sources.Bucketed.compact(
+      spark, bandsTable(name), "band_key", dedup = true)
   }
 
   /** Near-dup pairs between a NEW batch and the stored corpus:
@@ -159,12 +194,20 @@ object LshIndex {
       Seq("doc_id"), "left_anti")
 
   /** Index-maintenance signal from the STORED layout: per-band bucket
-    * occupancy of the bands table. `cand_pairs` is the exact number of
-    * candidate pairs each band would contribute to a self-join —
-    * Σ c·(c−1)/2 over its buckets — the quantity that blows up when
-    * band hashes collapse. */
-  def bucketStats(spark: SparkSession, name: String): DataFrame =
+    * occupancy of the bands table, plus the PHYSICAL fragmentation of
+    * that table — `n_files` and `avg_file_rows` (table-level, repeated
+    * on each band row: files belong to hash buckets, not bands). The
+    * two dimensions answer the two maintenance questions: `max_bucket`/
+    * `cand_pairs` growth says the band hashes are collapsing (rebuild
+    * with a different signature); `n_files` growing linearly in batch
+    * count with `avg_file_rows` collapsing toward the batch size says
+    * append fragmentation is eating the probe scan ([[compact]]). */
+  def bucketStats(spark: SparkSession, name: String): DataFrame = {
+    val (nFiles, rows) = graft.sources.Bucketed.fileStats(spark, bandsTable(name))
     bucketStatsOf(spark.table(bandsTable(name)))
+      .withColumn("n_files", lit(nFiles))
+      .withColumn("avg_file_rows", lit(if (nFiles == 0) 0L else rows / nFiles))
+  }
 
   /** [[bucketStats]] over any (doc_id, band, band_key) band relation —
     * shared by the stored-index path and the batch oracle query. Two

@@ -41,6 +41,67 @@ object Bucketed {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** Bucket count of a stored bucketed table, read from the catalog.
+    * An append or compaction MUST match the build-time bucket spec
+    * (Spark rejects a mismatch rather than degrading the layout, which
+    * turns a wrong caller parameter into a permanently failing write) —
+    * so the stored table itself, never a caller parameter, is the
+    * source of truth. */
+  def bucketCount(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table has no bucket spec — not a bucketed table"))
+
+  /** Physical-fragmentation signal for a stored table: (n_files, rows).
+    * Every [[appendBucketed]] adds at least one new file per non-empty
+    * bucket it touches, so a micro-batch ingest loop grows file counts
+    * linearly in batch count (~5,760/day at a 15 s trigger) while the
+    * probe-side scan pays the per-file open/footer cost — rows-per-file
+    * collapsing toward the batch size is the signal that [[compact]] is
+    * due. File list comes from the scan's own resolved file index
+    * (`inputFiles`), so it counts exactly what a probe would read. */
+  def fileStats(spark: SparkSession, table: String): (Long, Long) = {
+    val df = spark.table(table)
+    (df.inputFiles.length.toLong, df.count())
+  }
+
+  /** Rewrite a bucketed table in place under its existing bucket spec,
+    * collapsing accumulated append fragments to EXACTLY one file per
+    * non-empty bucket: the rows are repartitioned on the bucket key
+    * with the table's own bucket count before the rewrite, and
+    * `repartition(n, key)` hashes identically to the bucket-id
+    * assignment (both are pmod(murmur3(key), n)), so each write task
+    * holds exactly one bucket's rows and emits exactly one file.
+    * `dedup` additionally drops exact duplicate ROWS — the garbage an
+    * at-least-once replayed append leaves behind (both index tables
+    * are per-doc deterministic derivations, so a replay's rows are
+    * byte-identical and full-row dedup is lossless there).
+    *
+    * Mechanics: Spark refuses to overwrite a table it is reading, so
+    * the rewrite stages to `<table>__compact` and swaps via
+    * DROP + ALTER TABLE RENAME — the same two-step every table-format
+    * compaction performs, minus the transactional commit a real
+    * lakehouse format would add. Readers between the two statements
+    * see a missing table rather than torn data. */
+  def compact(spark: SparkSession, table: String, key: String,
+              dedup: Boolean = false, sorted: Boolean = true): Unit = {
+    val buckets = bucketCount(spark, table)
+    val tmp = table + "__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val tmpLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tmp.toLowerCase)
+    val fs = tmpLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
+    val src = spark.table(table)
+    val rows = (if (dedup) src.dropDuplicates() else src)
+      .repartition(buckets, src(key))
+    writeBucketed(rows, tmp, key, buckets, sorted)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Equi-join of two same-key, same-bucket-count tables — planned
     * exchange-free (the point of the layout). */
   def colocatedJoin(spark: SparkSession, left: String, right: String,
