@@ -250,6 +250,26 @@ object AnnIndex {
       spark.table(cellsTable(name)), nCentroids)
   }
 
+  /** Collapse append fragmentation: rewrite every APPENDABLE table of
+    * the index (cells, and the codes/rcodes halves when present) under
+    * its existing cent_id bucket spec, one file per non-empty bucket
+    * ([[graft.sources.Bucketed.compact]]). Same scale argument as
+    * [[LshIndex.compact]]: a micro-batch append loop grows file counts
+    * linearly in batch count while probe scans pay per-file open cost.
+    * Row-level dedup rides along — every appendable row is a per-vector
+    * deterministic derivation (assignment against FIXED centroids,
+    * codes against the FIXED codebook), so the byte-identical rows an
+    * at-least-once replayed append leaves behind vanish losslessly.
+    * The parameter tables (centroids, codebooks) never receive appends
+    * and are left untouched. Query results are unchanged by
+    * construction (same rows, same layout) — AnnIndexSpec pins
+    * query-after ≡ query-before. */
+  def compact(spark: SparkSession, name: String): Unit =
+    Seq(cellsTable(name), codesTable(name), resCodesTable(name))
+      .filter(spark.catalog.tableExists)
+      .foreach(t =>
+        graft.sources.Bucketed.compact(spark, t, "cent_id", dedup = true))
+
   /** Serve IVF-PQ top-k from the stored code + codebook tables: probe
     * cells as [[query]] does, rebuild the tiny query-side LUT from the
     * stored codebook, and score candidates purely from their 8 stored

@@ -142,12 +142,28 @@ object LshIndex {
     * the ACCUMULATING corpus tables on every probe, a per-batch cost
     * that grows with corpus size (the ingest soak measured the cliff:
     * throughput fell as the corpus grew, superlinearly with batch
-    * size). Contract: the batch must fit a broadcast (Spark's 8 GB
-    * cap ≈ 10M docs' band rows) — any sane trigger interval is orders
-    * of magnitude under that. */
-  def query(newDocs: DataFrame, name: String,
-            minJaccardPm: Int = 800): DataFrame = {
+    * size).
+    *
+    * Above `maxBroadcastDocs` the broadcast contract would break
+    * (Spark's 8 GB broadcast cap ≈ 10M docs' band rows, and every
+    * executor holds a copy), so the hints are DROPPED and the planner
+    * falls back to shuffle joins. The corpus side still never
+    * reshuffles: the bands table's HashPartitioning(band_key) already
+    * satisfies the candidate join's clustered distribution over
+    * (band, band_key) — band_key is a subset of the join keys — and
+    * the sets table is bucketed on doc_a's key, so only the BATCH side
+    * exchanges. The row count is measured with one `count()` over the
+    * batch — noise next to its shingling pass, and free when the
+    * caller hands over a cached frame ([[graft.streaming.DocStream
+    * .ingestBatch]] does). `maxBroadcastDocs <= 0` forces the fallback
+    * (the spec uses it to pin plan-shape and result equality on both
+    * sides of the threshold). */
+  def query(newDocs: DataFrame, name: String, minJaccardPm: Int = 800,
+            maxBroadcastDocs: Long = 4L * 1000 * 1000): DataFrame = {
     val spark = newDocs.sparkSession
+    val small = newDocs.count() <= maxBroadcastDocs
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     val newSets = Dedup.shingleSets(newDocs)
     val newBands = Dedup.lshBands(newSets)
     // NO doc_id-inequality guard (deliberately unlike minhashDedup's
@@ -160,15 +176,15 @@ object LshIndex {
     // soak: feed ids overlapped the seed range and every first-seen
     // near-dup of a same-id seed sailed through the gate).
     val cands = spark.table(bandsTable(name)).as("a")
-      .join(broadcast(newBands.as("b")),
+      .join(maybeBroadcast(newBands.as("b")),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    broadcast(cands)
+    maybeBroadcast(cands)
       .join(spark.table(setsTable(name))
         .select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(broadcast(newSets
+      .join(maybeBroadcast(newSets
         .select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
@@ -187,11 +203,16 @@ object LshIndex {
     * `distinct` BEFORE the anti join, so duplicate band collisions (or
     * duplicate index entries from a replayed append — see [[append]])
     * cannot change the kept set. */
-  def gate(batch: DataFrame, name: String, minJaccardPm: Int = 800): DataFrame =
-    batch.join(
-      broadcast(query(batch, name, minJaccardPm)
-        .select(col("doc_b").as("doc_id")).distinct()),
+  def gate(batch: DataFrame, name: String, minJaccardPm: Int = 800,
+           maxBroadcastDocs: Long = 4L * 1000 * 1000): DataFrame = {
+    val flagged = query(batch, name, minJaccardPm, maxBroadcastDocs)
+      .select(col("doc_b").as("doc_id")).distinct()
+    // the flagged set is bounded by the batch, so it follows the same
+    // broadcast-vs-shuffle decision as the probe joins
+    val small = batch.count() <= maxBroadcastDocs
+    batch.join(if (small) broadcast(flagged) else flagged,
       Seq("doc_id"), "left_anti")
+  }
 
   /** Index-maintenance signal from the STORED layout: per-band bucket
     * occupancy of the bands table, plus the PHYSICAL fragmentation of

@@ -198,16 +198,37 @@ object DocStream {
     * is plain batch semantics, the same reason the reference's output
     * loop is batch-shaped (S-2).
     *
-    * Failure/replay contract: `foreachBatch` is at-least-once — a
-    * recovered query may re-run a batch, double-appending its
-    * survivors. That degrades STORAGE, never gating correctness:
-    * duplicate index entries only produce duplicate candidate flags,
-    * which [[graft.llm.LshIndex.gate]]'s distinct absorbs, and the
-    * corpus store's duplicates are exactly what the periodic batch
-    * exact-dedup pass removes. A deployment wanting exactly-once
-    * storage partitions the corpus write by batch_id and makes the
-    * append conditional on it (idempotent overwrite), at the price of
-    * a small-files compaction pass.
+    * Failure/replay contract — EXACTLY-ONCE stored effects under
+    * `foreachBatch`'s at-least-once replay, with no transactional
+    * format, from two reinforcing mechanisms:
+    *
+    *   1. The corpus write is an IDEMPOTENT per-batch partition
+    *      overwrite: rows land under `batch_id=<id>/` in dynamic
+    *      partition-overwrite mode, so a replay of batch N replaces
+    *      partition N with the identical recomputed rows instead of
+    *      appending a second copy (and an EMPTY survivor set touches
+    *      no partition at all — dynamic mode only overwrites
+    *      partitions present in the data).
+    *   2. The index append is self-healing through the gate itself:
+    *      [[graft.llm.LshIndex.gate]] deliberately has no id guard, so
+    *      on a FULL replay (crash after both writes committed) every
+    *      previously-admitted doc collides with its own stored copy at
+    *      Jaccard 1.0 and the survivor set is empty — nothing is
+    *      re-appended anywhere.
+    *
+    *    The one remaining window is a crash MIDWAY through
+    *    [[graft.llm.LshIndex.append]]'s two table writes (sets landed,
+    *    bands did not): the replay re-admits the batch, leaving
+    *    byte-identical duplicate rows in the sets table. Gating
+    *    correctness is unaffected (duplicate entries only produce
+    *    duplicate candidate flags, absorbed by the gate's distinct);
+    *    [[graft.llm.LshIndex.compact]]'s full-row dedup is the garbage
+    *    collector for exactly this residue. Closing that last window
+    *    outright needs an atomic multi-table commit — a transactional
+    *    table format, out of scope here and documented as such.
+    *    DocStreamSpec pins the replay contract: the same (batch,
+    *    batchId) through [[ingestBatch]] twice leaves corpus, index
+    *    tables, and query answers identical to once.
     *
     * Caller contract: [[graft.llm.LshIndex.build]] must have run once
     * (possibly on an empty seed corpus) before the query starts. */
@@ -217,25 +238,38 @@ object DocStream {
              minQuality: Long = 300L,
              minJaccardPm: Int = 800): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     curate(docs, evalDocs, watermark, minQuality).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // the DataFrame foreachBatch hands over is a PLAN, not data:
-        // every action re-runs the whole upstream curate pipeline
-        // (quality scan, Bloom probe, both state machines), and the
-        // gate + two writes traverse it ~5 times — measured 5-8×
-        // slower uncached at a 500k-row batch. Cache the curated
-        // batch once; everything downstream reuses it.
-        batch.persist()
-        try {
-          val survivors =
-            graft.llm.LshIndex.gate(batch, indexName, minJaccardPm)
-          // survivors feed two writes; cache so the batch is shingled,
-          // probed, and verified exactly once
-          survivors.persist()
-          try {
-            survivors.write.mode("append").parquet(corpusPath)
-            graft.llm.LshIndex.append(
-              survivors.select("doc_id", "text"), indexName)
-          } finally survivors.unpersist()
-        } finally batch.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, indexName, corpusPath, minJaccardPm)
       }
+
+  /** One micro-batch of [[ingest]]'s `foreachBatch` loop, public so the
+    * replay contract is testable: calling it twice with the same
+    * (batch, batchId) must leave every stored effect identical to
+    * calling it once (see [[ingest]]'s failure/replay contract). */
+  def ingestBatch(batch: DataFrame, batchId: Long, indexName: String,
+                  corpusPath: String, minJaccardPm: Int = 800): Unit = {
+    // the DataFrame foreachBatch hands over is a PLAN, not data:
+    // every action re-runs the whole upstream curate pipeline
+    // (quality scan, Bloom probe, both state machines), and the
+    // gate + two writes traverse it ~5 times — measured 5-8×
+    // slower uncached at a 500k-row batch. Cache the curated
+    // batch once; everything downstream reuses it.
+    batch.persist()
+    try {
+      val survivors =
+        graft.llm.LshIndex.gate(batch, indexName, minJaccardPm)
+      // survivors feed two writes; cache so the batch is shingled,
+      // probed, and verified exactly once
+      survivors.persist()
+      try {
+        survivors.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(corpusPath)
+        graft.llm.LshIndex.append(
+          survivors.select("doc_id", "text"), indexName)
+      } finally survivors.unpersist()
+    } finally batch.unpersist()
+  }
 }

@@ -168,4 +168,47 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows(AnnIndex.query(spark, "annspec_km")) ==
       rows(Similarity.ivfTopK(emb)))
   }
+
+  test("compact: appends fragment the appendable tables, compact restores one file per bucket, answers unchanged") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    AnnIndex.buildPq(emb.filter(col("vec_id") < 200), "annspec_cpt")
+    // a run of micro-appends — the ingest-loop fragmentation pattern
+    for (lo <- 200L to 440L by 60L)
+      AnnIndex.appendPq(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 60), "annspec_cpt")
+    val cellsT = AnnIndex.cellsTable("annspec_cpt")
+    val codesT = AnnIndex.codesTable("annspec_cpt")
+    def frag(t: String) = graft.sources.Bucketed.fileStats(spark, t)
+    val (cellFilesBefore, cellRows) = frag(cellsT)
+    val (codeFilesBefore, codeRows) = frag(codesT)
+    val before = rows(AnnIndex.query(spark, "annspec_cpt", nprobe = 3))
+    val beforePq = rows(AnnIndex.queryPq(spark, "annspec_cpt", nprobe = 3))
+
+    AnnIndex.compact(spark, "annspec_cpt")
+
+    // one file per non-empty bucket: bucket id = pmod(murmur3(key), n),
+    // exactly functions.hash — expected file count from the rows themselves
+    def nonEmpty(t: String) = spark.table(t)
+      .select(countDistinct(pmod(hash(col("cent_id")),
+        lit(graft.sources.Bucketed.bucketCount(spark, t)))))
+      .collect().head.getLong(0)
+    val (cellFilesAfter, cellRowsAfter) = frag(cellsT)
+    val (codeFilesAfter, codeRowsAfter) = frag(codesT)
+    assert(cellFilesBefore > cellFilesAfter && codeFilesBefore > codeFilesAfter,
+      s"appends must fragment: cells $cellFilesBefore→$cellFilesAfter, " +
+        s"codes $codeFilesBefore→$codeFilesAfter")
+    assert(cellFilesAfter == nonEmpty(cellsT), s"cells: $cellFilesAfter files")
+    assert(codeFilesAfter == nonEmpty(codesT), s"codes: $codeFilesAfter files")
+    assert(cellRowsAfter == cellRows && codeRowsAfter == codeRows,
+      "compact must not lose or invent rows")
+    // …and both query paths answer identically through the rewrite
+    assert(rows(AnnIndex.query(spark, "annspec_cpt", nprobe = 3)) == before)
+    assert(rows(AnnIndex.queryPq(spark, "annspec_cpt", nprobe = 3)) == beforePq)
+  }
 }

@@ -103,13 +103,100 @@ class LshIndexSpec extends SparkSpec {
     assert(stats.values.map(_._3).sum > 0L)
   }
 
+  test("compact: appends fragment files, compact restores one file per non-empty bucket, answers unchanged") {
+    val d = base
+    val slices = (0 to 3).map(i => d.filter(pmod(col("doc_id"), lit(4)) === i))
+    LshIndex.build(slices(0), "lshspec_compact")
+    val probe = nearDupBatch(d)
+    def frag() = graft.sources.Bucketed.fileStats(
+      spark, LshIndex.bandsTable("lshspec_compact"))
+    val (filesFresh, _) = frag()
+    slices.tail.foreach(sl => LshIndex.append(sl.select("doc_id", "text"), "lshspec_compact"))
+    val (filesFragged, rowsBefore) = frag()
+    // each append adds at least one file per touched bucket
+    assert(filesFragged > filesFresh,
+      s"appends must fragment: fresh=$filesFresh fragged=$filesFragged")
+    val before = pairs(LshIndex.query(probe, "lshspec_compact"))
+    val statsBefore = LshIndex.bucketStatsOf(
+      spark.table(LshIndex.bandsTable("lshspec_compact"))).collect().toSet
+
+    LshIndex.compact(spark, "lshspec_compact")
+
+    // one file per NON-EMPTY bucket: Spark's bucket assignment is
+    // pmod(murmur3(key), n) — exactly functions.hash (same seed 42) —
+    // so the expected file count is computable from the rows themselves
+    val buckets = graft.sources.Bucketed.bucketCount(
+      spark, LshIndex.bandsTable("lshspec_compact"))
+    val nonEmpty = spark.table(LshIndex.bandsTable("lshspec_compact"))
+      .select(countDistinct(pmod(hash(col("band_key")), lit(buckets))))
+      .collect().head.getLong(0)
+    val (filesCompact, rowsAfter) = frag()
+    assert(filesCompact == nonEmpty,
+      s"compact must leave one file per non-empty bucket: files=$filesCompact nonEmpty=$nonEmpty")
+    assert(rowsAfter == rowsBefore, "compact must not lose or invent rows")
+    // …and the index answers identically through the rewrite
+    assert(pairs(LshIndex.query(probe, "lshspec_compact")) == before)
+    assert(LshIndex.bucketStatsOf(
+      spark.table(LshIndex.bandsTable("lshspec_compact"))).collect().toSet == statsBefore)
+    // same story for the sets half
+    val setsFiles = graft.sources.Bucketed.fileStats(
+      spark, LshIndex.setsTable("lshspec_compact"))._1
+    val setsNonEmpty = spark.table(LshIndex.setsTable("lshspec_compact"))
+      .select(countDistinct(pmod(hash(col("doc_id")), lit(buckets))))
+      .collect().head.getLong(0)
+    assert(setsFiles == setsNonEmpty)
+  }
+
+  test("query fallback: above maxBroadcastDocs the hints drop, answers identical, plan shuffles") {
+    val d = base
+    LshIndex.build(d, "lshspec_fb")
+    val probe = nearDupBatch(d)
+    val viaBroadcast = LshIndex.query(probe, "lshspec_fb")
+    val viaShuffle = LshIndex.query(probe, "lshspec_fb",
+      minJaccardPm = 800, maxBroadcastDocs = 0L)
+    assert(pairs(viaShuffle) == pairs(viaBroadcast) && pairs(viaShuffle).nonEmpty,
+      "both probe paths must answer identically")
+    def joinsOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect() // materialize so AQE finalizes the plan
+      planNodes(df.queryExecution.executedPlan)
+    }
+    assert(joinsOf(viaBroadcast).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "small probes must ride broadcast joins")
+    // force the planner's own broadcast estimate off so the assertion
+    // sees the hint removal, not a stats coincidence
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nodes = joinsOf(LshIndex.query(probe, "lshspec_fb",
+        minJaccardPm = 800, maxBroadcastDocs = 0L))
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        "above the threshold no broadcast hint may remain")
+      assert(nodes.exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+        "the fallback must plan shuffle joins")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("bucketStats over the STORED table: bucket-key aggregation plans exchange-free") {
     val d = base
     LshIndex.build(d, "lshspec_stats")
     val stored = LshIndex.bucketStats(spark, "lshspec_stats")
-    // same answer as the from-scratch derivation…
+    // same answer as the from-scratch derivation on the shared occupancy
+    // columns (stored additionally carries the physical-fragmentation pair)…
+    val shared = Seq("band", "n_buckets", "max_bucket", "cand_pairs")
     val fresh = LshIndex.bucketStatsOf(Dedup.lshBands(Dedup.shingleSets(d)))
-    assert(stored.collect().toSet == fresh.collect().toSet)
+    assert(stored.select(shared.map(col): _*).collect().toSet ==
+      fresh.select(shared.map(col): _*).collect().toSet)
+    // …and the fragmentation columns reconcile with the table's own files
+    val (nFiles, rows) = graft.sources.Bucketed.fileStats(
+      spark, LshIndex.bandsTable("lshspec_stats"))
+    val fragRows = stored.select("n_files", "avg_file_rows").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fragRows == Set((nFiles, if (nFiles == 0) 0L else rows / nFiles)),
+      s"fragmentation columns must repeat table-level fileStats: $fragRows")
     // …but the first (per-bucket) aggregation rides the table's own
     // bucketing: the only exchange in the whole plan is the trivial
     // 4-row per-band rollup, never the corpus-sized bucket count

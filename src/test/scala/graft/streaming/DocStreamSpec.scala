@@ -303,4 +303,76 @@ class DocStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(viaGate == distributed)
   }
+
+  test("ingestBatch replay: same (batch, batchId) twice ≡ once for corpus, index, and answers") {
+    import graft.llm.LshIndex
+    val seedText =
+      "the replay seed corpus document carries plenty of distinct meaningful tokens " * 3
+    val freshText =
+      "an entirely new admitted document whose vocabulary stands alone in this test " * 3
+    LshIndex.build(Seq((1L, seedText)).toDF("doc_id", "text"), "replay_idx")
+    val corpusDir = Files.createTempDirectory("replay_corpus").toString + "/corpus"
+    val batch = Seq(
+      (10L, freshText, ts(10)),          // survives → corpus + index
+      (11L, "dup " + seedText, ts(11))   // near-dup of the seed → gated
+    ).toDF("doc_id", "text", "event_time")
+
+    def snapshot(): (Set[(Long, Long)], Long, Long, Set[(Long, Long, Long, Long)]) = {
+      // partition-column inference may type batch_id int or long; pin long
+      val corpus = spark.read.parquet(corpusDir)
+        .select($"doc_id", $"batch_id".cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nSets = spark.table(LshIndex.setsTable("replay_idx")).count()
+      val nBands = spark.table(LshIndex.bandsTable("replay_idx")).count()
+      // a probe near-dup of the ADMITTED doc — answered from the index
+      val probe = Seq((500L, "dup " + freshText)).toDF("doc_id", "text")
+      val ans = LshIndex.query(probe, "replay_idx").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("inter_size"), r.getAs[Long]("union_size"))).toSet
+      (corpus, nSets, nBands, ans)
+    }
+
+    DocStream.ingestBatch(batch, 0L, "replay_idx", corpusDir)
+    val once = snapshot()
+    assert(once._1.map(_._1) == Set(10L), s"corpus after first run: ${once._1}")
+    assert(once._4.nonEmpty, "the admitted doc must be queryable from the index")
+    // at-least-once replay: foreachBatch re-runs the SAME (batch, batchId)
+    DocStream.ingestBatch(batch, 0L, "replay_idx", corpusDir)
+    assert(snapshot() == once,
+      "replaying a committed batch must change no stored effect: " +
+        s"once=$once twice=${snapshot()}")
+  }
+
+  test("watermark evicts dedup state: numRowsRemoved > 0 once the horizon passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    val q = DocStream.dedupDocs(docs, watermark = "10 seconds")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("evict_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "first content", ts(0)), (2L, "second content", ts(5)))
+      q.processAllAvailable()
+      // jump event time far past the horizon: the next batch's watermark
+      // (max event time − 10 s) expires both batch-1 digests
+      mem.addData((3L, "third content", ts(1000)))
+      q.processAllAvailable()
+      // one more batch so the post-advance eviction is reported
+      mem.addData((4L, "fourth content", ts(1010)))
+      q.processAllAvailable()
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0L,
+        s"watermark must evict dedup state; progress said removed=$removed")
+      // the eviction evidence the soak artifacts cite (round-6 ask #5)
+      val series = q.recentProgress.flatMap(_.stateOperators)
+        .map(so => s"""{"numRowsTotal":${so.numRowsTotal},""" +
+          s""""numRowsUpdated":${so.numRowsUpdated},""" +
+          s""""numRowsRemoved":${so.numRowsRemoved}}""")
+      Files.writeString(java.nio.file.Path.of("artifacts/STATE_EVICTION.json"),
+        s"""{"watermark":"10 seconds","totalRemoved":$removed,""" +
+          s""""stateOperatorProgress":[${series.mkString(",")}]}\n""")
+    } finally q.stop()
+  }
 }
