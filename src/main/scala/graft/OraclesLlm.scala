@@ -335,6 +335,30 @@ object OraclesLlm {
        |  (sum((c * (c - 1)) // 2))::BIGINT AS cand_pairs
        |FROM bc GROUP BY band""".stripMargin
 
+  /** Physical-fragmentation lifecycle of the stored LSH index
+    * ([[graft.llm.LshIndex.bucketStats]]'s `n_files`/`avg_file_rows`
+    * columns through build → 3 appends → compact). File layout itself
+    * is Spark-physical and invisible to an independent SQL engine, so
+    * the oracle checks it two ways: the INVARIANTS the lifecycle must
+    * satisfy (appends fragment, compact restores one file per
+    * non-empty bucket, rows survive, avg_file_rows = rows div files)
+    * are emitted by the engine as 0/1 metrics and pinned to 1 here,
+    * while the stored tables' ROW counts — what the files must add up
+    * to — are recomputed from scratch via the shared shingle/band CTE
+    * chain over the same sub-corpus (doc_id % 10 < 4). */
+  val lshFragStats: String = {
+    val subCorpus =
+      """corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 4)""".stripMargin
+    s"""WITH ${minhashCtesOver(subCorpus)}
+       |SELECT 'band_rows' AS metric, count(*)::BIGINT AS value FROM bands
+       |UNION ALL SELECT 'sets_rows', count(*)::BIGINT FROM sets
+       |UNION ALL SELECT 'appends_fragment_files', 1
+       |UNION ALL SELECT 'compact_one_file_per_nonempty_bucket', 1
+       |UNION ALL SELECT 'rows_preserved_through_compact', 1
+       |UNION ALL SELECT 'avg_file_rows_reconciles', 1""".stripMargin
+  }
+
   /** Analytic LSH S-curve (Broder/MMDS): detection probability
     * 1 − (1 − t^r)^b for every (bands, rows) factorization of the
     * 16-hash signature across a Jaccard grid — the math that justifies

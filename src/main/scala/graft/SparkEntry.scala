@@ -182,6 +182,49 @@ object SparkEntry {
     "lsh_bucket_stats" -> ((s, dir) =>
       LshIndex.bucketStatsOf(Dedup.lshBands(Dedup.shingleSets(
         Dedup.withNearDups(docs(s, dir)))))),
+    // the PHYSICAL maintenance signal (bucketStats' n_files /
+    // avg_file_rows columns) through the full lifecycle: build on one
+    // slice, fragment with 3 appends, compact. Lifecycle invariants go
+    // out as 0/1 metrics; the stored tables' row counts are recomputed
+    // from scratch by the oracle's shingle/band chain. The collects
+    // here are parameter-sized (1-row distincts of lit columns) —
+    // maintenance decisions, not data movement.
+    "lsh_frag_stats" -> ((s, dir) => {
+      import graft.sources.Bucketed
+      val name = "lsh_frag_oracle"
+      val sub = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) < 4)
+      LshIndex.build(sub.filter(pmod(col("doc_id"), lit(10)) === 0), name)
+      for (i <- 1 to 3)
+        LshIndex.append(sub.filter(pmod(col("doc_id"), lit(10)) === i)
+          .select("doc_id", "text"), name)
+      val bandsT = LshIndex.bandsTable(name)
+      def fragCols() = LshIndex.bucketStats(s, name)
+        .select("n_files", "avg_file_rows").distinct().collect().head
+      val fragged = fragCols()
+      val (_, rowsBefore) = Bucketed.fileStats(s, bandsT)
+      LshIndex.compact(s, name)
+      val compacted = fragCols()
+      val (cFiles, cRows) = Bucketed.fileStats(s, bandsT)
+      val buckets = Bucketed.bucketCount(s, bandsT)
+      val nonEmpty = s.table(bandsT)
+        .select(countDistinct(pmod(hash(col("band_key")), lit(buckets))))
+        .collect().head.getLong(0)
+      val setsRows = s.table(LshIndex.setsTable(name)).count()
+      def b(x: Boolean) = if (x) 1L else 0L
+      val s2 = s
+      import s2.implicits._
+      Seq(
+        ("band_rows", cRows),
+        ("sets_rows", setsRows),
+        ("appends_fragment_files",
+          b(fragged.getLong(0) > compacted.getLong(0))),
+        ("compact_one_file_per_nonempty_bucket",
+          b(compacted.getLong(0) == nonEmpty && cFiles == nonEmpty)),
+        ("rows_preserved_through_compact", b(cRows == rowsBefore)),
+        ("avg_file_rows_reconciles",
+          b(compacted.getLong(1) == cRows / cFiles))
+      ).toDF("metric", "value")
+    }),
     // analytic S-curve behind the (bands, rows) default — engine-side
     // pow/round over the parameter grid
     "lsh_tuning" -> ((s, _) => {
@@ -410,6 +453,7 @@ object SparkEntry {
     "lsh_index_query" -> OraclesLlm.lshIndexQuery,
     "lsh_history_gate" -> OraclesLlm.lshHistoryGate,
     "lsh_bucket_stats" -> OraclesLlm.lshBucketStats,
+    "lsh_frag_stats" -> OraclesLlm.lshFragStats,
     "lsh_tuning" -> OraclesLlm.lshTuning,
     "minhash_signatures" -> OraclesLlm.minhashSignatures,
     "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,
