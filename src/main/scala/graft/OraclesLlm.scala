@@ -345,11 +345,11 @@ object OraclesLlm {
     * are emitted by the engine as 0/1 metrics and pinned to 1 here,
     * while the stored tables' ROW counts — what the files must add up
     * to — are recomputed from scratch via the shared shingle/band CTE
-    * chain over the same sub-corpus (doc_id % 10 < 4). */
+    * chain over the same sub-corpus (doc_id % 20 < 4). */
   val lshFragStats: String = {
     val subCorpus =
       """corpus AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 4)""".stripMargin
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 < 4)""".stripMargin
     s"""WITH ${minhashCtesOver(subCorpus)}
        |SELECT 'band_rows' AS metric, count(*)::BIGINT AS value FROM bands
        |UNION ALL SELECT 'sets_rows', count(*)::BIGINT FROM sets

@@ -192,10 +192,13 @@ object SparkEntry {
     "lsh_frag_stats" -> ((s, dir) => {
       import graft.sources.Bucketed
       val name = "lsh_frag_oracle"
-      val sub = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) < 4)
-      LshIndex.build(sub.filter(pmod(col("doc_id"), lit(10)) === 0), name)
+      // a 20% sub-corpus: the lifecycle (fragment → compact) is the
+      // thing under test, not data volume — % 20 keeps the bench cost
+      // of the three appends proportionate
+      val sub = docs(s, dir).filter(pmod(col("doc_id"), lit(20)) < 4)
+      LshIndex.build(sub.filter(pmod(col("doc_id"), lit(20)) === 0), name)
       for (i <- 1 to 3)
-        LshIndex.append(sub.filter(pmod(col("doc_id"), lit(10)) === i)
+        LshIndex.append(sub.filter(pmod(col("doc_id"), lit(20)) === i)
           .select("doc_id", "text"), name)
       val bandsT = LshIndex.bandsTable(name)
       def fragCols() = LshIndex.bucketStats(s, name)
