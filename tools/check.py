@@ -30,10 +30,17 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # explicit engine-side failure records (query threw before output)
+    err_path = f"{out_dir}/errors.json"
+    errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
     n_ok = n_bad = 0
     only = sys.argv[3:] or None
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
+            continue
+        if name in errors:
+            print(f"FAIL {name}: query errored: {errors[name][:200]}")
+            n_bad += 1
             continue
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
@@ -70,6 +77,12 @@ def main():
         else:
             print(f"ok   {name} ({len(got)} rows)")
             n_ok += 1
+    # errored queries with no oracle entry (rows-only checks) must
+    # still surface as failures, not vanish
+    for name, err in sorted(errors.items()):
+        if name not in oracle and (not only or name in only):
+            print(f"FAIL {name}: query errored (no oracle): {err[:200]}")
+            n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} fail")
     sys.exit(1 if n_bad else 0)
 
