@@ -236,10 +236,22 @@ object DocStream {
              corpusPath: String,
              watermark: String = "10 minutes",
              minQuality: Long = 300L,
-             minJaccardPm: Int = 800): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+             minJaccardPm: Int = 800,
+             compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     curate(docs, evalDocs, watermark, minQuality).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, indexName, corpusPath, minJaccardPm)
+        // periodic fragmentation GC, in-loop so no external scheduler
+        // is needed: every append adds ≥1 file per touched bucket and
+        // probe cost grows with BATCH COUNT, not corpus size
+        // (CompactSoak measures the creep and the restore: 5.2→11.5 s
+        // per batch over 16 appends, back to 4.1 s right after).
+        // Running it inside foreachBatch stalls exactly one trigger
+        // (~7 s at the soak's scale) — the amortized design; it also
+        // garbage-collects any replayed-append residue (compact's
+        // full-row dedup). compactEvery=0 disables.
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          graft.llm.LshIndex.compact(batch.sparkSession, indexName)
       }
 
   /** One micro-batch of [[ingest]]'s `foreachBatch` loop, public so the

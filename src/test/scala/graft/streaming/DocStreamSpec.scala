@@ -343,6 +343,55 @@ class DocStreamSpec extends SparkSpec {
         s"once=$once twice=${snapshot()}")
   }
 
+  test("ingest compactEvery: in-loop GC leaves one file per non-empty bucket and the gate still sees history") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.LshIndex
+    import org.apache.spark.sql.functions.{col, countDistinct, hash => sqlHash, lit, pmod}
+    val evalDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val seedText =
+      "the compaction loop seed document also keeps plenty of distinct meaningful tokens " * 3
+    LshIndex.build(Seq((1L, seedText)).toDF("doc_id", "text"), "compact_loop_idx")
+    val corpusDir = Files.createTempDirectory("cl_corpus").toString + "/corpus"
+    val fresh =
+      "a completely original batch payload and the words are quite useful inside " * 3
+    val fresh2 =
+      "another independent document is here and the vocabulary overlaps nobody else " * 3
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = DocStream.ingest(mem.toDF().toDF("doc_id", "text", "event_time"),
+        evalDocs, "compact_loop_idx", corpusDir, compactEvery = 2)
+      .option("checkpointLocation", Files.createTempDirectory("cl_ckpt").toString)
+      .start()
+    // batch 1: one survivor (batchId 0 is the empty setup batch for a
+    // MemoryStream only if no data — here addData before start means
+    // batch 0 carries rows; compactEvery=2 fires on odd batchIds)
+    mem.addData((10L, fresh, ts(10)))
+    q.processAllAvailable()
+    mem.addData((11L, fresh2, ts(20)))
+    q.processAllAvailable()
+    // batch 3 near-dups the batch-1 survivor: only the index (through
+    // any compactions) can catch it
+    mem.addData((30L, "dup " + fresh, ts(30)))
+    q.processAllAvailable()
+    q.stop()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    val stored = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored == Set(10L, 11L), s"got $stored")
+    // at least one compaction ran: the bands table sits at exactly one
+    // file per non-empty bucket, or has accumulated at most the appends
+    // SINCE the last compact (two appends max at compactEvery=2)
+    spark.catalog.refreshTable(LshIndex.bandsTable("compact_loop_idx"))
+    val bandsT = LshIndex.bandsTable("compact_loop_idx")
+    val (nFiles, _) = graft.sources.Bucketed.fileStats(spark, bandsT)
+    val buckets = graft.sources.Bucketed.bucketCount(spark, bandsT)
+    val nonEmpty = spark.table(bandsT)
+      .select(countDistinct(pmod(sqlHash(col("band_key")), lit(buckets))))
+      .collect().head.getLong(0)
+    assert(nFiles <= nonEmpty + 2 * buckets,
+      s"compaction must bound fragmentation: $nFiles files, $nonEmpty non-empty buckets")
+    assert(nFiles < 4 * buckets, s"uncompacted growth would exceed this: $nFiles")
+  }
+
   test("watermark evicts dedup state: numRowsRemoved > 0 once the horizon passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
