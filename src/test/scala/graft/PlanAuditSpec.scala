@@ -97,6 +97,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup-family shuffles never carry the raw text column") {
+    assume(available, "driver testdata not present")
+    // The core 100 TB dedup claim: every stateful/shuffling dedup stage
+    // keys on digests, hashes, or sketches — the text column must be
+    // projected away before any Exchange, or the shuffle ships the
+    // corpus bytes instead of fixed-size keys. (Queries whose OUTPUT is
+    // text — sample_docs, strip_repeated_spans — are not in this list;
+    // their shuffles are output-shaped, not key-shaped.)
+    Seq("dedup_docs", "minhash_dedup", "simhash_dedup", "chunk_dedup",
+      "ngram_jaccard_pairs", "contamination", "bloom_contamination",
+      "dedup_clusters", "dedup_rate_by_source", "embedding_near_dup",
+      "lsh_index_query").foreach { name =>
+      val leaky = planOf(name).collect {
+        case e: Exchange if e.output.exists(_.name == "text") => e
+      }
+      assert(leaky.isEmpty,
+        s"$name shuffles the raw text column through ${leaky.length} exchange(s)")
+    }
+  }
+
   test("trend queries keep the sentiment scorer native (no UDF nodes anywhere)") {
     assume(available, "driver testdata not present")
     SparkEntry.queries.keys.foreach { name =>
