@@ -1474,4 +1474,37 @@ object OraclesLlm {
        |scored AS (SELECT vec_a, vec_b, ${cosE("va", "vb")} AS cos FROM pairs)
        |SELECT vec_a, vec_b, round(cos, 6) AS score
        |FROM scored WHERE cos >= 0.99""".stripMargin
+
+  /** Multi-probe SRP near-dup ([[graft.llm.Similarity
+    * .embeddingNearDupMp]]): identical corpus/quantize/bucket math to
+    * [[embeddingNearDup]], with the lower-id side additionally probing
+    * its 1-bit Hamming bucket neighborhood — each true pair matches
+    * exactly once (identity probe iff buckets equal, else the unique
+    * flipped-bit probe), so no candidate dedup appears on either
+    * side. */
+  val embeddingNearDupMp: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |qv AS (SELECT vec_id, ${quantE("embedding")} AS v FROM corpus),
+       |sk AS (
+       |  SELECT vec_id, v,
+       |    list_sum([CASE WHEN coalesce(list_sum([v[d+1] *
+       |          (CASE WHEN ((j*1000003 + d) * 2654435761) % 97 < 48
+       |                THEN 1 ELSE -1 END) for d in range(len(v))])::BIGINT, 0) >= 0
+       |        THEN (1::BIGINT << j) ELSE 0::BIGINT END
+       |      for j in range(8)])::BIGINT AS bucket
+       |  FROM qv),
+       |probes AS (
+       |  SELECT vec_id, unnest([bucket] ||
+       |    [xor(bucket, (1::BIGINT << j)) for j in range(8)]) AS pb
+       |  FROM sk),
+       |pairs AS (
+       |  SELECT p.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+       |  FROM probes p
+       |  JOIN sk b ON p.pb = b.bucket AND p.vec_id < b.vec_id
+       |  JOIN sk a ON a.vec_id = p.vec_id),
+       |scored AS (SELECT vec_a, vec_b, ${cosE("va", "vb")} AS cos FROM pairs)
+       |SELECT vec_a, vec_b, round(cos, 6) AS score
+       |FROM scored WHERE cos >= 0.99""".stripMargin
 }

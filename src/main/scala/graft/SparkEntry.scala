@@ -393,6 +393,11 @@ object SparkEntry {
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
+    // 1-bit-Hamming multi-probe variant: recovers the ~21% of true
+    // cos≥0.99 pairs whose 8-bit SRP buckets differ in one plane
+    "embedding_near_dup_mp" -> ((s, dir) =>
+      Similarity.embeddingNearDupMp(
+        Similarity.withDupVectors(Tables.embeddings(s, dir)))),
     // ---- multimodal columns (binary payload + typed metadata) ----
     "media_dedup" -> ((s, dir) =>
       Multimodal.mediaDedup(
@@ -519,6 +524,7 @@ object SparkEntry {
     "ivfpq_recall_res_p3" -> OraclesLlm.ivfPqResRecallP3,
     "ann_cell_stats" -> OraclesLlm.annCellStats,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
+    "embedding_near_dup_mp" -> OraclesLlm.embeddingNearDupMp,
     "media_dedup" -> OraclesLlm.mediaDedup,
     "media_meta" -> OraclesLlm.mediaMeta,
     "media_features" -> OraclesLlm.mediaFeatures,

@@ -53,6 +53,39 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 10L, 1.0)))
   }
 
+  test("multi-probe SRP near-dup: superset of single-probe, and catches 1-bit straddlers") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    // perturbed (not exact) copies: flip a few coordinates by ±1 so a
+    // fraction of the pairs land in a bucket one sign bit away while
+    // cosine stays ≥ 0.99 — the class single-bucket SRP cannot see
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val perturbed = base
+      .select((col("vec_id") + 500000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(pmod(col("vec_id") + i, lit(16)) === 0,
+            x + (when(pmod(col("vec_id") + i, lit(32)) === 0, 0.05f)
+              .otherwise(-0.05f)))
+            .otherwise(x)).as("embedding"))
+    val corpus = base.unionAll(perturbed)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val single = pairSet(Similarity.embeddingNearDup(corpus))
+    val multi = pairSet(Similarity.embeddingNearDupMp(corpus))
+    assert(single.subsetOf(multi),
+      "multi-probe must never lose a single-probe pair")
+    // the perturbation keeps every (v, v') pair at cos ≥ 0.99, so the
+    // TRUE pair set includes all of them; multi-probe must recover
+    // strictly more of it than the single bucket (some straddle a bit)
+    assert(multi.size > single.size,
+      s"expected 1-bit straddlers: single=${single.size} multi=${multi.size}")
+    // every recovered pair is genuinely ≥ 0.99 — scores carried through
+    val minScore = Similarity.embeddingNearDupMp(corpus)
+      .agg(min(col("score"))).collect().head.getDouble(0)
+    assert(minScore >= 0.99)
+  }
+
   test("native dot expression equals the HOF fold") {
     val df = Seq(
       (Seq(1L, -2L, 3L, 100L), Seq(7L, 5L, -1L, 2L)),
