@@ -1507,4 +1507,54 @@ object OraclesLlm {
        |scored AS (SELECT vec_a, vec_b, ${cosE("va", "vb")} AS cos FROM pairs)
        |SELECT vec_a, vec_b, round(cos, 6) AS score
        |FROM scored WHERE cos >= 0.99""".stripMargin
+
+  /** Pair-recall of both SRP near-dup variants vs brute-force ground
+    * truth ([[graft.llm.Similarity.embeddingDedupRecall]] over the
+    * bounded perturbed corpus). The ±2^-4 perturbation is exactly
+    * float32-representable and the sum is cast back to FLOAT, so the
+    * perturbed vectors — and therefore every quantized value, bucket
+    * bit, and cosine — are bit-identical to Spark's float arithmetic.
+    * Both LSH variants verify exact cosine, so found ⊆ true and
+    * recall_pm is a pure integer count ratio. */
+  val embeddingDedupRecall: String = {
+    val bucketE =
+      s"""list_sum([CASE WHEN coalesce(list_sum([v[d+1] *
+         |      (CASE WHEN ((j*1000003 + d) * 2654435761) % 97 < 48
+         |            THEN 1 ELSE -1 END) for d in range(len(v))])::BIGINT, 0) >= 0
+         |    THEN (1::BIGINT << j) ELSE 0::BIGINT END
+         |  for j in range(8)])::BIGINT""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 500000,
+       |    [CASE WHEN (vec_id + d) % 16 = 0
+       |          THEN CAST(embedding[d+1] + CASE WHEN (vec_id + d) % 32 = 0
+       |                THEN 0.0625 ELSE -0.0625 END AS FLOAT)
+       |          ELSE embedding[d+1] END for d in range(len(embedding))]
+       |  FROM base),
+       |qv AS (SELECT vec_id, ${quantE("embedding")} AS v FROM corpus),
+       |sk AS (SELECT vec_id, v, $bucketE AS bucket FROM qv),
+       |tp AS (
+       |  SELECT count(*)::BIGINT AS pairs FROM qv a JOIN qv b
+       |  ON a.vec_id < b.vec_id WHERE ${cosE("a.v", "b.v")} >= 0.99),
+       |srp AS (
+       |  SELECT count(*)::BIGINT AS pairs FROM sk a JOIN sk b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${cosE("a.v", "b.v")} >= 0.99),
+       |mp AS (
+       |  SELECT count(*)::BIGINT AS pairs FROM
+       |    (SELECT vec_id, v, unnest([bucket] ||
+       |       [xor(bucket, (1::BIGINT << j)) for j in range(8)]) AS pb
+       |     FROM sk) p
+       |  JOIN sk b ON p.pb = b.bucket AND p.vec_id < b.vec_id
+       |  WHERE ${cosE("p.v", "b.v")} >= 0.99)
+       |SELECT 'brute' AS variant, pairs,
+       |  (pairs * 1000) // (SELECT pairs FROM tp) AS recall_pm FROM tp
+       |UNION ALL SELECT 'srp', pairs,
+       |  (pairs * 1000) // (SELECT pairs FROM tp) FROM srp
+       |UNION ALL SELECT 'srp_mp', pairs,
+       |  (pairs * 1000) // (SELECT pairs FROM tp) FROM mp""".stripMargin
+  }
 }

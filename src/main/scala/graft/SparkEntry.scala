@@ -398,6 +398,25 @@ object SparkEntry {
     "embedding_near_dup_mp" -> ((s, dir) =>
       Similarity.embeddingNearDupMp(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
+    // pair-recall eval of both SRP variants vs brute-force ground
+    // truth (the ivf_recall analog for dedup). The corpus is a bounded
+    // slice + PERTURBED copies (±2^-4 on ~4 of 64 dims — exactly
+    // float32-representable, so any engine reproduces the arithmetic
+    // bit-for-bit): cos stays ≥0.99 but a fraction of pairs straddle
+    // one SRP sign plane, which is precisely what the recall measures.
+    "embedding_dedup_recall" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select("vec_id", "embedding")
+      val perturbed = base.select(
+        (col("vec_id") + 500000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(pmod(col("vec_id") + i, lit(16)) === 0,
+            x + when(pmod(col("vec_id") + i, lit(32)) === 0, lit(0.0625f))
+              .otherwise(lit(-0.0625f)))
+            .otherwise(x)).as("embedding"))
+      Similarity.embeddingDedupRecall(base.unionAll(perturbed))
+    }),
     // ---- multimodal columns (binary payload + typed metadata) ----
     "media_dedup" -> ((s, dir) =>
       Multimodal.mediaDedup(
@@ -525,6 +544,7 @@ object SparkEntry {
     "ann_cell_stats" -> OraclesLlm.annCellStats,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "embedding_near_dup_mp" -> OraclesLlm.embeddingNearDupMp,
+    "embedding_dedup_recall" -> OraclesLlm.embeddingDedupRecall,
     "media_dedup" -> OraclesLlm.mediaDedup,
     "media_meta" -> OraclesLlm.mediaMeta,
     "media_features" -> OraclesLlm.mediaFeatures,

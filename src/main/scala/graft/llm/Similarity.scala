@@ -334,6 +334,39 @@ object Similarity {
     recallPm(cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id"),
       ivfTopK(embeddings, nCentroids, nQueries, k, nprobe, refineIters), k)
 
+  /** Dedup-recall evaluation for the SRP near-dup family: pair recall
+    * of single-bucket [[embeddingNearDup]] and 1-bit multi-probe
+    * [[embeddingNearDupMp]] against the brute-force all-pairs ground
+    * truth, in exact permille — the measurement that justifies the
+    * probe dial before trusting it on a corpus (the [[ivfRecall]]
+    * analog for dedup). Both LSH variants verify exact cosine, so
+    * found ⊆ true by construction and recall is a pure count ratio.
+    * The all-pairs side is quadratic — callers bound the input (the
+    * registered query evaluates on a deterministic corpus slice), the
+    * same discipline as the ANN recall evals' brute-force side. */
+  def embeddingDedupRecall(embeddings: DataFrame, minCosine: Double = 0.99): DataFrame = {
+    val sketched = embeddings.select(
+      col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
+    val truePairs = sketched.as("a")
+      .join(sketched.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        (dotQ(col("a.qv"), col("b.qv")).cast("double") /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= minCosine)
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("pairs")).select(
+        lit(name).as("variant"), col("pairs"), lit(1).as("k"))
+    val counts = counted("brute", truePairs)
+      .unionByName(counted("srp", embeddingNearDup(embeddings, minCosine)))
+      .unionByName(counted("srp_mp", embeddingNearDupMp(embeddings, minCosine)))
+    val total = counted("brute", truePairs)
+      .select(col("pairs").as("true_pairs"), col("k"))
+    counts.join(broadcast(total), "k")
+      .select(col("variant"), col("pairs"),
+        expr("(pairs * 1000) div true_pairs").as("recall_pm"))
+  }
+
   // ---- product quantization (PQ) ----
 
   /** PQ parameters: vectors split into [[PqM]] contiguous subspaces,
