@@ -1524,7 +1524,7 @@ object OraclesLlm {
          |    THEN (1::BIGINT << j) ELSE 0::BIGINT END
          |  for j in range(8)])::BIGINT""".stripMargin
     s"""WITH base AS (
-       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
        |corpus AS (
        |  SELECT vec_id, embedding FROM base
        |  UNION ALL

@@ -406,7 +406,7 @@ object SparkEntry {
     // one SRP sign plane, which is precisely what the recall measures.
     "embedding_dedup_recall" -> ((s, dir) => {
       val base = Tables.embeddings(s, dir)
-        .filter(pmod(col("vec_id"), lit(5)) === 0)
+        .filter(pmod(col("vec_id"), lit(10)) === 0)
         .select("vec_id", "embedding")
       val perturbed = base.select(
         (col("vec_id") + 500000L).as("vec_id"),
