@@ -424,4 +424,27 @@ class DocStreamSpec extends SparkSpec {
           s""""stateOperatorProgress":[${series.mkString(",")}]}\n""")
     } finally q.stop()
   }
+
+  test("watermark evicts nearDupGate sketch state too: numRowsRemoved > 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    val q = DocStream.nearDupGate(docs, watermark = "10 seconds")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("evict_ndg_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "first sketchable content here", ts(0)),
+        (2L, "second sketchable content there", ts(5)))
+      q.processAllAvailable()
+      mem.addData((3L, "third content far in the future", ts(1000)))
+      q.processAllAvailable()
+      mem.addData((4L, "fourth content even later", ts(1010)))
+      q.processAllAvailable()
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0L,
+        s"watermark must evict sketch state; progress said removed=$removed")
+    } finally q.stop()
+  }
 }
