@@ -80,26 +80,40 @@ object Bucketed {
     * byte-identical and full-row dedup is lossless there).
     *
     * Mechanics: Spark refuses to overwrite a table it is reading, so
-    * the rewrite stages to `<table>__compact` and swaps via
-    * DROP + ALTER TABLE RENAME — the same two-step every table-format
-    * compaction performs, minus the transactional commit a real
-    * lakehouse format would add. Readers between the two statements
-    * see a missing table rather than torn data. */
+    * the rewrite stages to `<table>__compact`, then swaps via
+    * RENAME-RENAME-DROP (old table aside to `<table>__old`, staged
+    * table into place, retired copy dropped) — the same sequence every
+    * table-format compaction performs, minus the transactional commit
+    * a real lakehouse format would add. Readers between statements see
+    * a missing table rather than torn data, and — unlike a DROP-first
+    * swap — NO crash point loses rows: until the final DROP both the
+    * old and new copies exist on disk, so a failure mid-swap leaves a
+    * recoverable `__old`/`__compact` table instead of a deleted one
+    * (renames are metadata + a directory move on a filesystem; on an
+    * object store a managed-table rename copies — a deployment there
+    * wants a real table format's atomic commit anyway). */
   def compact(spark: SparkSession, table: String, key: String,
               dedup: Boolean = false, sorted: Boolean = true): Unit = {
     val buckets = bucketCount(spark, table)
     val tmp = table + "__compact"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    val tmpLoc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), tmp.toLowerCase)
-    val fs = tmpLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
+    val old = table + "__old"
+    // clear leftovers from a previous crashed swap — catalog entries
+    // AND orphaned warehouse directories (a dropped in-memory catalog
+    // forgets the table but the directory survives across sessions)
+    Seq(tmp, old).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val src = spark.table(table)
     val rows = (if (dedup) src.dropDuplicates() else src)
       .repartition(buckets, src(key))
     writeBucketed(rows, tmp, key, buckets, sorted)
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
   }
 
   /** Equi-join of two same-key, same-bucket-count tables — planned
