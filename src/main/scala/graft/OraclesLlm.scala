@@ -119,6 +119,83 @@ object OraclesLlm {
        |  (length_pm + unique_pm + stop_pm) // 3 AS quality
        |FROM pm""".stripMargin
 
+  /** Shared CTE prefix for the classifier queries: quality-pseudo-
+    * labeled docs (mirrors `TextAnalysis.qualityLabeled` at the
+    * default threshold 470 — the same permille pipeline as
+    * [[qualityScore]] with the token list kept). */
+  private val qualityLabeledCte: String = frag(
+    s"""WITH s AS (
+       |  SELECT doc_id, toks, len(toks)::BIGINT AS wc,
+       |    len(list_distinct(toks))::BIGINT AS uniq,
+       |    len(list_filter(toks, w -> w IN ('the','a','of','and','is')))::BIGINT AS stop
+       |  FROM (SELECT doc_id, ${toksE("text")} AS toks FROM documents)),
+       |lab AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN ((least(1000, wc * 20)
+       |        + (CASE WHEN wc = 0 THEN 0 ELSE (1000 * uniq) // wc END)
+       |        + (CASE WHEN wc = 0 THEN 0 ELSE (1000 * stop) // wc END)) // 3) >= 470
+       |      THEN 1 ELSE 0 END AS hq
+       |  FROM s),
+       |counts AS (
+       |  SELECT token, sum(hq)::BIGINT AS cnt_pos, sum(1 - hq)::BIGINT AS cnt_neg
+       |  FROM (SELECT hq, unnest(toks) AS token FROM lab) GROUP BY token),
+       |tot AS (
+       |  SELECT sum(cnt_pos)::BIGINT AS pos_total, sum(cnt_neg)::BIGINT AS neg_total,
+       |         count(*)::BIGINT AS vocab
+       |  FROM counts),
+       |wt AS (
+       |  SELECT token, cnt_pos, cnt_neg,
+       |    ((1000000 * (cnt_pos + 1)) // (pos_total + vocab))
+       |      - ((1000000 * (cnt_neg + 1)) // (neg_total + vocab)) AS weight_ppm
+       |  FROM counts, tot)""".stripMargin)
+
+  val classifierWeights: String =
+    s"""$qualityLabeledCte
+       |SELECT token, cnt_pos, cnt_neg, weight_ppm FROM wt""".stripMargin
+
+  val classifierScore: String =
+    s"""$qualityLabeledCte,
+       |tok2 AS (
+       |  SELECT doc_id, hq AS heur_hq,
+       |    unnest(CASE WHEN len(toks) = 0 THEN [NULL]::VARCHAR[] ELSE toks END) AS token
+       |  FROM lab),
+       |sc AS (
+       |  SELECT doc_id, heur_hq, count(token)::BIGINT AS n_tokens,
+       |    coalesce(sum(wt.weight_ppm), 0)::BIGINT AS score_ppm
+       |  FROM tok2 LEFT JOIN wt USING (token)
+       |  GROUP BY doc_id, heur_hq)
+       |SELECT doc_id, n_tokens, score_ppm,
+       |  (CASE WHEN score_ppm > 0 THEN 1 ELSE 0 END)::BIGINT AS pred_hq,
+       |  heur_hq::BIGINT AS heur_hq
+       |FROM sc""".stripMargin
+
+  val bm25TopK: String =
+    s"""WITH staged AS (
+       |  SELECT doc_id, toks, len(toks)::BIGINT AS dl
+       |  FROM (SELECT doc_id, ${toksE("text")} AS toks FROM documents)),
+       |stats AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |         (1000 * sum(dl)::BIGINT) // count(*) AS avgdl_pm
+       |  FROM staged),
+       |m AS (
+       |  SELECT doc_id, dl, token, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM staged)
+       |  WHERE token IN ('spark', 'vector', 'stream')
+       |  GROUP BY doc_id, dl, token),
+       |dft AS (SELECT token, count(*)::BIGINT AS df FROM m GROUP BY token),
+       |sc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_terms,
+       |    sum((2200 * tf * least(10000000, (1000 * (n_docs - df + 1)) // (df + 1)))
+       |        // (1000 * tf + 300 + (9 * ((1000000 * dl) // avgdl_pm)) // 10))::BIGINT
+       |      AS score_pm
+       |  FROM m JOIN dft USING (token), stats
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_terms, score_pm, rank::BIGINT AS rank FROM (
+       |  SELECT doc_id, n_terms, score_pm,
+       |         row_number() OVER (ORDER BY score_pm DESC, doc_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= 10""".stripMargin
+
   val docFingerprint: String =
     s"""SELECT doc_id,
        |  CASE WHEN length(n) = 0 THEN 0::BIGINT ELSE ${polyE("n")} END AS fp

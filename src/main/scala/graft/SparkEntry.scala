@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Country, Sentiment}
-import graft.llm.{Dedup, LshIndex, Multimodal, Packing, Pipeline, Similarity, TextAnalysis}
+import graft.llm.{Classifier, Dedup, LshIndex, Multimodal, Packing, Pipeline, Retrieval, Similarity, TextAnalysis}
 import graft.model.WireCodec
 import graft.ops.{Ranges, Relational, TrendPipeline, Windows}
 import graft.text.TextOps
@@ -136,6 +136,12 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    // linear quality classifier: closed-form training on the quality
+    // heuristic's pseudo-labels, then bag-of-tokens scoring
+    "classifier_weights" -> ((s, dir) => Classifier.tokenWeights(docs(s, dir))),
+    "classifier_score" -> ((s, dir) => Classifier.scoreDocs(docs(s, dir))),
+    // lexical retrieval: integer-exact BM25-shaped top-k
+    "bm25_topk" -> ((s, dir) => Retrieval.bm25TopK(docs(s, dir))),
     "ngram_counts" -> ((s, dir) => TextAnalysis.ngramCounts(docs(s, dir))),
     "dedup_docs" -> ((s, dir) =>
       Dedup.exactDedup(Dedup.withExactDups(docs(s, dir)))),
@@ -470,6 +476,9 @@ object SparkEntry {
     "token_stats" -> OraclesLlm.tokenStats,
     "lang_id" -> OraclesLlm.langId,
     "quality_score" -> OraclesLlm.qualityScore,
+    "classifier_weights" -> OraclesLlm.classifierWeights,
+    "classifier_score" -> OraclesLlm.classifierScore,
+    "bm25_topk" -> OraclesLlm.bm25TopK,
     "doc_fingerprint" -> OraclesLlm.docFingerprint,
     "ngram_counts" -> OraclesLlm.ngramCounts,
     "dedup_docs" -> OraclesLlm.dedupDocs,

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Linear bag-of-tokens quality classifier — the "cheap model filter"
+  * stage of a training-data curation pipeline (the role fastText-style
+  * linear classifiers play in CCNet/GPT-3-era curation: a heuristic or
+  * small labeled set trains a model cheap enough to score every
+  * document in the corpus).
+  *
+  * Training is CLOSED-FORM — pure counting aggregations, no gradient
+  * loop: per token t and class c, the smoothed class-conditional
+  * occurrence rate
+  *
+  *   rate_c(t) = (count_c(t) + 1) / (total_c + V)
+  *
+  * (Laplace smoothing, V = vocabulary size) and the token's weight is
+  * the scaled RATE DIFFERENCE
+  *
+  *   weight_ppm(t) = ppm(rate_pos(t)) − ppm(rate_neg(t))
+  *
+  * A document's score is the sum of its tokens' weights (with
+  * multiplicity) and the prediction is `score > 0`. This is a linear
+  * classifier over the bag-of-tokens feature map, exactly like
+  * multinomial Naive Bayes except that NB sums LOG rate ratios where
+  * we sum rate differences: the log is deliberately traded away so
+  * every quantity is exact integer arithmetic (`div`, no libm) and a
+  * DuckDB oracle reproduces training AND inference bit-for-bit — the
+  * repo-wide correctness convention (see [[TextAnalysis]]). Per token
+  * the two scores agree in sign (rate_pos > rate_neg ⇔ log ratio > 0);
+  * the aggregate differs only in how strongly extreme tokens dominate.
+  *
+  * Labels come from [[TextAnalysis.qualityLabeled]] — the integer
+  * quality heuristic as the pseudo-labeling teacher (classic
+  * distillation: the student generalizes to tokens the heuristic never
+  * looks at, and at 100 TB the heuristic runs once to label a slice
+  * while the linear model scores everything).
+  *
+  * Scale shape:
+  *   - training = one corpus scan → explode to (hq, token) →
+  *     partial-aggregated hash count by token. The shuffle carries ONE
+  *     slim row per (partition, distinct token) after map-side
+  *     combine; raw text never shuffles.
+  *   - class totals + vocab size = a 1-row aggregate of the
+  *     vocab-sized count table, joined back via `broadcast` (the same
+  *     parameter-broadcast pattern as the ANN codebooks).
+  *   - inference = stateless explode + broadcast hash join against the
+  *     vocab-sized weight table + per-doc partial sum. No shuffle
+  *     carries anything wider than (doc_id, long).
+  */
+object Classifier {
+
+  /** Default pseudo-label threshold: the documents-table quality
+    * heuristic spans ≈[266, 533] with median ≈469 on the driver corpus,
+    * so ≥470 splits the corpus near-evenly — balanced classes without a
+    * prior term. */
+  val QualityThreshold = 470L
+
+  /** Per-token class counts and linear weights:
+    * `(token, cnt_pos, cnt_neg, weight_ppm)`.
+    *
+    * `weight_ppm > 0` ⇔ the token is (smoothed-)more frequent per
+    * token-slot in high-quality docs than in low-quality docs. */
+  def tokenWeights(docs: DataFrame,
+                   threshold: Long = QualityThreshold): DataFrame = {
+    // explode_outer: `toks` collapses back into an expression under
+    // CollapseProject, and plain explode would let
+    // InferFiltersFromGenerate duplicate the tokenize pipeline into a
+    // scan filter (same dodge as Dedup.minhashSignatures)
+    val tok = TextAnalysis.qualityLabeled(docs, threshold)
+      .select(col("hq"), explode_outer(col("toks")).as("token"))
+      .filter(col("token").isNotNull) // empty docs train nothing
+    val counts = tok.groupBy("token").agg(
+      sum(col("hq")).as("cnt_pos"),
+      sum(lit(1L) - col("hq")).as("cnt_neg"))
+    val totals = counts.agg(
+      sum(col("cnt_pos")).as("pos_total"),
+      sum(col("cnt_neg")).as("neg_total"),
+      count(lit(1)).as("vocab"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("rate_pos_ppm",
+        expr("(1000000 * (cnt_pos + 1)) div (pos_total + vocab)"))
+      .withColumn("rate_neg_ppm",
+        expr("(1000000 * (cnt_neg + 1)) div (neg_total + vocab)"))
+      .select(col("token"), col("cnt_pos"), col("cnt_neg"),
+        (col("rate_pos_ppm") - col("rate_neg_ppm")).as("weight_ppm"))
+  }
+
+  /** Score every document with the trained weights:
+    * `(doc_id, n_tokens, score_ppm, pred_hq, heur_hq)` — the model's
+    * prediction (`score_ppm > 0`) next to the teacher label, so
+    * train-set agreement is one aggregation away.
+    *
+    * Out-of-vocabulary tokens score 0 (cannot happen when scoring the
+    * training corpus itself, but the broadcast left join is the
+    * contract for scoring a NEW corpus with a frozen weight table).
+    * Token-less documents keep a row with `n_tokens = 0, score = 0`
+    * via the null row `explode_outer` emits. */
+  def scoreDocs(docs: DataFrame,
+                threshold: Long = QualityThreshold): DataFrame =
+    scoreWith(docs, tokenWeights(docs, threshold), threshold)
+
+  /** [[scoreDocs]] with an explicit (frozen) weight table — the
+    * train-once / score-many split a real pipeline uses. */
+  def scoreWith(docs: DataFrame, weights: DataFrame,
+                threshold: Long = QualityThreshold): DataFrame =
+    TextAnalysis.qualityLabeled(docs, threshold)
+      .select(col("doc_id"), col("hq").as("heur_hq"),
+        explode_outer(col("toks")).as("token"))
+      .join(broadcast(weights.select(col("token"), col("weight_ppm"))),
+        Seq("token"), "left")
+      .groupBy("doc_id", "heur_hq")
+      .agg(
+        count(col("token")).as("n_tokens"),
+        sum(coalesce(col("weight_ppm"), lit(0L))).as("score_ppm"))
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("score_ppm"), lit(0L)).as("score_ppm"),
+        (coalesce(col("score_ppm"), lit(0L)) > 0).cast("long").as("pred_hq"),
+        col("heur_hq"))
+}

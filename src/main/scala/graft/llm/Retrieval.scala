@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextFns._
+
+/** Lexical retrieval over the corpus: distributed BM25-shaped top-k
+  * search — the keyword-side complement of the embedding ANN family
+  * ([[Similarity]], [[AnnIndex]]). In a training-data pipeline this is
+  * the workhorse for targeted corpus probes ("find the documents about
+  * X") and for lexical decontamination triage.
+  *
+  * Scoring is the Robertson/Spärck Jones BM25 shape (k1 = 1.2,
+  * b = 0.75) with one deliberate substitution: the idf is the RATIONAL
+  * `(N − df + 1)/(df + 1)` instead of its logarithm, and every factor
+  * is fixed-point integer arithmetic (permille scale, truncating
+  * `div`). Rationale, in repo-wide convention order (see
+  * [[TextAnalysis]]): no libm call may reach an oracle-checked result
+  * (Spark and DuckDB disagree on the last ulp of `ln`), and no float
+  * sum may depend on aggregation order. Within one query the rational
+  * idf is a monotone function of df exactly like the log idf, so
+  * per-term ranking is preserved; across terms, rarer terms weigh MORE
+  * than log-idf BM25 would weigh them (linear vs logarithmic growth) —
+  * documented, deterministic, engine-exact. The idf saturates at
+  * [[IdfCapPm]] so the contribution arithmetic stays overflow-free at
+  * any corpus size (ANSI mode would fail loudly, not corrupt).
+  *
+  * Per (doc, term): with dl = doc tokens, avgdl = mean doc tokens,
+  *
+  *   idf_pm     = min(IdfCapPm, 1000·(N − df + 1) div (df + 1))
+  *   dlr_pm     ≈ 1000·dl/avgdl   (length ratio)
+  *   den_pm     = 1000·tf + 300 + (9·dlr_pm) div 10
+  *                                ≈ 1000·(tf + k1·(1 − b + b·dl/avgdl))
+  *   contrib_pm = 2200·tf·idf_pm div den_pm ≈ 1000·idf·tf·(k1+1)/den
+  *
+  * and score_pm = Σ contrib_pm over matched query terms (integer sum —
+  * order-independent).
+  *
+  * Scale shape:
+  *   - one corpus scan stages (doc_id, dl, toks); the query-term
+  *     filter hits the exploded stream BEFORE any aggregation, so only
+  *     (doc_id, dl, matched-term) rows — a |Q|-bounded sliver of the
+  *     corpus — ever reach a shuffle. Raw text never shuffles.
+  *   - df and corpus stats (N, avgdl) are |Q|-row / 1-row aggregates
+  *     joined back via `broadcast` — the parameter-broadcast pattern.
+  *   - the final top-k is `TakeOrderedAndProject` (per-partition heap +
+  *     driver merge of k rows), never a global sort; the rank window
+  *     runs over the ≤ k survivor rows only.
+  */
+object Retrieval {
+
+  /** idf saturation (permille): keeps `2200·tf·idf_pm` far below 2^63
+    * for any realistic tf, and caps the weight a vanishingly-rare term
+    * can carry (same motivation as Lucene's idf clamp). */
+  val IdfCapPm = 10000000L
+
+  /** Default probe query for the registered driver query (mid-df terms
+    * of the synthetic documents vocabulary). */
+  val DefaultQuery: Seq[String] = Seq("spark", "vector", "stream")
+
+  /** BM25 top-k: `(doc_id, n_terms, score_pm, rank)` for the `k`
+    * best-scoring documents, ties broken on doc_id ascending. */
+  def bm25TopK(docs: DataFrame,
+               terms: Seq[String] = DefaultQuery,
+               k: Int = 10): DataFrame = {
+    val staged = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        col("toks"))
+    val stats = staged
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      .withColumn("avgdl_pm", expr("(1000 * total_tokens) div n_docs"))
+    // explode_outer: same InferFiltersFromGenerate dodge as Classifier /
+    // Dedup (toks re-inlines under CollapseProject); the isin filter
+    // drops the null row explode_outer adds for empty docs.
+    val matches = staged
+      .select(col("doc_id"), col("dl"), explode_outer(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = matches.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = matches
+      .join(broadcast(dfTab), Seq("token"))
+      .crossJoin(broadcast(stats.select(col("n_docs"), col("avgdl_pm"))))
+      .withColumn("idf_pm", least(lit(IdfCapPm),
+        expr("(1000 * (n_docs - df + 1)) div (df + 1)")))
+      .withColumn("dlr_pm", expr("(1000000 * dl) div avgdl_pm"))
+      .withColumn("den_pm", expr("1000 * tf + 300 + (9 * dlr_pm) div 10"))
+      .withColumn("contrib_pm", expr("(2200 * tf * idf_pm) div den_pm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_pm")).as("score_pm"))
+    scored
+      .orderBy(col("score_pm").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score_pm").desc, col("doc_id")))
+        .cast("long"))
+  }
+}

@@ -80,6 +80,24 @@ object TextAnalysis {
   /** Stopwords used by the quality heuristic. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
 
+  /** Shared staging for the quality heuristic and everything derived
+    * from it ([[qualityScore]], [[qualityLabeled]] →
+    * [[Classifier]]): one scan producing
+    * `(doc_id, toks, wc, uniq, stop)`. Keeping the token array as a
+    * materialized attribute lets derived ops explode it without
+    * re-tokenizing, and keeping ONE staging function means the
+    * classifier's training labels can never drift from the standalone
+    * quality operator. */
+  def qualityStaged(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("wc"),
+        size(array_distinct(col("toks"))).cast("long").as("uniq"),
+        size(filter(col("toks"), t => t.isInCollection(Stopwords)))
+          .cast("long").as("stop"))
+
   /** Quality scoring in exact integer permille:
     *   - length_pm:   min(1000, 20 * word_count)        (saturates at 50 words)
     *   - unique_pm:   1000 * distinct_tokens / tokens   (lexical diversity)
@@ -87,14 +105,7 @@ object TextAnalysis {
     * quality = (length_pm + unique_pm + stop_pm) div 3.
     */
   def qualityScore(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("wc"),
-        size(array_distinct(col("toks"))).cast("long").as("uniq"),
-        size(filter(col("toks"), t => t.isInCollection(Stopwords)))
-          .cast("long").as("stop"))
+    qualityStaged(docs)
       .select(
         col("doc_id"),
         col("wc").as("word_count"),
@@ -102,6 +113,19 @@ object TextAnalysis {
         uniquePm.as("unique_pm"),
         stopPm.as("stop_pm"))
       .withColumn("quality", expr("(length_pm + unique_pm + stop_pm) div 3"))
+
+  /** `(doc_id, toks, hq)`: the heuristic quality label (1 when
+    * `quality ≥ threshold`) next to the token array, in the same
+    * single scan — the pseudo-label input for
+    * [[Classifier]] training. Distillation setup: the
+    * heuristic is the cheap teacher, the classifier the even-cheaper
+    * student that generalizes past the heuristic's fixed features. */
+  def qualityLabeled(docs: DataFrame, threshold: Long): DataFrame =
+    qualityStaged(docs)
+      .select(col("doc_id"), col("toks"),
+        (lengthPm + uniquePm + stopPm).as("pm_sum"))
+      .select(col("doc_id"), col("toks"),
+        (expr("pm_sum div 3") >= threshold).cast("long").as("hq"))
 
   /** Document fingerprint: polynomial rolling hash of the
     * whitespace-normalized lowercase text — the cheap first-pass identity

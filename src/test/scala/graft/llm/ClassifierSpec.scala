@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+import scala.jdk.CollectionConverters._
+
+class ClassifierSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    spark.createDataFrame(
+      rows.map { case (id, t) => Row(id, t) }.asJava,
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType))))
+
+  // A crisply separable toy corpus. The quality heuristic (length,
+  // uniqueness, stopword permilles, threshold 470) labels the
+  // stopword-rich long docs hq=1 and the repetitive stopword-free docs
+  // hq=0; the token "good" appears only in positives, "spam" only in
+  // negatives.
+  private val posText =
+    "the good cat is of a and the dog is a fine good friend indeed " +
+      "one two three four five six seven eight nine ten eleven twelve " +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val negText = "spam spam spam spam spam spam spam spam"
+  private val toy = docsDf(Seq(
+    (0L, posText), (1L, posText + " extra"), (2L, posText + " more words"),
+    (10L, negText), (11L, negText + " spam"), (12L, negText + " spam spam")))
+
+  test("labels are separable on the toy corpus and weights point the right way") {
+    val w = Classifier.tokenWeights(toy).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (goodPos, goodNeg, goodW) = w("good")
+    val (spamPos, spamNeg, spamW) = w("spam")
+    assert(goodPos > 0 && goodNeg == 0 && goodW > 0,
+      s"'good' should be a positive-class token: $goodPos/$goodNeg/$goodW")
+    assert(spamPos == 0 && spamNeg > 0 && spamW < 0,
+      s"'spam' should be a negative-class token: $spamPos/$spamNeg/$spamW")
+  }
+
+  test("scoreDocs predicts the teacher label perfectly on separable data") {
+    val out = Classifier.scoreDocs(toy).collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      val (id, pred, heur) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      assert(pred == heur, s"doc $id: pred=$pred heur=$heur")
+      assert(heur == (if (id < 10) 1L else 0L), s"doc $id mislabeled by teacher")
+    }
+  }
+
+  test("scoreWith a frozen weight table: OOV tokens score 0, empty doc keeps a row") {
+    val weights = Classifier.tokenWeights(toy)
+    val fresh = docsDf(Seq(
+      (100L, "good unseen tokens here"), // 'good' known-pos, rest OOV
+      (101L, "")))                       // token-less
+    val out = Classifier.scoreWith(fresh, weights).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (n100, s100) = out(100L)
+    assert(n100 == 4 && s100 > 0,
+      s"OOV-heavy doc should score exactly its known tokens' weight: $n100/$s100")
+    val (n101, s101) = out(101L)
+    assert(n101 == 0 && s101 == 0, s"empty doc must keep a zero row: $n101/$s101")
+  }
+
+  test("driver corpus: distilled classifier beats the majority baseline") {
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists,
+      "driver testdata not present")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = Classifier.scoreDocs(docs).collect()
+    val n = out.length.toDouble
+    val pos = out.count(_.getLong(4) == 1L)
+    val agree = out.count(r => r.getLong(3) == r.getLong(4))
+    val majority = math.max(pos, n - pos) / n
+    assert(agree / n > majority,
+      s"train-set agreement ${agree / n} should beat majority $majority")
+    // the heuristic is stopword-driven; the student must discover that
+    val w = Classifier.tokenWeights(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val topTokens = w.toSeq.sortBy(-_._2).take(2).map(_._1).toSet
+    assert(topTokens.exists(TextAnalysis.Stopwords.contains),
+      s"expected a stopword among the top weights, got $topTokens")
+  }
+}
