@@ -153,7 +153,10 @@ object OraclesLlm {
     s"""$qualityLabeledCte
        |SELECT token, cnt_pos, cnt_neg, weight_ppm FROM wt""".stripMargin
 
-  val classifierScore: String =
+  /** [[qualityLabeledCte]] extended to per-doc scores (mirrors
+    * `Classifier.scoreDocs`): adds `sc(doc_id, heur_hq, n_tokens,
+    * score_ppm)`. */
+  private val classifierScoredCte: String = frag(
     s"""$qualityLabeledCte,
        |tok2 AS (
        |  SELECT doc_id, hq AS heur_hq,
@@ -163,11 +166,51 @@ object OraclesLlm {
        |  SELECT doc_id, heur_hq, count(token)::BIGINT AS n_tokens,
        |    coalesce(sum(wt.weight_ppm), 0)::BIGINT AS score_ppm
        |  FROM tok2 LEFT JOIN wt USING (token)
-       |  GROUP BY doc_id, heur_hq)
+       |  GROUP BY doc_id, heur_hq)""".stripMargin)
+
+  val classifierScore: String =
+    s"""$classifierScoredCte
        |SELECT doc_id, n_tokens, score_ppm,
        |  (CASE WHEN score_ppm > 0 THEN 1 ELSE 0 END)::BIGINT AS pred_hq,
        |  heur_hq::BIGINT AS heur_hq
        |FROM sc""".stripMargin
+
+  val classifierAuc: String =
+    s"""$classifierScoredCte,
+       |g AS (
+       |  SELECT score_ppm, count(*)::BIGINT AS n, sum(heur_hq)::BIGINT AS np
+       |  FROM sc GROUP BY score_ppm),
+       |r AS (
+       |  SELECT np, n,
+       |    2 * (sum(n) OVER (ORDER BY score_ppm
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n + 1)
+       |      + n - 1 AS r2
+       |  FROM g),
+       |a AS (
+       |  SELECT sum(np * r2)::BIGINT AS s2, sum(np)::BIGINT AS n_pos,
+       |         sum(n - np)::BIGINT AS n_neg
+       |  FROM r)
+       |SELECT n_pos, n_neg,
+       |  CASE WHEN n_pos * n_neg = 0 THEN NULL
+       |       ELSE (1000 * (s2 - n_pos * (n_pos + 1))) // (2 * n_pos * n_neg)
+       |  END AS auc_pm
+       |FROM a""".stripMargin
+
+  val classifierPrCurve: String =
+    s"""$classifierScoredCte,
+       |cells AS (
+       |  SELECT thr,
+       |    sum(CASE WHEN score_ppm > thr AND heur_hq = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN score_ppm > thr AND heur_hq = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |    sum(CASE WHEN score_ppm <= thr AND heur_hq = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+       |    sum(CASE WHEN score_ppm <= thr AND heur_hq = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+       |  FROM sc CROSS JOIN (
+       |    SELECT unnest([-8000, -4000, -2000, -1000, 0, 1000, 2000, 4000, 8000]::BIGINT[]) AS thr)
+       |  GROUP BY thr)
+       |SELECT thr, tp, fp, fn, tn,
+       |  CASE WHEN tp + fp = 0 THEN 0 ELSE (1000 * tp) // (tp + fp) END AS precision_pm,
+       |  CASE WHEN tp + fn = 0 THEN 0 ELSE (1000 * tp) // (tp + fn) END AS recall_pm
+       |FROM cells""".stripMargin
 
   val bm25TopK: String =
     s"""WITH staged AS (

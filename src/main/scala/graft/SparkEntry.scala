@@ -140,6 +140,11 @@ object SparkEntry {
     // heuristic's pseudo-labels, then bag-of-tokens scoring
     "classifier_weights" -> ((s, dir) => Classifier.tokenWeights(docs(s, dir))),
     "classifier_score" -> ((s, dir) => Classifier.scoreDocs(docs(s, dir))),
+    // model evaluation at corpus scale: exact tie-aware AUC + PR sweep
+    "classifier_auc" -> ((s, dir) =>
+      Classifier.auc(Classifier.scoreDocs(docs(s, dir)))),
+    "classifier_pr_curve" -> ((s, dir) =>
+      Classifier.prCurve(Classifier.scoreDocs(docs(s, dir)))),
     // lexical retrieval: integer-exact BM25-shaped top-k
     "bm25_topk" -> ((s, dir) => Retrieval.bm25TopK(docs(s, dir))),
     "ngram_counts" -> ((s, dir) => TextAnalysis.ngramCounts(docs(s, dir))),
@@ -478,6 +483,8 @@ object SparkEntry {
     "quality_score" -> OraclesLlm.qualityScore,
     "classifier_weights" -> OraclesLlm.classifierWeights,
     "classifier_score" -> OraclesLlm.classifierScore,
+    "classifier_auc" -> OraclesLlm.classifierAuc,
+    "classifier_pr_curve" -> OraclesLlm.classifierPrCurve,
     "bm25_topk" -> OraclesLlm.bm25TopK,
     "doc_fingerprint" -> OraclesLlm.docFingerprint,
     "ngram_counts" -> OraclesLlm.ngramCounts,

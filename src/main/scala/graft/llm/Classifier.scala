@@ -101,6 +101,74 @@ object Classifier {
                 threshold: Long = QualityThreshold): DataFrame =
     scoreWith(docs, tokenWeights(docs, threshold), threshold)
 
+  /** Default threshold grid for [[prCurve]] (ppm score cutoffs,
+    * roughly log-spaced around the 0 decision point). */
+  val PrThresholds: Seq[Long] =
+    Seq(-8000L, -4000L, -2000L, -1000L, 0L, 1000L, 2000L, 4000L, 8000L)
+
+  /** Exact ROC AUC of `score_ppm` against the teacher label, as one
+    * row `(n_pos, n_neg, auc_pm)` — the tie-aware Mann-Whitney
+    * rank-sum form: with R⁺ the sum of AVERAGE ranks of the positives
+    * under ascending score,
+    *
+    *   AUC = (R⁺ − n_pos·(n_pos+1)/2) / (n_pos·n_neg)
+    *
+    * computed entirely in integers by carrying 2·rank (so tie-group
+    * average ranks stay integral) and truncating to permille at the
+    * end. `auc_pm` is NULL when a class is absent.
+    *
+    * Scale shape: rows collapse to the DISTINCT-SCORE aggregate first
+    * (one partial-aggregated shuffle), so the global rank window runs
+    * over score VALUES, not documents — bounded by the score domain,
+    * millions of rows never reach a single-partition sort. */
+  def auc(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = scored.groupBy(col("score_ppm")).agg(
+      count(lit(1)).as("n"), sum(col("heur_hq")).as("np"))
+    val w = Window.orderBy(col("score_ppm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = grp
+      .withColumn("cum_n", sum(col("n")).over(w))
+      // 2·(average rank of the tie group) = 2·min_rank + (n − 1)
+      .withColumn("r2", lit(2L) * (col("cum_n") - col("n") + 1L) + col("n") - 1L)
+    ranked
+      .agg(
+        sum(col("np") * col("r2")).as("s2"),
+        sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") * col("n_neg") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(1000 * (s2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)"))
+          .as("auc_pm"))
+  }
+
+  /** Precision/recall sweep over a fixed threshold grid:
+    * `(thr, tp, fp, fn, tn, precision_pm, recall_pm)`, prediction =
+    * `score_ppm > thr`. One corpus pass: the grid explodes each scored
+    * row |grid| ways and partial aggregation collapses to |grid| rows
+    * map-side, so the shuffle carries |grid|·partitions tiny rows. */
+  def prCurve(scored: DataFrame,
+              thresholds: Seq[Long] = PrThresholds): DataFrame =
+    scored
+      .select(col("score_ppm"), col("heur_hq"),
+        explode(array(thresholds.map(lit): _*)).as("thr"))
+      .groupBy("thr")
+      .agg(
+        sum(when(col("score_ppm") > col("thr") && col("heur_hq") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score_ppm") > col("thr") && col("heur_hq") === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score_ppm") <= col("thr") && col("heur_hq") === 1L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("score_ppm") <= col("thr") && col("heur_hq") === 0L, 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision_pm",
+        when(col("tp") + col("fp") === 0L, 0L)
+          .otherwise(expr("(1000 * tp) div (tp + fp)")))
+      .withColumn("recall_pm",
+        when(col("tp") + col("fn") === 0L, 0L)
+          .otherwise(expr("(1000 * tp) div (tp + fn)")))
+
   /** [[scoreDocs]] with an explicit (frozen) weight table — the
     * train-once / score-many split a real pipeline uses. */
   def scoreWith(docs: DataFrame, weights: DataFrame,

@@ -65,6 +65,47 @@ class ClassifierSpec extends SparkSpec {
     assert(n101 == 0 && s101 == 0, s"empty doc must keep a zero row: $n101/$s101")
   }
 
+  private def scoredDf(rows: Seq[(Long, Long, Long)]) = // (doc_id, score, hq)
+    spark.createDataFrame(
+      rows.map { case (id, s, h) => Row(id, 0L, s, if (s > 0) 1L else 0L, h) }.asJava,
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_tokens", LongType),
+        StructField("score_ppm", LongType), StructField("pred_hq", LongType),
+        StructField("heur_hq", LongType))))
+
+  test("auc: perfect separation = 1000, all-tied scores = 500") {
+    val perfect = scoredDf(Seq((1L, 10L, 1L), (2L, 9L, 1L), (3L, -1L, 0L), (4L, -2L, 0L)))
+    val p = Classifier.auc(perfect).collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) == ((2L, 2L, 1000L)))
+    val tied = scoredDf(Seq((1L, 5L, 1L), (2L, 5L, 1L), (3L, 5L, 0L), (4L, 5L, 0L)))
+    assert(Classifier.auc(tied).collect().head.getLong(2) == 500L)
+  }
+
+  test("auc: hand-computed mixed case with a cross-class tie") {
+    // ascending scores: 1(neg) 2(pos) 2(neg) 3(pos); avg ranks 1, 2.5, 2.5, 4
+    // R+ = 2.5 + 4 = 6.5; U = 6.5 - 3 = 3.5; AUC = 3.5/4 = 0.875
+    val m = scoredDf(Seq((1L, 1L, 0L), (2L, 2L, 1L), (3L, 2L, 0L), (4L, 3L, 1L)))
+    assert(Classifier.auc(m).collect().head.getLong(2) == 875L)
+  }
+
+  test("auc is NULL when a class is absent") {
+    val onePos = scoredDf(Seq((1L, 1L, 1L), (2L, 2L, 1L)))
+    assert(Classifier.auc(onePos).collect().head.isNullAt(2))
+  }
+
+  test("prCurve: confusion cells are exhaustive and monotone in the threshold") {
+    val out = Classifier.prCurve(Classifier.scoreDocs(toy)).collect()
+      .sortBy(_.getLong(1 - 1)) // by thr
+    assert(out.length == Classifier.PrThresholds.length)
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == 6L,
+        s"cells must partition the corpus: $r")
+    }
+    // tp is non-increasing as the threshold rises
+    val tps = out.map(_.getLong(1)).toSeq
+    assert(tps == tps.sorted.reverse, s"tp not monotone: $tps")
+  }
+
   test("driver corpus: distilled classifier beats the majority baseline") {
     val sfDir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$sfDir/documents.parquet").exists,
