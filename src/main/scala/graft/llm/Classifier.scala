@@ -169,6 +169,38 @@ object Classifier {
         when(col("tp") + col("fn") === 0L, 0L)
           .otherwise(expr("(1000 * tp) div (tp + fn)")))
 
+  /** Freeze the weight table into a driver-side map for shipping as a
+    * literal into stateless per-row scoring ([[scoreExpr]], the
+    * streaming model gate): the `topK` weights by |weight_ppm| (ties
+    * on token text). Parameter-bounded collect — K rows, like the
+    * ANN codebooks and the decontamination Bloom words; production
+    * gates truncate their models the same way (the tail of tiny
+    * weights moves scores by less than the decision margin). */
+  def freezeWeights(docs: DataFrame, topK: Int = 4096,
+                    threshold: Long = QualityThreshold): Map[String, Long] =
+    tokenWeights(docs, threshold)
+      .orderBy(abs(col("weight_ppm")).desc, col("token"))
+      .limit(topK)
+      .select("token", "weight_ppm")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
+  /** Per-row score of a text column under a FROZEN weight map — no
+    * explode, no aggregation, no join: one native higher-order fold
+    * over the token array against a map literal, so the expression is
+    * legal anywhere a filter predicate is (in particular inside a
+    * streaming plan where a groupBy would demand watermark
+    * semantics). OOV tokens score 0, token-less docs score 0 — same
+    * contract as [[scoreWith]]. */
+  def scoreExpr(text: org.apache.spark.sql.Column,
+                weights: Map[String, Long]): org.apache.spark.sql.Column = {
+    val wmap = map(weights.toSeq.sortBy(_._1)
+      .flatMap { case (t, w) => Seq(lit(t), lit(w)) }: _*)
+    aggregate(TextFns.tokens(text), lit(0L),
+      (acc, t) => acc + coalesce(element_at(wmap, t), lit(0L)))
+  }
+
   /** [[scoreDocs]] with an explicit (frozen) weight table — the
     * train-once / score-many split a real pipeline uses. */
   def scoreWith(docs: DataFrame, weights: DataFrame,

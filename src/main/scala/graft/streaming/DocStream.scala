@@ -104,6 +104,21 @@ object DocStream {
     graft.llm.TextAnalysis.docProfile(docs.select("doc_id", "text"))
       .filter(col("quality") >= minQuality)
 
+  /** Online model gate: score each streaming doc with a FROZEN linear
+    * classifier ([[graft.llm.Classifier]] weights, trained offline on
+    * a labeled or pseudo-labeled slice) and keep docs scoring above
+    * `minScorePpm`. Like [[decontaminationGate]], the gate is a pure
+    * per-row filter — the weight map ships as a literal
+    * ([[graft.llm.Classifier.freezeWeights]] caps it at topK entries),
+    * scoring is one native higher-order fold per row, and there is no
+    * join, no aggregation, no state store. `keep = score > min`
+    * matches the batch predictor's `pred_hq = score_ppm > 0` at the
+    * default `minScorePpm = 0`. */
+  def modelGate(docs: DataFrame, weights: Map[String, Long],
+                minScorePpm: Long = 0L): DataFrame =
+    docs.filter(
+      graft.llm.Classifier.scoreExpr(col("text"), weights) > minScorePpm)
+
   /** Online decontamination: drop streaming docs that share any shingle
     * with a STATIC eval corpus, membership-tested against the same
     * packed Bloom words as [[graft.llm.Dedup.bloomContamination]] —

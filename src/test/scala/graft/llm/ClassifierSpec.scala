@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.SparkSpec
 
@@ -104,6 +105,29 @@ class ClassifierSpec extends SparkSpec {
     // tp is non-increasing as the threshold rises
     val tps = out.map(_.getLong(1)).toSeq
     assert(tps == tps.sorted.reverse, s"tp not monotone: $tps")
+  }
+
+  test("scoreExpr under frozen full-vocab weights equals scoreWith exactly") {
+    val weights = Classifier.freezeWeights(toy, topK = 10000)
+    val viaExpr = toy.select(col("doc_id"),
+      Classifier.scoreExpr(col("text"), weights).as("score_ppm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = Classifier.scoreWith(toy, Classifier.tokenWeights(toy))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viaExpr == viaAgg, s"expr=$viaExpr agg=$viaAgg")
+  }
+
+  test("freezeWeights keeps the topK weights by magnitude") {
+    val all = Classifier.tokenWeights(toy).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val k = 3
+    val frozen = Classifier.freezeWeights(toy, topK = k)
+    assert(frozen.size == k)
+    val keptMin = frozen.values.map(math.abs).min
+    val droppedMax = all.filterNot { case (t, _) => frozen.contains(t) }
+      .values.map(math.abs).max
+    assert(keptMin >= droppedMax,
+      s"kept |$keptMin| should dominate dropped |$droppedMax|")
   }
 
   test("driver corpus: distilled classifier beats the majority baseline") {

@@ -133,6 +133,31 @@ class DocStreamSpec extends SparkSpec {
     assert(kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("modelGate filters the stream with frozen classifier weights, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen model: hand weights, no training needed for the gate itself
+    val weights = Map("good" -> 500L, "spam" -> -800L)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    mem.addData(
+      (1L, "good words here", ts(1)),          // +500 → kept
+      (2L, "spam spam good", ts(2)),           // -1100 → dropped
+      (3L, "neutral only tokens", ts(3)),      // 0 → dropped (strict >)
+      (4L, "good good spam", ts(4)))           // +200 → kept
+    val gated = DocStream.modelGate(docs, weights)
+    // stateless: no stateful operator in the plan
+    assert(!gated.queryExecution.analyzed.toString.toLowerCase
+      .contains("deduplicate"))
+    val q = gated.select("doc_id")
+      .writeStream.trigger(Trigger.AvailableNow()).format("memory")
+      .queryName("model_gate_out")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+    val kept = spark.table("model_gate_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"got $kept")
+  }
+
   test("decontaminationGate drops stream docs sharing shingles with the static eval set") {
     implicit val sqlCtx = spark.sqlContext
     val evalDocs = Seq((1L, "alpha beta gamma delta"))
