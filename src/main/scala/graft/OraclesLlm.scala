@@ -1479,6 +1479,53 @@ object OraclesLlm {
        |  sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
        |FROM prof GROUP BY source""".stripMargin
 
+  /** Integer-exact unigram surprisal filter ([[graft.llm.LangModel
+    * .unigramSurprisal]]): corpus unigram counts, per-token cost
+    * `floor(log2(N div cnt))` via binary-string length, per-doc
+    * milli-bits-per-token rate, keep-gate at 4030. */
+  val unigramSurprisal: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, unnest(${toksE("text")}) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+       |       FROM dt GROUP BY doc_id, token),
+       |uni AS (SELECT token, count(*)::BIGINT AS cnt FROM dt GROUP BY token),
+       |tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM uni),
+       |sc AS (
+       |  SELECT token,
+       |    (length(printf('%b', n_total // cnt)) - 1)::BIGINT AS bits
+       |  FROM uni, tot),
+       |d AS (
+       |  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+       |    sum(tf * bits)::BIGINT AS total_bits
+       |  FROM tf JOIN sc USING (token) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, total_bits,
+       |  ((1000 * total_bits) // n_tokens)::BIGINT AS millibits_per_token,
+       |  CASE WHEN (1000 * total_bits) // n_tokens <= 4030
+       |    THEN 1 ELSE 0 END::BIGINT AS kept
+       |FROM d""".stripMargin
+
+  /** Temperature mixing weights ([[graft.llm.LangModel
+    * .mixtureWeights]], α = 0.5): w = floor(sqrt(source tokens)) —
+    * IEEE sqrt is correctly rounded, argument exact — natural vs
+    * sampled permille shares, ratio NULL when natural_pm is 0. */
+  val mixtureWeights: String =
+    s"""WITH s AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |    sum(len(${toksE("text")}))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs, n_tokens,
+       |        floor(sqrt(n_tokens::DOUBLE))::BIGINT AS w FROM s),
+       |tot AS (SELECT sum(n_tokens)::BIGINT AS tok_total,
+       |          sum(w)::BIGINT AS w_total FROM w)
+       |SELECT source, n_docs, n_tokens,
+       |  ((1000 * n_tokens) // tok_total)::BIGINT AS natural_pm, w,
+       |  ((1000 * w) // w_total)::BIGINT AS share_pm,
+       |  CASE WHEN (1000 * n_tokens) // tok_total > 0
+       |    THEN ((1000 * ((1000 * w) // w_total))
+       |          // ((1000 * n_tokens) // tok_total))::BIGINT
+       |  END AS temp_ratio_pm
+       |FROM w, tot""".stripMargin
+
   /** Quality-weighted sampling: keep iff bucket < own quality. */
   val weightedSample: String =
     s"""WITH $profileCte
@@ -1627,6 +1674,69 @@ object OraclesLlm {
        |scored AS (SELECT vec_a, vec_b, ${cosE("va", "vb")} AS cos FROM pairs)
        |SELECT vec_a, vec_b, round(cos, 6) AS score
        |FROM scored WHERE cos >= 0.99""".stripMargin
+
+  /** Shared CTE chain for the SemDeDup queries ([[graft.llm.Similarity
+    * .semanticDedup]]): dup-injected corpus, quantize, first-16 seeds,
+    * ONE Lloyd round (same recurrence as the ivf `refine` block:
+    * re-assign, floor of per-dimension mean), final cell assignment,
+    * then the within-cell greedy dup rule — b is a duplicate iff some
+    * lower-id a in b's cell has cos ≥ 0.99, attributed to min(a).
+    * Defines CTEs through `assigned` and `dups`. */
+  private val semanticDedupCtes: String =
+    frag(s"""corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |vecs AS (SELECT vec_id, ${quantE("embedding")} AS qv FROM corpus),
+       |c0 AS (SELECT vec_id AS cent_id, qv AS cv FROM vecs WHERE vec_id < 16),
+       |r1 AS (
+       |  SELECT v.vec_id, v.qv, s.cent_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosE("v.qv", "s.cv")} DESC, s.cent_id) AS srn
+       |  FROM vecs v, c0 s),
+       |a1 AS (SELECT vec_id, qv, cent_id FROM r1 WHERE srn = 1),
+       |d1 AS (
+       |  SELECT cent_id, u FROM (
+       |    SELECT cent_id,
+       |      unnest([{'p': i, 'd': qv[i+1]} for i in range(len(qv))]) AS u
+       |    FROM a1)),
+       |m1 AS (
+       |  SELECT cent_id, u.p AS pos,
+       |    floor(sum(u.d)::DOUBLE / count(*)::DOUBLE)::BIGINT AS vdim
+       |  FROM d1 GROUP BY cent_id, u.p),
+       |c1 AS (SELECT cent_id, list(vdim ORDER BY pos) AS cv
+       |       FROM m1 GROUP BY cent_id),
+       |cellranked AS (
+       |  SELECT v.vec_id, v.qv, c.cent_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosE("v.qv", "c.cv")} DESC, c.cent_id) AS rn
+       |  FROM vecs v, c1 c),
+       |assigned AS (SELECT vec_id, qv, cent_id FROM cellranked WHERE rn = 1),
+       |dups AS (
+       |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |    AND ${cosE("a.qv", "b.qv")} >= 0.99
+       |  GROUP BY b.vec_id)""".stripMargin)
+
+  /** Per-vector SemDeDup verdicts. */
+  val semanticDedup: String =
+    s"""WITH $semanticDedupCtes
+       |SELECT v.vec_id, v.cent_id,
+       |  CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END::BIGINT AS is_dup,
+       |  d.dup_of
+       |FROM assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id""".stripMargin
+
+  /** Per-cell SemDeDup population / duplicate / kept-permille stats. */
+  val semanticDedupStats: String =
+    s"""WITH $semanticDedupCtes,
+       |verdicts AS (
+       |  SELECT v.cent_id,
+       |    CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END::BIGINT AS is_dup
+       |  FROM assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id)
+       |SELECT cent_id, count(*)::BIGINT AS n_vecs,
+       |  sum(is_dup)::BIGINT AS n_dups,
+       |  ((1000 * (count(*) - sum(is_dup))) // count(*))::BIGINT AS keep_pm
+       |FROM verdicts GROUP BY cent_id""".stripMargin
 
   /** Pair-recall of both SRP near-dup variants vs brute-force ground
     * truth ([[graft.llm.Similarity.embeddingDedupRecall]] over the

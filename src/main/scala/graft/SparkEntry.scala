@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Country, Sentiment}
-import graft.llm.{Classifier, Dedup, LshIndex, Multimodal, Packing, Pipeline, Retrieval, Similarity, TextAnalysis}
+import graft.llm.{Classifier, Dedup, LangModel, LshIndex, Multimodal, Packing, Pipeline, Retrieval, Similarity, TextAnalysis}
 import graft.model.WireCodec
 import graft.ops.{Ranges, Relational, TrendPipeline, Windows}
 import graft.text.TextOps
@@ -310,6 +310,14 @@ object SparkEntry {
       graft.sources.Shards.shardAssign(docs(s, dir))),
     "weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(docs(s, dir))),
     "source_mix" -> ((s, dir) => TextAnalysis.sourceMix(docs(s, dir))),
+    // CCNet-style perplexity filter, integer-exact: unigram LM trained
+    // on the corpus, per-doc cost in whole bits, keep-gate on the
+    // milli-bits-per-token rate
+    "unigram_surprisal" -> ((s, dir) =>
+      LangModel.unigramSurprisal(docs(s, dir))),
+    // temperature mixing (α=0.5): sample shares ∝ sqrt(source tokens)
+    "mixture_weights" -> ((s, dir) =>
+      LangModel.mixtureWeights(docs(s, dir))),
     "doc_keywords" -> ((s, dir) => TextAnalysis.docKeywords(docs(s, dir))),
     "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(docs(s, dir))),
     "encode_docs" -> ((s, dir) => TextAnalysis.encodeDocs(docs(s, dir))),
@@ -428,6 +436,15 @@ object SparkEntry {
             .otherwise(x)).as("embedding"))
       Similarity.embeddingDedupRecall(base.unionAll(perturbed))
     }),
+    // SemDeDup (cluster-scoped semantic dedup): the geometric complement
+    // to the SRP hash family — quadratic pair search bounded to k-means
+    // cells, greedy lower-id keep with dup_of attribution
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(
+        Similarity.withDupVectors(Tables.embeddings(s, dir)))),
+    "semantic_dedup_stats" -> ((s, dir) =>
+      Similarity.semanticDedupStats(
+        Similarity.withDupVectors(Tables.embeddings(s, dir)))),
     // ---- multimodal columns (binary payload + typed metadata) ----
     "media_dedup" -> ((s, dir) =>
       Multimodal.mediaDedup(
@@ -521,6 +538,8 @@ object SparkEntry {
     "shard_assign" -> OraclesLlm.shardAssign,
     "weighted_sample" -> OraclesLlm.weightedSample,
     "source_mix" -> OraclesLlm.sourceMix,
+    "unigram_surprisal" -> OraclesLlm.unigramSurprisal,
+    "mixture_weights" -> OraclesLlm.mixtureWeights,
     "doc_keywords" -> OraclesLlm.docKeywords,
     "oov_rate" -> OraclesLlm.oovRate,
     "encode_docs" -> OraclesLlm.encodeDocs,
@@ -561,6 +580,8 @@ object SparkEntry {
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "embedding_near_dup_mp" -> OraclesLlm.embeddingNearDupMp,
     "embedding_dedup_recall" -> OraclesLlm.embeddingDedupRecall,
+    "semantic_dedup" -> OraclesLlm.semanticDedup,
+    "semantic_dedup_stats" -> OraclesLlm.semanticDedupStats,
     "media_dedup" -> OraclesLlm.mediaDedup,
     "media_meta" -> OraclesLlm.mediaMeta,
     "media_features" -> OraclesLlm.mediaFeatures,

@@ -760,4 +760,66 @@ object Similarity {
     embeddings.select("vec_id", "embedding").unionAll(
       embeddings.filter(pmod(col("vec_id"), lit(10)) === 0)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus into k-means cells, then do
+    * the quadratic near-dup pair search only WITHIN each cell. The cell
+    * bound is the whole scale story — the all-pairs cost drops from
+    * O(n²) to O(k·(n/k)²) = O(n²/k), and at a 100 TB build k grows with
+    * the corpus so cell populations (and thus each join partition's
+    * pair count) stay constant. This is the clustering complement to
+    * the SRP family above: [[embeddingNearDup]] recalls by hash-plane
+    * luck, semantic dedup recalls by geometry — two vectors at
+    * cos ≥ τ virtually always share an argmax cell, without any
+    * probe-dial tuning.
+    *
+    * Keep policy (greedy, deterministic): a vector is a duplicate iff
+    * some LOWER-id vector in the same cell is within `minCosine`;
+    * `dup_of` attributes it to the smallest such id. Chains are
+    * intentional (b dup-of a, c dup-of b) — same greedy sweep as the
+    * paper's per-cluster pruning, made order-deterministic by vec_id.
+    *
+    * Shuffle shape: one shuffle assigns cells (aggregate argmax over
+    * broadcast centroids — see [[assignCells]]), one shuffle co-locates
+    * each cell for the self-join; the quantized vectors cross the wire
+    * once per side. Output is one slim row per vector. */
+  def semanticDedup(embeddings: DataFrame, nCentroids: Int = 16,
+                    minCosine: Double = 0.99,
+                    refineIters: Int = 1): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
+    val seeds = vecs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
+    val cents =
+      (1 to refineIters).foldLeft(seeds)((c, _) => refinedCentroids(vecs, c))
+    val assigned = assignCells(vecs, cents)
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(dotQ(col("a.qv"), col("b.qv")).cast("double") /
+        (col("a.nrm") * col("b.nrm")) >= minCosine)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cent_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        when(col("dup_of").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        col("dup_of"))
+  }
+
+  /** Per-cell view of [[semanticDedup]]: population, duplicates found,
+    * and the kept fraction in exact permille — the cell-level signal a
+    * pipeline uses to spot over-merged cells (keep_pm collapsing means
+    * the cell radius is too wide for the threshold). */
+  def semanticDedupStats(embeddings: DataFrame, nCentroids: Int = 16,
+                         minCosine: Double = 0.99,
+                         refineIters: Int = 1): DataFrame =
+    semanticDedup(embeddings, nCentroids, minCosine, refineIters)
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"), sum("is_dup").as("n_dups"))
+      .select(col("cent_id"), col("n_vecs"), col("n_dups"),
+        expr("(1000 * (n_vecs - n_dups)) div n_vecs").as("keep_pm"))
 }

@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unigram surprisal filter + temperature mixture weights. */
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigramSurprisal: hand-computed bits on a 2-doc corpus") {
+    // unigrams: a=3, b=1, c=1, N=5
+    // bits(a) = len(bin(5 div 3)) - 1 = 0; bits(b) = bits(c) = len(bin(5)) - 1 = 2
+    val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val got = LangModel.unigramSurprisal(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"),
+          r.getAs[Long]("millibits_per_token"))).toMap
+    assert(got(0L) == (3L, 2L, 666L)) // (2*0 + 1*2) bits over 3 tokens
+    assert(got(1L) == (2L, 2L, 1000L))
+  }
+
+  test("unigramSurprisal: the gate keeps low-rate docs and drops high-rate ones") {
+    val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val got = LangModel.unigramSurprisal(docs, keepMaxMillibits = 700L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kept")).toMap
+    assert(got(0L) == 1L && got(1L) == 0L)
+  }
+
+  test("unigramSurprisal: token-less docs drop; rates bounded by min/max token bits") {
+    val docs = Seq((0L, "x y z"), (1L, "   "), (2L, "x x x x")).toDF("doc_id", "text")
+    val rows = LangModel.unigramSurprisal(docs).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(0L, 2L))
+    // every per-token cost is an integer number of bits, so the
+    // milli-rate of any doc lies in [1000*min_bits, 1000*max_bits]
+    rows.foreach { r =>
+      val mb = r.getAs[Long]("millibits_per_token")
+      assert(mb >= 0L && mb <= 64000L)
+    }
+  }
+
+  test("mixtureWeights: sqrt temperature upweights the small source") {
+    // 16 vs 4 tokens -> w = 4 vs 2; natural 800/200, sampled 666/333
+    val docs = Seq(
+      (0L, "big", ("t " * 16).trim),
+      (1L, "small", ("t " * 4).trim)).toDF("doc_id", "source", "text")
+    val got = LangModel.mixtureWeights(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("w"),
+          r.getAs[Long]("natural_pm"), r.getAs[Long]("share_pm"),
+          r.getAs[Long]("temp_ratio_pm"))).toMap
+    assert(got("big") == (16L, 4L, 800L, 666L, 832L))
+    assert(got("small") == (4L, 2L, 200L, 333L, 1665L))
+    // temperature pulls shares toward uniform: big down, small up
+    assert(got("big")._5 < 1000L && got("small")._5 > 1000L)
+  }
+
+  test("mixtureWeights on driver corpus: shares sum to ~1000, ratios bracket 1000") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = LangModel.mixtureWeights(docs).collect()
+    assert(rows.nonEmpty)
+    val sharePm = rows.map(_.getAs[Long]("share_pm")).sum
+    assert(sharePm <= 1000L && sharePm > 1000L - rows.length)
+    val naturalPm = rows.map(_.getAs[Long]("natural_pm")).sum
+    assert(naturalPm <= 1000L && naturalPm > 1000L - rows.length)
+  }
+}

@@ -338,4 +338,56 @@ class SimilaritySpec extends SparkSpec {
       .collect().head.getAs[collection.Seq[Long]]("q")
     assert(got == Seq(4096L, -4096L, 0L))
   }
+
+  test("semanticDedup: exact copies are dropped, distinct directions kept") {
+    val df = emb(
+      (0L, Seq(1f, 2f, 3f, 4f)),
+      (1L, Seq(-4f, 3f, -2f, 1f)),
+      (2L, Seq(2f, -1f, 0f, 3f)),
+      (10L, Seq(1f, 2f, 3f, 4f)),   // copy of 0
+      (11L, Seq(-4f, 3f, -2f, 1f))) // copy of 1
+    val got = Similarity.semanticDedup(df).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("is_dup"), Option(r.getAs[java.lang.Long]("dup_of")))).toMap
+    assert(got.size == 5)
+    assert(got(10L) == (1L, Some(0L)) && got(11L) == (1L, Some(1L)))
+    Seq(0L, 1L, 2L).foreach(id => assert(got(id) == (0L, None)))
+  }
+
+  test("semanticDedup: greedy chain attributes every copy to the min id in the cell") {
+    val v = Seq(1f, 2f, 3f, 4f)
+    val df = emb((0L, v), (1L, v), (2L, v))
+    val got = Similarity.semanticDedup(df).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("is_dup"), Option(r.getAs[java.lang.Long]("dup_of")))).toMap
+    assert(got(0L) == (0L, None))
+    assert(got(1L) == (1L, Some(0L)) && got(2L) == (1L, Some(0L)))
+  }
+
+  test("semanticDedup on driver corpus: every injected identical dup is caught") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val corpus = Similarity.withDupVectors(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    val rows = Similarity.semanticDedup(corpus).collect()
+    assert(rows.length == corpus.count())
+    // identical pairs always share an argmax cell and cos = 1, so the
+    // geometric path has 100% recall on exact copies — no probe dial
+    val injected = rows.filter(_.getAs[Long]("vec_id") >= 100000L)
+    assert(injected.nonEmpty)
+    injected.foreach { r =>
+      assert(r.getAs[Long]("is_dup") == 1L)
+      assert(r.getAs[java.lang.Long]("dup_of") <= r.getAs[Long]("vec_id") - 100000L)
+    }
+    // stats roll up exactly: populations sum to the corpus, dup counts
+    // to the per-vector verdicts, keep_pm is the integer-floor ratio
+    val stats = Similarity.semanticDedupStats(corpus).collect()
+    assert(stats.map(_.getAs[Long]("n_vecs")).sum == rows.length)
+    assert(stats.map(_.getAs[Long]("n_dups")).sum ==
+      rows.count(_.getAs[Long]("is_dup") == 1L))
+    stats.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_dups"))
+      assert(r.getAs[Long]("keep_pm") == 1000L * (n - d) / n)
+    }
+  }
 }
