@@ -239,6 +239,82 @@ object OraclesLlm {
        |  FROM sc)
        |WHERE rank <= 10""".stripMargin
 
+  /** Shared CTEs of the BM25 lexical scorer at a parameterized pool
+    * size — the same arithmetic as [[bm25TopK]], ending in a `lex`
+    * rank table. */
+  private def lexPoolCtes(poolK: Int): String =
+    frag(s"""staged AS (
+       |  SELECT doc_id, toks, len(toks)::BIGINT AS dl
+       |  FROM (SELECT doc_id, ${toksE("text")} AS toks FROM documents)),
+       |stats AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |         (1000 * sum(dl)::BIGINT) // count(*) AS avgdl_pm
+       |  FROM staged),
+       |m AS (
+       |  SELECT doc_id, dl, token, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM staged)
+       |  WHERE token IN ('spark', 'vector', 'stream')
+       |  GROUP BY doc_id, dl, token),
+       |dft AS (SELECT token, count(*)::BIGINT AS df FROM m GROUP BY token),
+       |sc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_terms,
+       |    sum((2200 * tf * least(10000000, (1000 * (n_docs - df + 1)) // (df + 1)))
+       |        // (1000 * tf + 300 + (9 * ((1000000 * dl) // avgdl_pm)) // 10))::BIGINT
+       |      AS score_pm
+       |  FROM m JOIN dft USING (token), stats
+       |  GROUP BY doc_id),
+       |lex AS (
+       |  SELECT doc_id, rank::BIGINT AS lex_rank FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score_pm DESC, doc_id) AS rank
+       |    FROM sc)
+       |  WHERE rank <= $poolK)""".stripMargin)
+
+  /** Shared CTEs of the semantic (hash-vectorized cosine) scorer at a
+    * parameterized pool size — query vector from the literal terms,
+    * corpus vectors as in [[docSimTopK]] — ending in a `sem` rank
+    * table with the underlying `semsc` cosines. */
+  private def semPoolCtes(poolK: Int): String =
+    frag(s"""qth AS (
+       |  SELECT [${polyE("w")} for w in ['spark', 'vector', 'stream']] AS ths),
+       |qvq AS (
+       |  SELECT [len(list_filter(ths, h -> h % 64 = d))::BIGINT
+       |          for d in range(64)] AS qv
+       |  FROM qth),
+       |cth AS (
+       |  SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths
+       |  FROM documents),
+       |cvv AS (
+       |  SELECT doc_id, [len(list_filter(ths, h -> h % 64 = d))::BIGINT
+       |          for d in range(64)] AS cv
+       |  FROM cth WHERE len(ths) > 0),
+       |semsc AS (SELECT doc_id, ${cosE("cv", "qv")} AS cos FROM cvv, qvq),
+       |sem AS (
+       |  SELECT doc_id, cos, rank::BIGINT AS sem_rank FROM (
+       |    SELECT doc_id, cos, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+       |    FROM semsc)
+       |  WHERE rank <= $poolK)""".stripMargin)
+
+  /** Query-side semantic top-k ([[graft.llm.Retrieval.semanticTopK]]). */
+  val semanticTopK: String =
+    s"""WITH ${semPoolCtes(10)}
+       |SELECT doc_id, round(cos, 6) AS score, sem_rank AS rank FROM sem""".stripMargin
+
+  /** Reciprocal-rank fusion of the two 20-deep pools
+    * ([[graft.llm.Retrieval.hybridTopK]], K = 60, micro-units). */
+  val hybridRrfTopK: String =
+    s"""WITH ${lexPoolCtes(20)},
+       |${semPoolCtes(20)},
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+       |    (coalesce(1000000 // (60 + l.lex_rank), 0)
+       |     + coalesce(1000000 // (60 + s.sem_rank), 0))::BIGINT AS rrf_micro
+       |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, rrf_micro, rank::BIGINT AS rank FROM (
+       |  SELECT doc_id, lex_rank, sem_rank, rrf_micro,
+       |    row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= 10""".stripMargin
+
   val docFingerprint: String =
     s"""SELECT doc_id,
        |  CASE WHEN length(n) = 0 THEN 0::BIGINT ELSE ${polyE("n")} END AS fp

@@ -147,6 +147,10 @@ object SparkEntry {
       Classifier.prCurve(Classifier.scoreDocs(docs(s, dir)))),
     // lexical retrieval: integer-exact BM25-shaped top-k
     "bm25_topk" -> ((s, dir) => Retrieval.bm25TopK(docs(s, dir))),
+    // dense twin of bm25 (query embedded by the corpus's own hashing
+    // vectorizer) and the RRF hybrid of the two 20-deep pools
+    "semantic_topk" -> ((s, dir) => Retrieval.semanticTopK(docs(s, dir))),
+    "hybrid_rrf_topk" -> ((s, dir) => Retrieval.hybridTopK(docs(s, dir))),
     "ngram_counts" -> ((s, dir) => TextAnalysis.ngramCounts(docs(s, dir))),
     "dedup_docs" -> ((s, dir) =>
       Dedup.exactDedup(Dedup.withExactDups(docs(s, dir)))),
@@ -503,6 +507,8 @@ object SparkEntry {
     "classifier_auc" -> OraclesLlm.classifierAuc,
     "classifier_pr_curve" -> OraclesLlm.classifierPrCurve,
     "bm25_topk" -> OraclesLlm.bm25TopK,
+    "semantic_topk" -> OraclesLlm.semanticTopK,
+    "hybrid_rrf_topk" -> OraclesLlm.hybridRrfTopK,
     "doc_fingerprint" -> OraclesLlm.docFingerprint,
     "ngram_counts" -> OraclesLlm.ngramCounts,
     "dedup_docs" -> OraclesLlm.dedupDocs,

@@ -98,4 +98,62 @@ object Retrieval {
         .over(Window.orderBy(col("score_pm").desc, col("doc_id")))
         .cast("long"))
   }
+
+  /** Query-side semantic top-k: the query string is embedded by the
+    * SAME hashing vectorizer as the corpus ([[TextAnalysis
+    * .hashVectors]] — token polyhash mod 64 count vector), then scored
+    * with the exact integer-dot cosine of the [[Similarity]] stack.
+    * One corpus scan against a 1-row broadcast query vector, final
+    * top-k is TakeOrderedAndProject — the dense-retrieval twin of
+    * [[bm25TopK]], sharing its `(doc_id, score, rank)` contract. */
+  def semanticTopK(docs: DataFrame,
+                   terms: Seq[String] = DefaultQuery,
+                   k: Int = 10): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val corpus = TextAnalysis.hashVectors(docs)
+      .withColumn("nrm", sqrt(Similarity.norm2Q(col("qv")).cast("double")))
+    val q = TextAnalysis.hashVectors(
+        Seq((-1L, terms.mkString(" "))).toDF("doc_id", "text"))
+      .select(col("qv").as("query_v"))
+      .withColumn("qnrm",
+        sqrt(Similarity.norm2Q(col("query_v")).cast("double")))
+    corpus.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        (Similarity.dotQ(col("qv"), col("query_v")).cast("double") /
+          (col("nrm") * col("qnrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), round(col("cos"), 6).as("score"), col("rank"))
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    * K = 60) of the lexical [[bm25TopK]] and semantic [[semanticTopK]]
+    * pools. Scores never mix — only RANKS do, which is why RRF is the
+    * standard fusion when the two scorers live on incomparable scales —
+    * and `1000000 div (60 + rank)` keeps the fused score integer-exact
+    * (micro-units; a doc missing from one pool contributes 0 there).
+    * Both pools are ≤ `poolK` rows, so the fusion join broadcasts and
+    * costs nothing at any corpus scale; the heavy lifting stays in the
+    * two retrievers' own bounded top-k plans. */
+  def hybridTopK(docs: DataFrame,
+                 terms: Seq[String] = DefaultQuery,
+                 k: Int = 10, poolK: Int = 20): DataFrame = {
+    val lex = bm25TopK(docs, terms, poolK)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val sem = semanticTopK(docs, terms, poolK)
+      .select(col("doc_id"), col("rank").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("rrf_micro").desc, col("doc_id")))
+        .cast("long"))
+  }
 }

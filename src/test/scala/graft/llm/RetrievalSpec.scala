@@ -83,4 +83,51 @@ class RetrievalSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
       s"expected TakeOrderedAndProject in:\n$plan")
   }
+
+  test("semanticTopK: a doc made of exactly the query tokens scores cosine 1 at rank 1") {
+    val docs = docsDf(Seq(
+      (1L, "spark vector stream"),
+      (2L, "spark vector stream unrelated padding words everywhere"),
+      (3L, "entirely different content here")))
+    val got = Retrieval.semanticTopK(docs).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(got.head.getAs[Long]("doc_id") == 1L)
+    assert(math.abs(got.head.getAs[Double]("score") - 1.0) < 1e-9)
+    // partial token overlap still scores above disjoint content
+    assert(got(1).getAs[Long]("doc_id") == 2L)
+  }
+
+  test("hybridTopK: RRF puts the doc present in both pools first, micro-score exact") {
+    // doc 1 is strong in BOTH pools (exact query text); doc 2 is
+    // lexically present but semantically diluted; doc 3 in neither
+    val docs = docsDf(Seq(
+      (1L, "spark vector stream"),
+      (2L, "spark spark spark spark pad pad"),
+      (3L, "nothing relevant at all here")))
+    val got = Retrieval.hybridTopK(docs).collect().sortBy(_.getAs[Long]("rank"))
+    assert(got.head.getAs[Long]("doc_id") == 1L)
+    // RRF micro-score must equal the hand formula from the two ranks
+    got.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+      val sem = Option(r.getAs[java.lang.Long]("sem_rank")).map(_.toLong)
+      val expect = lex.map(x => 1000000L / (60L + x)).getOrElse(0L) +
+        sem.map(x => 1000000L / (60L + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_micro") == expect)
+    }
+  }
+
+  test("hybridTopK: pool-only docs carry a null rank on the missing side") {
+    val docs = docsDf(Seq(
+      (1L, "spark vector stream"),
+      // lexically strong (all three terms, high tf) — also semantically
+      // related; and one doc that shares NO query token: absent from the
+      // lexical pool entirely, semantic rank only
+      (2L, "spark spark vector vector stream stream"),
+      (3L, "alpha beta gamma delta")))
+    val rows = Retrieval.hybridTopK(docs).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.contains(3L), "semantic-only doc should still fuse in")
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("lex_rank")))
+    assert(!byId(3L).isNullAt(byId(3L).fieldIndex("sem_rank")))
+  }
 }
