@@ -33,6 +33,20 @@ object HeavyHitters {
   val Capacity = 64
   val ThresholdDiv = 32
 
+  /** One Misra-Gries point update: increment if tracked, insert if
+    * there's room, else decrement every positive counter (the classic
+    * rule that charges one undercount to ALL tracked tokens). Shared by
+    * the batch [[MisraGriesAgg]] and the streaming sharded sketch
+    * ([[graft.streaming.StreamingHeavyHitters]]). */
+  private[graft] def mgAdd(m: Map[String, Long], t: String,
+                           capacity: Int): Map[String, Long] =
+    m.get(t) match {
+      case Some(v) => m.updated(t, v + 1L)
+      case None if m.size < capacity => m.updated(t, 1L)
+      case None =>
+        m.iterator.collect { case (k, v) if v > 1L => k -> (v - 1L) }.toMap
+    }
+
   /** Mergeable Misra-Gries summary (Agarwal et al., "Mergeable
     * Summaries", PODS 2012): `reduce` is the classic streaming update
     * (decrement-all when full), `merge` combines counts then subtracts
@@ -47,15 +61,8 @@ object HeavyHitters {
   final class MisraGriesAgg(capacity: Int)
       extends org.apache.spark.sql.expressions.Aggregator[String, (Long, Map[String, Long]), (Long, Array[String])] {
     def zero: (Long, Map[String, Long]) = (0L, Map.empty)
-    def reduce(b: (Long, Map[String, Long]), t: String): (Long, Map[String, Long]) = {
-      val m = b._2.get(t) match {
-        case Some(v) => b._2.updated(t, v + 1L)
-        case None if b._2.size < capacity => b._2.updated(t, 1L)
-        case None =>
-          b._2.iterator.collect { case (k, v) if v > 1L => k -> (v - 1L) }.toMap
-      }
-      (b._1 + 1L, m)
-    }
+    def reduce(b: (Long, Map[String, Long]), t: String): (Long, Map[String, Long]) =
+      (b._1 + 1L, mgAdd(b._2, t, capacity))
     def merge(l: (Long, Map[String, Long]),
               r: (Long, Map[String, Long])): (Long, Map[String, Long]) = {
       val m = r._2.foldLeft(l._2) { case (acc, (k, v)) =>
