@@ -227,6 +227,24 @@ object Oracles {
        |       round(avg(sentiment_score), 4) AS avg_sentiment
        |FROM trows GROUP BY ts, hashtag""".stripMargin
 
+  /** Spike detection over the per-hashtag timeseries: fire when
+    * 1000·cnt·prev_n ≥ 1100·Σprev over the 3 preceding buckets
+    * (row frame; +10% probe factor — see SparkEntry), warm-up rows
+    * excluded. */
+  val trendSpikes: String =
+    s"""$trendRowsCte
+       |SELECT ts, hashtag, cnt, prev_sum::BIGINT AS prev_sum,
+       |  ((1000 * cnt * prev_n) // prev_sum)::BIGINT AS spike_ratio_pm
+       |FROM (
+       |  SELECT ts, hashtag, cnt,
+       |    sum(cnt) OVER w AS prev_sum,
+       |    count(cnt) OVER w AS prev_n
+       |  FROM (SELECT ts, hashtag, count(*) AS cnt
+       |        FROM trows GROUP BY ts, hashtag)
+       |  WINDOW w AS (PARTITION BY hashtag ORDER BY ts
+       |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+       |WHERE prev_n = 3 AND 1000 * cnt * prev_n >= 1100 * prev_sum""".stripMargin
+
   /** DuckDB has a native ASOF JOIN — the ideal oracle for our
     * union+carry-forward implementation. Right side pre-aggregated to
     * one row per (user, sec) so tie-breaking is deterministic in both

@@ -1555,6 +1555,28 @@ object OraclesLlm {
        |  sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
        |FROM prof GROUP BY source""".stripMargin
 
+  /** Per-doc bigram-hash novelty ([[graft.llm.TextAnalysis
+    * .ngramNovelty]]): distinct k=2 shingle hashes per doc, corpus
+    * first-seen = min doc_id per hash, novelty = permille of a doc's
+    * grams it introduced. */
+  val ngramNovelty: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths
+       |  FROM documents),
+       |dg AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(ths) < 2 THEN []::BIGINT[]
+       |    ELSE [(ths[i+1]*31 + ths[i+2]) % $P
+       |          for i in range(len(ths)-1)] END)) AS sh
+       |  FROM th),
+       |first_seen AS (SELECT sh, min(doc_id) AS first_doc FROM dg GROUP BY sh)
+       |SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+       |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       |  ((1000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END))
+       |    // count(*))::BIGINT AS novelty_pm
+       |FROM dg JOIN first_seen USING (sh)
+       |GROUP BY doc_id""".stripMargin
+
   /** Integer-exact unigram surprisal filter ([[graft.llm.LangModel
     * .unigramSurprisal]]): corpus unigram counts, per-token cost
     * `floor(log2(N div cnt))` via binary-string length, per-doc

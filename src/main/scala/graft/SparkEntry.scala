@@ -113,6 +113,12 @@ object SparkEntry {
       TrendPipeline.countsByCountry(TrendPipeline.trendRows(docs(s, dir)))),
     "hashtag_timeseries" -> ((s, dir) =>
       TrendPipeline.hashtagTimeseries(TrendPipeline.trendRows(docs(s, dir)))),
+    // "suddenly trending": count vs mean of the 3 prior buckets. The
+    // synthetic series is near-uniform, so the registered probe runs at
+    // +10% (1100 pm) to exercise the firing path; the API default is 2x.
+    "trend_spikes" -> ((s, dir) =>
+      TrendPipeline.trendSpikes(TrendPipeline.trendRows(docs(s, dir)),
+        factorPm = 1100L)),
     // ---- A-1 / A-3 event-time analogs over `events` ----
     "windowed_counts" -> ((s, dir) => Windows.tumblingCounts(events(s, dir))),
     "sliding_counts" -> ((s, dir) => Windows.slidingCounts(events(s, dir))),
@@ -314,6 +320,8 @@ object SparkEntry {
       graft.sources.Shards.shardAssign(docs(s, dir))),
     "weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(docs(s, dir))),
     "source_mix" -> ((s, dir) => TextAnalysis.sourceMix(docs(s, dir))),
+    // redundancy dial: permille of a doc's bigram hashes it introduced
+    "ngram_novelty" -> ((s, dir) => TextAnalysis.ngramNovelty(docs(s, dir))),
     // CCNet-style perplexity filter, integer-exact: unigram LM trained
     // on the corpus, per-doc cost in whole bits, keep-gate on the
     // milli-bits-per-token rate
@@ -487,6 +495,7 @@ object SparkEntry {
     "sentiment_distribution" -> Oracles.sentimentDistribution,
     "counts_by_country" -> Oracles.countsByCountry,
     "hashtag_timeseries" -> Oracles.hashtagTimeseries,
+    "trend_spikes" -> Oracles.trendSpikes,
     "windowed_counts" -> Oracles.windowedCounts,
     "sliding_counts" -> Oracles.slidingCounts,
     "stream_count" -> Oracles.streamCount,
@@ -544,6 +553,7 @@ object SparkEntry {
     "shard_assign" -> OraclesLlm.shardAssign,
     "weighted_sample" -> OraclesLlm.weightedSample,
     "source_mix" -> OraclesLlm.sourceMix,
+    "ngram_novelty" -> OraclesLlm.ngramNovelty,
     "unigram_surprisal" -> OraclesLlm.unigramSurprisal,
     "mixture_weights" -> OraclesLlm.mixtureWeights,
     "doc_keywords" -> OraclesLlm.docKeywords,

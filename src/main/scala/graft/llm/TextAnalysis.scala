@@ -611,4 +611,34 @@ object TextAnalysis {
       .select(col("doc_id").as("vec_id"),
         transform(sequence(lit(0L), lit(dim - 1L)),
           d => coalesce(element_at(col("m"), d), lit(0L))).as("qv"))
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * bigrams whose corpus-wide first appearance (min doc_id) is this
+    * doc. The redundancy dial of incremental curation — a doc whose
+    * n-grams were all seen in earlier docs adds nothing even when no
+    * dedup rule fires — and the document-grain complement of
+    * [[bigramCommonness]]'s corpus-grain view.
+    *
+    * Bigrams travel as 8-byte polynomial shingle hashes (the MinHash
+    * family's own k=2 grain), never as strings: both shuffles — the
+    * first-seen min and the attribution join — move (hash, doc_id)
+    * pairs only, keeping the dedup family's no-text-in-shuffles
+    * discipline. Hash collisions merge grams ACROSS the whole corpus
+    * deterministically (novelty is computed at hash grain, same
+    * trade-off as [[graft.llm.Dedup]]'s sketches). Docs with < 2
+    * tokens have no bigrams and drop. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val dg = docs
+      .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"),
+        explode(shingleHashSetFromTokenHashes(col("ths"), 2)).as("sh"))
+    val first = dg.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    dg.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+        expr("(1000 * n_novel) div n_ngrams").as("novelty_pm"))
+  }
 }

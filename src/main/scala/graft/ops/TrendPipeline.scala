@@ -159,6 +159,31 @@ object TrendPipeline {
       count(lit(1)).as("cnt"),
       round(avg("sentiment_score"), 4).as("avg_sentiment"))
 
+  /** Trend SPIKE detection over [[hashtagTimeseries]]: a (ts, hashtag)
+    * bucket spikes when its count is at least `factorPm/1000`× the
+    * mean of that hashtag's previous `lookback` buckets — the "suddenly
+    * trending" signal the reference's dashboard eyeballs, made exact.
+    * The test is pure integer cross-multiplication
+    * (`1000·cnt·lookback ≥ factorPm·Σprev`), and warm-up buckets
+    * (fewer than `lookback` predecessors) never fire.
+    *
+    * Scale: the window partitions by hashtag — one shuffle on the
+    * trend key, each partition a short ordered series; no global
+    * window, no self-join against lagged copies. */
+  def trendSpikes(rows: DataFrame, lookback: Int = 3,
+                  factorPm: Long = 2000L): DataFrame = {
+    val prev = Window.partitionBy("hashtag").orderBy("ts")
+      .rowsBetween(-lookback, -1)
+    hashtagTimeseries(rows)
+      .select(col("ts"), col("hashtag"), col("cnt"))
+      .withColumn("prev_sum", sum("cnt").over(prev))
+      .withColumn("prev_n", count("cnt").over(prev))
+      .filter(col("prev_n") === lookback &&
+        col("cnt") * 1000L * col("prev_n") >= lit(factorPm) * col("prev_sum"))
+      .select(col("ts"), col("hashtag"), col("cnt"), col("prev_sum"),
+        expr("(1000 * cnt * prev_n) div prev_sum").as("spike_ratio_pm"))
+  }
+
   /** One per-bucket candidate for [[TopNTrendsAgg]]. */
   final case class TrendHit(cnt: Long, hashtag: String)
 

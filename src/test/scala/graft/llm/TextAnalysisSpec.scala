@@ -316,4 +316,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSet == expect)
     assert(got.count(_._1 == "en") == 2 && got.count(_._1 == "es") == 2)
   }
+
+  test("ngramNovelty: first-seen attribution by doc_id, permille exact, short docs drop") {
+    val docs = Seq(
+      (0L, "a b c"),   // {ab, bc} both introduced here -> 1000
+      (1L, "a b d"),   // {ab, bd}: ab seen in doc 0 -> 500
+      (2L, "a b c"),   // all seen -> 0
+      (3L, "x"))       // single token: no bigrams, drops
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_pm"))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got(0L) == (2L, 2L, 1000L))
+    assert(got(1L) == (2L, 1L, 500L))
+    assert(got(2L) == (2L, 0L, 0L))
+  }
+
+  test("ngramNovelty: repeated bigrams inside one doc count once (distinct grams)") {
+    val docs = Seq((0L, "a b a b a b")).toDF("doc_id", "text")
+    // bigrams: ab, ba, ab, ba, ab -> distinct {ab, ba}
+    val got = TextAnalysis.ngramNovelty(docs).collect().head
+    assert(got.getAs[Long]("n_ngrams") == 2L)
+    assert(got.getAs[Long]("novelty_pm") == 1000L)
+  }
 }

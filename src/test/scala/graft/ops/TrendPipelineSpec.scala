@@ -70,4 +70,22 @@ class TrendPipelineSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
     assert(got.toSeq == Seq(("#a", 2L, 2.0), ("#b", 1L, 2.0)))
   }
+
+  test("trendSpikes: fires on a 2x jump after warm-up, never during warm-up") {
+    // #x: counts 4,4,4,9,4 across buckets 0..4 — only bucket 3 doubles
+    // its trailing mean; #y is huge from bucket 0 but has no history
+    def burst(ts: Int, tag: String, n: Int) =
+      Seq.fill(n)((ts, tag, 2.0))
+    val rows = (burst(0, "#x", 4) ++ burst(1, "#x", 4) ++ burst(2, "#x", 4) ++
+      burst(3, "#x", 9) ++ burst(4, "#x", 4) ++
+      burst(0, "#y", 50) ++ burst(1, "#y", 50))
+      .toDF("ts", "hashtag", "sentiment_score")
+    val got = TrendPipeline.trendSpikes(rows).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getInt(r.fieldIndex("ts")) == 3 &&
+      r.getAs[String]("hashtag") == "#x")
+    assert(r.getAs[Long]("cnt") == 9L && r.getAs[Long]("prev_sum") == 12L)
+    assert(r.getAs[Long]("spike_ratio_pm") == 2250L) // (1000*9*3) div 12
+  }
 }
