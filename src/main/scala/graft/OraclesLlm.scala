@@ -1773,6 +1773,33 @@ object OraclesLlm {
        |SELECT vec_a, vec_b, round(cos, 6) AS score
        |FROM scored WHERE cos >= 0.99""".stripMargin
 
+  /** Per-source centroid coherence ([[graft.llm.Similarity
+    * .sourceCentroids]]): floor-mean centroid per source, member
+    * cosines rounded to micro-units per row before the mean/min. */
+  val sourceCentroids: String =
+    s"""WITH e AS (SELECT vec_id, ${quantE("embedding")} AS qv FROM embeddings),
+       |t AS (
+       |  SELECT d.source, e.vec_id, e.qv
+       |  FROM e JOIN documents d ON d.doc_id = e.vec_id),
+       |dd AS (
+       |  SELECT source, u FROM (
+       |    SELECT source,
+       |      unnest([{'p': i, 'd': qv[i+1]} for i in range(len(qv))]) AS u
+       |    FROM t)),
+       |m AS (
+       |  SELECT source, u.p AS pos,
+       |    floor(sum(u.d)::DOUBLE / count(*)::DOUBLE)::BIGINT AS vdim
+       |  FROM dd GROUP BY source, u.p),
+       |c AS (SELECT source, list(vdim ORDER BY pos) AS cv FROM m GROUP BY source),
+       |sc AS (
+       |  SELECT t.source,
+       |    round(${cosE("t.qv", "c.cv")} * 1000000)::BIGINT AS cos_micro
+       |  FROM t JOIN c USING (source))
+       |SELECT source, count(*)::BIGINT AS n_vecs,
+       |  (sum(cos_micro) // count(*))::BIGINT AS mean_cos_micro,
+       |  min(cos_micro)::BIGINT AS min_cos_micro
+       |FROM sc GROUP BY source""".stripMargin
+
   /** Shared CTE chain for the SemDeDup queries ([[graft.llm.Similarity
     * .semanticDedup]]): dup-injected corpus, quantize, first-16 seeds,
     * ONE Lloyd round (same recurrence as the ivf `refine` block:

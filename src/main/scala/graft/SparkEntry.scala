@@ -421,6 +421,10 @@ object SparkEntry {
     // rebuild-vs-append decision signal
     "ann_cell_stats" -> ((s, dir) =>
       Similarity.cellStats(Tables.embeddings(s, dir))),
+    // per-source centroid coherence: drift/outlier report over the
+    // embedding column, keyed by the documents table's source
+    "source_centroids" -> ((s, dir) =>
+      Similarity.sourceCentroids(docs(s, dir), Tables.embeddings(s, dir))),
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Similarity.withDupVectors(Tables.embeddings(s, dir)))),
@@ -597,6 +601,7 @@ object SparkEntry {
     "embedding_near_dup_mp" -> OraclesLlm.embeddingNearDupMp,
     "embedding_dedup_recall" -> OraclesLlm.embeddingDedupRecall,
     "semantic_dedup" -> OraclesLlm.semanticDedup,
+    "source_centroids" -> OraclesLlm.sourceCentroids,
     "semantic_dedup_stats" -> OraclesLlm.semanticDedupStats,
     "media_dedup" -> OraclesLlm.mediaDedup,
     "media_meta" -> OraclesLlm.mediaMeta,

@@ -810,6 +810,47 @@ object Similarity {
         col("dup_of"))
   }
 
+  /** Per-source embedding centroid quality — the drift/coherence report
+    * a pipeline reads before trusting a source's embeddings: each
+    * source's centroid is the floor of its members' per-dimension mean
+    * (the [[refinedCentroids]] recurrence, keyed by source instead of
+    * cell), and dispersion is the mean and worst cosine of members to
+    * their own centroid. A source whose mean cosine collapses is
+    * incoherent (mixed content); one whose min collapses has outliers.
+    *
+    * Determinism: cosines are rounded to integer MICRO-units per row
+    * before aggregation, so partial-agg order can never flip the
+    * result. Scale: the centroid agg shuffles |sources|×dims grouped
+    * rows (partial-aggregated), centroids broadcast back param-sized;
+    * the only corpus-sized shuffle is the doc→source attribution join
+    * on the id key. */
+  def sourceCentroids(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
+    val tagged = vecs.join(
+      docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+    val cents = tagged
+      .select(col("source"), posexplode(col("qv")))
+      .groupBy("source", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"),
+          floor(col("s").cast("double") / col("n").cast("double"))
+            .cast("long").as("v")))),
+        x => x("v")).as("cv"))
+      .withColumn("cnrm", sqrt(norm2Q(col("cv")).cast("double")))
+    tagged.join(broadcast(cents), "source")
+      .select(col("source"),
+        round(dotQ(col("qv"), col("cv")).cast("double") /
+          (col("nrm") * col("cnrm")) * 1e6).cast("long").as("cos_micro"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(cos_micro) div count(1)").as("mean_cos_micro"),
+        min("cos_micro").as("min_cos_micro"))
+  }
+
   /** Per-cell view of [[semanticDedup]]: population, duplicates found,
     * and the kept fraction in exact permille — the cell-level signal a
     * pipeline uses to spot over-merged cells (keep_pm collapsing means

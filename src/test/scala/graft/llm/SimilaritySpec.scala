@@ -364,6 +364,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) == (1L, Some(0L)) && got(2L) == (1L, Some(0L)))
   }
 
+  test("sourceCentroids: coherent source reads 1.0, split source reads cos(45°), micro-exact") {
+    val docs = Seq(
+      (0L, "same"), (1L, "same"), (10L, "mix"), (11L, "mix"))
+      .toDF("doc_id", "source")
+    val embs = emb(
+      (0L, Seq(1f, 2f)), (1L, Seq(1f, 2f)),       // identical pair
+      (10L, Seq(1f, 0f)), (11L, Seq(0f, 1f)))     // orthogonal pair
+    val got = Similarity.sourceCentroids(docs, embs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("mean_cos_micro"),
+          r.getAs[Long]("min_cos_micro"))).toMap
+    assert(got("same") == (2L, 1000000L, 1000000L))
+    // centroid of (8192,0),(0,8192) floor-means to (4096,4096):
+    // both members sit at cos 45° = 0.707107 in micro-units
+    assert(got("mix") == (2L, 707107L, 707107L))
+  }
+
   test("semanticDedup on driver corpus: every injected identical dup is caught") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")
