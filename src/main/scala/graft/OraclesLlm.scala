@@ -1602,6 +1602,32 @@ object OraclesLlm {
        |    THEN 1 ELSE 0 END::BIGINT AS kept
        |FROM d""".stripMargin
 
+  /** Snapshot drift ([[graft.llm.LangModel.tokenDrift]] over the
+    * doc_id-parity split): exact L1 distance between unigram
+    * micro-rate distributions. */
+  val tokenDrift: String =
+    s"""WITH ta AS (
+       |  SELECT unnest(${toksE("text")}) AS token
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |tb AS (
+       |  SELECT unnest(${toksE("text")}) AS token
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |ca AS (SELECT token, count(*)::BIGINT AS cnt_a FROM ta GROUP BY token),
+       |cb AS (SELECT token, count(*)::BIGINT AS cnt_b FROM tb GROUP BY token),
+       |j AS (
+       |  SELECT coalesce(ca.token, cb.token) AS token,
+       |    coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+       |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+       |tot AS (SELECT sum(cnt_a)::BIGINT AS total_a,
+       |          sum(cnt_b)::BIGINT AS total_b FROM j)
+       |SELECT total_a AS n_tokens_a, total_b AS n_tokens_b,
+       |  sum(CASE WHEN cnt_a > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_a,
+       |  sum(CASE WHEN cnt_b > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_b,
+       |  count(*)::BIGINT AS vocab_union,
+       |  sum(abs((1000000 * cnt_a) // total_a
+       |        - (1000000 * cnt_b) // total_b))::BIGINT AS l1_drift_micro
+       |FROM j, tot GROUP BY total_a, total_b""".stripMargin
+
   /** Temperature mixing weights ([[graft.llm.LangModel
     * .mixtureWeights]], α = 0.5): w = floor(sqrt(source tokens)) —
     * IEEE sqrt is correctly rounded, argument exact — natural vs

@@ -330,6 +330,14 @@ object SparkEntry {
     // temperature mixing (α=0.5): sample shares ∝ sqrt(source tokens)
     "mixture_weights" -> ((s, dir) =>
       LangModel.mixtureWeights(docs(s, dir))),
+    // snapshot shift detector: exact L1 distance between the unigram
+    // micro-rate distributions of the doc_id-parity halves
+    "token_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LangModel.tokenDrift(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
     "doc_keywords" -> ((s, dir) => TextAnalysis.docKeywords(docs(s, dir))),
     "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(docs(s, dir))),
     "encode_docs" -> ((s, dir) => TextAnalysis.encodeDocs(docs(s, dir))),
@@ -560,6 +568,7 @@ object SparkEntry {
     "ngram_novelty" -> OraclesLlm.ngramNovelty,
     "unigram_surprisal" -> OraclesLlm.unigramSurprisal,
     "mixture_weights" -> OraclesLlm.mixtureWeights,
+    "token_drift" -> OraclesLlm.tokenDrift,
     "doc_keywords" -> OraclesLlm.docKeywords,
     "oov_rate" -> OraclesLlm.oovRate,
     "encode_docs" -> OraclesLlm.encodeDocs,

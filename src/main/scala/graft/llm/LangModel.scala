@@ -56,6 +56,42 @@ object LangModel {
         when(col("millibits_per_token") <= keepMaxMillibits, 1L).otherwise(0L))
   }
 
+  /** Distribution drift between two corpus snapshots: the exact L1
+    * distance between their unigram distributions, in integer
+    * micro-rates — the shift detector a pipeline runs before letting a
+    * new crawl batch into the mix (0 = identical distributions;
+    * 2,000,000 = disjoint vocabularies). Per-token rates are
+    * `(1e6·cnt) div total`, so the statistic is engine-exact and
+    * monotone under real drift while rounding error stays ≤ 1 micro
+    * per token.
+    *
+    * Scale: one scan per side collapses to (token, cnt) map-side; the
+    * only wide shuffle is the full-outer vocab join on the token key
+    * (slim count rows). The two totals ride along as 1-row
+    * broadcasts and the output is a single row. */
+  def tokenDrift(docsA: DataFrame, docsB: DataFrame): DataFrame = {
+    def counts(d: DataFrame, side: String) = d
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(s"cnt_$side"))
+    val ca = counts(docsA, "a")
+    val cb = counts(docsB, "b")
+    val joined = ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    joined
+      .join(broadcast(joined.agg(sum("cnt_a").as("total_a"),
+        sum("cnt_b").as("total_b"))))
+      .agg(
+        first("total_a").as("n_tokens_a"),
+        first("total_b").as("n_tokens_b"),
+        sum(when(col("cnt_a") > 0, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("cnt_b") > 0, 1L).otherwise(0L)).as("vocab_b"),
+        count(lit(1)).as("vocab_union"),
+        sum(expr("abs((1000000 * cnt_a) div total_a" +
+          " - (1000000 * cnt_b) div total_b)")).as("l1_drift_micro"))
+  }
+
   /** Temperature-based data-mixing weights over sources (α = 0.5):
     * sample probability ∝ n_tokens^α, the standard move that
     * up-weights small sources relative to their natural share without

@@ -55,6 +55,30 @@ class LangModelSpec extends SparkSpec {
     assert(got("big")._5 < 1000L && got("small")._5 > 1000L)
   }
 
+  test("tokenDrift: identical snapshots read 0, disjoint read ~2,000,000") {
+    val a = Seq((0L, "x y z")).toDF("doc_id", "text")
+    val b = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val same = LangModel.tokenDrift(a, b).collect().head
+    assert(same.getAs[Long]("l1_drift_micro") == 0L)
+    assert(same.getAs[Long]("vocab_union") == 3L)
+    val c = Seq((2L, "p q r")).toDF("doc_id", "text")
+    val disj = LangModel.tokenDrift(a, c).collect().head
+    // 6 tokens at floor(1e6/3) = 333333 each: the documented <=1 micro
+    // per-token floor loss shows up exactly here
+    assert(disj.getAs[Long]("l1_drift_micro") == 1999998L)
+    assert(disj.getAs[Long]("vocab_union") == 6L)
+  }
+
+  test("tokenDrift: hand-computed partial shift") {
+    // A: a a b (a=2/3, b=1/3); B: a b b b (a=1/4, b=3/4)
+    // micro: a 666666 vs 250000 -> 416666; b 333333 vs 750000 -> 416667
+    val a = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val b = Seq((1L, "a b b b")).toDF("doc_id", "text")
+    val r = LangModel.tokenDrift(a, b).collect().head
+    assert(r.getAs[Long]("n_tokens_a") == 3L && r.getAs[Long]("n_tokens_b") == 4L)
+    assert(r.getAs[Long]("l1_drift_micro") == 833333L)
+  }
+
   test("mixtureWeights on driver corpus: shares sum to ~1000, ratios bracket 1000") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")
