@@ -283,6 +283,19 @@ object Oracles {
        |       min(sec) AS session_start, max(sec) AS session_end
        |FROM sessioned GROUP BY user_id, session_id""".stripMargin
 
+  /** Sessionization rollup ([[graft.ops.Windows.sessionStats]]): the
+    * [[userSessions]] chain wrapped as a derived table, then one
+    * integer-exact grand aggregate. */
+  val sessionStats: String =
+    s"""SELECT count(*)::BIGINT AS n_sessions,
+       |  sum(n_events)::BIGINT AS total_events,
+       |  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_single,
+       |  ((1000 * sum(n_events)) // count(*))::BIGINT AS mean_events_pm,
+       |  sum(session_end - session_start)::BIGINT AS total_dur_sec,
+       |  max(session_end - session_start)::BIGINT AS max_dur_sec,
+       |  (sum(session_end - session_start) // count(*))::BIGINT AS mean_dur_sec
+       |FROM ($userSessions)""".stripMargin
+
   /** The flatMapGroupsWithState batch twin emits (user, start, end, n)
     * without a session ordinal — same lag/cumsum CTEs, projected down. */
   val statefulSessions: String =

@@ -175,6 +175,25 @@ object OraclesLlm {
        |  heur_hq::BIGINT AS heur_hq
        |FROM sc""".stripMargin
 
+  /** Decile lift over the scored docs ([[graft.llm.Classifier.lift]]):
+    * ntile(10) on (score desc, doc_id), per-decile positive rate vs
+    * the global rate in exact permille. */
+  val classifierLift: String =
+    s"""$classifierScoredCte,
+       |b AS (
+       |  SELECT doc_id, heur_hq::BIGINT AS hq,
+       |    ntile(10) OVER (ORDER BY score_ppm DESC, doc_id)::BIGINT AS decile
+       |  FROM sc),
+       |per AS (
+       |  SELECT decile, count(*)::BIGINT AS n_docs, sum(hq)::BIGINT AS n_pos
+       |  FROM b GROUP BY decile),
+       |lt AS (SELECT sum(n_docs)::BIGINT AS td, sum(n_pos)::BIGINT AS tp FROM per)
+       |SELECT decile, n_docs, n_pos,
+       |  ((1000 * n_pos) // n_docs)::BIGINT AS pos_rate_pm,
+       |  CASE WHEN tp > 0
+       |    THEN ((1000 * n_pos * td) // (n_docs * tp))::BIGINT END AS lift_pm
+       |FROM per, lt""".stripMargin
+
   val classifierAuc: String =
     s"""$classifierScoredCte,
        |g AS (
@@ -1497,6 +1516,22 @@ object OraclesLlm {
        |  (((doc_id % $P) * 2654435761 + 104729) % $P)::BIGINT AS sort_key,
        |  ((((doc_id % $P) * 2654435761 + 104729) % $P) % 8)::BIGINT AS shard
        |FROM documents""".stripMargin
+
+  /** Shard balance ([[graft.sources.Shards.shardBalance]]): per-shard
+    * doc/token populations and skew vs the uniform share. */
+  val shardBalance: String =
+    s"""WITH s AS (
+       |  SELECT ((((doc_id % $P) * 2654435761 + 104729) % $P) % 8)::BIGINT AS shard,
+       |    len(${toksE("text")})::BIGINT AS wc
+       |  FROM documents),
+       |per AS (
+       |  SELECT shard, count(*)::BIGINT AS n_docs, sum(wc)::BIGINT AS n_tokens
+       |  FROM s GROUP BY shard),
+       |tot AS (SELECT sum(n_docs)::BIGINT AS td, sum(n_tokens)::BIGINT AS tt FROM per)
+       |SELECT shard, n_docs, n_tokens,
+       |  ((1000 * n_docs * 8) // td)::BIGINT AS doc_skew_pm,
+       |  ((1000 * n_tokens * 8) // tt)::BIGINT AS token_skew_pm
+       |FROM per, tot""".stripMargin
 
   val sampleDocs: String =
     s"""SELECT doc_id, ${bucketE("doc_id")}::BIGINT AS bucket

@@ -124,6 +124,7 @@ object SparkEntry {
     "sliding_counts" -> ((s, dir) => Windows.slidingCounts(events(s, dir))),
     "stream_count" -> ((s, dir) => Windows.streamCount(events(s, dir))),
     "user_sessions" -> ((s, dir) => Windows.userSessions(events(s, dir))),
+    "session_stats" -> ((s, dir) => Windows.sessionStats(events(s, dir))),
     // the flatMapGroupsWithState custom-state twin, run in batch mode
     "stateful_sessions" -> ((s, dir) =>
       graft.streaming.StatefulSessions.sessionizeBatch(events(s, dir)).toDF()),
@@ -149,6 +150,9 @@ object SparkEntry {
     // model evaluation at corpus scale: exact tie-aware AUC + PR sweep
     "classifier_auc" -> ((s, dir) =>
       Classifier.auc(Classifier.scoreDocs(docs(s, dir)))),
+    // where to cut: per-decile positive rate vs the global rate
+    "classifier_lift" -> ((s, dir) =>
+      Classifier.lift(Classifier.scoreDocs(docs(s, dir)))),
     "classifier_pr_curve" -> ((s, dir) =>
       Classifier.prCurve(Classifier.scoreDocs(docs(s, dir)))),
     // lexical retrieval: integer-exact BM25-shaped top-k
@@ -316,6 +320,8 @@ object SparkEntry {
     "strip_repeated_spans" -> ((s, dir) =>
       Dedup.stripRepeatedSpans(Dedup.withBoilerplate(docs(s, dir)))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
+    "shard_balance" -> ((s, dir) =>
+      graft.sources.Shards.shardBalance(docs(s, dir))),
     "shard_assign" -> ((s, dir) =>
       graft.sources.Shards.shardAssign(docs(s, dir))),
     "weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(docs(s, dir))),
@@ -512,6 +518,7 @@ object SparkEntry {
     "sliding_counts" -> Oracles.slidingCounts,
     "stream_count" -> Oracles.streamCount,
     "user_sessions" -> Oracles.userSessions,
+    "session_stats" -> Oracles.sessionStats,
     "stateful_sessions" -> Oracles.statefulSessions,
     "asof_join" -> Oracles.asofJoin,
     "q1_agg" -> Oracles.q1Agg,
@@ -526,6 +533,7 @@ object SparkEntry {
     "classifier_weights" -> OraclesLlm.classifierWeights,
     "classifier_score" -> OraclesLlm.classifierScore,
     "classifier_auc" -> OraclesLlm.classifierAuc,
+    "classifier_lift" -> OraclesLlm.classifierLift,
     "classifier_pr_curve" -> OraclesLlm.classifierPrCurve,
     "bm25_topk" -> OraclesLlm.bm25TopK,
     "semantic_topk" -> OraclesLlm.semanticTopK,
@@ -563,6 +571,7 @@ object SparkEntry {
     "strip_repeated_spans" -> OraclesLlm.stripRepeatedSpans,
     "sample_docs" -> OraclesLlm.sampleDocs,
     "shard_assign" -> OraclesLlm.shardAssign,
+    "shard_balance" -> OraclesLlm.shardBalance,
     "weighted_sample" -> OraclesLlm.weightedSample,
     "source_mix" -> OraclesLlm.sourceMix,
     "ngram_novelty" -> OraclesLlm.ngramNovelty,

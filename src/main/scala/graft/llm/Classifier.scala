@@ -218,4 +218,32 @@ object Classifier {
         coalesce(col("score_ppm"), lit(0L)).as("score_ppm"),
         (coalesce(col("score_ppm"), lit(0L)) > 0).cast("long").as("pred_hq"),
         col("heur_hq"))
+
+  /** Decile lift table over [[scoreDocs]] output: rank by score, split
+    * into `nBuckets` equal groups, and report each group's positive
+    * rate against the global rate (lift_pm = 1000 means no better than
+    * random; the top decile of a useful model reads far above it).
+    * The practitioner's complement to [[auc]]: AUC says the ranking is
+    * good somewhere, lift says WHERE to cut.
+    *
+    * Like [[auc]], this is an evaluation-sample operator: `ntile` over
+    * a global order is a global sort by definition of deciles — run it
+    * on the bounded eval split, not a 100 TB corpus. NULL lift when no
+    * positives exist, not a division blow-up. */
+  def lift(scored: DataFrame, nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = scored
+      .select(col("doc_id"), col("score_ppm"), col("heur_hq"))
+      .withColumn("decile", ntile(nBuckets)
+        .over(Window.orderBy(col("score_ppm").desc, col("doc_id")))
+        .cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("heur_hq").as("n_pos"))
+    per
+      .join(broadcast(per.agg(sum("n_docs").as("td"), sum("n_pos").as("tp"))))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        expr("(1000 * n_pos) div n_docs").as("pos_rate_pm"),
+        when(col("tp") > 0,
+          expr("(1000 * n_pos * td) div (n_docs * tp)")).as("lift_pm"))
+  }
 }

@@ -79,6 +79,25 @@ object Windows {
         max("sec").as("session_end"))
   }
 
+  /** Corpus-level sessionization rollup over [[userSessions]]: the
+    * engagement summary a dashboard reads — session count, events per
+    * session (exact permille), single-event bounce count, and duration
+    * aggregates, all integer-exact. One extra ~single-row aggregation
+    * on top of the session shuffle. */
+  def sessionStats(events: DataFrame, gapSec: Long = 1800L): DataFrame =
+    userSessions(events, gapSec)
+      .select((col("session_end") - col("session_start")).as("dur"),
+        col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("total_events"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_single"),
+        sum("dur").as("total_dur_sec"),
+        max("dur").as("max_dur_sec"))
+      .select(col("n_sessions"), col("total_events"), col("n_single"),
+        expr("(1000 * total_events) div n_sessions").as("mean_events_pm"),
+        col("total_dur_sec"), col("max_dur_sec"),
+        expr("total_dur_sec div n_sessions").as("mean_dur_sec"))
+
   /** As-of join — an operator Spark has no native form of (SURVEY §2.6
     * notes the reference has none either; this is the extension set):
     * for every left event, the latest right event with

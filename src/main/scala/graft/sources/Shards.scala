@@ -41,6 +41,28 @@ object Shards {
       sortKey(col("doc_id")).as("sort_key"),
       pmod(sortKey(col("doc_id")), lit(nShards.toLong)).as("shard"))
 
+  /** Shard balance report — the check a training run makes before
+    * trusting the export: per shard, document and token populations
+    * with their skew against a perfectly uniform spread (1000 = exact
+    * fair share). Doc skew validates the hash; token skew catches the
+    * failure the hash CANNOT see — length concentration, where a shard
+    * holds its fair share of docs but a multiple of the tokens, and
+    * data-parallel steps go long-pole on it. One fused scan, one
+    * ~nShards-group shuffle, totals as a 1-row broadcast. */
+  def shardBalance(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val perShard = docs.select(
+        pmod(sortKey(col("doc_id")), lit(nShards.toLong)).as("shard"),
+        size(graft.llm.TextFns.tokens(col("text"))).cast("long").as("wc"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("wc").as("n_tokens"))
+    perShard
+      .join(broadcast(perShard.agg(sum("n_docs").as("td"),
+        sum("n_tokens").as("tt"))))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr(s"(1000 * n_docs * $nShards) div td").as("doc_skew_pm"),
+        expr(s"(1000 * n_tokens * $nShards) div tt").as("token_skew_pm"))
+  }
+
   /** Write the corpus as `nShards` hive-partitioned shard directories
     * (`shard=K/`), each internally ordered by (sort_key, doc_id).
     * One exchange (hash on shard), one per-task spillable sort. */

@@ -149,4 +149,27 @@ class ClassifierSpec extends SparkSpec {
     assert(topTokens.exists(TextAnalysis.Stopwords.contains),
       s"expected a stopword among the top weights, got $topTokens")
   }
+
+  test("lift: a perfect ranking concentrates all positives in the top bucket") {
+    import spark.implicits._
+    val scored = Seq(
+      (0L, 400L, 1L), (1L, 300L, 1L), (2L, 200L, 0L), (3L, 100L, 0L))
+      .toDF("doc_id", "score_ppm", "heur_hq")
+    val got = Classifier.lift(scored, nBuckets = 2).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("pos_rate_pm"),
+          Option(r.getAs[java.lang.Long]("lift_pm")).map(_.toLong))).toMap
+    // global rate 1/2: top bucket rate 1 -> lift 2000, bottom -> 0
+    assert(got(1L) == (2L, 2L, 1000L, Some(2000L)))
+    assert(got(2L) == (2L, 0L, 0L, Some(0L)))
+  }
+
+  test("lift: NULL lift when the sample has no positives") {
+    import spark.implicits._
+    val scored = Seq((0L, 10L, 0L), (1L, 5L, 0L))
+      .toDF("doc_id", "score_ppm", "heur_hq")
+    val got = Classifier.lift(scored, nBuckets = 2).collect()
+    got.foreach(r => assert(r.isNullAt(r.fieldIndex("lift_pm"))))
+  }
 }

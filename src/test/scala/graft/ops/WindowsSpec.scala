@@ -14,6 +14,22 @@ class WindowsSpec extends SparkSpec {
     rows.toSeq.map { case (e, u, s) => (e, u, new Timestamp(s * 1000L)) }
       .toDF("event_id", "user_id", "ts")
 
+  test("sessionStats: hand-computed rollup over mixed sessions") {
+    // u7: [1000,1100] (2 ev, dur 100) + [4001] (1 ev); u9: [500] (1 ev)
+    val df = ev(
+      (1L, 7L, 1000L), (2L, 7L, 1100L),
+      (3L, 7L, 1100L + 1801L + 1100L),
+      (4L, 9L, 500L))
+    val r = Windows.sessionStats(df).collect().head
+    assert(r.getAs[Long]("n_sessions") == 3L)
+    assert(r.getAs[Long]("total_events") == 4L)
+    assert(r.getAs[Long]("n_single") == 2L)
+    assert(r.getAs[Long]("mean_events_pm") == 1333L)
+    assert(r.getAs[Long]("total_dur_sec") == 100L)
+    assert(r.getAs[Long]("max_dur_sec") == 100L)
+    assert(r.getAs[Long]("mean_dur_sec") == 33L)
+  }
+
   test("userSessions splits on >30min gaps, deterministic ids") {
     val df = ev(
       (1L, 7L, 1000L), (2L, 7L, 1100L),          // session 1

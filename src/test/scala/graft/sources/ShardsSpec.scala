@@ -63,4 +63,21 @@ class ShardsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Long]("shard")).toMap
     small.foreach { case (id, s) => assert(big(id) == s) }
   }
+
+  test("shardBalance: populations sum to the corpus and skews match the formula") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, ("w " * (1 + (i % 5).toInt)).trim))
+      .toSeq.toDF("doc_id", "text")
+    val rows = Shards.shardBalance(docs).collect()
+    val td = rows.map(_.getAs[Long]("n_docs")).sum
+    val tt = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(td == 40L)
+    assert(tt == (0L until 40L).map(i => 1 + (i % 5)).sum)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_skew_pm") ==
+        1000L * r.getAs[Long]("n_docs") * 8L / td)
+      assert(r.getAs[Long]("token_skew_pm") ==
+        1000L * r.getAs[Long]("n_tokens") * 8L / tt)
+    }
+  }
 }
