@@ -1781,6 +1781,47 @@ object OraclesLlm {
        |    AS seg_text
        |FROM g""".stripMargin
 
+  /** Bucket-local next-fit fold ([[graft.llm.Packing.binPack]]) as a
+    * RECURSIVE CTE: one row per (bucket, position), carrying the
+    * running (bin, used) state — the same fold Spark runs inside the
+    * bounded `aggregate` lambda. Recursion depth ≤ bucketSize (64). */
+  private val binPackCtes: String =
+    frag(s"""base AS (
+       |  SELECT doc_id, least(len(toks), 128)::BIGINT AS seg,
+       |    (doc_id // 64)::BIGINT AS bucket
+       |  FROM (SELECT doc_id, ${toksE("text")} AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |bkt AS (
+       |  SELECT bucket,
+       |    list({'doc_id': doc_id, 'seg': seg} ORDER BY doc_id) AS arr
+       |  FROM base GROUP BY bucket),
+       |fold AS (
+       |  SELECT bucket, 1 AS idx, arr,
+       |    arr[1].doc_id AS doc_id, arr[1].seg AS seg,
+       |    0::BIGINT AS bin, arr[1].seg AS used
+       |  FROM bkt
+       |  UNION ALL
+       |  SELECT bucket, idx + 1, arr,
+       |    arr[idx+1].doc_id, arr[idx+1].seg,
+       |    CASE WHEN used + arr[idx+1].seg <= 128 THEN bin ELSE bin + 1 END,
+       |    CASE WHEN used + arr[idx+1].seg <= 128
+       |      THEN used + arr[idx+1].seg ELSE arr[idx+1].seg END
+       |  FROM fold WHERE idx < len(arr))""".stripMargin)
+
+  val binPack: String =
+    s"""WITH RECURSIVE $binPackCtes
+       |SELECT doc_id, seg AS seg_tokens, bucket, bin AS bin_local,
+       |  (bucket * 64 + bin)::BIGINT AS bin_id
+       |FROM fold""".stripMargin
+
+  val binPackStats: String =
+    s"""WITH RECURSIVE $binPackCtes
+       |SELECT (bucket * 64 + bin)::BIGINT AS bin_id,
+       |  count(*)::BIGINT AS n_docs, sum(seg)::BIGINT AS used_tokens,
+       |  (128 - sum(seg))::BIGINT AS waste_tokens,
+       |  ((1000 * sum(seg)) // 128)::BIGINT AS fill_pm
+       |FROM fold GROUP BY bucket, bin""".stripMargin
+
   val embeddingNearDup: String =
     s"""WITH corpus AS (
        |  SELECT vec_id, embedding FROM embeddings UNION ALL

@@ -320,6 +320,9 @@ object SparkEntry {
     "strip_repeated_spans" -> ((s, dir) =>
       Dedup.stripRepeatedSpans(Dedup.withBoilerplate(docs(s, dir)))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
+    // whole-doc packing (SFT style): bucket-local next-fit, waste measured
+    "bin_pack" -> ((s, dir) => Packing.binPack(docs(s, dir))),
+    "bin_pack_stats" -> ((s, dir) => Packing.binPackStats(docs(s, dir))),
     "shard_balance" -> ((s, dir) =>
       graft.sources.Shards.shardBalance(docs(s, dir))),
     "shard_assign" -> ((s, dir) =>
@@ -572,6 +575,8 @@ object SparkEntry {
     "sample_docs" -> OraclesLlm.sampleDocs,
     "shard_assign" -> OraclesLlm.shardAssign,
     "shard_balance" -> OraclesLlm.shardBalance,
+    "bin_pack" -> OraclesLlm.binPack,
+    "bin_pack_stats" -> OraclesLlm.binPackStats,
     "weighted_sample" -> OraclesLlm.weightedSample,
     "source_mix" -> OraclesLlm.sourceMix,
     "ngram_novelty" -> OraclesLlm.ngramNovelty,

@@ -95,4 +95,72 @@ object Packing {
           col("seg_start").cast("int"), col("seg_tokens").cast("int")))
           .as("seg_text"))
   }
+
+  /** Whole-document bin packing — the SFT-style complement of
+    * [[packSequences]]: documents are never fragmented (a training
+    * example must stay contiguous with its own attention span), so
+    * padding waste is the price and MEASURING it is the point (see
+    * [[binPackStats]]).
+    *
+    * The object doc above rejects greedy packing because a global
+    * next-fit scan serializes and its answers change with
+    * partitioning. This operator keeps the greedy fold but makes it
+    * BUCKET-LOCAL: docs pack in doc_id order within their
+    * `doc_id div bucketSize` bucket, each bucket starting a fresh bin.
+    * Bin boundaries are then a pure function of the data — same answer
+    * under any partitioning or cluster size — and the sequential scan
+    * is an in-memory fold over ≤ `bucketSize` elements inside one
+    * `aggregate` higher-order expression, still one row per GROUP in
+    * the shuffle. The trade-off is bounded boundary waste: at most one
+    * partially-empty extra bin per bucket versus the global scan.
+    *
+    * Docs longer than `capacity` are truncated to it (they'd never
+    * fit; a real pipeline routes them to [[packSequences]] instead —
+    * documented, deterministic). Token-less docs drop. `bin_id` is
+    * globally unique as `bucket · bucketSize + bin_local` (a bucket of
+    * `bucketSize` docs can never open more than `bucketSize` bins). */
+  def binPack(docs: DataFrame, capacity: Int = 128,
+              bucketSize: Long = 64L): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(bucketSize > 0, "bucketSize must be positive")
+    val cap = lit(capacity.toLong)
+    val base = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), least(col("n"), cap).as("seg"),
+        expr(s"doc_id div $bucketSize").as("bucket"))
+    val assignType = "array<struct<doc_id:bigint,seg:bigint,bin:bigint>>"
+    base.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("seg"))))
+        .as("arr"))
+      .select(col("bucket"), explode(aggregate(
+        col("arr"),
+        struct(lit(0L).as("bin"), lit(0L).as("used"),
+          array().cast(assignType).as("assigns")),
+        (acc, d) => {
+          val fits = acc("used") + d("seg") <= cap
+          val nb = when(fits, acc("bin")).otherwise(acc("bin") + 1L)
+          val nu = when(fits, acc("used") + d("seg")).otherwise(d("seg"))
+          struct(nb.as("bin"), nu.as("used"),
+            concat(acc("assigns"), array(struct(
+              d("doc_id").as("doc_id"), d("seg").as("seg"), nb.as("bin"))))
+              .as("assigns"))
+        },
+        acc => acc("assigns"))).as("a"))
+      .select(col("a.doc_id").as("doc_id"), col("a.seg").as("seg_tokens"),
+        col("bucket"), col("a.bin").as("bin_local"),
+        (col("bucket") * bucketSize + col("a.bin")).as("bin_id"))
+  }
+
+  /** Per-bin waste report over [[binPack]]: fill permille is the
+    * number a pipeline tunes `capacity` against (mean fill collapsing
+    * means capacity is too large for the document length mix). */
+  def binPackStats(docs: DataFrame, capacity: Int = 128,
+                   bucketSize: Long = 64L): DataFrame =
+    binPack(docs, capacity, bucketSize)
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("seg_tokens").as("used_tokens"))
+      .select(col("bin_id"), col("n_docs"), col("used_tokens"),
+        (lit(capacity.toLong) - col("used_tokens")).as("waste_tokens"),
+        expr(s"(1000 * used_tokens) div $capacity").as("fill_pm"))
 }

@@ -67,4 +67,46 @@ class PackingSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(a.toSeq == b.toSeq)
   }
+
+  private def wordDoc(id: Long, n: Int) = (id, ("w " * n).trim)
+
+  test("binPack: hand-computed next-fit within a bucket, overlong doc truncated") {
+    import spark.implicits._
+    val df = Seq(wordDoc(0L, 6), wordDoc(1L, 5), wordDoc(2L, 4),
+      wordDoc(3L, 2), wordDoc(4L, 7), wordDoc(5L, 15))
+      .toDF("doc_id", "text")
+    val got = Packing.binPack(df, capacity = 10, bucketSize = 4L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("seg_tokens"), r.getAs[Long]("bin_id"))).toMap
+    // bucket 0 (ids 0-3): [6]->bin0, [5,4]->bin1 (5+4=9<=10), [2]->bin2
+    assert(got(0L) == (6L, 0L))
+    assert(got(1L) == (5L, 1L) && got(2L) == (4L, 1L))
+    assert(got(3L) == (2L, 2L))
+    // bucket 1 starts fresh; the 15-token doc truncates to capacity
+    assert(got(4L) == (7L, 4L))
+    assert(got(5L) == (10L, 5L)) // 7+10>10 -> next bin
+  }
+
+  test("binPack is invariant under input partitioning (bucket-local fold)") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i => wordDoc(i, 1 + (i % 9).toInt))
+      .toDF("doc_id", "text")
+    val a = Packing.binPack(df).collect().map(_.toSeq).sortBy(_.toString)
+    val b = Packing.binPack(df.repartition(7)).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("binPackStats: fills sum to the packed tokens, waste complements capacity") {
+    import spark.implicits._
+    val df = Seq(wordDoc(0L, 6), wordDoc(1L, 5), wordDoc(2L, 4), wordDoc(3L, 2))
+      .toDF("doc_id", "text")
+    val got = Packing.binPackStats(df, capacity = 10, bucketSize = 4L)
+      .collect().map(r => r.getAs[Long]("bin_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("used_tokens"),
+          r.getAs[Long]("waste_tokens"), r.getAs[Long]("fill_pm"))).toMap
+    assert(got(0L) == (1L, 6L, 4L, 600L))
+    assert(got(1L) == (2L, 9L, 1L, 900L))
+    assert(got(2L) == (1L, 2L, 8L, 200L))
+  }
 }
