@@ -283,6 +283,18 @@ object Oracles {
        |       min(sec) AS session_start, max(sec) AS session_end
        |FROM sessioned GROUP BY user_id, session_id""".stripMargin
 
+  /** JSON props stats ([[graft.ops.Windows.eventPropStats]]):
+    * schema-on-read extraction of the k key, missing keys counted. */
+  val eventPropStats: String =
+    s"""SELECT event_type, count(*)::BIGINT AS n_events,
+       |  sum(coalesce(CAST((props::JSON)->>'k' AS BIGINT), 0))::BIGINT AS k_sum,
+       |  max(CAST((props::JSON)->>'k' AS BIGINT))::BIGINT AS k_max,
+       |  sum(CASE WHEN (props::JSON)->>'k' IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_missing,
+       |  (sum(coalesce(CAST((props::JSON)->>'k' AS BIGINT), 0)) // count(*))::BIGINT
+       |    AS mean_k
+       |FROM events GROUP BY event_type""".stripMargin
+
   /** Sessionization rollup ([[graft.ops.Windows.sessionStats]]): the
     * [[userSessions]] chain wrapped as a derived table, then one
     * integer-exact grand aggregate. */

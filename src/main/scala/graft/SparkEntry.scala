@@ -125,6 +125,8 @@ object SparkEntry {
     "stream_count" -> ((s, dir) => Windows.streamCount(events(s, dir))),
     "user_sessions" -> ((s, dir) => Windows.userSessions(events(s, dir))),
     "session_stats" -> ((s, dir) => Windows.sessionStats(events(s, dir))),
+    // schema-on-read JSON payload column (codegen'd path extraction)
+    "event_props" -> ((s, dir) => Windows.eventPropStats(events(s, dir))),
     // the flatMapGroupsWithState custom-state twin, run in batch mode
     "stateful_sessions" -> ((s, dir) =>
       graft.streaming.StatefulSessions.sessionizeBatch(events(s, dir)).toDF()),
@@ -522,6 +524,7 @@ object SparkEntry {
     "stream_count" -> Oracles.streamCount,
     "user_sessions" -> Oracles.userSessions,
     "session_stats" -> Oracles.sessionStats,
+    "event_props" -> Oracles.eventPropStats,
     "stateful_sessions" -> Oracles.statefulSessions,
     "asof_join" -> Oracles.asofJoin,
     "q1_agg" -> Oracles.q1Agg,

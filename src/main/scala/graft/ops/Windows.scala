@@ -79,6 +79,25 @@ object Windows {
         max("sec").as("session_end"))
   }
 
+  /** Semi-structured payload stats: the `props` column is a JSON blob
+    * (schema-on-read, the event-pipeline norm), extracted per row with
+    * the codegen'd `get_json_object` path expression — no UDF, no
+    * driver-side parse, and the scan still prunes to (event_type,
+    * props). Missing keys surface as a counted `n_missing`, not a
+    * silent zero; the mean is integer-exact over the coalesced sum. */
+  def eventPropStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(coalesce(col("k"), lit(0L))).as("k_sum"),
+        max("k").as("k_max"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .select(col("event_type"), col("n_events"), col("k_sum"),
+        col("k_max"), col("n_missing"),
+        expr("k_sum div n_events").as("mean_k"))
+
   /** Corpus-level sessionization rollup over [[userSessions]]: the
     * engagement summary a dashboard reads — session count, events per
     * session (exact permille), single-event bounce count, and duration

@@ -14,6 +14,23 @@ class WindowsSpec extends SparkSpec {
     rows.toSeq.map { case (e, u, s) => (e, u, new Timestamp(s * 1000L)) }
       .toDF("event_id", "user_id", "ts")
 
+  test("eventPropStats: JSON keys extract, missing keys counted not zeroed") {
+    import spark.implicits._
+    val df = Seq(
+      ("click", """{"k": 5}"""),
+      ("click", """{"k": 7}"""),
+      ("click", """{"other": 1}"""),   // k missing
+      ("view", """{"k": 10}"""))
+      .toDF("event_type", "props")
+    val got = Windows.eventPropStats(df).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("k_sum"),
+          r.getAs[Long]("k_max"), r.getAs[Long]("n_missing"),
+          r.getAs[Long]("mean_k"))).toMap
+    assert(got("click") == (3L, 12L, 7L, 1L, 4L))
+    assert(got("view") == (1L, 10L, 10L, 0L, 10L))
+  }
+
   test("sessionStats: hand-computed rollup over mixed sessions") {
     // u7: [1000,1100] (2 ev, dur 100) + [4001] (1 ev); u9: [500] (1 ev)
     val df = ev(
