@@ -656,6 +656,31 @@ object OraclesLlm {
        |SELECT query_id, vec_id, round(cos, 6) AS score, rank
        |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** Hard-negative mining ([[graft.llm.Similarity.hardNegatives]]):
+    * per query (vec_id < 8), top-5 cross-label neighbors below the
+    * 0.95 false-negative ceiling, plus the same-label positive anchor
+    * (LEFT JOIN → NULL when the query's label has no other member,
+    * matching Spark's sentinel-to-NULL rewrite). */
+  val hardNegatives: String =
+    s"""WITH v AS (SELECT vec_id, label, ${quantE("embedding")} AS qv
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS q_label, qv AS qqv
+       |      FROM v WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT query_id, q_label, vec_id, label, ${cosE("qqv", "qv")} AS cos
+       |  FROM v, q WHERE vec_id <> query_id),
+       |pos AS (SELECT query_id, max(cos) AS pos
+       |        FROM scored WHERE label = q_label GROUP BY 1),
+       |negs AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored WHERE label <> q_label AND cos < 0.95::DOUBLE)
+       |SELECT n.query_id, n.vec_id, round(n.cos, 6) AS score, n.rank,
+       |  round(p.pos, 6) AS pos_score
+       |FROM negs n LEFT JOIN pos p ON n.query_id = p.query_id
+       |WHERE n.rank <= 5""".stripMargin
+
   /** IVF CTE block: deterministic first-N "centroids", max-cosine corpus
     * assignment, queries keep their `nprobe` nearest cells (multi-probe).
     * With `refine`, one Lloyd iteration replaces each non-empty seed
@@ -1662,6 +1687,35 @@ object OraclesLlm {
        |  sum(abs((1000000 * cnt_a) // total_a
        |        - (1000000 * cnt_b) // total_b))::BIGINT AS l1_drift_micro
        |FROM j, tot GROUP BY total_a, total_b""".stripMargin
+
+  /** Source-pair unigram L1 matrix ([[graft.llm.LangModel
+    * .sourceDivergence]]): the oracle spells the same shared-token
+    * identity `L1 = S_a + S_b − 2·Σ_shared min(rate_a, rate_b)` —
+    * integer micro-rates end to end. */
+  val sourceDivergence: String =
+    s"""WITH dt AS (
+       |  SELECT source, unnest(${toksE("text")}) AS token FROM documents),
+       |counts AS (
+       |  SELECT source, token, count(*)::BIGINT AS cnt FROM dt GROUP BY 1, 2),
+       |totals AS (SELECT source, sum(cnt)::BIGINT AS total FROM counts GROUP BY 1),
+       |rates AS (
+       |  SELECT c.source, c.token, ((1000000 * cnt) // total)::BIGINT AS rate
+       |  FROM counts c JOIN totals t ON c.source = t.source),
+       |sums AS (SELECT source, sum(rate)::BIGINT AS s_rate,
+       |           count(*)::BIGINT AS vocab FROM rates GROUP BY 1),
+       |shared AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    count(*)::BIGINT AS shared_vocab,
+       |    sum(least(a.rate, b.rate))::BIGINT AS overlap_micro
+       |  FROM rates a JOIN rates b
+       |    ON a.token = b.token AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+       |  shared_vocab, overlap_micro,
+       |  (sa.s_rate + sb.s_rate - 2 * overlap_micro)::BIGINT AS l1_micro
+       |FROM shared
+       |JOIN sums sa ON source_a = sa.source
+       |JOIN sums sb ON source_b = sb.source""".stripMargin
 
   /** Temperature mixing weights ([[graft.llm.LangModel
     * .mixtureWeights]], α = 0.5): w = floor(sqrt(source tokens)) —

@@ -349,6 +349,10 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(2)) === 0),
         d.filter(pmod(col("doc_id"), lit(2)) === 1))
     }),
+    // source-pair unigram L1 matrix: tokenDrift's within-snapshot twin
+    // via the shared-token identity (no vocab-union materialization)
+    "source_divergence" -> ((s, dir) =>
+      LangModel.sourceDivergence(docs(s, dir))),
     "doc_keywords" -> ((s, dir) => TextAnalysis.docKeywords(docs(s, dir))),
     "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(docs(s, dir))),
     "encode_docs" -> ((s, dir) => TextAnalysis.encodeDocs(docs(s, dir))),
@@ -386,6 +390,11 @@ object SparkEntry {
       Dedup.simhashDedup(Dedup.withNearDups(docs(s, dir)))),
     "cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    // contrastive-training hard negatives: top-k cross-label neighbors
+    // with the false-negative ceiling and the positive anchor fused
+    // into one corpus pass
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "ivf_recall" -> ((s, dir) =>
@@ -586,6 +595,7 @@ object SparkEntry {
     "unigram_surprisal" -> OraclesLlm.unigramSurprisal,
     "mixture_weights" -> OraclesLlm.mixtureWeights,
     "token_drift" -> OraclesLlm.tokenDrift,
+    "source_divergence" -> OraclesLlm.sourceDivergence,
     "doc_keywords" -> OraclesLlm.docKeywords,
     "oov_rate" -> OraclesLlm.oovRate,
     "encode_docs" -> OraclesLlm.encodeDocs,
@@ -601,6 +611,7 @@ object SparkEntry {
     "training_pipeline" -> OraclesLlm.trainingPipeline,
     "simhash_dedup" -> OraclesLlm.simhashDedup,
     "cosine_topk" -> OraclesLlm.cosineTopK,
+    "hard_negatives" -> OraclesLlm.hardNegatives,
     "ivf_topk" -> OraclesLlm.ivfTopK,
     "ivf_recall" -> OraclesLlm.ivfRecall,
     "ivf_topk_p3" -> OraclesLlm.ivfTopKP3,

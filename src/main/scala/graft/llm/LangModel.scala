@@ -92,6 +92,54 @@ object LangModel {
           " - (1000000 * cnt_b) div total_b)")).as("l1_drift_micro"))
   }
 
+  /** Pairwise unigram-distribution distance between sources: for every
+    * source pair (a < b), the exact L1 distance between their unigram
+    * micro-rate distributions — the "are these two slices the same
+    * kind of text?" matrix a mixing stage consults before collapsing
+    * sources into one bucket (0 = identical distributions; 2,000,000 =
+    * disjoint vocabularies). Companion of [[tokenDrift]]: that compares
+    * two SNAPSHOTS of one corpus, this compares every pair of sources
+    * within one snapshot.
+    *
+    * The pair sum never materializes the vocabulary union: with
+    * per-source rate mass `S_x = Σ_tokens rate_x` the identity
+    * `L1(a,b) = S_a + S_b − 2·Σ_shared min(rate_a, rate_b)` reduces
+    * each pair to its SHARED tokens, so the token-keyed self-join is
+    * an inner join on slim (source, token, rate) rows and pairs that
+    * share nothing never produce a row at all (impossible between real
+    * text sources — any shared stopword keeps the pair). All integer:
+    * rates are `(1e6·cnt) div total`, so any engine agrees bit-for-bit.
+    *
+    * Scale shape: occurrences collapse map-side to (source, token)
+    * counts; the self-join fans out each token to the sources sharing
+    * it (≤ |sources|² rows per token, |sources| is small); per-source
+    * totals and rate masses are |sources|-row broadcasts. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("source").agg(sum("cnt").as("total"))
+    val rates = counts.join(broadcast(totals), "source")
+      .select(col("source"), col("token"),
+        expr("(1000000 * cnt) div total").as("rate"))
+    val sums = rates.groupBy("source")
+      .agg(sum("rate").as("s_rate"), count(lit(1)).as("vocab"))
+    val a = rates.toDF("source_a", "token", "rate_a")
+    val b = rates.toDF("source_b", "token", "rate_b")
+    a.join(b, Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_vocab"),
+        sum(least(col("rate_a"), col("rate_b"))).as("overlap_micro"))
+      .join(broadcast(sums.toDF("source_a", "s_a", "vocab_a")), "source_a")
+      .join(broadcast(sums.toDF("source_b", "s_b", "vocab_b")), "source_b")
+      .select(col("source_a"), col("source_b"),
+        col("vocab_a"), col("vocab_b"), col("shared_vocab"),
+        col("overlap_micro"),
+        (col("s_a") + col("s_b") - lit(2L) * col("overlap_micro"))
+          .as("l1_micro"))
+  }
+
   /** Temperature-based data-mixing weights over sources (α = 0.5):
     * sample probability ∝ n_tokens^α, the standard move that
     * up-weights small sources relative to their natural share without

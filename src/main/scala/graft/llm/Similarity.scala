@@ -127,6 +127,86 @@ object Similarity {
         (col("pos") + 1L).cast("long").as("rank"))
   }
 
+  /** One labeled candidate for [[HardNegAgg]]. */
+  final case class LHit(isPos: Boolean, cos: Double, vecId: Long)
+
+  /** [[HardNegAgg]] buffer: running positive-anchor max + negative
+    * top-k. `pos = -2.0` is the "no positive seen" sentinel (cosine is
+    * ≥ -1, so it can never collide with a real anchor). */
+  final case class HNBuf(pos: Double, hits: List[Hit])
+
+  /** Fused per-query aggregate for hard-negative mining: ONE pass over
+    * the scored candidates keeps both the positive anchor (max cosine
+    * over same-label candidates) and the bounded top-k of negatives —
+    * splitting these into two aggregations would scan and score the
+    * corpus twice. Associative/commutative like [[TopKAgg]] (whose
+    * merge it reuses), so it partial-aggregates map-side and each
+    * partition ships ≤ k negatives + one double per query. */
+  final class HardNegAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[LHit, HNBuf, HNBuf] {
+    private val top = new TopKAgg(k)
+    def zero: HNBuf = HNBuf(-2.0, Nil)
+    def reduce(b: HNBuf, h: LHit): HNBuf =
+      if (h.isPos) HNBuf(math.max(b.pos, h.cos), b.hits)
+      else HNBuf(b.pos, top.merge(b.hits, List(Hit(h.cos, h.vecId))))
+    def merge(l: HNBuf, r: HNBuf): HNBuf =
+      HNBuf(math.max(l.pos, r.pos), top.merge(l.hits, r.hits))
+    def finish(b: HNBuf): HNBuf = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[HNBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[HNBuf]()
+    def outputEncoder: org.apache.spark.sql.Encoder[HNBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[HNBuf]()
+  }
+
+  /** Hard-negative mining for contrastive retrieval training (the
+    * ANCE/RocketQA move): for each query vector, the k most-similar
+    * corpus vectors with a DIFFERENT label — the negatives a dense
+    * retriever actually confuses, which train far better than random
+    * ones. Two standard guards:
+    *   - false-negative filter: candidates with cosine ≥ `maxCos` are
+    *     dropped (RocketQA's denoising — a "negative" nearly identical
+    *     to the query is almost certainly a mislabeled positive);
+    *   - the per-query positive anchor (max same-label cosine,
+    *     `pos_score`) rides along, so a consumer can margin-filter
+    *     (negatives too close to the anchor) without re-scoring.
+    *     NULL if the query's label has no other member.
+    *
+    * Scale shape: identical to [[cosineTopKQ]] — queries broadcast,
+    * one corpus scan, and the fused [[HardNegAgg]] ships ≤ k hits +
+    * one anchor per (query, partition); no window sort, no second
+    * scan for the anchor. */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+                    maxCos: Double = 0.95): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("qv"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("qv").as("qqv"))
+      .withColumn("qn", sqrt(norm2Q(col("qqv")).cast("double")))
+    val c = vecs.withColumn("cn", sqrt(norm2Q(col("qv")).cast("double")))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        (col("label") === col("q_label")).as("is_pos"),
+        col("vec_id"),
+        (dotQ(col("qqv"), col("qv")).cast("double") / (col("qn") * col("cn")))
+          .as("cos"))
+      .filter(col("is_pos") || col("cos") < lit(maxCos))
+    scored.as[(Long, Boolean, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => LHit(t._2, t._4, t._3))
+      .agg(new HardNegAgg(k).toColumn.name("w"))
+      .toDF("query_id", "w")
+      .select(col("query_id"),
+        when(col("w.pos") >= -1d, round(col("w.pos"), 6)).as("pos_score"),
+        posexplode(col("w.hits")))
+      .select(col("query_id"), col("col.vecId").as("vec_id"),
+        round(col("col.cos"), 6).as("score"),
+        (col("pos") + 1L).cast("long").as("rank"),
+        col("pos_score"))
+  }
+
   // ---- sign-random-projection LSH ----
 
   val LshBits = 8

@@ -79,6 +79,56 @@ class LangModelSpec extends SparkSpec {
     assert(r.getAs[Long]("l1_drift_micro") == 833333L)
   }
 
+  test("sourceDivergence: identical sources distance 0; disjoint pairs vanish") {
+    // A and B share the exact unigram distribution -> l1_micro = 0;
+    // C shares no token with either -> no (A,C)/(B,C) row (inner join
+    // on shared tokens; disjoint real text sources don't exist)
+    val docs = Seq(
+      (0L, "A", "x x y"), (1L, "B", "x y x"),
+      (2L, "C", "q q z")).toDF("doc_id", "source", "text")
+    val rows = LangModel.sourceDivergence(docs).collect()
+    assert(rows.map(r => (r.getAs[String]("source_a"),
+      r.getAs[String]("source_b"))).toSet == Set(("A", "B")))
+    val ab = rows.head
+    assert(ab.getAs[Long]("l1_micro") == 0L)
+    assert(ab.getAs[Long]("shared_vocab") == 2L)
+    assert(ab.getAs[Long]("vocab_a") == 2L && ab.getAs[Long]("vocab_b") == 2L)
+  }
+
+  test("sourceDivergence: hand-computed partial overlap") {
+    // A: x=2/3 (666666), y=1/3 (333333); B: x=1/4 (250000), z=3/4 (750000)
+    // shared = {x}: overlap = min(666666, 250000) = 250000
+    // S_A = 999999, S_B = 1000000 -> l1 = 999999 + 1000000 - 500000 = 1499999
+    val docs = Seq(
+      (0L, "A", "x x y"), (1L, "B", "x z z z")).toDF("doc_id", "source", "text")
+    val r = LangModel.sourceDivergence(docs).collect().head
+    assert(r.getAs[Long]("overlap_micro") == 250000L)
+    assert(r.getAs[Long]("l1_micro") == 1499999L)
+    assert(r.getAs[Long]("shared_vocab") == 1L)
+  }
+
+  test("sourceDivergence on driver corpus: matches the tokenDrift full-outer form per pair") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = LangModel.sourceDivergence(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("l1_micro")).toMap
+    assert(got.nonEmpty)
+    // independent reference: tokenDrift's full-outer vocab-union L1 on
+    // each pair's single-source slices must agree with the shared-token
+    // identity exactly
+    got.keys.foreach { case (sa, sb) =>
+      val ref = LangModel.tokenDrift(
+        docs.filter(col("source") === sa),
+        docs.filter(col("source") === sb)).collect().head
+      assert(ref.getAs[Long]("l1_drift_micro") == got((sa, sb)),
+        s"pair ($sa,$sb)")
+    }
+    // distances live in [0, 2e6]
+    got.values.foreach(v => assert(v >= 0L && v <= 2000000L))
+  }
+
   test("mixtureWeights on driver corpus: shares sum to ~1000, ratios bracket 1000") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")

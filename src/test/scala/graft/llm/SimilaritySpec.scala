@@ -407,4 +407,60 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("keep_pm") == 1000L * (n - d) / n)
     }
   }
+
+  test("hardNegatives: cross-label top-k with false-negative ceiling and positive anchor") {
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0L),
+      (1L, Seq(1f, 0f, 0f, 0f), 0L),      // same-label duplicate -> anchor 1.0
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 1L),  // cos ~.9939 >= .95 -> denoised away
+      (3L, Seq(0f, 1f, 0f, 0f), 1L),      // orthogonal
+      (4L, Seq(1f, 1f, 0f, 0f), 1L))      // cos ~.7071
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, nQueries = 1, k = 2).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(4L, 3L),
+      "the near-copy negative must be filtered as a false negative")
+    assert(math.abs(got(0).getAs[Double]("score") - 0.707107) < 1e-6)
+    assert(math.abs(got(1).getAs[Double]("score")) < 1e-6)
+    got.foreach(r => assert(r.getAs[Double]("pos_score") == 1.0))
+  }
+
+  test("hardNegatives: anchor is NULL when the query label has no other member") {
+    val df = Seq(
+      (0L, Seq(1f, 0f), 7L),
+      (1L, Seq(0.6f, 0.8f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, nQueries = 1, k = 5).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("vec_id") == 1L)
+    assert(got.head.isNullAt(got.head.fieldIndex("pos_score")))
+  }
+
+  test("hardNegatives on driver corpus: exact parity with the window-rank reference") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vecs = emb.select(col("vec_id"), col("label"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val q = vecs.select(col("vec_id").as("query_id"), col("label").as("ql"),
+      col("qv").as("qqv")).filter(col("query_id") < 4)
+    val scored = vecs.crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        Similarity.dotQ(col("qqv"), col("qv")).cast("double") /
+          (sqrt(Similarity.norm2Q(col("qqv")).cast("double")) *
+            sqrt(Similarity.norm2Q(col("qv")).cast("double"))))
+    val pos = scored.filter(col("label") === col("ql"))
+      .groupBy("query_id").agg(max("cos").as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val ref = scored.filter(col("label") =!= col("ql") && col("cos") < 0.95)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .join(pos, Seq("query_id"), "left")
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("score"),
+        col("rank").cast("long").as("rank"), round(col("pos"), 6).as("pos_score"))
+      .collect().map(r => r.toSeq).toSet
+    val got = Similarity.hardNegatives(emb, nQueries = 4, k = 5).collect()
+      .map(r => r.toSeq).toSet
+    assert(got == ref)
+    assert(got.size == 4 * 5)
+  }
 }
