@@ -1344,6 +1344,33 @@ object OraclesLlm {
 
   val bpeEncode: String = bpeEncodeSql(3)
   val bpeEncode8: String = bpeEncodeSql(8)
+
+  /** Per-source tokenizer fertility ([[graft.llm.Bpe.fertility]]):
+    * replay the learned merges over the DISTINCT vocabulary (token
+    * kept alongside its symbol list), then join token occurrences per
+    * source — the same vocab-join application the engine plans. */
+  val bpeFertility: String = {
+    val rounds = 3
+    val vCtes = (1 to rounds).map { r =>
+      s"""v$r AS (
+         |  SELECT token, $bpeFoldE AS syms
+         |  FROM v${r - 1} LEFT JOIN best$r b ON true)""".stripMargin
+    }
+    "WITH " + bpeCtes(rounds) + ",\n" +
+      "v0 AS (SELECT token, string_split(token, '') AS syms FROM w),\n" +
+      vCtes.mkString(",\n") + ",\n" +
+      s"""vocab AS (SELECT token, len(syms)::BIGINT AS token_syms FROM v$rounds),
+         |occ AS (
+         |  SELECT source, unnest(${toksE("text")}) AS token FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_tokens,
+         |  sum(token_syms)::BIGINT AS n_symbols,
+         |  sum(length(token))::BIGINT AS n_chars,
+         |  ((1000 * sum(token_syms)) // count(*))::BIGINT AS syms_per_token_milli,
+         |  ((1000 * sum(token_syms)) // sum(length(token)))::BIGINT
+         |    AS compression_milli
+         |FROM occ JOIN vocab USING (token)
+         |GROUP BY source""".stripMargin
+  }
   /** Cross-corpus tokenizer transfer (mirrors `Bpe.encodeCross`): the
     * merge rules come from the EVEN-doc_id half; the per-doc fold
     * replay runs over the ODD half. The replay is uniform — the

@@ -369,6 +369,9 @@ object SparkEntry {
     // train-once/apply-many: merges learned on the even-doc half
     // applied (via the reusable-rules API) to the odd half
     "bpe_encode_cross" -> ((s, dir) => graft.llm.Bpe.encodeCross(docs(s, dir))),
+    // tokenizer fit report: per-source fertility (symbols per word)
+    // and char-compression after the learned merges
+    "bpe_fertility" -> ((s, dir) => graft.llm.Bpe.fertility(docs(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(docs(s, dir))),
     "examples_per_source" -> ((s, dir) =>
@@ -604,6 +607,7 @@ object SparkEntry {
     "bpe_merges_8" -> OraclesLlm.bpeMerges8,
     "bpe_encode_8" -> OraclesLlm.bpeEncode8,
     "bpe_encode_cross" -> OraclesLlm.bpeEncodeCross,
+    "bpe_fertility" -> OraclesLlm.bpeFertility,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
     "examples_per_source" -> OraclesLlm.examplesPerSource,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,

@@ -170,6 +170,36 @@ object Bpe {
         sum("token_syms").as("n_symbols"))
   }
 
+  /** Per-source tokenizer fertility after the learned merges — the
+    * "how well does this tokenizer fit each slice?" report a tokenizer
+    * owner reads before shipping a merge budget: token, post-merge
+    * symbol and character totals per source, plus two integer rates —
+    * `syms_per_token_milli` (fertility: symbols the tokenizer spends
+    * per whitespace word ×1000) and `compression_milli` (fraction of
+    * raw characters surviving the merges ×1000). A slice whose
+    * fertility stays near its character count got nothing out of the
+    * merge table — the signal to retrain or re-balance.
+    *
+    * Scale shape: same as [[encode]] — training's one corpus-sized
+    * word-count aggregate, then vocab-bounded rounds; application is
+    * one exploded scan joined against the (token → symbol count)
+    * vocab (broadcast when small) collapsing straight to |sources|
+    * groups, with per-(source, token) partial aggregation map-side. */
+  def fertility(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val encodedVocab = learn(docs, rounds)._2
+      .select(col("token"), size(col("syms")).cast("long").as("token_syms"))
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .join(encodedVocab, Seq("token"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("token_syms").as("n_symbols"),
+        sum(length(col("token"))).as("n_chars"))
+      .select(col("source"), col("n_tokens"), col("n_symbols"), col("n_chars"),
+        expr("(1000 * n_symbols) div n_tokens").as("syms_per_token_milli"),
+        expr("(1000 * n_symbols) div n_chars").as("compression_milli"))
+  }
+
   /** Replay learned merge rules, in training order, over a
     * (…, syms) table — each rule is a stateless [[mergeFold]]
     * projection with the pair inlined as literals, re-materialized

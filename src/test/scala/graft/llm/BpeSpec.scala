@@ -211,4 +211,35 @@ class BpeSpec extends SparkSpec {
     // doc 0 has no tokens → absent; merge (z,q) → each "zq" = 1 symbol
     assert(got == Map(1L -> ((2L, 2L))))
   }
+
+  test("fertility: hand-computed per-source symbols, chars, and rates") {
+    // tokens: ab x3, cd x1 -> round 1 merges (a,b)
+    // vocab after: ab = 1 symbol, cd = 2 symbols
+    val docs = Seq(
+      (0L, "A", "ab ab"), (1L, "B", "ab cd")).toDF("doc_id", "source", "text")
+    val got = Bpe.fertility(docs, rounds = 1).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_symbols"),
+          r.getAs[Long]("n_chars"), r.getAs[Long]("syms_per_token_milli"),
+          r.getAs[Long]("compression_milli")))).toMap
+    assert(got("A") == ((2L, 2L, 4L, 1000L, 500L)))
+    assert(got("B") == ((2L, 3L, 4L, 1500L, 750L)))
+  }
+
+  test("fertility on driver corpus: rolls up exactly to the per-doc encode totals") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Bpe.fertility(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_symbols") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("n_symbols") >= r.getAs[Long]("n_tokens"))
+    }
+    // same tokenizer, different rollup axis -> identical grand totals
+    val enc = Bpe.encode(docs).agg(
+      sum("n_tokens"), sum("n_symbols")).collect().head
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == enc.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_symbols")).sum == enc.getLong(1))
+  }
 }

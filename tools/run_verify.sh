@@ -19,4 +19,4 @@ done
 rm -rf "$OUT_DIR"
 java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "$CP" graft.Verify "$SF_DIR" "$OUT_DIR"
+  -cp "$CP" graft.Verify "$SF_DIR" "$OUT_DIR" "${@:3}"
