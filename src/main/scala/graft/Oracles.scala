@@ -295,6 +295,32 @@ object Oracles {
        |    AS mean_k
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** Daily activity PIVOT ([[graft.ops.Windows.eventTypePivot]]): the
+    * pinned-type-list conditional-count form — identical semantics to
+    * Spark's pivot with an explicit value list, dense zeros. */
+  val eventTypePivot: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+       |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+       |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+       |    AS purchase,
+       |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+       |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+       |FROM events GROUP BY 1""".stripMargin
+
+  /** Multi-level revenue rollup ([[graft.ops.Relational.revenueRollup]]):
+    * GROUP BY ROLLUP with the multi-argument GROUPING bitmask — the
+    * same (region, nation) → subtotal → grand-total lattice and the
+    * same integer-cents revenue as the engine. */
+  val revenueRollup: String =
+    s"""SELECT r_name, n_name, grouping(r_name, n_name)::BIGINT AS lvl,
+       |  count(*) AS n_orders,
+       |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS revenue
+       |FROM orders, customer, nation, region
+       |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+       |  AND n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
   /** Sessionization rollup ([[graft.ops.Windows.sessionStats]]): the
     * [[userSessions]] chain wrapped as a derived table, then one
     * integer-exact grand aggregate. */

@@ -127,6 +127,8 @@ object SparkEntry {
     "session_stats" -> ((s, dir) => Windows.sessionStats(events(s, dir))),
     // schema-on-read JSON payload column (codegen'd path extraction)
     "event_props" -> ((s, dir) => Windows.eventPropStats(events(s, dir))),
+    // wide dashboard matrix: day × pinned event-type list, dense zeros
+    "event_pivot" -> ((s, dir) => Windows.eventTypePivot(events(s, dir))),
     // the flatMapGroupsWithState custom-state twin, run in batch mode
     "stateful_sessions" -> ((s, dir) =>
       graft.streaming.StatefulSessions.sessionizeBatch(events(s, dir)).toDF()),
@@ -136,6 +138,9 @@ object SparkEntry {
     "q3_join" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
     "customers_by_region" -> ((s, dir) => Relational.customersByRegion(s, dir)),
     "q5_region_volume" -> ((s, dir) => Relational.regionVolume(s, dir)),
+    // GROUPING SETS drill-down: detail/subtotal/grand-total in one
+    // Expand+agg pass, never three scans
+    "revenue_rollup" -> ((s, dir) => Relational.revenueRollup(s, dir)),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
     // bucketed point-in-interval join; oracle states the raw inequality
@@ -537,11 +542,13 @@ object SparkEntry {
     "user_sessions" -> Oracles.userSessions,
     "session_stats" -> Oracles.sessionStats,
     "event_props" -> Oracles.eventPropStats,
+    "event_pivot" -> Oracles.eventTypePivot,
     "stateful_sessions" -> Oracles.statefulSessions,
     "asof_join" -> Oracles.asofJoin,
     "q1_agg" -> Oracles.q1Agg,
     "q3_join" -> Oracles.q3Join,
     "q5_region_volume" -> Oracles.q5RegionVolume,
+    "revenue_rollup" -> Oracles.revenueRollup,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,

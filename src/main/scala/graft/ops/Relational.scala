@@ -143,6 +143,32 @@ object Relational {
       .select(col("n_name"), (col("revenue_c") / 10000.0).as("revenue"))
   }
 
+  /** Multi-level revenue report via GROUPING SETS: per-nation, per-
+    * region subtotal, and grand total in ONE pass — `rollup` plans a
+    * single Expand (3 grouping projections) feeding one hash
+    * aggregate, so the fact table is scanned and the orders⋈customer
+    * join executed exactly once, where three separate GROUP BYs would
+    * scan and join three times. `lvl` is `grouping_id()` (0 = detail,
+    * 1 = region subtotal, 3 = grand total) — the standard dashboard
+    * drill-down contract. Dimensions stay broadcast; revenue is
+    * per-row-rounded integer cents so subtotal and detail rows agree
+    * exactly on any engine. */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir).select("o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val nation = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_regionkey", "n_name")
+    val region = Tables.region(spark, sfDir).select("r_regionkey", "r_name")
+    orders
+      .join(cust, orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping_id().cast("long").as("lvl"),
+        count(lit(1)).as("n_orders"),
+        (sumCents(col("o_totalprice")) / 100.0).as("revenue"))
+  }
+
   /** Region-level customer rollup: customer ⋈ broadcast(nation ⋈
     * broadcast(region)) — the dimensions are tiny at any scale, so the
     * fact table never shuffles for the join; only the 5-group aggregate

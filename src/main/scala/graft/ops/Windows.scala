@@ -98,6 +98,25 @@ object Windows {
         col("k_max"), col("n_missing"),
         expr("k_sum div n_events").as("mean_k"))
 
+  /** Daily activity matrix via PIVOT: one row per day, one count
+    * column per event type — the wide dashboard shape. The type list
+    * is pinned (never inferred): inference would run an extra distinct
+    * scan AND make the output schema data-dependent, which breaks
+    * checkpoint/schema contracts downstream at scale. Plans as one
+    * hash aggregate over |days| groups (conditional counts fold
+    * map-side); absent (day, type) combinations surface as 0, not
+    * NULL, so the matrix is dense and engine-independent. */
+  def eventTypePivot(events: DataFrame,
+                     types: Seq[String] = Seq("click", "error", "purchase",
+                       "signup", "view")): DataFrame =
+    events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+
   /** Corpus-level sessionization rollup over [[userSessions]]: the
     * engagement summary a dashboard reads — session count, events per
     * session (exact permille), single-event bounce count, and duration

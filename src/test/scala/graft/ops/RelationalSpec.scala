@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Relational analytics beyond the per-query oracles: the GROUPING
+  * SETS lattice must tie out internally (detail → subtotal → grand
+  * total), which the flat hash compare can't express. */
+class RelationalSpec extends SparkSpec {
+
+  test("revenueRollup: subtotals and grand total tie out exactly") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val rows = Relational.revenueRollup(spark, "/root/testdata/sf0.001")
+      .collect()
+    val detail = rows.filter(_.getAs[Long]("lvl") == 0L)
+    val sub = rows.filter(_.getAs[Long]("lvl") == 1L)
+    val grand = rows.filter(_.getAs[Long]("lvl") == 3L)
+    assert(detail.nonEmpty && sub.nonEmpty && grand.length == 1)
+    assert(rows.length == detail.length + sub.length + 1)
+    val g = grand.head
+    assert(g.isNullAt(g.fieldIndex("r_name")) &&
+      g.isNullAt(g.fieldIndex("n_name")))
+    // revenue is integer cents under the hood, so every level of the
+    // lattice agrees EXACTLY, not within epsilon
+    def cents(r: org.apache.spark.sql.Row): Long =
+      math.round(r.getAs[Double]("revenue") * 100)
+    assert(detail.map(cents).sum == cents(g))
+    assert(detail.map(_.getAs[Long]("n_orders")).sum == g.getAs[Long]("n_orders"))
+    sub.foreach { s =>
+      assert(s.isNullAt(s.fieldIndex("n_name")))
+      val rn = s.getAs[String]("r_name")
+      val det = detail.filter(_.getAs[String]("r_name") == rn)
+      assert(det.map(cents).sum == cents(s), s"region $rn revenue")
+      assert(det.map(_.getAs[Long]("n_orders")).sum ==
+        s.getAs[Long]("n_orders"), s"region $rn orders")
+    }
+  }
+}

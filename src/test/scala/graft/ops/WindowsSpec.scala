@@ -95,4 +95,25 @@ class WindowsSpec extends SparkSpec {
     assert(viaLag == viaNative)
     assert(viaLag == Set((7L, 2L, 3L), (9L, 1L, 3L)))
   }
+
+  test("eventTypePivot: dense day-by-type matrix with pinned columns") {
+    import spark.implicits._
+    val df = Seq(
+      ("2024-01-01 10:00:00", "click"),
+      ("2024-01-01 11:00:00", "click"),
+      ("2024-01-01 12:00:00", "view"),
+      ("2024-01-02 09:00:00", "error"))
+      .toDF("s", "event_type")
+      .select(to_timestamp(col("s")).as("ts"), col("event_type"))
+    val piv = Windows.eventTypePivot(df)
+    // the schema is PINNED by the type list, never inferred from data
+    assert(piv.columns.toSeq ==
+      Seq("day", "click", "error", "purchase", "signup", "view"))
+    val got = piv.collect().map(r => r.getAs[String]("day") ->
+      ((r.getAs[Long]("click"), r.getAs[Long]("error"),
+        r.getAs[Long]("purchase"), r.getAs[Long]("signup"),
+        r.getAs[Long]("view")))).toMap
+    assert(got("2024-01-01") == ((2L, 0L, 0L, 0L, 1L)))
+    assert(got("2024-01-02") == ((0L, 1L, 0L, 0L, 0L)))
+  }
 }
