@@ -621,6 +621,33 @@ object OraclesLlm {
        |SELECT src AS doc_id, least(src, min(dst))::BIGINT AS canonical_id
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Leakage-safe split ([[graft.llm.Dedup.leakageSafeSplit]]): the
+    * recursive-CTE cluster labeling, then every corpus doc keyed to
+    * its canonical (self for singletons) and bucketed by the overflow-
+    * safe multiplier hash — identical split iff identical cluster. */
+  val leakageSplit: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM scored
+       |          WHERE inter_size * 1000 >= union_size * 800),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |clusters AS (
+       |  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS canonical_id
+       |  FROM reach GROUP BY src),
+       |canon AS (
+       |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+       |  FROM corpus d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, canonical_id,
+       |  CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, canonical_id,
+       |        ((canonical_id % 1000003) * 2654435761) % 1000 AS b
+       |      FROM canon)""".stripMargin
+
   val simhashDedup: String =
     s"""WITH $nearDupCorpus,
        |th AS (SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM corpus),

@@ -282,6 +282,12 @@ object SparkEntry {
       Dedup.dedupRateCurve(Dedup.withNearDups(docs(s, dir)))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir))))),
+    // cluster-aware train/val/test: near-dup clusters never straddle
+    // splits (eval leakage is impossible by construction)
+    "leakage_split" -> ((s, dir) => {
+      val corpus = Dedup.withNearDups(docs(s, dir))
+      Dedup.leakageSafeSplit(corpus, Dedup.minhashDedup(corpus))
+    }),
     "redact_text" -> ((s, dir) => TextAnalysis.redactedDocs(docs(s, dir))),
     // corpus statistics + curation selection ops
     "vocab_df" -> ((s, dir) => TextAnalysis.vocabDf(docs(s, dir))),
@@ -579,6 +585,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,
     "dedup_rate_curve" -> OraclesLlm.dedupRateCurve,
     "dedup_clusters" -> OraclesLlm.dedupClusters,
+    "leakage_split" -> OraclesLlm.leakageSplit,
     "redact_text" -> OraclesLlm.redactText,
     "vocab_df" -> OraclesLlm.vocabDf,
     "heavy_hitters" -> OraclesLlm.heavyHitters,

@@ -370,6 +370,38 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Leakage-safe train/val/test assignment: split by NEAR-DUP CLUSTER,
+    * not by document — if two near-duplicate docs landed in train and
+    * test, the eval split would leak (the model has effectively seen
+    * the test doc), which per-doc random splits silently do. Every doc
+    * maps to its cluster canonical ([[dedupClusters]]; singletons are
+    * their own canonical) and the split is a deterministic integer
+    * hash of the CANONICAL id bucketed to permilles — so cluster
+    * membership implies identical split, by construction rather than
+    * by audit. Defaults: 900/50/50 train/val/test.
+    *
+    * The multiplier-hash reduces the id mod 1000003 FIRST so the
+    * product stays far inside 63 bits at any id scale — engines that
+    * error on overflow (rather than wrap) agree with engines that
+    * wrap. Scale shape: clusters come from the star fixpoint (edge-set
+    * bounded); the doc-side is one slim left join on doc_id and a
+    * stateless projection. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       valPm: Long = 50L, testPm: Long = 50L): DataFrame = {
+    val clusters = dedupClusters(pairs)
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("bucket",
+        expr("((canonical_id % 1000003) * 2654435761) % 1000"))
+      .withColumn("split",
+        when(col("bucket") < lit(1000L - valPm - testPm), "train")
+          .when(col("bucket") < lit(1000L - testPm), "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("canonical_id"), col("split"))
+  }
+
   // ---- SimHash ----
 
   val SimHashBits = 32

@@ -397,4 +397,39 @@ class DedupSpec extends SparkSpec {
     // chunk 0 (the shared 32 tokens) is boilerplate in both; chunk 1 kept
     assert(got == Map(1L -> ((2L, 1L, 32L)), 2L -> ((2L, 1L, 32L))))
   }
+
+  test("leakageSafeSplit: cluster members share a split; singletons self-canonical") {
+    val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.leakageSafeSplit(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("canonical_id"), r.getAs[String]("split")))).toMap
+    assert(got.size == 10)
+    // transitive cluster {0,1,2} -> canonical 0, one split for all
+    assert(Seq(0L, 1L, 2L).map(got(_)._1).toSet == Set(0L))
+    assert(Seq(0L, 1L, 2L).map(got(_)._2).toSet.size == 1)
+    assert(got(5L)._1 == 5L && got(6L)._1 == 5L && got(5L)._2 == got(6L)._2)
+    // singletons are their own canonical
+    Seq(3L, 4L, 7L, 8L, 9L).foreach(i => assert(got(i)._1 == i))
+    got.values.foreach(v => assert(Set("train", "val", "test")(v._2)))
+  }
+
+  test("leakageSafeSplit on driver corpus: no cluster straddles a split, rows = corpus") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val corpus = Dedup.withNearDups(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val split = Dedup.leakageSafeSplit(corpus, Dedup.minhashDedup(corpus))
+    val rows = split.collect()
+    assert(rows.length == corpus.count())
+    // the leakage guarantee, audited: every canonical maps to exactly
+    // one split value
+    val byCanon = rows.groupBy(_.getAs[Long]("canonical_id"))
+    byCanon.values.foreach(g =>
+      assert(g.map(_.getAs[String]("split")).toSet.size == 1))
+    // the 90/5/5 hash is roughly honored (loose bounds on a small corpus)
+    val n = rows.length.toDouble
+    val train = rows.count(_.getAs[String]("split") == "train") / n
+    assert(train > 0.8 && train < 0.97, s"train share $train")
+  }
 }
