@@ -85,4 +85,37 @@ class BucketedJoinSpec extends SparkSpec {
       assert(agg.count() == expect.count())
     } finally spark.sql("DROP TABLE IF EXISTS li_bucketed_agg")
   }
+
+  test("dynamic partition pruning: a joined dim's filter prunes fact partitions at runtime") {
+    assume(available, "driver testdata not present")
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("dpp").toString + "/docs"
+    Bucketed.writePartitioned(docs, out, "lang")
+    val fact = spark.read.parquet(out)
+    // the partition filter is NOT known at planning time here: it comes
+    // from the dim's selective predicate, so only DPP can prune the scan
+    val langs = docs.select("lang").distinct().as[String].collect().sorted
+    assume(langs.length > 1, "fixture needs multiple languages")
+    // the dim must be a real source (a LocalRelation would eagerly
+    // fold the filter away, leaving no selective predicate for the
+    // pruning rule to find)
+    val dimPath = java.nio.file.Files.createTempDirectory("dpp").toString + "/dim"
+    langs.toSeq.toDF("lang")
+      .withColumn("keep", when(col("lang") === langs.head, 1L).otherwise(0L))
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim.filter(col("keep") === 1L), "lang")
+    val scan = nodes(joined.queryExecution.executedPlan)
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.output.exists(_.name == "doc_id") => s
+      }
+      .getOrElse(fail("no fact parquet scan in plan"))
+    assert(scan.partitionFilters.exists(e => e.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+      s"fact scan has no dynamic pruning filter: ${scan.partitionFilters}")
+    assert(joined.count() ==
+      docs.filter(col("lang") === langs.head).count())
+  }
 }
