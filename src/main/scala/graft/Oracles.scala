@@ -308,6 +308,19 @@ object Oracles {
        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Q10-shaped returned-revenue top-20 ([[graft.ops.Relational
+    * .topReturnedCustomers]]): same integer-unit revenue, same
+    * custkey tiebreak. */
+  val topReturnedCustomers: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |    / 10000.0 AS revenue
+       |FROM lineitem, orders, customer, nation
+       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   /** Multi-level revenue rollup ([[graft.ops.Relational.revenueRollup]]):
     * GROUP BY ROLLUP with the multi-argument GROUPING bitmask — the
     * same (region, nation) → subtotal → grand-total lattice and the

@@ -141,6 +141,8 @@ object SparkEntry {
     // GROUPING SETS drill-down: detail/subtotal/grand-total in one
     // Expand+agg pass, never three scans
     "revenue_rollup" -> ((s, dir) => Relational.revenueRollup(s, dir)),
+    // Q10 shape: pushed returnflag filter, two wide shuffles, top-20
+    "q10_returned" -> ((s, dir) => Relational.topReturnedCustomers(s, dir)),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
     // bucketed point-in-interval join; oracle states the raw inequality
@@ -555,6 +557,7 @@ object SparkEntry {
     "q3_join" -> Oracles.q3Join,
     "q5_region_volume" -> Oracles.q5RegionVolume,
     "revenue_rollup" -> Oracles.revenueRollup,
+    "q10_returned" -> Oracles.topReturnedCustomers,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,

@@ -143,6 +143,35 @@ object Relational {
       .select(col("n_name"), (col("revenue_c") / 10000.0).as("revenue"))
   }
 
+  /** TPC-H Q10-shaped "who returned the most": revenue lost to
+    * returned items per customer, top 20. The canonical big⋈big join
+    * chain — lineitem's returnflag filter is pushed into the scan
+    * BEFORE the join (the scan reads only `R` rows), lineitem⋈orders
+    * shuffles on orderkey, the customer rollup shuffles once on
+    * custkey, and nation stays broadcast. Revenue in per-row-rounded
+    * integer units; ordering ties broken by custkey so top-k is
+    * engine-deterministic. */
+  def topReturnedCustomers(spark: SparkSession, sfDir: String,
+                           k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey")
+    val nation = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue_u"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        (col("revenue_u") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
   /** Multi-level revenue report via GROUPING SETS: per-nation, per-
     * region subtotal, and grand total in ONE pass — `rollup` plans a
     * single Expand (3 grouping projections) feeding one hash
