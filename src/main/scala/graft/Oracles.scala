@@ -347,6 +347,59 @@ object Oracles {
        |  (sum(session_end - session_start) // count(*))::BIGINT AS mean_dur_sec
        |FROM ($userSessions)""".stripMargin
 
+  /** Ordered conversion funnel ([[graft.ops.Windows.eventFunnel]]):
+    * chained per-user min-time prefixes (a stage counts only at or
+    * after the previous stage's completion), then the |stages|-row
+    * report with cumulative and per-edge permilles. */
+  val eventFunnel: String =
+    s"""WITH e AS (
+       |  SELECT user_id, floor(epoch(ts))::BIGINT AS sec, event_type
+       |  FROM events),
+       |s0 AS (
+       |  SELECT user_id, min(sec) AS t FROM e
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |s1 AS (
+       |  SELECT e.user_id, min(sec) AS t FROM e JOIN s0 USING (user_id)
+       |  WHERE event_type = 'click' AND sec >= s0.t GROUP BY e.user_id),
+       |s2 AS (
+       |  SELECT e.user_id, min(sec) AS t FROM e JOIN s1 USING (user_id)
+       |  WHERE event_type = 'purchase' AND sec >= s1.t GROUP BY e.user_id),
+       |counts AS (
+       |  SELECT 0::BIGINT AS stage_idx, 'view' AS stage,
+       |         count(*)::BIGINT AS n_users FROM s0
+       |  UNION ALL SELECT 1::BIGINT, 'click', count(*)::BIGINT FROM s1
+       |  UNION ALL SELECT 2::BIGINT, 'purchase', count(*)::BIGINT FROM s2)
+       |SELECT stage_idx, stage, n_users,
+       |  CASE WHEN first_value(n_users) OVER w > 0
+       |    THEN ((1000 * n_users) // first_value(n_users) OVER w)::BIGINT
+       |  END AS conv_pm,
+       |  CASE WHEN lag(n_users) OVER w > 0
+       |    THEN ((1000 * n_users) // lag(n_users) OVER w)::BIGINT
+       |  END AS step_pm
+       |FROM counts
+       |WINDOW w AS (ORDER BY stage_idx
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Cohort retention ([[graft.ops.Windows.cohortRetention]]): distinct
+    * user-day activity, min-day cohorts, (cohort, offset) cells with
+    * cohort-size permilles — all integer day arithmetic. */
+  val cohortRetention: String =
+    s"""WITH a AS (
+       |  SELECT DISTINCT user_id,
+       |         floor(epoch(ts))::BIGINT // 86400 AS day
+       |  FROM events),
+       |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id),
+       |cells AS (
+       |  SELECT cohort_day, day - cohort_day AS day_offset,
+       |         count(*)::BIGINT AS n_active
+       |  FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+       |sizes AS (
+       |  SELECT cohort_day, count(*)::BIGINT AS cohort_size FROM c
+       |  GROUP BY cohort_day)
+       |SELECT cohort_day, day_offset, n_active, cohort_size,
+       |       ((1000 * n_active) // cohort_size)::BIGINT AS retention_pm
+       |FROM cells JOIN sizes USING (cohort_day)""".stripMargin
+
   /** The flatMapGroupsWithState batch twin emits (user, start, end, n)
     * without a session ordinal — same lag/cumsum CTEs, projected down. */
   val statefulSessions: String =

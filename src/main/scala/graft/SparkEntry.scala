@@ -129,6 +129,10 @@ object SparkEntry {
     "event_props" -> ((s, dir) => Windows.eventPropStats(events(s, dir))),
     // wide dashboard matrix: day × pinned event-type list, dense zeros
     "event_pivot" -> ((s, dir) => Windows.eventTypePivot(events(s, dir))),
+    // ordered view→click→purchase funnel (strict-prefix semantics)
+    "event_funnel" -> ((s, dir) => Windows.eventFunnel(events(s, dir))),
+    // first-active-day cohorts × day offset retention matrix
+    "user_retention" -> ((s, dir) => Windows.cohortRetention(events(s, dir))),
     // the flatMapGroupsWithState custom-state twin, run in batch mode
     "stateful_sessions" -> ((s, dir) =>
       graft.streaming.StatefulSessions.sessionizeBatch(events(s, dir)).toDF()),
@@ -551,6 +555,8 @@ object SparkEntry {
     "session_stats" -> Oracles.sessionStats,
     "event_props" -> Oracles.eventPropStats,
     "event_pivot" -> Oracles.eventTypePivot,
+    "event_funnel" -> Oracles.eventFunnel,
+    "user_retention" -> Oracles.cohortRetention,
     "stateful_sessions" -> Oracles.statefulSessions,
     "asof_join" -> Oracles.asofJoin,
     "q1_agg" -> Oracles.q1Agg,

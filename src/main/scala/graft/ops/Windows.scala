@@ -195,6 +195,92 @@ object Windows {
       .select("event_id", "user_id", "sec", "purchase_value")
   }
 
+  /** Ordered conversion funnel (view → click → purchase): per stage,
+    * the number of users who completed the whole PREFIX in event-time
+    * order — a user counts for stage i only if their earliest
+    * stage-i event at-or-after their stage-(i−1) completion time
+    * exists. The strict-prefix semantics (not "did each stage ever
+    * happen") is what separates a funnel from three independent
+    * counts.
+    *
+    * Computed as a chain of per-user min-time aggregates: `t_0 =
+    * min(sec | stage_0)`, `t_i = min(sec | stage_i, sec ≥ t_{i−1})`.
+    * Every aggregate and join keys on user_id, so at scale the whole
+    * chain rides ONE hash partitioning (no re-shuffle between
+    * stages); the final report is |stages| rows built from a
+    * broadcast-sized depth rollup. `conv_pm` is cumulative (vs stage
+    * 0), `step_pm` is per-edge (vs previous stage) — both integer
+    * permille, NULL on an empty previous stage rather than a
+    * division blow-up. */
+  def eventFunnel(events: DataFrame,
+                  stages: Seq[String] = Seq("view", "click", "purchase"))
+      : DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(col("user_id"), col("ts").cast("long").as("sec"),
+      col("event_type"))
+    // per-user completion time of each stage prefix; left-fold keeps
+    // user_id co-partitioned through the chain
+    val first = e.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("sec").as("t"))
+    val perStage: Seq[DataFrame] = stages.tail.scanLeft(first) { (prev, st) =>
+      e.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("sec") >= col("t_prev"))
+        .groupBy("user_id").agg(min("sec").as("t"))
+    }
+    // |stages| single-row counts unioned into the report (each count
+    // is a full aggregate over an already-small per-user table)
+    val counts = perStage.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("stage_idx"), lit(stages(i)).as("stage"),
+          col("n_users"))
+    }.reduce(_ unionAll _)
+    import org.apache.spark.sql.expressions.Window
+    val byIdx = Window.orderBy("stage_idx")
+    // |stages|-row window: the single-partition sort is on the report,
+    // never on data
+    counts
+      .withColumn("n_first", org.apache.spark.sql.functions.first("n_users")
+        .over(byIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_prev", lag("n_users", 1).over(byIdx))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        when(col("n_first") > 0, expr("(1000 * n_users) div n_first"))
+          .as("conv_pm"),
+        when(col("n_prev") > 0, expr("(1000 * n_users) div n_prev"))
+          .as("step_pm"))
+  }
+
+  /** Cohort retention matrix: users cohorted by their first active
+    * day; for each (cohort_day, day_offset) cell, how many of that
+    * cohort were active again `offset` days later, as a count and a
+    * permille of the cohort's size. The standard "are users coming
+    * back" table every activity dashboard renders.
+    *
+    * Scale shape: the raw stream collapses to distinct (user, day)
+    * activity map-side of one user-keyed shuffle; the cohort
+    * assignment is a min-aggregate on that SAME partitioning (no
+    * second wide exchange before the join); the final rollup groups
+    * on ~|days|² cells and joins cohort sizes as a |days|-row
+    * broadcast. Day arithmetic is `sec div 86400` — pure integers,
+    * identical in any engine. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"),
+        expr("cast(ts as long) div 86400").as("day"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val cells = activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("(1000 * n_active) div cohort_size").as("retention_pm"))
+  }
+
   /** The native Structured-Streaming-ready form of [[userSessions]]
     * (`session_window` merges state incrementally with a watermark);
     * batch-evaluable too — tests cross-validate it against the lag/cumsum

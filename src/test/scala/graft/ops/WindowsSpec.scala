@@ -116,4 +116,47 @@ class WindowsSpec extends SparkSpec {
     assert(got("2024-01-01") == ((2L, 0L, 0L, 0L, 1L)))
     assert(got("2024-01-02") == ((0L, 1L, 0L, 0L, 0L)))
   }
+
+  private def tev(rows: (Long, Long, String)*) = // (user_id, epoch sec, type)
+    rows.toSeq.map { case (u, s, t) => (u, new Timestamp(s * 1000L), t) }
+      .toDF("user_id", "ts", "event_type")
+
+  test("eventFunnel: strict-prefix ordering, not did-each-stage-ever-happen") {
+    val df = tev(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      // u2's only click PRECEDES its first view — depth 1
+      (2L, 90L, "click"), (2L, 100L, "view"),
+      // u3's purchase precedes its click — depth 2
+      (3L, 100L, "view"), (3L, 150L, "click"), (3L, 120L, "purchase"),
+      // u4 never views — counted nowhere
+      (4L, 10L, "purchase"),
+      // same-second chain passes (>= semantics)
+      (5L, 100L, "view"), (5L, 100L, "click"), (5L, 100L, "purchase"))
+    val got = Windows.eventFunnel(df).collect()
+      .map(r => r.getAs[Long]("stage_idx") ->
+        ((r.getAs[String]("stage"), r.getAs[Long]("n_users"),
+          r.getAs[Long]("conv_pm"), Option(r.getAs[Any]("step_pm"))))).toMap
+    assert(got(0L) == (("view", 4L, 1000L, None)))
+    assert(got(1L) == (("click", 3L, 750L, Some(750L))))
+    assert(got(2L) == (("purchase", 2L, 500L, Some(666L))))
+  }
+
+  test("cohortRetention: min-day cohorts, same-day dups collapse") {
+    val d = 86400L
+    val df = tev(
+      (1L, 10L, "view"), (1L, d + 10L, "click"), (1L, 3 * d + 10L, "view"),
+      // u2: two events on day 1 collapse to one active day
+      (2L, d + 5L, "view"), (2L, d + 6L, "view"), (2L, 2 * d + 5L, "click"),
+      (3L, 20L, "view"))
+    val got = Windows.cohortRetention(df).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+          r.getAs[Long]("retention_pm")))).toMap
+    assert(got((0L, 0L)) == ((2L, 2L, 1000L)))
+    assert(got((0L, 1L)) == ((1L, 2L, 500L)))
+    assert(got((0L, 3L)) == ((1L, 2L, 500L)))
+    assert(got((1L, 0L)) == ((1L, 1L, 1000L)))
+    assert(got((1L, 1L)) == ((1L, 1L, 1000L)))
+    assert(got.size == 5)
+  }
 }
