@@ -1716,6 +1716,53 @@ object OraclesLlm {
        |    THEN 1 ELSE 0 END::BIGINT AS kept
        |FROM d""".stripMargin
 
+  /** Held-out bigram surprisal with unigram backoff
+    * ([[graft.llm.LangModel.bigramSurprisal]] trained on the even-doc
+    * half, scored on the odd half): seen bigram costs
+    * `floor(log2(cnt(w1) div cnt(w1,w2)))` bits, unseen backs off to
+    * the unigram cost plus a 3-bit penalty, OOV to `floor(log2(N))`
+    * plus the penalty — all via binary-string length. */
+  val bigramSurprisal: String =
+    s"""WITH tr AS (
+       |  SELECT ${toksE("text")} AS toks FROM documents WHERE doc_id % 2 = 0),
+       |scd AS (
+       |  SELECT doc_id, ${toksE("text")} AS toks FROM documents
+       |  WHERE doc_id % 2 = 1),
+       |trt AS (SELECT unnest(toks) AS token FROM tr),
+       |uni AS (SELECT token, count(*)::BIGINT AS cnt FROM trt GROUP BY token),
+       |tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM uni),
+       |trb AS (
+       |  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*)::BIGINT AS c2
+       |  FROM tr, unnest(range(1, len(toks))) AS u(i) GROUP BY 1, 2),
+       |scb AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+       |         count(*)::BIGINT AS tf
+       |  FROM scd, unnest(range(1, len(toks))) AS u(i) GROUP BY 1, 2, 3),
+       |j AS (
+       |  SELECT s.doc_id, s.tf,
+       |    CASE
+       |      WHEN trb.c2 IS NOT NULL
+       |        THEN length(printf('%b', u1.cnt // trb.c2)) - 1
+       |      WHEN u2.cnt IS NOT NULL
+       |        THEN 3 + length(printf('%b', tot.n_total // u2.cnt)) - 1
+       |      ELSE 3 + length(printf('%b', tot.n_total)) - 1
+       |    END::BIGINT AS bits,
+       |    CASE WHEN trb.c2 IS NULL AND u2.cnt IS NOT NULL THEN s.tf
+       |      ELSE 0 END AS bk,
+       |    CASE WHEN u2.cnt IS NULL THEN s.tf ELSE 0 END AS ov
+       |  FROM scb s
+       |  LEFT JOIN trb ON s.w1 = trb.w1 AND s.w2 = trb.w2
+       |  LEFT JOIN uni u1 ON s.w1 = u1.token
+       |  LEFT JOIN uni u2 ON s.w2 = u2.token
+       |  CROSS JOIN tot)
+       |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       |  sum(tf * bits)::BIGINT AS total_bits,
+       |  sum(bk)::BIGINT AS n_backoff, sum(ov)::BIGINT AS n_oov,
+       |  ((1000 * sum(tf * bits)) // sum(tf))::BIGINT AS millibits_per_bigram,
+       |  CASE WHEN (1000 * sum(tf * bits)) // sum(tf) <= 4500
+       |    THEN 1 ELSE 0 END::BIGINT AS kept
+       |FROM j GROUP BY doc_id""".stripMargin
+
   /** Snapshot drift ([[graft.llm.LangModel.tokenDrift]] over the
     * doc_id-parity split): exact L1 distance between unigram
     * micro-rate distributions. */

@@ -355,6 +355,14 @@ object SparkEntry {
     // milli-bits-per-token rate
     "unigram_surprisal" -> ((s, dir) =>
       LangModel.unigramSurprisal(docs(s, dir))),
+    // held-out bigram LM with unigram backoff: train on the even-doc
+    // half, score the odd half (the CCNet deployment shape)
+    "bigram_surprisal" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LangModel.bigramSurprisal(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
     // temperature mixing (α=0.5): sample shares ∝ sqrt(source tokens)
     "mixture_weights" -> ((s, dir) =>
       LangModel.mixtureWeights(docs(s, dir))),
@@ -619,6 +627,7 @@ object SparkEntry {
     "source_mix" -> OraclesLlm.sourceMix,
     "ngram_novelty" -> OraclesLlm.ngramNovelty,
     "unigram_surprisal" -> OraclesLlm.unigramSurprisal,
+    "bigram_surprisal" -> OraclesLlm.bigramSurprisal,
     "mixture_weights" -> OraclesLlm.mixtureWeights,
     "token_drift" -> OraclesLlm.tokenDrift,
     "source_divergence" -> OraclesLlm.sourceDivergence,

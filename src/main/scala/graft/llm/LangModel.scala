@@ -56,6 +56,84 @@ object LangModel {
         when(col("millibits_per_token") <= keepMaxMillibits, 1L).otherwise(0L))
   }
 
+  /** Word bigrams of a token array as (w1, w2) struct pairs; empty
+    * when the document has fewer than 2 tokens. */
+  private def bigramPairs(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+
+  /** Conditional (bigram) surprisal with unigram backoff — the
+    * held-out upgrade of [[unigramSurprisal]]: the LM trains on one
+    * corpus and scores ANOTHER, so unseen events actually occur and
+    * the score measures fit, not memorization (the CCNet deployment
+    * shape: KenLM trained on Wikipedia, scored on the crawl).
+    *
+    * Per scored bigram (w1, w2), in whole bits (integer-exact via
+    * binary-string length, as everywhere in this file):
+    *  - seen bigram: `floor(log2(cnt(w1) div cnt(w1,w2)))` — the
+    *    conditional cost of w2 given w1;
+    *  - unseen bigram, seen w2: back off to the unigram cost
+    *    `floor(log2(N div cnt(w2)))` plus a `penaltyBits` charge
+    *    (the integer stand-in for a backoff weight);
+    *  - unseen w2 (OOV): `floor(log2(N))` plus the same penalty —
+    *    the cost of a singleton under the trained distribution.
+    * `n_backoff` / `n_oov` surface how often each branch fired (the
+    * train/score domain-mismatch signal). Docs with fewer than 2
+    * tokens drop — no bigram to score.
+    *
+    * Scale shape: both corpora collapse map-side — train to its
+    * (w1, w2) and unigram count tables, score to per-doc bigram term
+    * frequencies — so the wide joins carry distinct bigrams, not
+    * occurrences. The three count joins share the bigram/token keys;
+    * `N` rides along as a 1-row broadcast. */
+  def bigramSurprisal(trainDocs: DataFrame, scoreDocs: DataFrame,
+                      penaltyBits: Long = 3L,
+                      keepMaxMillibits: Long = 4500L): DataFrame = {
+    val trainToks = trainDocs
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+    val uni = trainToks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum("cnt").as("n_total"))
+    val trainBi = trainDocs
+      .select(explode(bigramPairs(TextFns.tokens(col("text")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val scoreTf = scoreDocs
+      .select(col("doc_id"),
+        explode(bigramPairs(TextFns.tokens(col("text")))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val bits =
+      when(col("c2").isNotNull,
+        length(bin(expr("c1_w1 div c2"))) - 1)
+        .when(col("c1_w2").isNotNull,
+          lit(penaltyBits) + length(bin(expr("n_total div c1_w2"))) - 1)
+        .otherwise(lit(penaltyBits) + length(bin(col("n_total"))) - 1)
+    scoreTf
+      .join(trainBi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("token").as("w1"), col("cnt").as("c1_w1")),
+        Seq("w1"), "left")
+      .join(uni.select(col("token").as("w2"), col("cnt").as("c1_w2")),
+        Seq("w2"), "left")
+      .join(broadcast(total))
+      .select(col("doc_id"), col("tf"), bits.cast("long").as("bits"),
+        when(col("c2").isNull && col("c1_w2").isNotNull, col("tf"))
+          .otherwise(lit(0L)).as("bk"),
+        when(col("c1_w2").isNull, col("tf")).otherwise(lit(0L)).as("ov"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("bits")).as("total_bits"),
+        sum("bk").as("n_backoff"),
+        sum("ov").as("n_oov"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        col("n_backoff"), col("n_oov"),
+        expr("(1000 * total_bits) div n_bigrams").as("millibits_per_bigram"))
+      .withColumn("kept",
+        when(col("millibits_per_bigram") <= keepMaxMillibits, 1L)
+          .otherwise(0L))
+  }
+
   /** Distribution drift between two corpus snapshots: the exact L1
     * distance between their unigram distributions, in integer
     * micro-rates — the shift detector a pipeline runs before letting a

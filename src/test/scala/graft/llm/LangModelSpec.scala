@@ -39,6 +39,41 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("bigramSurprisal: seen / backoff / OOV branches, hand-computed") {
+    // train "a b a b c": unigrams a=2 b=2 c=1 (N=5);
+    // bigrams (a,b)=2 (b,a)=1 (b,c)=1
+    val train = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"), // (a,b): 2 div 2 -> 0 bits; (b,c): 2 div 1 -> 1 bit
+      (3L, "c a"),   // (c,a) unseen, a seen: 3 + bits(5 div 2) = 4
+      (5L, "a z"),   // z OOV: 3 + bits(5) = 5
+      (7L, "a"))     // no bigram -> dropped
+      .toDF("doc_id", "text")
+    val got = LangModel.bigramSurprisal(train, score,
+      keepMaxMillibits = 4000L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("total_bits"),
+          r.getAs[Long]("n_backoff"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("millibits_per_bigram"),
+          r.getAs[Long]("kept")))).toMap
+    assert(got.keySet == Set(1L, 3L, 5L))
+    assert(got(1L) == ((2L, 1L, 0L, 0L, 500L, 1L)))
+    assert(got(3L) == ((1L, 4L, 1L, 0L, 4000L, 1L)))
+    assert(got(5L) == ((1L, 5L, 0L, 1L, 5000L, 0L)))
+  }
+
+  test("bigramSurprisal: repeated bigram folds through tf, not re-joined") {
+    // train "x y x y": bigrams (x,y)=2 (y,x)=1; unigrams x=2 y=2 N=4
+    // score "x y x y x y": (x,y)*3 at bits(2 div 2)=0, (y,x)*2 at
+    // bits(2 div 1)=1 -> total 2 bits over 5 bigrams
+    val train = Seq((0L, "x y x y")).toDF("doc_id", "text")
+    val score = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val r = LangModel.bigramSurprisal(train, score).collect().head
+    assert(r.getAs[Long]("n_bigrams") == 5L)
+    assert(r.getAs[Long]("total_bits") == 2L)
+    assert(r.getAs[Long]("millibits_per_bigram") == 400L)
+  }
+
   test("mixtureWeights: sqrt temperature upweights the small source") {
     // 16 vs 4 tokens -> w = 4 vs 2; natural 800/200, sampled 666/333
     val docs = Seq(
