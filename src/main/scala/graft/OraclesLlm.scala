@@ -1716,6 +1716,47 @@ object OraclesLlm {
        |    THEN 1 ELSE 0 END::BIGINT AS kept
        |FROM d""".stripMargin
 
+  /** Edit-distance similarity join
+    * ([[graft.llm.EditDistance.editDistancePairs]] over the
+    * typo-injected corpus): positional q-gram count filter (q=2,
+    * d=2, ±2 position guard), then exact levenshtein verify on the
+    * surviving pairs. */
+  val editDistancePairs: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 400000,
+       |    substr(text, 1, 2 + doc_id % 7) || 'q' ||
+       |      substr(text, 4 + doc_id % 7)
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 600000,
+       |    substr(text, 1, 2) || 'q' || substr(text, 4, 9) || 'z' ||
+       |      substr(text, 14)
+       |  FROM documents WHERE doc_id % 10 = 5),
+       |t AS (
+       |  SELECT doc_id, substr(text, 1, 32) AS title FROM corpus
+       |  WHERE length(substr(text, 1, 32)) >= 8),
+       |qg AS (
+       |  SELECT doc_id, length(title) AS len, i AS pos,
+       |         substr(title, i, 2) AS gram
+       |  FROM t, unnest(range(1, length(title))) AS u(i)),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |         a.len AS len_a, b.len AS len_b
+       |  FROM qg a JOIN qg b ON a.gram = b.gram
+       |  WHERE a.doc_id < b.doc_id AND abs(a.pos - b.pos) <= 2
+       |    AND abs(a.len - b.len) <= 2
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING count(DISTINCT a.pos) >= len_a - 5
+       |     AND count(DISTINCT b.pos) >= len_b - 5)
+       |SELECT doc_id_a, doc_id_b,
+       |       levenshtein(ta.title, tb.title)::BIGINT AS dist
+       |FROM cand
+       |JOIN t ta ON cand.doc_id_a = ta.doc_id
+       |JOIN t tb ON cand.doc_id_b = tb.doc_id
+       |WHERE levenshtein(ta.title, tb.title) <= 2""".stripMargin
+
   /** Held-out bigram surprisal with unigram backoff
     * ([[graft.llm.LangModel.bigramSurprisal]] trained on the even-doc
     * half, scored on the odd half): seen bigram costs

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Country, Sentiment}
-import graft.llm.{Classifier, Dedup, LangModel, LshIndex, Multimodal, Packing, Pipeline, Retrieval, Similarity, TextAnalysis}
+import graft.llm.{Classifier, Dedup, EditDistance, LangModel, LshIndex, Multimodal, Packing, Pipeline, Retrieval, Similarity, TextAnalysis}
 import graft.model.WireCodec
 import graft.ops.{Ranges, Relational, TrendPipeline, Windows}
 import graft.text.TextOps
@@ -294,6 +294,11 @@ object SparkEntry {
       val corpus = Dedup.withNearDups(docs(s, dir))
       Dedup.leakageSafeSplit(corpus, Dedup.minhashDedup(corpus))
     }),
+    // q-gram filtered Levenshtein join: typo-level near-dup pairs on
+    // the 32-char title prefix (exact candidate filter + verify)
+    "edit_distance_pairs" -> ((s, dir) =>
+      EditDistance.editDistancePairs(
+        EditDistance.withTypoDocs(docs(s, dir)))),
     "redact_text" -> ((s, dir) => TextAnalysis.redactedDocs(docs(s, dir))),
     // corpus statistics + curation selection ops
     "vocab_df" -> ((s, dir) => TextAnalysis.vocabDf(docs(s, dir))),
@@ -603,6 +608,7 @@ object SparkEntry {
     "dedup_rate_curve" -> OraclesLlm.dedupRateCurve,
     "dedup_clusters" -> OraclesLlm.dedupClusters,
     "leakage_split" -> OraclesLlm.leakageSplit,
+    "edit_distance_pairs" -> OraclesLlm.editDistancePairs,
     "redact_text" -> OraclesLlm.redactText,
     "vocab_df" -> OraclesLlm.vocabDf,
     "heavy_hitters" -> OraclesLlm.heavyHitters,
