@@ -119,6 +119,18 @@ object OraclesLlm {
        |  (length_pm + unique_pm + stop_pm) // 3 AS quality
        |FROM pm""".stripMargin
 
+  /** Curriculum ordering ([[graft.llm.Pipeline.curriculumShards]]):
+    * the two-phase (histogram prefix + per-bucket rank) Spark plan is
+    * exactly `row_number() OVER (ORDER BY quality DESC, doc_id)` —
+    * the oracle states it that way. */
+  val curriculumShards: String =
+    s"""WITH q AS ($qualityScore)
+       |SELECT doc_id, quality,
+       |  row_number() OVER (ORDER BY quality DESC, doc_id)::BIGINT AS rank,
+       |  ((row_number() OVER (ORDER BY quality DESC, doc_id) - 1) // 64)::BIGINT
+       |    AS shard
+       |FROM q""".stripMargin
+
   /** Shared CTE prefix for the classifier queries: quality-pseudo-
     * labeled docs (mirrors `TextAnalysis.qualityLabeled` at the
     * default threshold 470 — the same permille pipeline as

@@ -410,6 +410,10 @@ object SparkEntry {
       TextAnalysis.topQualityPerLang(docs(s, dir))),
     "curation_funnel" -> ((s, dir) =>
       Pipeline.curationFunnel(docs(s, dir))),
+    // exact global quality rank + contiguous curriculum shards via the
+    // two-phase histogram-prefix rank (no single-partition sort)
+    "curriculum_shards" -> ((s, dir) =>
+      Pipeline.curriculumShards(docs(s, dir))),
     "training_pipeline" -> ((s, dir) =>
       Pipeline.trainingPipeline(Dedup.withExactDups(docs(s, dir)))),
     // no oracleSql entries for the two sketch queries: HLL/percentile
@@ -650,6 +654,7 @@ object SparkEntry {
     "examples_per_source" -> OraclesLlm.examplesPerSource,
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,
     "curation_funnel" -> OraclesLlm.curationFunnel,
+    "curriculum_shards" -> OraclesLlm.curriculumShards,
     "training_pipeline" -> OraclesLlm.trainingPipeline,
     "simhash_dedup" -> OraclesLlm.simhashDedup,
     "cosine_topk" -> OraclesLlm.cosineTopK,

@@ -52,4 +52,27 @@ class PipelineSpec extends SparkSpec {
     assert(got("2_quality") >= 2L)
     assert(got("3_dedup") == got("2_quality") - 1L) // docs 1,2 share one class
   }
+
+  test("curriculumShards: two-phase rank equals the global window rank") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Pipeline.curriculumShards(docs, shardSize = 7L)
+    // reference: the naive single-partition global window
+    val ref = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"),
+        row_number().over(
+          Window.orderBy(col("quality").desc, col("doc_id"))).cast("long")
+          .as("rank"))
+      .withColumn("shard", expr("(rank - 1) div 7"))
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Long]("rank"), r.getAs[Long]("shard"))).toSet ==
+      ref.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getAs[Long]("shard"))).toSet)
+    // ranks are a permutation of 1..N; shards are contiguous rank runs
+    val n = docs.count()
+    val ranks = got.select("rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to n).toSeq)
+  }
 }
