@@ -400,6 +400,31 @@ object Oracles {
        |       ((1000 * n_active) // cohort_size)::BIGINT AS retention_pm
        |FROM cells JOIN sizes USING (cohort_day)""".stripMargin
 
+  /** Robust per-type outlier stats ([[graft.ops.Windows.valueOutliers]]):
+    * micro-quantized values, discrete lower median + MAD
+    * (`quantile_disc(0.5)` = the ⌈n/2⌉-th smallest, matching the
+    * row_number form), 3·MAD outlier counts. */
+  val valueOutliers: String =
+    s"""WITH v AS (
+       |  SELECT event_type, round(value * 1000000)::BIGINT AS v FROM events),
+       |med AS (
+       |  SELECT event_type, quantile_disc(v, 0.5) AS med FROM v
+       |  GROUP BY event_type),
+       |dev AS (
+       |  SELECT v.event_type, v.v, med.med, abs(v.v - med.med) AS dev
+       |  FROM v JOIN med USING (event_type)),
+       |mad AS (
+       |  SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM dev
+       |  GROUP BY event_type)
+       |SELECT d.event_type, count(*)::BIGINT AS n_events,
+       |  max(d.med) AS median_micro, max(m.mad) AS mad_micro,
+       |  sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_outliers,
+       |  ((1000 * sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END))
+       |    // count(*))::BIGINT AS outlier_pm
+       |FROM dev d JOIN mad m USING (event_type)
+       |GROUP BY d.event_type""".stripMargin
+
   /** The flatMapGroupsWithState batch twin emits (user, start, end, n)
     * without a session ordinal — same lag/cumsum CTEs, projected down. */
   val statefulSessions: String =

@@ -119,6 +119,29 @@ object OraclesLlm {
        |  (length_pm + unique_pm + stop_pm) // 3 AS quality
        |FROM pm""".stripMargin
 
+  /** Positional phrase search ([[graft.llm.Retrieval.phraseSearch]]
+    * for "slow hash batch"): postings of the three phrase tokens
+    * project to (doc_id, pos − offset) anchors; an anchor holding all
+    * three offsets is a match. DuckDB positions are 1-based vs
+    * Spark's 0-based — anchors shift uniformly, per-doc match counts
+    * are identical. */
+  val phraseSearch: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${toksE("text")} AS toks FROM documents),
+       |post AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS token
+       |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+       |  WHERE toks[i] IN ('slow', 'hash', 'batch')),
+       |off(token, j) AS (
+       |  VALUES ('slow', 0), ('hash', 1), ('batch', 2)),
+       |m AS (
+       |  SELECT doc_id, pos - j AS anchor, j FROM post JOIN off USING (token)),
+       |a AS (
+       |  SELECT doc_id, anchor, count(DISTINCT j) AS c FROM m
+       |  GROUP BY doc_id, anchor)
+       |SELECT doc_id, count(*)::BIGINT AS n_matches FROM a WHERE c = 3
+       |GROUP BY doc_id""".stripMargin
+
   /** Curriculum ordering ([[graft.llm.Pipeline.curriculumShards]]):
     * the two-phase (histogram prefix + per-bucket rank) Spark plan is
     * exactly `row_number() OVER (ORDER BY quality DESC, doc_id)` —

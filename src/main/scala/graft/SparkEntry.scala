@@ -133,6 +133,8 @@ object SparkEntry {
     "event_funnel" -> ((s, dir) => Windows.eventFunnel(events(s, dir))),
     // first-active-day cohorts × day offset retention matrix
     "user_retention" -> ((s, dir) => Windows.cohortRetention(events(s, dir))),
+    // robust median/MAD outlier report on the metric column
+    "value_outliers" -> ((s, dir) => Windows.valueOutliers(events(s, dir))),
     // the flatMapGroupsWithState custom-state twin, run in batch mode
     "stateful_sessions" -> ((s, dir) =>
       graft.streaming.StatefulSessions.sessionizeBatch(events(s, dir)).toDF()),
@@ -170,6 +172,10 @@ object SparkEntry {
       Classifier.prCurve(Classifier.scoreDocs(docs(s, dir)))),
     // lexical retrieval: integer-exact BM25-shaped top-k
     "bm25_topk" -> ((s, dir) => Retrieval.bm25TopK(docs(s, dir))),
+    // exact positional phrase query via postings anchors (no text
+    // rescan at query time)
+    "phrase_search" -> ((s, dir) =>
+      Retrieval.phraseSearch(docs(s, dir), "slow hash batch")),
     // dense twin of bm25 (query embedded by the corpus's own hashing
     // vectorizer) and the RRF hybrid of the two 20-deep pools
     "semantic_topk" -> ((s, dir) => Retrieval.semanticTopK(docs(s, dir))),
@@ -574,6 +580,7 @@ object SparkEntry {
     "event_pivot" -> Oracles.eventTypePivot,
     "event_funnel" -> Oracles.eventFunnel,
     "user_retention" -> Oracles.cohortRetention,
+    "value_outliers" -> Oracles.valueOutliers,
     "stateful_sessions" -> Oracles.statefulSessions,
     "asof_join" -> Oracles.asofJoin,
     "q1_agg" -> Oracles.q1Agg,
@@ -593,6 +600,7 @@ object SparkEntry {
     "classifier_lift" -> OraclesLlm.classifierLift,
     "classifier_pr_curve" -> OraclesLlm.classifierPrCurve,
     "bm25_topk" -> OraclesLlm.bm25TopK,
+    "phrase_search" -> OraclesLlm.phraseSearch,
     "semantic_topk" -> OraclesLlm.semanticTopK,
     "hybrid_rrf_topk" -> OraclesLlm.hybridRrfTopK,
     "doc_fingerprint" -> OraclesLlm.docFingerprint,

@@ -62,6 +62,47 @@ object Retrieval {
 
   /** BM25 top-k: `(doc_id, n_terms, score_pm, rank)` for the `k`
     * best-scoring documents, ties broken on doc_id ascending. */
+  /** Positional phrase search: documents containing the EXACT token
+    * sequence `phrase`, with per-doc occurrence counts — the
+    * inverted-index phrase query (postings intersection on positions),
+    * computed without ever re-scanning document text at query time.
+    *
+    * The anchor trick makes it one aggregate instead of k−1 joins:
+    * a posting of phrase token j at position p can only participate in
+    * a match anchored at `p − j`, so postings project to
+    * (doc_id, anchor, j) and a full match is an anchor holding ALL k
+    * distinct j values. The filter to phrase tokens happens on the
+    * postings scan (pushdown against a stored index; here the postings
+    * are derived in the same plan), so the shuffle carries only
+    * postings of the k phrase tokens — at corpus scale, the posting
+    * lists, never the corpus. Repeated tokens in the phrase are
+    * handled by requiring each OFFSET j to be present (distinct j
+    * count), not distinct token strings. */
+  def phraseSearch(docs: DataFrame, phrase: String): DataFrame = {
+    val terms = phrase.trim.split("\\s+").toSeq
+    require(terms.nonEmpty, "empty phrase")
+    val k = terms.size
+    // phrase offset map as a small literal relation: (term, j)
+    val offsets = terms.zipWithIndex
+      .map { case (t, j) => s"('${t.replace("'", "''")}', ${j}L)" }
+    val postings = docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token").isInCollection(terms))
+    postings
+      .join(broadcast(
+        postings.sparkSession.sql(
+          s"SELECT * FROM VALUES ${offsets.mkString(", ")} AS t(token, j)")),
+        "token")
+      .select(col("doc_id"), (col("pos").cast("long") - col("j")).as("anchor"),
+        col("j"))
+      .groupBy("doc_id", "anchor")
+      .agg(countDistinct("j").as("n_offsets"))
+      .filter(col("n_offsets") === k.toLong)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   def bm25TopK(docs: DataFrame,
                terms: Seq[String] = DefaultQuery,
                k: Int = 10): DataFrame = {

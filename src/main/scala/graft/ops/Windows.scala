@@ -281,6 +281,54 @@ object Windows {
         expr("(1000 * n_active) div cohort_size").as("retention_pm"))
   }
 
+  /** Robust per-type outlier report over the metric column: median,
+    * MAD (median absolute deviation) and the count of events beyond
+    * 3·MAD — the standard robust alternative to mean/stddev z-scores,
+    * immune to the outliers it is hunting. The data-quality gate a
+    * metrics pipeline runs before trusting a day's events.
+    *
+    * Engine-exact by construction: values quantize to integer micros
+    * and both medians are the DISCRETE lower median (the ⌈n/2⌉-th
+    * smallest — `quantile_disc(0.5)` in SQL engines), computed with a
+    * per-type row_number rather than an interpolating percentile, so
+    * no float ever reaches the output. Tie order inside row_number
+    * cannot affect WHICH VALUE sits at the median rank.
+    *
+    * Scale shape: two ranked passes (values, then deviations), each a
+    * per-event-type sort — the type cardinality bounds parallelism,
+    * so a skewed type pays one big per-partition sort; the
+    * approx-percentile twin is the escape hatch at that point
+    * (same trade as [[graft.llm.TextAnalysis.tokenQuantiles]] vs its
+    * `_approx` form). The median/MAD tables are |types|-row
+    * broadcasts. */
+  def valueOutliers(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lowerMedian(df: DataFrame, vCol: String, out: String): DataFrame = {
+      val byType = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(byType.orderBy(col(vCol))).cast("long"))
+        .withColumn("n", count(lit(1)).over(byType))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(vCol).as(out))
+    }
+    val v = events.select(col("event_type"),
+      expr("cast(round(value * 1000000) as long)").as("v"))
+    val med = lowerMedian(v, "v", "median_micro")
+    val dev = v.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("v") - col("median_micro")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("dev")),
+      "dev", "mad_micro")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max("median_micro").as("median_micro"),
+        max("mad_micro").as("mad_micro"),
+        sum(when(col("dev") > lit(3L) * col("mad_micro"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("median_micro"),
+        col("mad_micro"), col("n_outliers"),
+        expr("(1000 * n_outliers) div n_events").as("outlier_pm"))
+  }
+
   /** The native Structured-Streaming-ready form of [[userSessions]]
     * (`session_window` merges state incrementally with a watermark);
     * batch-evaluable too — tests cross-validate it against the lag/cumsum

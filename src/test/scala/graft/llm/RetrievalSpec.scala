@@ -130,4 +130,28 @@ class RetrievalSpec extends SparkSpec {
     assert(byId(3L).isNullAt(byId(3L).fieldIndex("lex_rank")))
     assert(!byId(3L).isNullAt(byId(3L).fieldIndex("sem_rank")))
   }
+
+  test("phraseSearch: exact sequence only, counted per occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c x a b c"),  // two full matches
+      (2L, "a b x c"),        // tokens present, sequence broken
+      (3L, "c b a"),          // reversed
+      (4L, "x a b c"))        // one match mid-doc
+      .toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "a b c").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_matches")).toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L))
+  }
+
+  test("phraseSearch: repeated phrase token needs BOTH offsets matched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a"),   // anchors 0 and 1 complete "a a"
+      (2L, "a b a"))   // no adjacent pair
+      .toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "a a").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_matches")).toMap
+    assert(got == Map(1L -> 2L))
+  }
 }

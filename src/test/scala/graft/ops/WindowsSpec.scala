@@ -159,4 +159,21 @@ class WindowsSpec extends SparkSpec {
     assert(got((1L, 1L)) == ((1L, 1L, 1000L)))
     assert(got.size == 5)
   }
+
+  test("valueOutliers: discrete lower median, MAD, 3*MAD count") {
+    import spark.implicits._
+    val df = Seq(
+      // odd count: med 2, MAD 1, one 3*MAD outlier (98 > 3)
+      ("m", 0.0), ("m", 1.0), ("m", 2.0), ("m", 3.0), ("m", 100.0),
+      // even count: LOWER median 2 (not interpolated 2.5), MAD 1, none
+      ("e", 1.0), ("e", 2.0), ("e", 3.0), ("e", 4.0))
+      .toDF("event_type", "value")
+    val got = Windows.valueOutliers(df).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("median_micro"),
+          r.getAs[Long]("mad_micro"), r.getAs[Long]("n_outliers"),
+          r.getAs[Long]("outlier_pm")))).toMap
+    assert(got("m") == ((5L, 2000000L, 1000000L, 1L, 200L)))
+    assert(got("e") == ((4L, 2000000L, 1000000L, 0L, 0L)))
+  }
 }
