@@ -400,6 +400,23 @@ object Oracles {
        |       ((1000 * n_active) // cohort_size)::BIGINT AS retention_pm
        |FROM cells JOIN sizes USING (cohort_day)""".stripMargin
 
+  /** Trailing 7-day active users
+    * ([[graft.ops.Windows.rollingActiveUsers]]): distinct (user, day)
+    * fans out to its 7 report days, second distinct, per-day count;
+    * report days past the data's max day are dropped. */
+  val rollingActiveUsers: String =
+    s"""WITH a AS (
+       |  SELECT DISTINCT user_id,
+       |         floor(epoch(ts))::BIGINT // 86400 AS day
+       |  FROM events),
+       |mx AS (SELECT max(day) AS max_day FROM a),
+       |f AS (
+       |  SELECT DISTINCT user_id, day + o AS report_day
+       |  FROM a, unnest(range(0, 7)) AS u(o), mx
+       |  WHERE day + o <= mx.max_day)
+       |SELECT report_day, count(*)::BIGINT AS active_users
+       |FROM f GROUP BY report_day""".stripMargin
+
   /** Robust per-type outlier stats ([[graft.ops.Windows.valueOutliers]]):
     * micro-quantized values, discrete lower median + MAD
     * (`quantile_disc(0.5)` = the ⌈n/2⌉-th smallest, matching the

@@ -135,6 +135,9 @@ object SparkEntry {
     "user_retention" -> ((s, dir) => Windows.cohortRetention(events(s, dir))),
     // robust median/MAD outlier report on the metric column
     "value_outliers" -> ((s, dir) => Windows.valueOutliers(events(s, dir))),
+    // exact trailing-7-day distinct active users per day
+    "rolling_active_users" -> ((s, dir) =>
+      Windows.rollingActiveUsers(events(s, dir))),
     // the flatMapGroupsWithState custom-state twin, run in batch mode
     "stateful_sessions" -> ((s, dir) =>
       graft.streaming.StatefulSessions.sessionizeBatch(events(s, dir)).toDF()),
@@ -581,6 +584,7 @@ object SparkEntry {
     "event_funnel" -> Oracles.eventFunnel,
     "user_retention" -> Oracles.cohortRetention,
     "value_outliers" -> Oracles.valueOutliers,
+    "rolling_active_users" -> Oracles.rollingActiveUsers,
     "stateful_sessions" -> Oracles.statefulSessions,
     "asof_join" -> Oracles.asofJoin,
     "q1_agg" -> Oracles.q1Agg,

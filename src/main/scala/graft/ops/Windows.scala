@@ -281,6 +281,39 @@ object Windows {
         expr("(1000 * n_active) div cohort_size").as("retention_pm"))
   }
 
+  /** Trailing-window active users (the DAU/WAU dashboard series):
+    * for every day in the data, the EXACT count of distinct users
+    * active in the trailing `windowDays` days. Exact sliding distinct
+    * cannot ride a window-function frame (distinct doesn't decompose),
+    * so each (user, day) activity row fans out to the `windowDays`
+    * report days it can contribute to, and a second distinct collapses
+    * (user, report_day) — the standard explode-then-distinct exact
+    * form. Report days with no activity inside the corpus's day span
+    * simply don't appear (no zero-fill beyond the data).
+    *
+    * Scale shape: the raw stream collapses to distinct (user, day)
+    * FIRST (one user-keyed shuffle, map-side combine), so the ×window
+    * fan-out multiplies the per-user-day activity relation, never raw
+    * events; the final count groups ~|days| keys. At a 90-day window
+    * over years of data, swap the exact second distinct for per-day
+    * HLL sketch merges (the [[graft.llm.TextAnalysis
+    * .approxDistinctNgrams]] trade). */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val activity = events
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"))
+      .distinct()
+    val span = activity.agg(min("day").as("min_day"), max("day").as("max_day"))
+    activity
+      .select(col("user_id"), col("day"),
+        explode(sequence(col("day"),
+          col("day") + (windowDays - 1))).as("report_day"))
+      .join(broadcast(span))
+      .filter(col("report_day") <= col("max_day"))
+      .select(col("user_id"), col("report_day")).distinct()
+      .groupBy("report_day")
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   /** Robust per-type outlier report over the metric column: median,
     * MAD (median absolute deviation) and the count of events beyond
     * 3·MAD — the standard robust alternative to mean/stddev z-scores,

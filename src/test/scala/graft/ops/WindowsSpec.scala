@@ -176,4 +176,18 @@ class WindowsSpec extends SparkSpec {
     assert(got("m") == ((5L, 2000000L, 1000000L, 1L, 200L)))
     assert(got("e") == ((4L, 2000000L, 1000000L, 0L, 0L)))
   }
+
+  test("rollingActiveUsers: trailing window, distinct users, span-clipped") {
+    val d = 86400L
+    val df = tev(
+      (1L, 5L, "view"), (1L, 10L, "view"),      // u1 day 0 (twice)
+      (2L, d + 5L, "view"),                     // u2 day 1
+      (1L, 4 * d + 5L, "view"))                 // u1 again day 4
+    val got = Windows.rollingActiveUsers(df, windowDays = 3).collect()
+      .map(r => r.getAs[Long]("report_day") ->
+        r.getAs[Long]("active_users")).toMap
+    // day 0: {u1}; day 1: {u1,u2}; day 2: {u1,u2}; day 3: {u2};
+    // day 4: {u1}; days 5,6 clipped (past max data day)
+    assert(got == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
 }
