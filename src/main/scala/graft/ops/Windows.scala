@@ -256,24 +256,30 @@ object Windows {
     * permille of the cohort's size. The standard "are users coming
     * back" table every activity dashboard renders.
     *
-    * Scale shape: the raw stream collapses to distinct (user, day)
-    * activity map-side of one user-keyed shuffle; the cohort
-    * assignment is a min-aggregate on that SAME partitioning (no
-    * second wide exchange before the join); the final rollup groups
-    * on ~|days|² cells and joins cohort sizes as a |days|-row
-    * broadcast. Day arithmetic is `sec div 86400` — pure integers,
-    * identical in any engine. */
+    * Scale shape: ONE wide user-keyed shuffle — `collect_set(day)`
+    * dedups activity map-side and lands each user's day vector in a
+    * single row (bounded by the day span, not event volume); cohort
+    * (array_min) and per-day offsets derive with array ops on that
+    * row, so no second event-scale exchange exists. The final
+    * rollups group on ~|days|² cells / |days| cohorts, and cohort
+    * sizes join back as a |days|-row broadcast. Day arithmetic is
+    * `sec div 86400` — pure integers, identical in any engine. */
   def cohortRetention(events: DataFrame): DataFrame = {
-    val activity = events
-      .select(col("user_id"),
-        expr("cast(ts as long) div 86400").as("day"))
-      .distinct()
-    val cohorts = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
-    val cells = activity.join(cohorts, "user_id")
+    // ONE wide user-keyed shuffle: collect_set dedups days map-side
+    // and lands each user's whole activity vector in one row; cohort
+    // (min) and offsets then derive with array ops, no re-shuffle
+    val perUser = events
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"))
+      .groupBy("user_id")
+      .agg(collect_set("day").as("days"))
+      .select(col("user_id"), array_min(col("days")).as("cohort_day"),
+        col("days"))
+    val cells = perUser
+      .select(col("cohort_day"), explode(col("days")).as("day"))
       .groupBy(col("cohort_day"),
         (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_active"))
-    val sizes = cohorts.groupBy("cohort_day")
+    val sizes = perUser.groupBy("cohort_day")
       .agg(count(lit(1)).as("cohort_size"))
     cells.join(broadcast(sizes), "cohort_day")
       .select(col("cohort_day"), col("day_offset"), col("n_active"),
@@ -285,31 +291,37 @@ object Windows {
     * for every day in the data, the EXACT count of distinct users
     * active in the trailing `windowDays` days. Exact sliding distinct
     * cannot ride a window-function frame (distinct doesn't decompose),
-    * so each (user, day) activity row fans out to the `windowDays`
-    * report days it can contribute to, and a second distinct collapses
-    * (user, report_day) — the standard explode-then-distinct exact
-    * form. Report days with no activity inside the corpus's day span
-    * simply don't appear (no zero-fill beyond the data).
+    * so each user's active days fan out to the report days they cover
+    * and distinct (user, report_day) contributions are counted.
+    * Report days past the data's max day don't appear (no zero-fill
+    * beyond the data).
     *
-    * Scale shape: the raw stream collapses to distinct (user, day)
-    * FIRST (one user-keyed shuffle, map-side combine), so the ×window
-    * fan-out multiplies the per-user-day activity relation, never raw
-    * events; the final count groups ~|days| keys. At a 90-day window
-    * over years of data, swap the exact second distinct for per-day
-    * HLL sketch merges (the [[graft.llm.TextAnalysis
-    * .approxDistinctNgrams]] trade). */
+    * Scale shape: ONE wide user-keyed shuffle (`collect_set(day)`
+    * with map-side dedup); the window fan-out AND the per-user
+    * report-day dedup both happen in-array on the user's day vector
+    * (bounded by the day span, not event volume), so no second
+    * event-scale exchange exists; the final count groups ~|days|
+    * keys. At a 90-day window over years of data, swap the exact
+    * per-user vectors for per-day HLL sketch merges (the
+    * [[graft.llm.TextAnalysis.approxDistinctNgrams]] trade). */
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
-    val activity = events
+    // ONE wide user-keyed shuffle: each user's deduped day vector
+    // expands to its covered report days IN-ARRAY (flatten +
+    // array_distinct), so the per-(user, report_day) distinct never
+    // becomes a second event-scale exchange
+    val perUser = events
       .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"))
-      .distinct()
-    val span = activity.agg(min("day").as("min_day"), max("day").as("max_day"))
-    activity
-      .select(col("user_id"), col("day"),
-        explode(sequence(col("day"),
-          col("day") + (windowDays - 1))).as("report_day"))
+      .groupBy("user_id")
+      .agg(collect_set("day").as("days"))
+      .select(col("user_id"),
+        array_distinct(flatten(transform(col("days"), d =>
+          sequence(d, d + (windowDays - 1))))).as("covered"),
+        array_max(col("days")).as("user_max"))
+    val span = perUser.agg(max("user_max").as("max_day"))
+    perUser
+      .select(col("user_id"), explode(col("covered")).as("report_day"))
       .join(broadcast(span))
       .filter(col("report_day") <= col("max_day"))
-      .select(col("user_id"), col("report_day")).distinct()
       .groupBy("report_day")
       .agg(count(lit(1)).as("active_users"))
   }
