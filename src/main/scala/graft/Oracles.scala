@@ -492,6 +492,23 @@ object Oracles {
        |ORDER BY revenue_c DESC, o_orderkey
        |LIMIT 10""".stripMargin
 
+  /** Bilateral shipping volume ([[graft.ops.Relational.nationVolume]],
+    * the Q7 shape): both directions of the NATION_9/NATION_10 pair,
+    * per year, per-row-rounded integer revenue units. */
+  val nationVolume: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  year(l_shipdate)::BIGINT AS l_year,
+       |  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |    / 10000.0 AS revenue
+       |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |  AND c_custkey = o_custkey
+       |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+       |  AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+       |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+       |  AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+       |GROUP BY 1, 2, 3""".stripMargin
+
   /** The salted join must be result-identical to the plain join+rollup —
     * the oracle knows nothing about salt. */
   val orderRevenueSalted: String =

@@ -1839,6 +1839,24 @@ object OraclesLlm {
        |    THEN 1 ELSE 0 END::BIGINT AS kept
        |FROM j GROUP BY doc_id""".stripMargin
 
+  /** Dice collocations ([[graft.llm.LangModel.collocations]]): top
+    * 200 adjacent pairs (count ≥ 3) by `2000·c12 // (c1+c2)`, ties
+    * broken on (w1, w2). */
+  val collocations: String =
+    s"""WITH t AS (SELECT ${toksE("text")} AS toks FROM documents),
+       |uni AS (
+       |  SELECT token, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+       |bi AS (
+       |  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*)::BIGINT AS c12
+       |  FROM t, unnest(range(1, len(toks))) AS u(i)
+       |  GROUP BY 1, 2 HAVING count(*) >= 3)
+       |SELECT w1, w2, c12, u1.cnt AS c1, u2.cnt AS c2,
+       |  ((2000 * c12) // (u1.cnt + u2.cnt))::BIGINT AS dice_pm
+       |FROM bi JOIN uni u1 ON bi.w1 = u1.token
+       |JOIN uni u2 ON bi.w2 = u2.token
+       |ORDER BY dice_pm DESC, w1, w2 LIMIT 200""".stripMargin
+
   /** Snapshot drift ([[graft.llm.LangModel.tokenDrift]] over the
     * doc_id-parity split): exact L1 distance between unigram
     * micro-rate distributions. */

@@ -152,6 +152,8 @@ object SparkEntry {
     "revenue_rollup" -> ((s, dir) => Relational.revenueRollup(s, dir)),
     // Q10 shape: pushed returnflag filter, two wide shuffles, top-20
     "q10_returned" -> ((s, dir) => Relational.topReturnedCustomers(s, dir)),
+    // Q7 shape: nation dimension joined in two roles, both broadcast
+    "q7_volume" -> ((s, dir) => Relational.nationVolume(s, dir)),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
     // bucketed point-in-interval join; oracle states the raw inequality
@@ -377,6 +379,8 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(2)) === 0),
         d.filter(pmod(col("doc_id"), lit(2)) === 1))
     }),
+    // top-k adjacent-pair collocations by Dice association
+    "collocations" -> ((s, dir) => LangModel.collocations(docs(s, dir))),
     // temperature mixing (α=0.5): sample shares ∝ sqrt(source tokens)
     "mixture_weights" -> ((s, dir) =>
       LangModel.mixtureWeights(docs(s, dir))),
@@ -592,6 +596,7 @@ object SparkEntry {
     "q5_region_volume" -> Oracles.q5RegionVolume,
     "revenue_rollup" -> Oracles.revenueRollup,
     "q10_returned" -> Oracles.topReturnedCustomers,
+    "q7_volume" -> Oracles.nationVolume,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,
@@ -650,6 +655,7 @@ object SparkEntry {
     "ngram_novelty" -> OraclesLlm.ngramNovelty,
     "unigram_surprisal" -> OraclesLlm.unigramSurprisal,
     "bigram_surprisal" -> OraclesLlm.bigramSurprisal,
+    "collocations" -> OraclesLlm.collocations,
     "mixture_weights" -> OraclesLlm.mixtureWeights,
     "token_drift" -> OraclesLlm.tokenDrift,
     "source_divergence" -> OraclesLlm.sourceDivergence,

@@ -134,6 +134,40 @@ object LangModel {
           .otherwise(0L))
   }
 
+  /** Collocation mining: the corpus's top-k adjacent token pairs by
+    * Dice association, `dice_pm = 2000·c(w1,w2) div (c(w1)+c(w2))` —
+    * the classic lexicographic collocation measure (Smadja 1993,
+    * "Retrieving Collocations from Text: Xtract"), preferred here
+    * over PMI because it is a bounded integer permille with NO
+    * overflow at any corpus size (PMI's `c12·N/(c1·c2)` ratio needs
+    * a float log or an N² intermediate) and it doesn't explode on
+    * rare pairs the way PMI does. The phrase-vocabulary signal a
+    * tokenizer or stopword-list stage consults.
+    *
+    * Scale shape: occurrences collapse map-side to the unigram and
+    * bigram count tables; the two count joins key on single tokens
+    * (one row per key on the build side — hot tokens skew only the
+    * probe side, which AQE splits); the final top-k is a
+    * TakeOrdered, never a global sort. `minCount` prunes the bigram
+    * tail BEFORE the joins. */
+  def collocations(docs: DataFrame, minCount: Long = 3L,
+                   k: Int = 200): DataFrame = {
+    val toks = docs.select(TextFns.tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val bi = toks.select(explode(bigramPairs(col("toks"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    bi
+      .join(uni.select(col("token").as("w1"), col("cnt").as("c1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("cnt").as("c2")), "w2")
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        expr("(2000 * c12) div (c1 + c2)").as("dice_pm"))
+      .orderBy(col("dice_pm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Distribution drift between two corpus snapshots: the exact L1
     * distance between their unigram distributions, in integer
     * micro-rates — the shift detector a pipeline runs before letting a

@@ -172,6 +172,49 @@ object Relational {
       .limit(k)
   }
 
+  /** TPC-H Q7-shaped bilateral shipping volume: revenue shipped
+    * between two trading nations per direction per year. The classic
+    * "two roles of one dimension" join — nation joins TWICE (supplier
+    * side and customer side), both as two-row broadcasts after the
+    * pair filter, so the big chain stays lineitem⋈orders (orderkey)
+    * + supplier/customer key joins with the date filter pushed to the
+    * lineitem scan. The OR-of-two-directions predicate evaluates on
+    * the slim post-join rows, never materializing a cross of the two
+    * nation roles. */
+  def nationVolume(spark: SparkSession, sfDir: String,
+                   nationA: String = "NATION_9",
+                   nationB: String = "NATION_10"): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val n1 = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isInCollection(pair))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isInCollection(pair))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(spark, sfDir)
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .select("c_custkey", "cust_nation")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+        col("l_shipdate") <= lit("1996-12-31").cast("date"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue_u"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (col("revenue_u") / 10000.0).as("revenue"))
+  }
+
   /** Multi-level revenue report via GROUPING SETS: per-nation, per-
     * region subtotal, and grand total in ONE pass — `rollup` plans a
     * single Expand (3 grouping projections) feeding one hash

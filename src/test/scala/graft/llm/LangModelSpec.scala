@@ -74,6 +74,25 @@ class LangModelSpec extends SparkSpec {
     assert(r.getAs[Long]("millibits_per_bigram") == 400L)
   }
 
+  test("collocations: hand-computed Dice, minCount prunes, order deterministic") {
+    // "a b" x3 (c1(a)=4: 'a b' x3 + 'a c'; c(b)=3) -> dice = 6000 div 7 = 857
+    // "a c" x1 pruned by minCount=3; "b a" x2 pruned
+    val docs = Seq(
+      (0L, "a b a b"),   // bigrams: (a,b)x2, (b,a)x2... careful
+      (1L, "a b"),
+      (2L, "a c"))
+      .toDF("doc_id", "text")
+    // recount: doc0 "a b a b": (a,b),(b,a),(a,b); doc1: (a,b); doc2: (a,c)
+    // c12(a,b)=3, c12(b,a)=1, c12(a,c)=1; c(a)=4? tokens: a,b,a,b,a,b,a,c
+    // c(a)=4, c(b)=3, c(c)=1
+    val got = LangModel.collocations(docs, minCount = 3L, k = 10).collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        (r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+          r.getAs[Long]("dice_pm")))).toMap
+    assert(got.keySet == Set(("a", "b")))
+    assert(got(("a", "b")) == ((3L, 4L, 3L, 857L)))
+  }
+
   test("mixtureWeights: sqrt temperature upweights the small source") {
     // 16 vs 4 tokens -> w = 4 vs 2; natural 800/200, sampled 666/333
     val docs = Seq(

@@ -35,4 +35,23 @@ class RelationalSpec extends SparkSpec {
         s.getAs[Long]("n_orders"), s"region $rn orders")
     }
   }
+
+  test("nationVolume: both directions only, pair nations only, year bounds") {
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory,
+      "driver testdata not present")
+    val rows = Relational.nationVolume(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    val pair = Set("NATION_9", "NATION_10")
+    rows.foreach { r =>
+      val s = r.getAs[String]("supp_nation")
+      val c = r.getAs[String]("cust_nation")
+      assert(pair(s) && pair(c) && s != c)
+      val y = r.getAs[Long]("l_year")
+      assert(y == 1995L || y == 1996L)
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+    // at most 2 directions x 2 years
+    assert(rows.length <= 4)
+  }
 }
