@@ -1753,9 +1753,10 @@ object OraclesLlm {
 
   /** Edit-distance similarity join
     * ([[graft.llm.EditDistance.editDistancePairs]] over the
-    * typo-injected corpus): positional q-gram count filter (q=2,
-    * d=2, ±2 position guard), then exact levenshtein verify on the
-    * surviving pairs. */
+    * typo-injected corpus): ED-Join prefix filtering — each title's
+    * d·q+1 = 5 globally-rarest positional q-grams (order: freq,
+    * gram, pos) joined with the ±2 position and length guards, then
+    * exact levenshtein verify on the distinct surviving pairs. */
   val editDistancePairs: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
@@ -1776,15 +1777,19 @@ object OraclesLlm {
        |  SELECT doc_id, length(title) AS len, i AS pos,
        |         substr(title, i, 2) AS gram
        |  FROM t, unnest(range(1, length(title))) AS u(i)),
+       |freq AS (SELECT gram, count(*)::BIGINT AS freq FROM qg GROUP BY gram),
+       |pre AS (
+       |  SELECT doc_id, len, pos, gram FROM (
+       |    SELECT qg.doc_id, qg.len, qg.pos, qg.gram,
+       |      row_number() OVER (PARTITION BY qg.doc_id
+       |        ORDER BY freq.freq, qg.gram, qg.pos) AS rk
+       |    FROM qg JOIN freq USING (gram))
+       |  WHERE rk <= 5),
        |cand AS (
-       |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-       |         a.len AS len_a, b.len AS len_b
-       |  FROM qg a JOIN qg b ON a.gram = b.gram
+       |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |  FROM pre a JOIN pre b ON a.gram = b.gram
        |  WHERE a.doc_id < b.doc_id AND abs(a.pos - b.pos) <= 2
-       |    AND abs(a.len - b.len) <= 2
-       |  GROUP BY 1, 2, 3, 4
-       |  HAVING count(DISTINCT a.pos) >= len_a - 5
-       |     AND count(DISTINCT b.pos) >= len_b - 5)
+       |    AND abs(a.len - b.len) <= 2)
        |SELECT doc_id_a, doc_id_b,
        |       levenshtein(ta.title, tb.title)::BIGINT AS dist
        |FROM cand
