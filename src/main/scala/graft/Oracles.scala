@@ -417,6 +417,50 @@ object Oracles {
        |SELECT report_day, count(*)::BIGINT AS active_users
        |FROM f GROUP BY report_day""".stripMargin
 
+  /** First-order transition matrix
+    * ([[graft.ops.Windows.eventTransitions]]): per-user lag pairs,
+    * |types|²-cell counts, row-normalized permilles. */
+  val eventTransitions: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec,
+       |         event_type
+       |  FROM events),
+       |l AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id) AS prev_type
+       |  FROM e),
+       |p AS (
+       |  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS cnt
+       |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT prev_type, sum(cnt)::BIGINT AS row_total FROM p
+       |      GROUP BY prev_type)
+       |SELECT prev_type, next_type, cnt,
+       |       ((1000 * cnt) // row_total)::BIGINT AS transition_pm
+       |FROM p JOIN t USING (prev_type)""".stripMargin
+
+  /** Funnel completion latency ([[graft.ops.Windows.funnelLatency]]):
+    * the chained min-time prefixes carried to the last stage, then
+    * count / min / discrete lower median / max of t_last − t_first. */
+  val funnelLatency: String =
+    s"""WITH e AS (
+       |  SELECT user_id, floor(epoch(ts))::BIGINT AS sec, event_type
+       |  FROM events),
+       |s0 AS (
+       |  SELECT user_id, min(sec) AS t0 FROM e
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |s1 AS (
+       |  SELECT e.user_id, s0.t0, min(sec) AS t FROM e JOIN s0 USING (user_id)
+       |  WHERE event_type = 'click' AND sec >= s0.t0 GROUP BY 1, 2),
+       |s2 AS (
+       |  SELECT e.user_id, s1.t0, min(sec) AS t FROM e JOIN s1 USING (user_id)
+       |  WHERE event_type = 'purchase' AND sec >= s1.t GROUP BY 1, 2),
+       |lat AS (SELECT t - t0 AS latency_sec FROM s2)
+       |SELECT count(*)::BIGINT AS n_converted, min(latency_sec) AS min_sec,
+       |  quantile_disc(latency_sec, 0.5) AS median_sec,
+       |  max(latency_sec) AS max_sec
+       |FROM lat""".stripMargin
+
   /** Robust per-type outlier stats ([[graft.ops.Windows.valueOutliers]]):
     * micro-quantized values, discrete lower median + MAD
     * (`quantile_disc(0.5)` = the ⌈n/2⌉-th smallest, matching the

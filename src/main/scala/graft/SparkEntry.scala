@@ -131,6 +131,11 @@ object SparkEntry {
     "event_pivot" -> ((s, dir) => Windows.eventTypePivot(events(s, dir))),
     // ordered view→click→purchase funnel (strict-prefix semantics)
     "event_funnel" -> ((s, dir) => Windows.eventFunnel(events(s, dir))),
+    // time-to-convert stats for funnel completers
+    "funnel_latency" -> ((s, dir) => Windows.funnelLatency(events(s, dir))),
+    // first-order Markov transition matrix over per-user streams
+    "event_transitions" -> ((s, dir) =>
+      Windows.eventTransitions(events(s, dir))),
     // first-active-day cohorts × day offset retention matrix
     "user_retention" -> ((s, dir) => Windows.cohortRetention(events(s, dir))),
     // robust median/MAD outlier report on the metric column
@@ -586,6 +591,8 @@ object SparkEntry {
     "event_props" -> Oracles.eventPropStats,
     "event_pivot" -> Oracles.eventTypePivot,
     "event_funnel" -> Oracles.eventFunnel,
+    "funnel_latency" -> Oracles.funnelLatency,
+    "event_transitions" -> Oracles.eventTransitions,
     "user_retention" -> Oracles.cohortRetention,
     "value_outliers" -> Oracles.valueOutliers,
     "rolling_active_users" -> Oracles.rollingActiveUsers,

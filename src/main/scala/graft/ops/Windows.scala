@@ -326,6 +326,76 @@ object Windows {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** Event transition matrix: counts of consecutive (prev → next)
+    * event-type pairs within each user's time-ordered stream, with
+    * row-normalized permilles — the first-order Markov picture of how
+    * users move through the product ("what follows a view?"). Ties
+    * on the same second order by event_id, the repo-wide
+    * deterministic tiebreak.
+    *
+    * Scale: one shuffle on user_id for the lag window (per-user
+    * partitions, the sessionization shape); the transition rollup
+    * groups |types|² keys and row totals join back as a |types|-row
+    * broadcast. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("sec"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("prev_type").agg(sum("cnt").as("row_total"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("cnt"),
+        expr("(1000 * cnt) div row_total").as("transition_pm"))
+  }
+
+  /** Time-to-convert distribution for [[eventFunnel]] completers: for
+    * every user finishing the whole stage chain, the seconds from
+    * first-stage entry to final-stage completion, rolled up to count
+    * / min / discrete lower median / max — the latency half of the
+    * funnel story (the conversion RATE is [[eventFunnel]]).
+    *
+    * The median is the same engine-exact ⌈n/2⌉-th-smallest used by
+    * [[valueOutliers]]; here the ranked set is one row per CONVERTING
+    * user, so the single-partition window is report-sized, not
+    * event-sized. Stage-chain computation rides the one user-keyed
+    * partitioning exactly as in [[eventFunnel]]. */
+  def funnelLatency(events: DataFrame,
+                    stages: Seq[String] = Seq("view", "click", "purchase"))
+      : DataFrame = {
+    require(stages.size >= 2, "latency needs at least two stages")
+    val e = events.select(col("user_id"), col("ts").cast("long").as("sec"),
+      col("event_type"))
+    val first = e.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("sec").as("t0"))
+    val completed = stages.tail.foldLeft(
+      first.withColumn("t", col("t0"))) { (prev, st) =>
+      e.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t0"), col("t").as("t_prev")),
+          "user_id")
+        .filter(col("sec") >= col("t_prev"))
+        .groupBy("user_id", "t0").agg(min("sec").as("t"))
+    }
+    val lat = completed.select((col("t") - col("t0")).as("latency_sec"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = lat
+      .withColumn("rn", row_number().over(
+        Window.orderBy("latency_sec")).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val med = ranked.filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("latency_sec").as("median_sec"))
+    lat.agg(count(lit(1)).as("n_converted"),
+        min("latency_sec").as("min_sec"),
+        max("latency_sec").as("max_sec"))
+      .join(broadcast(med))
+      .select("n_converted", "min_sec", "median_sec", "max_sec")
+  }
+
   /** Robust per-type outlier report over the metric column: median,
     * MAD (median absolute deviation) and the count of events beyond
     * 3·MAD — the standard robust alternative to mean/stddev z-scores,

@@ -190,4 +190,39 @@ class WindowsSpec extends SparkSpec {
     // day 4: {u1}; days 5,6 clipped (past max data day)
     assert(got == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("eventTransitions: per-user consecutive pairs, row-normalized") {
+    val df = Seq(
+      (1L, 1L, 100L, "view"), (2L, 1L, 200L, "click"),
+      (3L, 1L, 300L, "view"), (4L, 1L, 400L, "click"),
+      (5L, 2L, 100L, "view"), (6L, 2L, 200L, "purchase"),
+      (7L, 3L, 50L, "error")) // single event -> no transition
+      .map { case (e, u, s, t) => (e, u, new Timestamp(s * 1000L), t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Windows.eventTransitions(df).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("transition_pm")))).toMap
+    // from "view": click x2 + purchase x1; from "click": view x1
+    assert(got(("view", "click")) == ((2L, 666L)))
+    assert(got(("view", "purchase")) == ((1L, 333L)))
+    assert(got(("click", "view")) == ((1L, 1000L)))
+    assert(got.size == 3)
+  }
+
+  test("funnelLatency: end-to-end seconds for completers only") {
+    val df = tev(
+      // u1 converts in 200s
+      (1L, 100L, "view"), (1L, 150L, "click"), (1L, 300L, "purchase"),
+      // u2 converts in 10s (same-second click)
+      (2L, 0L, "view"), (2L, 0L, "click"), (2L, 10L, "purchase"),
+      // u3 never completes (purchase precedes click)
+      (3L, 0L, "view"), (3L, 50L, "purchase"), (3L, 60L, "click"),
+      // u4 converts in 500s
+      (4L, 0L, "view"), (4L, 400L, "click"), (4L, 500L, "purchase"))
+    val r = Windows.funnelLatency(df).collect().head
+    assert(r.getAs[Long]("n_converted") == 3L)
+    assert(r.getAs[Long]("min_sec") == 10L)
+    assert(r.getAs[Long]("median_sec") == 200L)
+    assert(r.getAs[Long]("max_sec") == 500L)
+  }
 }
