@@ -553,6 +553,33 @@ object Oracles {
        |  AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Referential-integrity audit
+    * ([[graft.ops.Relational.integrityReport]]): per FK edge, child
+    * rows and NOT-EXISTS orphan counts. */
+  val integrityReport: String = {
+    def edge(name: String, child: String, ck: String,
+             parent: String, pk: String): String =
+      s"""SELECT '$name' AS fk_edge,
+         |  (SELECT count(*) FROM $child)::BIGINT AS n_rows,
+         |  (SELECT count(*) FROM $child c
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+         |     WHERE c.$ck = p.$pk))::BIGINT AS n_orphans""".stripMargin
+    Seq(
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      edge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      edge("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL\n", "")
+  }
+
   /** The salted join must be result-identical to the plain join+rollup —
     * the oracle knows nothing about salt. */
   val orderRevenueSalted: String =

@@ -142,6 +142,25 @@ object OraclesLlm {
        |SELECT doc_id, count(*)::BIGINT AS n_matches FROM a WHERE c = 3
        |GROUP BY doc_id""".stripMargin
 
+  /** Embedding norm QC ([[graft.llm.Similarity.normStats]]): per
+    * label, quantized squared-norm distribution (discrete lower
+    * median) + degenerate count below 500‰ of the label median. */
+  val embeddingNormStats: String =
+    s"""WITH n AS (
+       |  SELECT label::BIGINT AS label,
+       |    list_sum([x*x for x in ${quantE("embedding")}])::BIGINT AS n2
+       |  FROM embeddings),
+       |med AS (
+       |  SELECT label, quantile_disc(n2, 0.5) AS median_n2 FROM n
+       |  GROUP BY label)
+       |SELECT n.label, count(*)::BIGINT AS n_vecs,
+       |  min(n2) AS min_n2, max(med.median_n2) AS median_n2,
+       |  max(n2) AS max_n2,
+       |  sum(CASE WHEN n2 * 1000 < med.median_n2 * 500 THEN 1 ELSE 0
+       |    END)::BIGINT AS n_degenerate
+       |FROM n JOIN med USING (label)
+       |GROUP BY n.label""".stripMargin
+
   /** Curriculum ordering ([[graft.llm.Pipeline.curriculumShards]]):
     * the two-phase (histogram prefix + per-bucket rank) Spark plan is
     * exactly `row_number() OVER (ORDER BY quality DESC, doc_id)` —

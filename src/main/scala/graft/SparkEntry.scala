@@ -159,6 +159,8 @@ object SparkEntry {
     "q10_returned" -> ((s, dir) => Relational.topReturnedCustomers(s, dir)),
     // Q7 shape: nation dimension joined in two roles, both broadcast
     "q7_volume" -> ((s, dir) => Relational.nationVolume(s, dir)),
+    // FK-edge orphan audit via left-anti joins (warehouse load gate)
+    "integrity_check" -> ((s, dir) => Relational.integrityReport(s, dir)),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
     // bucketed point-in-interval join; oracle states the raw inequality
@@ -504,6 +506,9 @@ object SparkEntry {
     // rebuild-vs-append decision signal
     "ann_cell_stats" -> ((s, dir) =>
       Similarity.cellStats(Tables.embeddings(s, dir))),
+    // embedding QC: per-label norm distribution + degenerate count
+    "embedding_norm_stats" -> ((s, dir) =>
+      Similarity.normStats(Tables.embeddings(s, dir))),
     // per-source centroid coherence: drift/outlier report over the
     // embedding column, keyed by the documents table's source
     "source_centroids" -> ((s, dir) =>
@@ -604,6 +609,7 @@ object SparkEntry {
     "revenue_rollup" -> Oracles.revenueRollup,
     "q10_returned" -> Oracles.topReturnedCustomers,
     "q7_volume" -> Oracles.nationVolume,
+    "integrity_check" -> Oracles.integrityReport,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,
@@ -706,6 +712,7 @@ object SparkEntry {
     "ivfpq_topk_res_p3" -> OraclesLlm.ivfPqResTopKP3,
     "ivfpq_recall_res_p3" -> OraclesLlm.ivfPqResRecallP3,
     "ann_cell_stats" -> OraclesLlm.annCellStats,
+    "embedding_norm_stats" -> OraclesLlm.embeddingNormStats,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "embedding_near_dup_mp" -> OraclesLlm.embeddingNearDupMp,
     "embedding_dedup_recall" -> OraclesLlm.embeddingDedupRecall,

@@ -834,6 +834,40 @@ object Similarity {
     recallPm(cosineTopK(embeddings, nQueries, k).select("query_id", "vec_id"),
       ivfPqResTopK(embeddings, nCentroids, nQueries, k, nprobe), k)
 
+  /** Embedding QC report: per label, the distribution of quantized
+    * squared norms — count, min, discrete lower median, max, and the
+    * count of DEGENERATE vectors (norm² below `lowFrac` permille of
+    * the label's median) — the "did the embedder silently zero or
+    * collapse a slice" gate an embedding pipeline runs before
+    * trusting a batch into the ANN index. All integers: norms are
+    * [[norm2Q]] over [[quantize]]d vectors, the median is the
+    * ⌈n/2⌉-th smallest via per-label row_number (`quantile_disc`
+    * semantics — no interpolation, no float).
+    *
+    * Scale: one ranked pass per label (label cardinality bounds
+    * parallelism, same trade as token quantiles) and a |labels|-row
+    * broadcast of the medians back over the norm rows. */
+  def normStats(embeddings: DataFrame, lowFrac: Long = 500L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norms = embeddings
+      .select(col("label").cast("long").as("label"),
+        norm2Q(quantize(col("embedding"))).as("n2"))
+    val byLabel = Window.partitionBy("label")
+    val med = norms
+      .withColumn("rn", row_number().over(byLabel.orderBy("n2")).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLabel))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("label"), col("n2").as("median_n2"))
+    norms.join(broadcast(med), "label")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("n2").as("min_n2"),
+        max("median_n2").as("median_n2"),
+        max("n2").as("max_n2"),
+        sum(when(col("n2") * 1000L < col("median_n2") * lowFrac, 1L)
+          .otherwise(0L)).as("n_degenerate"))
+  }
+
   /** Corpus with injected identical vectors (vec_id ≡ 0 mod 10 copied
     * under vec_id+100000) — near-dup ground truth for the LSH pipeline. */
   def withDupVectors(embeddings: DataFrame): DataFrame =

@@ -215,6 +215,53 @@ object Relational {
         (col("revenue_u") / 10000.0).as("revenue"))
   }
 
+  /** Referential-integrity audit across the star schema: for every
+    * foreign-key edge, the child row count and the number of DANGLING
+    * rows (child keys with no parent) — the load-gate a warehouse
+    * runs after ingesting a batch, before letting joins silently drop
+    * rows. Healthy data answers all-zero orphans; the point is the
+    * mechanical proof, not the surprise.
+    *
+    * Each edge is a LEFT ANTI join (Spark's no-materialization
+    * not-exists): the child shuffles on its FK once, dimension-sized
+    * parents broadcast, and only a count survives. Edges evaluate
+    * independently — one report, |edges| cheap plans unioned. */
+  /** One FK edge of [[integrityReport]]: child row count + dangling
+    * (left-anti) count, as a single-row frame. */
+  def integrityEdge(name: String, child: DataFrame, childKey: String,
+                    parent: DataFrame, parentKey: String): DataFrame = {
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    child.agg(count(lit(1)).as("n_rows"))
+      .join(orphans)
+      .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+  }
+
+  def integrityReport(spark: SparkSession, sfDir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String): DataFrame =
+      integrityEdge(name, child, childKey, parent, parentKey)
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir)
+    Seq(
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey", sup, "s_suppkey"),
+      edge("orders.o_custkey->customer", ord, "o_custkey", cust, "c_custkey"),
+      edge("customer.c_nationkey->nation", cust, "c_nationkey",
+        nat, "n_nationkey"),
+      edge("supplier.s_nationkey->nation", sup, "s_nationkey",
+        nat, "n_nationkey"),
+      edge("nation.n_regionkey->region", nat, "n_regionkey",
+        reg, "r_regionkey"))
+      .reduce(_ unionAll _)
+  }
+
   /** Multi-level revenue report via GROUPING SETS: per-nation, per-
     * region subtotal, and grand total in ONE pass — `rollup` plans a
     * single Expand (3 grouping projections) feeding one hash

@@ -463,4 +463,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got == ref)
     assert(got.size == 4 * 5)
   }
+
+  test("normStats: per-label discrete median and degenerate count") {
+    // label 0 norms²(q=8192): 0, 4096², 8192² -> median 4096², one
+    // zero vector below 500 permille of it; label 1: single vector
+    val df = Seq(
+      (1L, Seq(0f, 0f), 0),
+      (2L, Seq(0.5f, 0f), 0),
+      (3L, Seq(1f, 0f), 0),
+      (4L, Seq(1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.normStats(df).collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("min_n2"),
+          r.getAs[Long]("median_n2"), r.getAs[Long]("max_n2"),
+          r.getAs[Long]("n_degenerate")))).toMap
+    val q = 8192L
+    assert(got(0L) == ((3L, 0L, 4096L * 4096L, q * q, 1L)))
+    assert(got(1L) == ((1L, q * q, q * q, q * q, 0L)))
+  }
 }

@@ -54,4 +54,24 @@ class RelationalSpec extends SparkSpec {
     // at most 2 directions x 2 years
     assert(rows.length <= 4)
   }
+
+  test("integrityEdge counts orphans; driver schema audits all-clean") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 98L))
+      .toDF("id", "fk")
+    val parent = Seq((10L, "a"), (11L, "b")).toDF("pk", "x")
+    val r = Relational.integrityEdge("child.fk->parent",
+      child, "fk", parent, "pk").collect().head
+    assert(r.getAs[Long]("n_rows") == 4L && r.getAs[Long]("n_orphans") == 2L)
+
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val report = Relational.integrityReport(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(report.length == 6)
+    report.foreach { e =>
+      assert(e.getAs[Long]("n_rows") > 0L, e.getAs[String]("fk_edge"))
+      assert(e.getAs[Long]("n_orphans") == 0L, e.getAs[String]("fk_edge"))
+    }
+  }
 }
