@@ -618,4 +618,90 @@ object Oracles {
        |  ON l.l_shipdate >= o.o_orderdate
        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
        |GROUP BY o_orderkey""".stripMargin
+
+  /** Q4-shaped EXISTS ([[graft.ops.Relational.returnPriorityCounts]]):
+    * the oracle states the correlated EXISTS; the engine's left-semi
+    * join must be result-identical. */
+  val returnPriorityCounts: String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM orders
+       |WHERE EXISTS (SELECT 1 FROM lineitem
+       |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       |GROUP BY o_orderpriority""".stripMargin
+
+  /** Q6-shaped scan-aggregate ([[graft.ops.Relational.discountRevenue]]):
+    * discount band on per-row-rounded integer basis points, matching
+    * the engine's float-boundary discipline. */
+  val discountRevenue: String =
+    s"""SELECT sum(round(l_extendedprice * l_discount * 10000)::BIGINT)
+       |    / 10000.0 AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= DATE '1995-01-01'
+       |  AND l_shipdate < DATE '1996-01-01'
+       |  AND round(l_discount * 10000)::BIGINT BETWEEN 500 AND 700
+       |  AND l_quantity < 24""".stripMargin
+
+  /** Q13-shaped order-count distribution
+    * ([[graft.ops.Relational.customerOrderDistribution]]): the left
+    * outer join keeps zero-order customers; `count(o_orderkey)` skips
+    * their NULLs into the k=0 bucket. */
+  val customerOrderDistribution: String =
+    s"""SELECT c_count, count(*) AS custdist FROM (
+       |  SELECT c_custkey, count(o_orderkey) AS c_count
+       |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+       |  GROUP BY c_custkey)
+       |GROUP BY c_count""".stripMargin
+
+  /** Q18-shaped large-volume orders
+    * ([[graft.ops.Relational.largeQuantityOrders]]): HAVING on the
+    * integer centi-quantity rollup, then the customer join. */
+  val largeQuantityOrders: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  qty_c / 100.0 AS total_qty
+       |FROM (
+       |  SELECT l_orderkey, sum(round(l_quantity * 100)::BIGINT) AS qty_c
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING sum(round(l_quantity * 100)::BIGINT) > 20000) big
+       |JOIN orders ON big.l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** Q21-shaped sole-culprit suppliers
+    * ([[graft.ops.Relational.soleReturnSuppliers]]): the oracle states
+    * the EXISTS/NOT-EXISTS pair over per-(order,supplier) return
+    * marks; the engine's single-pass aggregation rewrite must match,
+    * including the count-desc/suppkey top-20 cut. */
+  val soleReturnSuppliers: String =
+    s"""WITH rs AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+       |  FROM lineitem GROUP BY l_orderkey, l_suppkey)
+       |SELECT s_name, s_suppkey, count(*) AS numwait
+       |FROM rs r1 JOIN supplier ON r1.l_suppkey = s_suppkey
+       |WHERE r1.ret = 1
+       |  AND EXISTS (SELECT 1 FROM rs r2
+       |    WHERE r2.l_orderkey = r1.l_orderkey
+       |      AND r2.l_suppkey <> r1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM rs r3
+       |    WHERE r3.l_orderkey = r1.l_orderkey
+       |      AND r3.l_suppkey <> r1.l_suppkey AND r3.ret = 1)
+       |GROUP BY s_name, s_suppkey
+       |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin
+
+  /** Repeat-purchase gaps ([[graft.ops.Relational.repeatPurchaseLatency]]):
+    * lag over (custkey, orderdate, orderkey), day gaps, one grand row;
+    * mean via exact integer division. */
+  val repeatPurchaseLatency: String =
+    s"""WITH gaps AS (
+       |  SELECT o_custkey,
+       |    datediff('day',
+       |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+       |        ORDER BY o_orderdate, o_orderkey),
+       |      o_orderdate)::BIGINT AS gap_days
+       |  FROM orders)
+       |SELECT count(*) AS n_gaps,
+       |  count(DISTINCT o_custkey) AS n_repeat_customers,
+       |  min(gap_days) AS min_gap_days,
+       |  max(gap_days) AS max_gap_days,
+       |  ((sum(gap_days) * 1000) // count(*))::BIGINT AS mean_gap_milli_days
+       |FROM gaps WHERE gap_days IS NOT NULL""".stripMargin
 }

@@ -161,6 +161,18 @@ object SparkEntry {
     "q7_volume" -> ((s, dir) => Relational.nationVolume(s, dir)),
     // FK-edge orphan audit via left-anti joins (warehouse load gate)
     "integrity_check" -> ((s, dir) => Relational.integrityReport(s, dir)),
+    // Q4 shape: EXISTS as a left-semi join, no DISTINCT pass
+    "q4_priority" -> ((s, dir) => Relational.returnPriorityCounts(s, dir)),
+    // Q6 shape: pure pushed-predicate scan + 1-row aggregate
+    "q6_forecast" -> ((s, dir) => Relational.discountRevenue(s, dir)),
+    // Q13 shape: left-outer count incl. the zero bucket, one exchange
+    "q13_custdist" -> ((s, dir) => Relational.customerOrderDistribution(s, dir)),
+    // Q18 shape: HAVING cut on the rollup before any join
+    "q18_large" -> ((s, dir) => Relational.largeQuantityOrders(s, dir)),
+    // Q21 shape: EXISTS + NOT EXISTS from one (order,supplier) pass
+    "q21_wait" -> ((s, dir) => Relational.soleReturnSuppliers(s, dir)),
+    // repeat-purchase day gaps: lag window on custkey, grand report
+    "order_gaps" -> ((s, dir) => Relational.repeatPurchaseLatency(s, dir)),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
     // bucketed point-in-interval join; oracle states the raw inequality
@@ -610,6 +622,12 @@ object SparkEntry {
     "q10_returned" -> Oracles.topReturnedCustomers,
     "q7_volume" -> Oracles.nationVolume,
     "integrity_check" -> Oracles.integrityReport,
+    "q4_priority" -> Oracles.returnPriorityCounts,
+    "q6_forecast" -> Oracles.discountRevenue,
+    "q13_custdist" -> Oracles.customerOrderDistribution,
+    "q18_large" -> Oracles.largeQuantityOrders,
+    "q21_wait" -> Oracles.soleReturnSuppliers,
+    "order_gaps" -> Oracles.repeatPurchaseLatency,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,

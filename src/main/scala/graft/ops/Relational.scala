@@ -288,6 +288,144 @@ object Relational {
         (sumCents(col("o_totalprice")) / 100.0).as("revenue"))
   }
 
+  /** TPC-H Q4-shaped EXISTS: orders with at least one returned line,
+    * counted by priority. The subquery is a LEFT SEMI join — Spark's
+    * no-materialization EXISTS: the probe side carries only
+    * `l_orderkey` (the returnflag filter is pushed into the lineitem
+    * scan first), the semi join dedups qualifying orders for free (no
+    * DISTINCT pass), and at 100 TB both sides shuffle once on
+    * orderkey while only a 5-row count survives. */
+  def returnPriorityCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority")
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q6-shaped forecast revenue: a pure scan-and-aggregate —
+    * every predicate (date range, discount band, quantity cap) is
+    * scan-pushable, so at 100 TB this is one pass over three pruned
+    * columns with a map-side partial sum and a 1-row exchange. The
+    * discount band compares on per-row-rounded integer basis points
+    * so the float boundary (0.05/0.07 are not exact doubles) resolves
+    * identically on any engine. */
+  def discountRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-01-01").cast("date") &&
+        round(col("l_discount") * 10000).cast("long").between(500L, 700L) &&
+        col("l_quantity") < 24)
+      .agg((sumCents(col("l_extendedprice") * col("l_discount"), 4) / 10000.0)
+        .as("revenue"))
+
+  /** TPC-H Q13-shaped customer order distribution: how many customers
+    * placed exactly k orders, INCLUDING k=0 — the left-outer-join
+    * counterexample to "just count the fact table". The outer join and
+    * the per-customer count group on the same key, so Catalyst reuses
+    * one custkey exchange for both (no second fact-scale shuffle); the
+    * distribution rollup then groups ≤|distinct k| rows. `count` over
+    * the right side's key skips the nulls an unmatched customer
+    * produces, yielding the 0 bucket without a special case. */
+  def customerOrderDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).select("c_custkey")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total quantity
+    * exceeds `minQty`, with their customer. The HAVING filter runs on
+    * the lineitem rollup BEFORE any join — at 100 TB the aggregate
+    * reduces the fact table to |orders| rows and the threshold cuts
+    * that to a sliver, so the orders/customer joins see only
+    * survivors. Quantity sums in per-row-rounded integer centi-units;
+    * the threshold compares integers so the cut is engine-exact. */
+  def largeQuantityOrders(spark: SparkSession, sfDir: String,
+                          minQty: Long = 200L): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(sumCents(col("l_quantity")).as("qty_c"))
+      .filter(col("qty_c") > minQty * 100)
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    bigOrders
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        (col("qty_c") / 100.0).as("total_qty"))
+  }
+
+  /** TPC-H Q21-shaped "sole culprit" suppliers: suppliers who were the
+    * ONLY supplier with a returned line in a multi-supplier order —
+    * the double EXISTS / NOT-EXISTS join shape (others contributed,
+    * nobody else returned), adapted to this schema's `l_returnflag`
+    * (no receipt/commit dates in the driver data). Rewritten as
+    * aggregation instead of correlated subqueries: one (orderkey,
+    * suppkey) rollup marks who returned; an orderkey rollup of THAT
+    * (already |orders|-sized) finds qualifying orders; the culprit
+    * join back is slim-on-slim. The fact table shuffles once; both
+    * EXISTS branches come from the same pass. Top-k by count with
+    * suppkey tiebreak keeps the output engine-deterministic. */
+  def soleReturnSuppliers(spark: SparkSession, sfDir: String,
+                          k: Int = 20): DataFrame = {
+    val perSupp = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ret"))
+    val qualifying = perSupp
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum(col("ret")).as("n_ret"))
+      .filter(col("n_supp") > 1 && col("n_ret") === 1)
+      .select("l_orderkey")
+    val sup = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
+    perSupp.filter(col("ret") === 1)
+      .join(qualifying, Seq("l_orderkey"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("s_suppkey"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
+  /** Repeat-purchase latency: the gap in days between each customer's
+    * consecutive orders (lag window over custkey), rolled into one
+    * grand report — the retention-adjacent "how often do they come
+    * back" metric. The window partitions on custkey (one fact-scale
+    * shuffle, no global sort); ties on the same date break by orderkey
+    * so the lag sequence is engine-deterministic, and because
+    * same-date ties produce gap 0 regardless of intra-tie order, the
+    * day-gap values are stable under any tiebreak. Mean as integer
+    * milli-days (exact division on longs). */
+  def repeatPurchaseLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("prev_date")).cast("long").as("gap_days"))
+    gaps.agg(
+      count(lit(1)).as("n_gaps"),
+      countDistinct(col("o_custkey")).as("n_repeat_customers"),
+      min(col("gap_days")).as("min_gap_days"),
+      max(col("gap_days")).as("max_gap_days"),
+      sum(col("gap_days")).as("total_gap_days"))
+      .select(col("n_gaps"), col("n_repeat_customers"),
+        col("min_gap_days"), col("max_gap_days"),
+        expr("total_gap_days * 1000L div n_gaps").as("mean_gap_milli_days"))
+  }
+
   /** Region-level customer rollup: customer ⋈ broadcast(nation ⋈
     * broadcast(region)) — the dimensions are tiny at any scale, so the
     * fact table never shuffles for the join; only the 5-group aggregate
