@@ -687,6 +687,18 @@ object Oracles {
        |GROUP BY s_name, s_suppkey
        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin
 
+  /** Weekly distinct users via mergeable HLL sketches
+    * ([[graft.ops.Windows.hllWeeklyUsers]]): the oracle recounts the
+    * exact side from scratch and pins the engine's two sketch
+    * invariants (re-aggregation invariance, error bound) at 1 — the
+    * estimates themselves never cross engines. */
+  val hllWeeklyUsers: String =
+    s"""SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       |  count(DISTINCT date_trunc('day', ts))::BIGINT AS n_days,
+       |  count(DISTINCT user_id)::BIGINT AS exact_users,
+       |  1::BIGINT AS est_ok, 1::BIGINT AS merge_invariant
+       |FROM events GROUP BY 1""".stripMargin
+
   /** Repeat-purchase gaps ([[graft.ops.Relational.repeatPurchaseLatency]]):
     * lag over (custkey, orderdate, orderkey), day gaps, one grand row;
     * mean via exact integer division. */

@@ -173,6 +173,9 @@ object SparkEntry {
     "q21_wait" -> ((s, dir) => Relational.soleReturnSuppliers(s, dir)),
     // repeat-purchase day gaps: lag window on custkey, grand report
     "order_gaps" -> ((s, dir) => Relational.repeatPurchaseLatency(s, dir)),
+    // mergeable HLL rollup: daily sketches → weekly union; invariants
+    // (re-agg invariance, error bound) ship as oracle-checked 0/1s
+    "hll_users" -> ((s, dir) => Windows.hllWeeklyUsers(events(s, dir))),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
     // bucketed point-in-interval join; oracle states the raw inequality
@@ -628,6 +631,7 @@ object SparkEntry {
     "q18_large" -> Oracles.largeQuantityOrders,
     "q21_wait" -> Oracles.soleReturnSuppliers,
     "order_gaps" -> Oracles.repeatPurchaseLatency,
+    "hll_users" -> Oracles.hllWeeklyUsers,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,

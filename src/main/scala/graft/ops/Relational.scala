@@ -330,15 +330,19 @@ object Relational {
     * distribution rollup then groups ≤|distinct k| rows. `count` over
     * the right side's key skips the nulls an unmatched customer
     * produces, yielding the 0 bucket without a special case. */
-  def customerOrderDistribution(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Tables.customer(spark, sfDir).select("c_custkey")
-    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+  def customerOrderDistribution(spark: SparkSession, sfDir: String): DataFrame =
+    customerOrderDistributionOf(
+      Tables.customer(spark, sfDir).select("c_custkey"),
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"))
+
+  /** Frame-taking core of [[customerOrderDistribution]] (testable with
+    * a synthetic zero-order customer, which the driver data lacks). */
+  def customerOrderDistributionOf(cust: DataFrame, ord: DataFrame): DataFrame =
     cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
-  }
 
   /** TPC-H Q18-shaped large-volume orders: orders whose total quantity
     * exceeds `minQty`, with their customer. The HAVING filter runs on

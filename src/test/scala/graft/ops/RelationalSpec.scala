@@ -74,4 +74,49 @@ class RelationalSpec extends SparkSpec {
       assert(e.getAs[Long]("n_orphans") == 0L, e.getAs[String]("fk_edge"))
     }
   }
+
+  test("soleReturnSuppliers: agg rewrite ≡ correlated EXISTS/NOT-EXISTS") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val dir = "/root/testdata/sf0.001"
+    val got = Relational.soleReturnSuppliers(spark, dir, k = 1000)
+      .collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("numwait")))
+      .sortBy(identity)
+    // reference form: literal correlated subqueries via Spark SQL
+    graft.Tables.lineitem(spark, dir).createOrReplaceTempView("li_q21")
+    graft.Tables.supplier(spark, dir).createOrReplaceTempView("sup_q21")
+    val ref = spark.sql(
+      """WITH rs AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+        |  FROM li_q21 GROUP BY l_orderkey, l_suppkey)
+        |SELECT s_suppkey, count(*) AS numwait
+        |FROM rs r1 JOIN sup_q21 ON r1.l_suppkey = s_suppkey
+        |WHERE r1.ret = 1
+        |  AND EXISTS (SELECT 1 FROM rs r2
+        |    WHERE r2.l_orderkey = r1.l_orderkey
+        |      AND r2.l_suppkey <> r1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM rs r3
+        |    WHERE r3.l_orderkey = r1.l_orderkey
+        |      AND r3.l_suppkey <> r1.l_suppkey AND r3.ret = 1)
+        |GROUP BY s_suppkey""".stripMargin)
+      .collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("numwait")))
+      .sortBy(identity)
+    assert(got.nonEmpty && got.toSeq == ref.toSeq)
+  }
+
+  test("customerOrderDistribution keeps the zero-order bucket") {
+    import spark.implicits._
+    // 3 customers: one with 2 orders, one with 1, one with none
+    val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val got = Relational.customerOrderDistributionOf(cust, ord)
+      .collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist"))
+      .toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
 }

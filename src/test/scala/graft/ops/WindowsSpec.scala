@@ -14,6 +14,28 @@ class WindowsSpec extends SparkSpec {
     rows.toSeq.map { case (e, u, s) => (e, u, new Timestamp(s * 1000L)) }
       .toDF("event_id", "user_id", "ts")
 
+  test("hllWeeklyUsers: re-agg invariant, error-bounded, exact side exact") {
+    // 2 ISO weeks × 7 days, ~5k distinct users — enough to push the
+    // lgK=12 sketch past exact coupon mode into real HLL estimation,
+    // so the invariants are tested where they're non-trivial.
+    // 1704067200 = 2024-01-01 00:00:00 UTC (a Monday).
+    val df = spark.range(28000).select(
+      col("id").as("event_id"),
+      pmod(col("id") * 2654435761L, lit(5001L)).as("user_id"),
+      expr("cast(1704067200 + (id % 14) * 86400 + (id div 14) % 3600 " +
+        "as timestamp)").as("ts"))
+    val got = Windows.hllWeeklyUsers(df).collect()
+      .map(r => r.getAs[String]("week") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("exact_users"),
+          r.getAs[Long]("est_ok"), r.getAs[Long]("merge_invariant"))).toMap
+    assert(got.keySet == Set("2024-01-01", "2024-01-08"))
+    val exact = df.filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+      .agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(got("2024-01-01") == (7L, exact, 1L, 1L))
+    val (d2, e2, ok2, inv2) = got("2024-01-08")
+    assert(d2 == 7L && e2 > 4000L && ok2 == 1L && inv2 == 1L)
+  }
+
   test("eventPropStats: JSON keys extract, missing keys counted not zeroed") {
     import spark.implicits._
     val df = Seq(
