@@ -699,6 +699,19 @@ object Oracles {
        |  1::BIGINT AS est_ok, 1::BIGINT AS merge_invariant
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Pairwise distinct-user overlap ([[graft.ops.Windows
+    * .userTypeOverlap]]): the oracle recounts the exact pair overlap
+    * from scratch and pins the KMV sketch's error bound and exact
+    * merge invariance at 1; retained hash arrays never cross engines. */
+  val userTypeOverlap: String =
+    s"""WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+       |SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |  count(*)::BIGINT AS exact_overlap,
+       |  1::BIGINT AS est_ok, 1::BIGINT AS merge_invariant
+       |FROM p a JOIN p b ON a.user_id = b.user_id
+       |WHERE a.event_type < b.event_type
+       |GROUP BY 1, 2""".stripMargin
+
   /** Repeat-purchase gaps ([[graft.ops.Relational.repeatPurchaseLatency]]):
     * lag over (custkey, orderdate, orderkey), day gaps, one grand row;
     * mean via exact integer division. */

@@ -176,6 +176,9 @@ object SparkEntry {
     // mergeable HLL rollup: daily sketches → weekly union; invariants
     // (re-agg invariance, error bound) ship as oracle-checked 0/1s
     "hll_users" -> ((s, dir) => Windows.hllWeeklyUsers(events(s, dir))),
+    // KMV set sketches: pairwise distinct-user overlap with no
+    // user-scale join in the estimating path; invariants as 0/1s
+    "user_overlap" -> ((s, dir) => Windows.userTypeOverlap(events(s, dir))),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
     // bucketed point-in-interval join; oracle states the raw inequality
@@ -632,6 +635,7 @@ object SparkEntry {
     "q21_wait" -> Oracles.soleReturnSuppliers,
     "order_gaps" -> Oracles.repeatPurchaseLatency,
     "hll_users" -> Oracles.hllWeeklyUsers,
+    "user_overlap" -> Oracles.userTypeOverlap,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,

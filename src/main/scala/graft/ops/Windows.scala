@@ -483,6 +483,67 @@ object Windows {
     * group but no mergeable artifact — no rollup, no cross-snapshot
     * union, no incremental maintenance; persisting the sketch column
     * is the point. */
+  /** Distinct-user overlap between event-type pairs via KMV set
+    * sketches ([[graft.functions.Kmv]]) — the audience-overlap
+    * question HLL cannot answer, shaped for 100 TB: one event-scan
+    * pass builds a ≤k-long sketch PER TYPE (typed bounded-buffer agg,
+    * map-side partial), and every pairwise intersection is array math
+    * over |types| kilobyte rows — no user-scale pair join anywhere in
+    * the estimating path.
+    *
+    * Same reporting discipline as [[hllWeeklyUsers]]: the exact side
+    * (distinct (user,type) self-join — the thing the sketch REPLACES
+    * at scale; computed here as QC) defines the pair set, and the
+    * sketch's properties cross to the oracle as 0/1 metrics:
+    *  - `est_ok`: intersection estimate within `errPermille` of exact
+    *    (exact by construction while distinct users < k — the sketch
+    *    IS the value set — and ~1/√k relative error beyond);
+    *  - `merge_invariant`: the per-type sketch equals the union of
+    *    that type's PER-DAY sketches, as exact array equality — the
+    *    retained set is a function of the input set, so any rollup
+    *    tree lands on identical arrays (what makes pre-sketched daily
+    *    partitions safe to re-aggregate forever). */
+  def userTypeOverlap(events: DataFrame, k: Int = 1024,
+                      errPermille: Long = 50L): DataFrame = {
+    import graft.functions.Kmv
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hashed = events.select(col("event_type"),
+      date_trunc("DAY", col("ts")).as("day"), xxhash64(col("user_id")).as("h"))
+    def sketchBy(gcols: Seq[String]): DataFrame =
+      hashed.select(concat_ws(" ", gcols.map(col): _*).as("g"), col("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new Kmv.KmvAgg(k).toColumn.name("sk"))
+        .toDF("g", "sk")
+    val direct = sketchBy(Seq("event_type"))
+      .select(col("g").as("event_type"), col("sk"))
+    val rolled = sketchBy(Seq("event_type", "day"))
+      .select(split(col("g"), " ").getItem(0).as("event_type"), col("sk"))
+      .groupBy("event_type")
+      .agg(Kmv.unionAll(collect_list(col("sk")), k).as("sk_rolled"))
+    val sk = direct.join(rolled, "event_type")
+      .withColumn("merge_ok",
+        when(col("sk") === col("sk_rolled"), 1L).otherwise(0L))
+    val p = events.select("user_id", "event_type").distinct()
+    val exact = p.as("a").join(p.as("b"), Seq("user_id"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    exact
+      .join(sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+        col("merge_ok").as("m_a")), "type_a")
+      .join(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+        col("merge_ok").as("m_b")), "type_b")
+      .withColumn("est", Kmv.intersectEstimate(col("sk_a"), col("sk_b"), k))
+      .select(col("type_a"), col("type_b"), col("exact_overlap"),
+        when(abs(col("est") - col("exact_overlap")) * 1000L
+          <= lit(errPermille) * col("exact_overlap"), 1L).otherwise(0L)
+          .as("est_ok"),
+        least(col("m_a"), col("m_b")).as("merge_invariant"))
+  }
+
   def hllWeeklyUsers(events: DataFrame, lgK: Int = 12,
                      errPermille: Long = 50L): DataFrame = {
     val daily = events
