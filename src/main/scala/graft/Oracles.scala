@@ -699,6 +699,31 @@ object Oracles {
        |  1::BIGINT AS est_ok, 1::BIGINT AS merge_invariant
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Daily EWMA spike series ([[graft.ops.Windows.dailyEwma]]): the
+    * fixed-point recurrence replayed as a recursive CTE — integer
+    * milli-counts and `//` make every step bit-identical. */
+  val dailyEwma: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT event_type,
+       |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |    count(*)::BIGINT AS cnt,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY date_trunc('day', ts)) AS rn
+       |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+       |r AS (
+       |  SELECT event_type, day, cnt, rn, cnt * 1000 AS ewma,
+       |    0::BIGINT AS spike
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.event_type, d.day, d.cnt, d.rn,
+       |    (300 * d.cnt * 1000 + 700 * r.ewma) // 1000,
+       |    (CASE WHEN d.cnt * 1000000 > 2000 * r.ewma
+       |          THEN 1 ELSE 0 END)::BIGINT
+       |  FROM d JOIN r ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+       |SELECT event_type, day, cnt AS n_events, ewma AS ewma_milli,
+       |  spike AS is_spike
+       |FROM r""".stripMargin
+
   /** Pairwise distinct-user overlap ([[graft.ops.Windows
     * .userTypeOverlap]]): the oracle recounts the exact pair overlap
     * from scratch and pins the KMV sketch's error bound and exact

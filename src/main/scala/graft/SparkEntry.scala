@@ -179,6 +179,9 @@ object SparkEntry {
     // KMV set sketches: pairwise distinct-user overlap with no
     // user-scale join in the estimating path; invariants as 0/1s
     "user_overlap" -> ((s, dir) => Windows.userTypeOverlap(events(s, dir))),
+    // fixed-point EWMA spike series: reduce to day grain first, fold
+    // the |days| recurrence with a native higher-order aggregate
+    "daily_ewma" -> ((s, dir) => Windows.dailyEwma(events(s, dir))),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
     // bucketed point-in-interval join; oracle states the raw inequality
@@ -636,6 +639,7 @@ object SparkEntry {
     "order_gaps" -> Oracles.repeatPurchaseLatency,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,
+    "daily_ewma" -> Oracles.dailyEwma,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,

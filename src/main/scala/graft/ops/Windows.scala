@@ -483,6 +483,54 @@ object Windows {
     * group but no mergeable artifact — no rollup, no cross-snapshot
     * union, no incremental maintenance; persisting the sketch column
     * is the point. */
+  /** Per-type EWMA of the daily event count with spike flags — the
+    * exponential-smoothing twin of [[trendSpikes]]' rolling mean (an
+    * EWMA never forgets a level shift completely; the 3-bucket mean
+    * does after 3 buckets — ops teams run both). All arithmetic is
+    * fixed-point integer milli-counts with `div`, so the recurrence
+    * is bit-identical on any engine — the oracle replays it as a
+    * recursive CTE.
+    *
+    * An EWMA is inherently sequential, so the scale move is to make
+    * the sequential part SMALL, not parallel: the fact table reduces
+    * to per-(type, day) counts first (one map-side-combined shuffle),
+    * and the recurrence folds a |days|-element array per type with
+    * `aggregate()` — a native higher-order function over kilobyte
+    * rows. Nothing sequential ever sees an event row. */
+  def dailyEwma(events: DataFrame, alphaPermille: Long = 300L,
+                factorPermille: Long = 2000L): DataFrame = {
+    val a = alphaPermille; val b = 1000L - alphaPermille
+    val daily = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val series = daily
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("cnt"))))
+        .as("series"))
+    series.select(col("event_type"), expr(
+      s"""aggregate(
+         |  series,
+         |  named_struct('e', -1L, 'rows',
+         |    cast(array() as array<struct<day:string,cnt:bigint,
+         |                                 ewma:bigint,spike:bigint>>)),
+         |  (acc, x) -> named_struct(
+         |    'e', CASE WHEN acc.e < 0L THEN x.cnt * 1000L
+         |         ELSE ($a * x.cnt * 1000L + $b * acc.e) div 1000L END,
+         |    'rows', array_append(acc.rows, named_struct(
+         |      'day', x.day, 'cnt', x.cnt,
+         |      'ewma', CASE WHEN acc.e < 0L THEN x.cnt * 1000L
+         |              ELSE ($a * x.cnt * 1000L + $b * acc.e) div 1000L END,
+         |      'spike', CASE WHEN acc.e >= 0L
+         |                    AND x.cnt * 1000000L > $factorPermille * acc.e
+         |               THEN 1L ELSE 0L END))),
+         |  acc -> acc.rows)""".stripMargin).as("rows"))
+      .select(col("event_type"), explode(col("rows")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.cnt").as("n_events"), col("r.ewma").as("ewma_milli"),
+        col("r.spike").as("is_spike"))
+  }
+
   /** Distinct-user overlap between event-type pairs via KMV set
     * sketches ([[graft.functions.Kmv]]) — the audience-overlap
     * question HLL cannot answer, shaped for 100 TB: one event-scan

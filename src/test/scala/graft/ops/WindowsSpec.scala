@@ -36,6 +36,26 @@ class WindowsSpec extends SparkSpec {
     assert(d2 == 7L && e2 > 4000L && ok2 == 1L && inv2 == 1L)
   }
 
+  test("dailyEwma: hand-computed fixed-point recurrence with one spike") {
+    // one type, 4 days, counts [100, 100, 300, 100]
+    val counts = Seq(100, 100, 300, 100)
+    val df = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => (d.toLong * 1000 + i,
+        new Timestamp((1704067200L + d * 86400L + i) * 1000L)))
+    }.toDF("event_id", "ts")
+      .withColumn("event_type", lit("click"))
+      .withColumn("user_id", lit(1L))
+    val got = Windows.dailyEwma(df).collect()
+      .map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("ewma_milli"),
+          r.getAs[Long]("is_spike"))).toMap
+    assert(got("2024-01-01") == (100L, 100000L, 0L))
+    assert(got("2024-01-02") == (100L, 100000L, 0L))
+    // 300*1e6 > 2000*100000 => spike; e = (300*300000 + 700*100000)/1000
+    assert(got("2024-01-03") == (300L, 160000L, 1L))
+    assert(got("2024-01-04") == (100L, 142000L, 0L))
+  }
+
   test("eventPropStats: JSON keys extract, missing keys counted not zeroed") {
     import spark.implicits._
     val df = Seq(
