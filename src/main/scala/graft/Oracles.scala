@@ -699,6 +699,28 @@ object Oracles {
        |  1::BIGINT AS est_ok, 1::BIGINT AS merge_invariant
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Market-basket pairs ([[graft.ops.Relational.basketPairs]]):
+    * same distinct → pair → integer-permille scoring chain, same
+    * lift-desc/(part_a, part_b) top-100 cut. */
+  val basketPairs: String =
+    s"""WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM i),
+       |ic AS (SELECT l_partkey, count(*) AS item_cnt FROM i GROUP BY 1),
+       |p AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |    count(*)::BIGINT AS pair_cnt
+       |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT part_a, part_b, pair_cnt,
+       |  (1000 * pair_cnt // n_orders)::BIGINT AS support_pm,
+       |  (1000 * pair_cnt // ca.item_cnt)::BIGINT AS conf_pm,
+       |  ((1000 * pair_cnt * n_orders)
+       |    // (ca.item_cnt * cb.item_cnt))::BIGINT AS lift_milli
+       |FROM p, tot, ic ca, ic cb
+       |WHERE ca.l_partkey = part_a AND cb.l_partkey = part_b
+       |ORDER BY lift_milli DESC, part_a, part_b LIMIT 100""".stripMargin
+
   /** Daily EWMA spike series ([[graft.ops.Windows.dailyEwma]]): the
     * fixed-point recurrence replayed as a recursive CTE — integer
     * milli-counts and `//` make every step bit-identical. */

@@ -173,6 +173,9 @@ object SparkEntry {
     "q21_wait" -> ((s, dir) => Relational.soleReturnSuppliers(s, dir)),
     // repeat-purchase day gaps: lag window on custkey, grand report
     "order_gaps" -> ((s, dir) => Relational.repeatPurchaseLatency(s, dir)),
+    // market-basket pair mining: per-basket pair gen, integer-permille
+    // support/confidence/lift, top-100 by lift
+    "basket_pairs" -> ((s, dir) => Relational.basketPairs(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
     // (re-agg invariance, error bound) ship as oracle-checked 0/1s
     "hll_users" -> ((s, dir) => Windows.hllWeeklyUsers(events(s, dir))),
@@ -637,6 +640,7 @@ object SparkEntry {
     "q18_large" -> Oracles.largeQuantityOrders,
     "q21_wait" -> Oracles.soleReturnSuppliers,
     "order_gaps" -> Oracles.repeatPurchaseLatency,
+    "basket_pairs" -> Oracles.basketPairs,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,
     "daily_ewma" -> Oracles.dailyEwma,

@@ -36,68 +36,81 @@ import org.apache.spark.sql.functions._
 object Kmv {
 
   /** Sign-flip: maps unsigned hash order onto signed long order. */
-  @inline private def flip(h: Long): Long = h ^ Long.MinValue
+  @inline private[graft] def flip(h: Long): Long = h ^ Long.MinValue
 
-  /** Bounded distinct-min buffer: (#filled, max-heap of flipped
-    * hashes). The heap array is allocated once per buffer at first
-    * use and mutated in place; the tuple shell is re-created per
-    * reduce (object-header cost only). Containment is checked by
-    * linear scan, which only runs when the value would actually enter
-    * (warm-up, or below the current root) — expected o(k²) total per
-    * partition. */
+  /** Insert a FLIPPED hash into a bounded distinct-min buffer:
+    * (#filled, max-heap of flipped hashes). The heap array is
+    * allocated once per buffer and mutated in place; the tuple shell
+    * is re-created per insert (object-header cost only). Containment
+    * is checked by linear scan, which only runs when the value would
+    * actually enter (warm-up, or below the current root) — expected
+    * o(k²) total per partition. Shared verbatim by the batch
+    * Aggregator and [[graft.streaming.StreamingDistinct]]'s state
+    * update, which is what makes stream/batch parity exact. */
+  private[graft] def insert(b: (Int, Array[Long]), v: Long,
+                            k: Int): (Int, Array[Long]) = {
+    val (n, heap0) = b
+    if (n == 0 && heap0.isEmpty) {
+      val heap = new Array[Long](k)
+      heap(0) = v
+      return (1, heap)
+    }
+    val heap = heap0
+    if (n < k) {
+      var i = 0
+      while (i < n) { if (heap(i) == v) return b; i += 1 }
+      // sift up
+      heap(n) = v
+      var c = n
+      while (c > 0 && heap((c - 1) / 2) < heap(c)) {
+        val p = (c - 1) / 2
+        val t = heap(p); heap(p) = heap(c); heap(c) = t
+        c = p
+      }
+      (n + 1, heap)
+    } else if (v < heap(0)) {
+      var i = 0
+      while (i < n) { if (heap(i) == v) return b; i += 1 }
+      // replace root, sift down
+      heap(0) = v
+      var c = 0
+      var done = false
+      while (!done) {
+        val l = 2 * c + 1; val r = l + 1
+        var m = c
+        if (l < k && heap(l) > heap(m)) m = l
+        if (r < k && heap(r) > heap(m)) m = r
+        if (m == c) done = true
+        else { val t = heap(m); heap(m) = heap(c); heap(c) = t; c = m }
+      }
+      b
+    } else b
+  }
+
+  /** Scala-side estimate over a buffer — the same math as the
+    * [[estimate]] Column (the k-th smallest of a full max-heap is its
+    * root), so stream-emitted and batch-column estimates agree
+    * bit-for-bit. */
+  private[graft] def estimateBuffer(n: Int, heap: Array[Long],
+                                    k: Int): Long =
+    if (n < k) n.toLong
+    else math.round((k - 1).toDouble /
+      ((heap(0).toDouble + HalfSpan) / FullSpan))
+
   final class KmvAgg(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Long, (Int, Array[Long]), Array[Long]] {
     require(k >= 2, "k >= 2")
 
     def zero: (Int, Array[Long]) = (0, Array.emptyLongArray)
 
-    private def insert(b: (Int, Array[Long]), v: Long): (Int, Array[Long]) = {
-      val (n, heap0) = b
-      if (n == 0 && heap0.isEmpty) {
-        val heap = new Array[Long](k)
-        heap(0) = v
-        return (1, heap)
-      }
-      val heap = heap0
-      if (n < k) {
-        var i = 0
-        while (i < n) { if (heap(i) == v) return b; i += 1 }
-        // sift up
-        heap(n) = v
-        var c = n
-        while (c > 0 && heap((c - 1) / 2) < heap(c)) {
-          val p = (c - 1) / 2
-          val t = heap(p); heap(p) = heap(c); heap(c) = t
-          c = p
-        }
-        (n + 1, heap)
-      } else if (v < heap(0)) {
-        var i = 0
-        while (i < n) { if (heap(i) == v) return b; i += 1 }
-        // replace root, sift down
-        heap(0) = v
-        var c = 0
-        var done = false
-        while (!done) {
-          val l = 2 * c + 1; val r = l + 1
-          var m = c
-          if (l < k && heap(l) > heap(m)) m = l
-          if (r < k && heap(r) > heap(m)) m = r
-          if (m == c) done = true
-          else { val t = heap(m); heap(m) = heap(c); heap(c) = t; c = m }
-        }
-        b
-      } else b
-    }
-
     def reduce(b: (Int, Array[Long]), hRaw: Long): (Int, Array[Long]) =
-      insert(b, flip(hRaw))
+      insert(b, flip(hRaw), k)
 
     def merge(l: (Int, Array[Long]),
               r: (Int, Array[Long])): (Int, Array[Long]) = {
       var acc = l
       var i = 0
-      while (i < r._1) { acc = insert(acc, r._2(i)); i += 1 }
+      while (i < r._1) { acc = insert(acc, r._2(i), k); i += 1 }
       acc
     }
 

@@ -430,6 +430,50 @@ object Relational {
         expr("total_gap_days * 1000L div n_gaps").as("mean_gap_milli_days"))
   }
 
+  /** Market-basket association mining over order lines: part pairs
+    * bought together, scored by support / confidence / lift in exact
+    * integer permille (no float reaches the output). The classic
+    * co-occurrence shape done the scale-correct way:
+    *  - pairs generate per order AFTER a (orderkey, partkey) distinct,
+    *    so the blowup is bounded by lines-per-order choose 2 (TPC-H
+    *    baskets are ≤~17 lines; a pathological basket would need the
+    *    same cap the pair join enforces structurally — the quadratic
+    *    is per-basket, never corpus-wide);
+    *  - item and pair counts shuffle slim key/count rows only;
+    *  - the order total rides in as a broadcast 1-row frame, not a
+    *    driver-side collect;
+    *  - `lift > 1000` (milli-units) reads as positive association.
+    * Top-k by lift with (part_a, part_b) tiebreak keeps the cut
+    * engine-deterministic. */
+  def basketPairs(spark: SparkSession, sfDir: String,
+                  minSupport: Long = 2L, topK: Int = 100): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val tot = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val itemCnt = items.groupBy("l_partkey")
+      .agg(count(lit(1)).as("item_cnt"))
+    val pairs = items.as("a")
+      .join(items.as("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minSupport)
+    pairs
+      .join(itemCnt.select(col("l_partkey").as("part_a"),
+        col("item_cnt").as("cnt_a")), "part_a")
+      .join(itemCnt.select(col("l_partkey").as("part_b"),
+        col("item_cnt").as("cnt_b")), "part_b")
+      .join(broadcast(tot))
+      .select(col("part_a"), col("part_b"), col("pair_cnt"),
+        expr("1000L * pair_cnt div n_orders").as("support_pm"),
+        expr("1000L * pair_cnt div cnt_a").as("conf_pm"),
+        expr("(1000L * pair_cnt * n_orders) div (cnt_a * cnt_b)")
+          .as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
   /** Region-level customer rollup: customer ⋈ broadcast(nation ⋈
     * broadcast(region)) — the dimensions are tiny at any scale, so the
     * fact table never shuffles for the join; only the 5-group aggregate
