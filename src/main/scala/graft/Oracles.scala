@@ -699,6 +699,21 @@ object Oracles {
        |  1::BIGINT AS est_ok, 1::BIGINT AS merge_invariant
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Melted pivot ([[graft.ops.Windows.eventTypeMelt]]): dense
+    * day × pinned-type long form, zeros included — the oracle builds
+    * the dense frame from the day/type cross join directly. */
+  val eventTypeMelt: String =
+    s"""WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day
+       |  FROM events),
+       |types AS (SELECT unnest(['click','error','purchase','signup',
+       |  'view']) AS event_type),
+       |c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       |  count(*)::BIGINT AS n FROM events GROUP BY 1, 2)
+       |SELECT days.day, types.event_type,
+       |  coalesce(c.n, 0)::BIGINT AS n_events
+       |FROM days CROSS JOIN types
+       |LEFT JOIN c ON c.day = days.day AND c.event_type = types.event_type""".stripMargin
+
   /** Market-basket pairs ([[graft.ops.Relational.basketPairs]]):
     * same distinct → pair → integer-permille scoring chain, same
     * lift-desc/(part_a, part_b) top-100 cut. */

@@ -1958,6 +1958,25 @@ object OraclesLlm {
        |  END AS temp_ratio_pm
        |FROM w, tot""".stripMargin
 
+  /** Token-budget epoch plan ([[graft.llm.LangModel.epochPlan]],
+    * budget 10M): tokens_wanted = budget·share‰, epochs_milli =
+    * wanted/available — all exact integer division. */
+  val epochPlan: String =
+    s"""WITH s AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |    sum(len(${toksE("text")}))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs, n_tokens,
+       |        floor(sqrt(n_tokens::DOUBLE))::BIGINT AS w FROM s),
+       |tot AS (SELECT sum(w)::BIGINT AS w_total FROM w),
+       |p AS (SELECT source, n_docs, n_tokens,
+       |        ((1000 * w) // w_total)::BIGINT AS share_pm FROM w, tot)
+       |SELECT source, n_docs, n_tokens, share_pm,
+       |  ((10000000 * share_pm) // 1000)::BIGINT AS tokens_wanted,
+       |  ((1000 * ((10000000 * share_pm) // 1000))
+       |    // n_tokens)::BIGINT AS epochs_milli
+       |FROM p""".stripMargin
+
   /** Quality-weighted sampling: keep iff bucket < own quality. */
   val weightedSample: String =
     s"""WITH $profileCte

@@ -185,6 +185,8 @@ object SparkEntry {
     // fixed-point EWMA spike series: reduce to day grain first, fold
     // the |days| recurrence with a native higher-order aggregate
     "daily_ewma" -> ((s, dir) => Windows.dailyEwma(events(s, dir))),
+    // UNPIVOT: the pivot matrix melts losslessly back to long form
+    "event_melt" -> ((s, dir) => Windows.eventTypeMelt(events(s, dir))),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
     // bucketed point-in-interval join; oracle states the raw inequality
@@ -415,6 +417,9 @@ object SparkEntry {
     // temperature mixing (α=0.5): sample shares ∝ sqrt(source tokens)
     "mixture_weights" -> ((s, dir) =>
       LangModel.mixtureWeights(docs(s, dir))),
+    // token-budget epoch plan: per-source repeat factors under the
+    // temperature shares (epochs_milli > 1000 = data revisited)
+    "epoch_plan" -> ((s, dir) => LangModel.epochPlan(docs(s, dir))),
     // snapshot shift detector: exact L1 distance between the unigram
     // micro-rate distributions of the doc_id-parity halves
     "token_drift" -> ((s, dir) => {
@@ -644,6 +649,7 @@ object SparkEntry {
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,
     "daily_ewma" -> Oracles.dailyEwma,
+    "event_melt" -> Oracles.eventTypeMelt,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,
@@ -704,6 +710,7 @@ object SparkEntry {
     "bigram_surprisal" -> OraclesLlm.bigramSurprisal,
     "collocations" -> OraclesLlm.collocations,
     "mixture_weights" -> OraclesLlm.mixtureWeights,
+    "epoch_plan" -> OraclesLlm.epochPlan,
     "token_drift" -> OraclesLlm.tokenDrift,
     "source_divergence" -> OraclesLlm.sourceDivergence,
     "doc_keywords" -> OraclesLlm.docKeywords,

@@ -282,4 +282,19 @@ object LangModel {
         when(col("natural_pm") > 0,
           expr("(1000 * share_pm) div natural_pm")))
   }
+
+  /** Epoch plan for a token budget: how many tokens each source
+    * contributes under the [[mixtureWeights]] α-temperature shares,
+    * and — the data-constrained question (Muennighoff et al. 2023) —
+    * how many EPOCHS of each source that implies (`epochs_milli` >
+    * 1000 means the trainer will revisit that source's data; the
+    * repeat dial a curation run balances against quality). Pure
+    * integer arithmetic on the |sources|-row weights frame — the
+    * budget never touches the corpus scan. */
+  def epochPlan(docs: DataFrame, budgetTokens: Long = 10000000L): DataFrame =
+    mixtureWeights(docs)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share_pm"),
+        expr(s"(${budgetTokens}L * share_pm) div 1000").as("tokens_wanted"),
+        expr(s"(1000L * ((${budgetTokens}L * share_pm) div 1000)) div n_tokens")
+          .as("epochs_milli"))
 }

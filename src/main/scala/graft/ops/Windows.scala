@@ -117,6 +117,21 @@ object Windows {
       .count()
       .na.fill(0L, types)
 
+  /** The inverse of [[eventTypePivot]] via native UNPIVOT: the wide
+    * matrix melts back to dense (day, event_type, n_events) long form
+    * — zeros included, so pivot∘melt is lossless and the long form is
+    * safe to re-aggregate. Unpivot is a zero-shuffle Expand over the
+    * |days|-row matrix (each row fans out to |types| rows in place);
+    * the only exchange in the whole plan is the pivot's own day
+    * aggregate. The melted shape is what incremental consumers want
+    * back (the pivot is for dashboards; joins and rollups want long). */
+  def eventTypeMelt(events: DataFrame,
+                    types: Seq[String] = Seq("click", "error", "purchase",
+                      "signup", "view")): DataFrame =
+    eventTypePivot(events, types)
+      .unpivot(Array(col("day")), types.map(col).toArray,
+        "event_type", "n_events")
+
   /** Corpus-level sessionization rollup over [[userSessions]]: the
     * engagement summary a dashboard reads — session count, events per
     * session (exact permille), single-event bounce count, and duration
