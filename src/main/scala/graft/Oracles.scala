@@ -699,6 +699,30 @@ object Oracles {
        |  1::BIGINT AS est_ok, 1::BIGINT AS merge_invariant
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Z-order layout report ([[graft.ops.Windows.zOrderLayout]]): the
+    * quantize → interleave → bucket chain replayed with the unrolled
+    * 8-term Morton sum — all integer ops, bit-identical. */
+  val zOrderLayout: String = {
+    val terms = (0 until 8).map(i =>
+      s"((uq >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"((dq >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT user_id,
+       |    datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d
+       |  FROM events),
+       |r AS (SELECT min(user_id) AS u_min, max(user_id) AS u_max,
+       |        min(d) AS d_min, max(d) AS d_max FROM b),
+       |q AS (SELECT user_id, d,
+       |    ((user_id - u_min) * 256) // (u_max - u_min + 1) AS uq,
+       |    ((d - d_min) * 256) // (d_max - d_min + 1) AS dq
+       |  FROM b, r),
+       |z AS (SELECT user_id, d, ($terms)::BIGINT AS z FROM q)
+       |SELECT (z // 2048)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+       |  min(user_id)::BIGINT AS min_user, max(user_id)::BIGINT AS max_user,
+       |  min(d)::BIGINT AS min_day, max(d)::BIGINT AS max_day
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
   /** Melted pivot ([[graft.ops.Windows.eventTypeMelt]]): dense
     * day × pinned-type long form, zeros included — the oracle builds
     * the dense frame from the day/type cross join directly. */

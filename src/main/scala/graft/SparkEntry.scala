@@ -187,6 +187,9 @@ object SparkEntry {
     "daily_ewma" -> ((s, dir) => Windows.dailyEwma(events(s, dir))),
     // UNPIVOT: the pivot matrix melts losslessly back to long form
     "event_melt" -> ((s, dir) => Windows.eventTypeMelt(events(s, dir))),
+    // Z-order clustering report: per-Z-range row counts and the
+    // min/max footer bounds a z-ordered file layout would carry
+    "zorder_layout" -> ((s, dir) => Windows.zOrderLayout(events(s, dir))),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
     // bucketed point-in-interval join; oracle states the raw inequality
@@ -650,6 +653,7 @@ object SparkEntry {
     "user_overlap" -> Oracles.userTypeOverlap,
     "daily_ewma" -> Oracles.dailyEwma,
     "event_melt" -> Oracles.eventTypeMelt,
+    "zorder_layout" -> Oracles.zOrderLayout,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,

@@ -498,6 +498,43 @@ object Windows {
     * group but no mergeable artifact — no rollup, no cross-snapshot
     * union, no incremental maintenance; persisting the sketch column
     * is the point. */
+  /** Z-order layout analysis for the events table — the decision
+    * report behind multi-dimensional file clustering at 100 TB: if
+    * files were written in Z-curve order over (user_id, day), what
+    * min/max bounds would each file's footer carry? Both per-user and
+    * per-day queries prune on those bounds; a 1-D day layout gives
+    * per-user queries nothing (every file spans all users —
+    * ZOrderSpec measures the difference as a file-skip count).
+    *
+    * Dimensions range-quantize to 8 bits against their observed
+    * min/max (one 1-row broadcast — constant high bits would waste
+    * curve resolution otherwise), interleave via the static
+    * shift/mask fold ([[graft.functions.ZOrder]]), and group into
+    * `buckets` equal Z ranges standing in for files. Everything is
+    * exact integer arithmetic, so the oracle reproduces the whole
+    * report — bucket population AND bounds — bit for bit.
+    *
+    * The write path this report prices is one
+    * `repartitionByRange(z)` — a single range shuffle, the same cost
+    * as any sorted write. */
+  def zOrderLayout(events: DataFrame, buckets: Int = 32): DataFrame = {
+    import graft.functions.ZOrder
+    val base = events.select(col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val rng = base.agg(min("user_id").as("u_min"), max("user_id").as("u_max"),
+      min("d").as("d_min"), max("d").as("d_max"))
+    base.join(broadcast(rng))
+      .withColumn("uq", expr("((user_id - u_min) * 256L) div (u_max - u_min + 1L)"))
+      .withColumn("dq", expr("((d - d_min) * 256L) div (d_max - d_min + 1L)"))
+      .withColumn("z", ZOrder.interleave(col("uq"), col("dq")))
+      .withColumn("bucket", expr(s"z div ${65536L / buckets}L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"),
+        min("d").as("min_day"), max("d").as("max_day"))
+  }
+
   /** Per-type EWMA of the daily event count with spike flags — the
     * exponential-smoothing twin of [[trendSpikes]]' rolling mean (an
     * EWMA never forgets a level shift completely; the 3-bucket mean
