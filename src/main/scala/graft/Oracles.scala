@@ -699,6 +699,48 @@ object Oracles {
        |  1::BIGINT AS est_ok, 1::BIGINT AS merge_invariant
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Q8-shaped market share ([[graft.ops.Relational.marketShare]]):
+    * same conditional-sum revenue split, same integer permille. */
+  val marketShare: String =
+    s"""SELECT year(o_orderdate)::BIGINT AS o_year,
+       |  sum(CASE WHEN n2.n_name = 'NATION_9'
+       |      THEN round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT
+       |      ELSE 0 END) / 10000.0 AS nation_revenue,
+       |  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |    / 10000.0 AS total_revenue,
+       |  ((1000 * sum(CASE WHEN n2.n_name = 'NATION_9'
+       |      THEN round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT
+       |      ELSE 0 END))
+       |    // sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |  )::BIGINT AS share_pm
+       |FROM lineitem, orders, customer, part, supplier,
+       |  nation n1, nation n2, region
+       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |  AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+       |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+       |  AND s_nationkey = n2.n_nationkey
+       |  AND r_name = 'ASIA' AND p_type = 'STANDARD'
+       |  AND o_orderdate >= DATE '1995-01-01'
+       |  AND o_orderdate < DATE '1997-01-01'
+       |GROUP BY 1""".stripMargin
+
+  /** Q14-shaped promo share ([[graft.ops.Relational.promoShare]]). */
+  val promoShare: String =
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       |  sum(CASE WHEN p_type = 'PROMO'
+       |      THEN round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT
+       |      ELSE 0 END) / 10000.0 AS promo_revenue,
+       |  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |    / 10000.0 AS total_revenue,
+       |  ((1000 * sum(CASE WHEN p_type = 'PROMO'
+       |      THEN round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT
+       |      ELSE 0 END))
+       |    // sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |  )::BIGINT AS promo_pm
+       |FROM lineitem, part
+       |WHERE l_partkey = p_partkey
+       |GROUP BY 1""".stripMargin
+
   /** Z-order layout report ([[graft.ops.Windows.zOrderLayout]]): the
     * quantize → interleave → bucket chain replayed with the unrolled
     * 8-term Morton sum — all integer ops, bit-identical. */

@@ -176,6 +176,11 @@ object SparkEntry {
     // market-basket pair mining: per-basket pair gen, integer-permille
     // support/confidence/lift, top-100 by lift
     "basket_pairs" -> ((s, dir) => Relational.basketPairs(s, dir)),
+    // Q8 shape: widest join in the suite (8 relations), one-pass
+    // conditional-sum share in exact permille
+    "q8_market_share" -> ((s, dir) => Relational.marketShare(s, dir)),
+    // Q14 shape: broadcast part join, promo share per ship month
+    "q14_promo" -> ((s, dir) => Relational.promoShare(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
     // (re-agg invariance, error bound) ship as oracle-checked 0/1s
     "hll_users" -> ((s, dir) => Windows.hllWeeklyUsers(events(s, dir))),
@@ -649,6 +654,8 @@ object SparkEntry {
     "q21_wait" -> Oracles.soleReturnSuppliers,
     "order_gaps" -> Oracles.repeatPurchaseLatency,
     "basket_pairs" -> Oracles.basketPairs,
+    "q8_market_share" -> Oracles.marketShare,
+    "q14_promo" -> Oracles.promoShare,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,
     "daily_ewma" -> Oracles.dailyEwma,

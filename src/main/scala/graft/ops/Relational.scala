@@ -430,6 +430,82 @@ object Relational {
         expr("total_gap_days * 1000L div n_gaps").as("mean_gap_milli_days"))
   }
 
+  /** TPC-H Q8-shaped national market share: of the revenue a region's
+    * customers spent on one part type, what share did a given
+    * supplier nation capture, per year — the widest join workout in
+    * the suite (lineitem ⋈ orders ⋈ customer ⋈ part ⋈ supplier with
+    * nation in two roles and region). Dimension sides (filtered part,
+    * nation⋈region, nation) all broadcast; the big chain shuffles
+    * lineitem⋈orders on orderkey and the customer join on custkey —
+    * exactly the two fact-scale exchanges the join graph requires at
+    * any SF. Share as exact integer permille of per-row-rounded
+    * revenue units: numerator and denominator aggregate in ONE pass
+    * via a conditional sum, not two query trees. */
+  def marketShare(spark: SparkSession, sfDir: String,
+                  region: String = "ASIA", nation: String = "NATION_9",
+                  ptype: String = "STANDARD"): DataFrame = {
+    val nr = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)
+          .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nr), col("c_nationkey") === col("c_nkey"))
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val prt = Tables.part(spark, sfDir)
+      .filter(col("p_type") === ptype).select("p_partkey")
+    val sup = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val rev = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rev_u",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000).cast("long"))
+    rev.groupBy("o_year")
+      .agg(sum(when(col("supp_nation") === nation, col("rev_u"))
+          .otherwise(0L)).as("nation_u"),
+        sum(col("rev_u")).as("total_u"))
+      .select(col("o_year"),
+        (col("nation_u") / 10000.0).as("nation_revenue"),
+        (col("total_u") / 10000.0).as("total_revenue"),
+        expr("(1000L * nation_u) div total_u").as("share_pm"))
+  }
+
+  /** TPC-H Q14-shaped promo revenue share per ship month: one
+    * broadcast part join over the pushed-projection lineitem scan,
+    * numerator and denominator in one conditional-sum pass, exact
+    * integer permille. */
+  def promoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val prt = Tables.part(spark, sfDir).select("p_partkey", "p_type")
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .withColumn("rev_u",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000).cast("long"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev_u")).otherwise(0L))
+          .as("promo_u"),
+        sum(col("rev_u")).as("total_u"))
+      .select(col("ship_month"),
+        (col("promo_u") / 10000.0).as("promo_revenue"),
+        (col("total_u") / 10000.0).as("total_revenue"),
+        expr("(1000L * promo_u) div total_u").as("promo_pm"))
+  }
+
   /** Market-basket association mining over order lines: part pairs
     * bought together, scored by support / confidence / lift in exact
     * integer permille (no float reaches the output). The classic
