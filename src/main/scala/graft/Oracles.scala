@@ -699,6 +699,22 @@ object Oracles {
        |  1::BIGINT AS est_ok, 1::BIGINT AS merge_invariant
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Q19-shaped disjunctive bands ([[graft.ops.Relational
+    * .brandBandRevenue]]): same three OR-arms on integer centi-
+    * quantities. */
+  val brandBandRevenue: String =
+    s"""SELECT p_brand, count(*) AS n_lines,
+       |  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |    / 10000.0 AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1'
+       |    AND round(l_quantity * 100)::BIGINT BETWEEN 100 AND 1100)
+       |  OR (p_brand = 'Brand#2'
+       |    AND round(l_quantity * 100)::BIGINT BETWEEN 1000 AND 2000)
+       |  OR (p_brand = 'Brand#3'
+       |    AND round(l_quantity * 100)::BIGINT BETWEEN 2000 AND 3600)
+       |GROUP BY p_brand""".stripMargin
+
   /** Q8-shaped market share ([[graft.ops.Relational.marketShare]]):
     * same conditional-sum revenue split, same integer permille. */
   val marketShare: String =

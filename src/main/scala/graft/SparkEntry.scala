@@ -181,6 +181,8 @@ object SparkEntry {
     "q8_market_share" -> ((s, dir) => Relational.marketShare(s, dir)),
     // Q14 shape: broadcast part join, promo share per ship month
     "q14_promo" -> ((s, dir) => Relational.promoShare(s, dir)),
+    // Q19 shape: DNF predicate split across scan pushdown + residual
+    "q19_bands" -> ((s, dir) => Relational.brandBandRevenue(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
     // (re-agg invariance, error bound) ship as oracle-checked 0/1s
     "hll_users" -> ((s, dir) => Windows.hllWeeklyUsers(events(s, dir))),
@@ -656,6 +658,7 @@ object SparkEntry {
     "basket_pairs" -> Oracles.basketPairs,
     "q8_market_share" -> Oracles.marketShare,
     "q14_promo" -> Oracles.promoShare,
+    "q19_bands" -> Oracles.brandBandRevenue,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,
     "daily_ewma" -> Oracles.dailyEwma,

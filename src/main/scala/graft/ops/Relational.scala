@@ -506,6 +506,37 @@ object Relational {
         expr("(1000L * promo_u) div total_u").as("promo_pm"))
   }
 
+  /** TPC-H Q19-shaped disjunctive filter join: revenue from three
+    * (brand, quantity-band) OR-arms — the DNF-predicate workout.
+    * Spark splits the disjunction: the quantity bound common to all
+    * arms (`l_quantity <= 36`) pushes into the lineitem SCAN, the
+    * brand set into the part scan (a broadcast at any SF), and only
+    * the residual per-arm conjunctions evaluate post-join. Quantity
+    * compares on per-row-rounded integer centi-units so the band
+    * edges are engine-exact. */
+  def brandBandRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val arms = Seq(("Brand#1", 1L, 11L), ("Brand#2", 10L, 20L),
+      ("Brand#3", 20L, 36L))
+    val prt = Tables.part(spark, sfDir)
+      .filter(col("p_brand").isInCollection(arms.map(_._1)))
+      .select("p_partkey", "p_brand")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"),
+        col("l_extendedprice"), col("l_discount"))
+      .filter(col("qty_c") <= arms.map(_._3).max * 100)
+    val armPred = arms.map { case (b, lo, hi) =>
+      col("p_brand") === b &&
+        col("qty_c") >= lo * 100 && col("qty_c") <= hi * 100
+    }.reduce(_ || _)
+    li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .filter(armPred)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        (sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          / 10000.0).as("revenue"))
+  }
+
   /** Market-basket association mining over order lines: part pairs
     * bought together, scored by support / confidence / lift in exact
     * integer permille (no float reaches the output). The classic
