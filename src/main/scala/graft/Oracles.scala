@@ -715,6 +715,24 @@ object Oracles {
        |    AND round(l_quantity * 100)::BIGINT BETWEEN 2000 AND 3600)
        |GROUP BY p_brand""".stripMargin
 
+  /** Q17-shaped small-quantity revenue ([[graft.ops.Relational
+    * .smallQuantityRevenue]]): the decorrelated per-part average with
+    * the division-free cross-multiplied threshold. */
+  val smallQuantityRevenue: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey, round(l_quantity * 100)::BIGINT AS qty_c,
+       |    l_extendedprice
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = 'Brand#23'),
+       |pp AS (SELECT l_partkey, sum(qty_c)::BIGINT AS sum_c,
+       |         count(*)::BIGINT AS cnt
+       |       FROM li GROUP BY l_partkey)
+       |SELECT count(*) AS n_lines,
+       |  sum(round(l_extendedprice * 100)::BIGINT) / 100.0 / 7.0
+       |    AS avg_yearly
+       |FROM li JOIN pp USING (l_partkey)
+       |WHERE qty_c * 5 * cnt < sum_c""".stripMargin
+
   /** Q8-shaped market share ([[graft.ops.Relational.marketShare]]):
     * same conditional-sum revenue split, same integer permille. */
   val marketShare: String =

@@ -183,6 +183,8 @@ object SparkEntry {
     "q14_promo" -> ((s, dir) => Relational.promoShare(s, dir)),
     // Q19 shape: DNF predicate split across scan pushdown + residual
     "q19_bands" -> ((s, dir) => Relational.brandBandRevenue(s, dir)),
+    // Q17 shape: decorrelated per-part avg, division-free threshold
+    "q17_small_qty" -> ((s, dir) => Relational.smallQuantityRevenue(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
     // (re-agg invariance, error bound) ship as oracle-checked 0/1s
     "hll_users" -> ((s, dir) => Windows.hllWeeklyUsers(events(s, dir))),
@@ -659,6 +661,7 @@ object SparkEntry {
     "q8_market_share" -> Oracles.marketShare,
     "q14_promo" -> Oracles.promoShare,
     "q19_bands" -> Oracles.brandBandRevenue,
+    "q17_small_qty" -> Oracles.smallQuantityRevenue,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,
     "daily_ewma" -> Oracles.dailyEwma,

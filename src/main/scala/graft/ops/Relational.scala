@@ -537,6 +537,32 @@ object Relational {
           / 10000.0).as("revenue"))
   }
 
+  /** TPC-H Q17-shaped small-quantity revenue: lineitems ordering less
+    * than 20% of their part's average quantity — the correlated
+    * scalar subquery decorrelated into a per-part aggregate joined
+    * back (the rewrite every engine does; here it's explicit and the
+    * threshold is EXACT: `qty < avg/5  ⟺  5·qty_c·cnt < sum_c`, a
+    * cross-multiplication on integer centi-units, so no division ever
+    * runs and engines cannot disagree on the boundary). The brand
+    * filter broadcasts; lineitem shuffles once on partkey and the
+    * per-part aggregate reuses that exchange for the join back. */
+  def smallQuantityRevenue(spark: SparkSession, sfDir: String,
+                           brand: String = "Brand#23"): DataFrame = {
+    val prt = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === brand).select("p_partkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"),
+        col("l_extendedprice"))
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("qty_c").as("sum_c"), count(lit(1)).as("cnt"))
+    li.join(perPart, "l_partkey")
+      .filter(col("qty_c") * 5L * col("cnt") < col("sum_c"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sumCents(col("l_extendedprice")) / 100.0 / 7.0).as("avg_yearly"))
+  }
+
   /** Market-basket association mining over order lines: part pairs
     * bought together, scored by support / confidence / lift in exact
     * integer permille (no float reaches the output). The classic
