@@ -119,6 +119,57 @@ object OraclesLlm {
        |  (length_pm + unique_pm + stop_pm) // 3 AS quality
        |FROM pm""".stripMargin
 
+  /** Gopher hard-gate rules ([[graft.llm.TextAnalysis.gopherRules]]):
+    * every ratio as an integer cross-multiplication; '#'/'...'
+    * removal via plain replace (replace-all on both engines,
+    * non-overlapping left-to-right). */
+  val gopherRules: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, ${toksE("text")} AS toks,
+       |    string_split(text, chr(10)) AS lines,
+       |    (length(text) - length(replace(text, '#', '')))::BIGINT
+       |      AS n_hash,
+       |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+       |      AS n_ell
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS wc,
+       |    list_sum(list_transform(toks, w -> length(w)))::BIGINT AS sumlen,
+       |    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+       |      AS alpha_words,
+       |    len(list_intersect(list_transform(toks, w -> lower(w)),
+       |      ['the','be','to','of','and','that','have','with']))::BIGINT
+       |      AS n_required,
+       |    len(lines)::BIGINT AS n_lines,
+       |    len(list_filter(lines, l -> starts_with(l, '-')
+       |      OR starts_with(l, '*')))::BIGINT AS bullet_lines,
+       |    len(list_filter(lines, l -> ends_with(l, '...')))::BIGINT
+       |      AS ell_lines,
+       |    n_hash, n_ell
+       |  FROM s),
+       |f AS (
+       |  SELECT doc_id, wc,
+       |    (CASE WHEN wc BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)::BIGINT
+       |      AS r_wordcount,
+       |    (CASE WHEN 3 * wc <= sumlen AND sumlen <= 10 * wc
+       |          THEN 1 ELSE 0 END)::BIGINT AS r_meanlen,
+       |    (CASE WHEN 10 * (n_hash + n_ell) <= wc THEN 1 ELSE 0 END)::BIGINT
+       |      AS r_symbol,
+       |    (CASE WHEN 10 * bullet_lines <= n_lines THEN 1 ELSE 0 END)::BIGINT
+       |      AS r_bullet,
+       |    (CASE WHEN 10 * ell_lines <= 3 * n_lines
+       |          THEN 1 ELSE 0 END)::BIGINT AS r_ellipsis,
+       |    (CASE WHEN 5 * alpha_words >= 4 * wc THEN 1 ELSE 0 END)::BIGINT
+       |      AS r_alpha,
+       |    (CASE WHEN n_required >= 2 THEN 1 ELSE 0 END)::BIGINT
+       |      AS r_required
+       |  FROM c)
+       |SELECT doc_id, wc, r_wordcount, r_meanlen, r_symbol, r_bullet,
+       |  r_ellipsis, r_alpha, r_required,
+       |  (r_wordcount * r_meanlen * r_symbol * r_bullet * r_ellipsis
+       |    * r_alpha * r_required)::BIGINT AS gopher_keep
+       |FROM f""".stripMargin
+
   /** Positional phrase search ([[graft.llm.Retrieval.phraseSearch]]
     * for "slow hash batch"): postings of the three phrase tokens
     * project to (doc_id, pos − offset) anchors; an anchor holding all

@@ -207,6 +207,8 @@ object SparkEntry {
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
+    // published Gopher hard gates: per-rule 0/1 verdicts, all-integer
+    "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     // linear quality classifier: closed-form training on the quality
     // heuristic's pseudo-labels, then bag-of-tokens scoring
@@ -673,6 +675,7 @@ object SparkEntry {
     "token_stats" -> OraclesLlm.tokenStats,
     "lang_id" -> OraclesLlm.langId,
     "quality_score" -> OraclesLlm.qualityScore,
+    "gopher_rules" -> OraclesLlm.gopherRules,
     "classifier_weights" -> OraclesLlm.classifierWeights,
     "classifier_score" -> OraclesLlm.classifierScore,
     "classifier_auc" -> OraclesLlm.classifierAuc,

@@ -127,6 +127,65 @@ object TextAnalysis {
       .select(col("doc_id"), col("toks"),
         (expr("pm_sum div 3") >= threshold).cast("long").as("hq"))
 
+  /** Gopher document-quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A) — the published
+    * HARD-GATE filter set, complementary to [[qualityScore]]'s
+    * blended permille: each rule is an independent 0/1 verdict, and a
+    * document must pass all of them. Every ratio threshold runs as an
+    * integer cross-multiplication (`10·symbols ≤ words`, never a
+    * float division), so verdicts are engine-exact.
+    *
+    * Rules (integer forms):
+    *   r_wordcount:  50 ≤ wc ≤ 100 000
+    *   r_meanlen:    3·wc ≤ Σ|token| ≤ 10·wc
+    *   r_symbol:     10·(#'#' + #'...') ≤ wc
+    *   r_bullet:     10·bullet_lines ≤ n_lines   (≥90% not bullets)
+    *   r_ellipsis:   10·ellipsis_lines ≤ 3·n_lines
+    *   r_alpha:      5·alpha_words ≥ 4·wc        (≥80% contain a letter)
+    *   r_required:   ≥2 distinct of {the,be,to,of,and,that,have,with}
+    *
+    * One stateless projection per doc — tokens and lines staged once,
+    * every rule reads the staged arrays; nothing shuffles. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val staged = docs.select(col("doc_id"),
+      TextFns.tokens(col("text")).as("toks"),
+      split(col("text"), "\n").as("lines"),
+      (length(col("text")) - length(regexp_replace(col("text"),
+        lit("#"), lit("")))).cast("long").as("n_hash"),
+      ((length(col("text")) - length(regexp_replace(col("text"),
+        lit("\\.\\.\\."), lit("")))) / 3).cast("long").as("n_ell"))
+    val counted = staged.select(col("doc_id"),
+      size(col("toks")).cast("long").as("wc"),
+      aggregate(transform(col("toks"), t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x).as("sumlen"),
+      size(filter(col("toks"), t => t.rlike("[A-Za-z]")))
+        .cast("long").as("alpha_words"),
+      size(array_intersect(transform(col("toks"), t => lower(t)),
+        array(required.map(lit): _*))).cast("long").as("n_required"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(filter(col("lines"), l => l.startsWith("-") ||
+        l.startsWith("*"))).cast("long").as("bullet_lines"),
+      size(filter(col("lines"), l => l.endsWith("...")))
+        .cast("long").as("ell_lines"),
+      col("n_hash"), col("n_ell"))
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    counted.select(col("doc_id"), col("wc"),
+      flag(col("wc") >= 50L && col("wc") <= 100000L).as("r_wordcount"),
+      flag(lit(3L) * col("wc") <= col("sumlen") &&
+        col("sumlen") <= lit(10L) * col("wc")).as("r_meanlen"),
+      flag(lit(10L) * (col("n_hash") + col("n_ell")) <= col("wc"))
+        .as("r_symbol"),
+      flag(lit(10L) * col("bullet_lines") <= col("n_lines")).as("r_bullet"),
+      flag(lit(10L) * col("ell_lines") <= lit(3L) * col("n_lines"))
+        .as("r_ellipsis"),
+      flag(lit(5L) * col("alpha_words") >= lit(4L) * col("wc")).as("r_alpha"),
+      flag(col("n_required") >= 2L).as("r_required"))
+      .withColumn("gopher_keep",
+        expr("r_wordcount * r_meanlen * r_symbol * r_bullet * " +
+          "r_ellipsis * r_alpha * r_required"))
+  }
+
   /** Document fingerprint: polynomial rolling hash of the
     * whitespace-normalized lowercase text — the cheap first-pass identity
     * key for exact dedup at scale (collision-checked by the exact

@@ -341,4 +341,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getAs[Long]("n_ngrams") == 2L)
     assert(got.getAs[Long]("novelty_pm") == 1000L)
   }
+
+  test("gopherRules: each rule trips on its crafted violation only") {
+    // a healthy 50-word document that passes everything
+    val good = (Seq("the", "have", "with") ++
+      (1 to 47).map(i => s"word$i")).mkString(" ")
+    // violations, one rule each (others held healthy where possible)
+    val short = "the be have"                           // r_wordcount
+    val longWords = (Seq("the", "of", "and") ++ (1 to 47)
+      .map(i => s"extraordinarily$i")).mkString(" ")    // r_meanlen (>10 avg)
+    val hashy = (Seq("the", "of") ++ (1 to 48)
+      .map(i => s"w$i#")).mkString(" ")                 // r_symbol (48#/50w)
+    val bullets = (Seq("the have with a b c d e f g") ++
+      (1 to 10).map(i => s"- item$i")).mkString("\n")   // r_bullet (10/11)
+    val numbers = (Seq("the", "of", "and") ++ (1 to 47)
+      .map(i => s"$i$i")).mkString(" ")                 // r_alpha (3/50 alpha)
+    val noStop = (1 to 60).map(i => s"word$i").mkString(" ") // r_required
+    val docs = Seq(
+      (0L, good), (1L, short), (2L, longWords), (3L, hashy),
+      (4L, bullets), (5L, numbers), (6L, noStop)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("r_wordcount"), r.getAs[Long]("r_meanlen"),
+          r.getAs[Long]("r_symbol"), r.getAs[Long]("r_bullet"),
+          r.getAs[Long]("r_alpha"), r.getAs[Long]("r_required"),
+          r.getAs[Long]("gopher_keep"))).toMap
+    assert(got(0L) == (1L, 1L, 1L, 1L, 1L, 1L, 1L))
+    assert(got(1L)._1 == 0L && got(1L)._7 == 0L)
+    assert(got(2L)._2 == 0L && got(2L)._7 == 0L)
+    assert(got(3L)._3 == 0L && got(3L)._7 == 0L)
+    assert(got(4L)._4 == 0L && got(4L)._7 == 0L)
+    assert(got(5L)._5 == 0L && got(5L)._7 == 0L)
+    assert(got(6L)._6 == 0L && got(6L)._7 == 0L)
+  }
 }
