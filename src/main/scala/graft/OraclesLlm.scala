@@ -524,6 +524,20 @@ object OraclesLlm {
        |SELECT doc_a, doc_b, inter_size, union_size
        |FROM scored WHERE inter_size * 1000 >= union_size * 800""".stripMargin
 
+  /** Degree histogram over the verified pair graph
+    * ([[graft.llm.Dedup.dupDegrees]]): same band chain, endpoints
+    * unioned, two rollups. */
+  val dupDegrees: String =
+    s"""WITH $minhashCtes,
+       |p AS (SELECT doc_a, doc_b FROM scored
+       |      WHERE inter_size * 1000 >= union_size * 800),
+       |e AS (SELECT doc_a AS doc_id FROM p
+       |      UNION ALL SELECT doc_b FROM p),
+       |d AS (SELECT doc_id, count(*)::BIGINT AS degree
+       |      FROM e GROUP BY doc_id)
+       |SELECT degree, count(*)::BIGINT AS n_docs
+       |FROM d GROUP BY degree""".stripMargin
+
   /** Boilerplate-injected corpus + stride-1 window hashes shared by the
     * substring-dedup oracles (mirrors [[graft.llm.Dedup.withBoilerplate]]
     * and [[graft.llm.Dedup.windowHashRows]] — seed-with-first polynomial

@@ -245,6 +245,9 @@ object SparkEntry {
       Dedup.corpusDelta(docs(s, dir), Dedup.withSnapshotB(docs(s, dir)))),
     "minhash_dedup" -> ((s, dir) =>
       Dedup.minhashDedup(Dedup.withNearDups(docs(s, dir)))),
+    // near-dup graph degree histogram: the hot-cluster early warning
+    "dup_degrees" -> ((s, dir) =>
+      Dedup.dupDegrees(Dedup.withNearDups(docs(s, dir)))),
     "minhash_signatures" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir))),
     // persisted LSH near-dup index (the AnnIndex analog for dedup):
@@ -692,6 +695,7 @@ object SparkEntry {
     "cross_source_overlap" -> OraclesLlm.crossSourceOverlap,
     "corpus_delta" -> OraclesLlm.corpusDelta,
     "minhash_dedup" -> OraclesLlm.minhashDedup,
+    "dup_degrees" -> OraclesLlm.dupDegrees,
     "lsh_index_query" -> OraclesLlm.lshIndexQuery,
     "lsh_history_gate" -> OraclesLlm.lshHistoryGate,
     "lsh_bucket_stats" -> OraclesLlm.lshBucketStats,

@@ -256,6 +256,22 @@ object Dedup {
     minhashDedup(docs, minJaccardPm)
       .withColumn("jaccard_pm", expr("(1000 * inter_size) div union_size"))
 
+  /** Near-dup graph degree histogram: how many partners each document
+    * has in the verified pair graph — the index-health gauge that
+    * catches hot clusters BEFORE they quadratically explode a bucket
+    * join (a boilerplate template shared by 10k pages is one degree-
+    * ~10k node here, and the right response — shard it, drop it, or
+    * cap the bucket — is a curation decision this report triggers).
+    * Shuffle shape: pairs collapse to (doc, degree) with one slim
+    * exchange; the histogram then groups ≤|distinct degrees| rows. */
+  def dupDegrees(docs: DataFrame, minJaccardPm: Int = 800): DataFrame = {
+    val pairs = minhashDedup(docs, minJaccardPm).select("doc_a", "doc_b")
+    pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Near-dup yield curve: how many docs each Jaccard cutoff would
     * remove — the report a curation run reads before committing to a
     * threshold. Pairwise keep-smallest semantics (a doc is removed at
