@@ -799,6 +799,30 @@ object Oracles {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** Peak session concurrency ([[graft.ops.Windows
+    * .sessionConcurrency]]): the [[userSessions]] chain, then the
+    * same delta sweep (+1 at start, −1 at end+1, net per second,
+    * running max) per start day. */
+  val sessionConcurrency: String =
+    s"""WITH s AS (
+       |  SELECT strftime(to_timestamp(session_start), '%Y-%m-%d') AS day,
+       |    session_start, session_end
+       |  FROM ($userSessions)),
+       |deltas AS (
+       |  SELECT day, t, sum(d)::BIGINT AS net FROM (
+       |    SELECT day, session_start AS t, 1 AS d FROM s
+       |    UNION ALL
+       |    SELECT day, session_end + 1 AS t, -1 AS d FROM s)
+       |  GROUP BY day, t),
+       |run AS (
+       |  SELECT day, sum(net) OVER (PARTITION BY day ORDER BY t
+       |    ROWS UNBOUNDED PRECEDING)::BIGINT AS running
+       |  FROM deltas)
+       |SELECT r.day, n.n_sessions, r.peak_concurrent FROM
+       |  (SELECT day, max(running) AS peak_concurrent FROM run GROUP BY day) r
+       |  JOIN (SELECT day, count(*)::BIGINT AS n_sessions FROM s GROUP BY day) n
+       |  ON r.day = n.day""".stripMargin
+
   /** Melted pivot ([[graft.ops.Windows.eventTypeMelt]]): dense
     * day × pinned-type long form, zeros included — the oracle builds
     * the dense frame from the day/type cross join directly. */

@@ -194,6 +194,9 @@ object SparkEntry {
     // fixed-point EWMA spike series: reduce to day grain first, fold
     // the |days| recurrence with a native higher-order aggregate
     "daily_ewma" -> ((s, dir) => Windows.dailyEwma(events(s, dir))),
+    // capacity planning: delta-sweep peak concurrent sessions per day
+    "session_concurrency" -> ((s, dir) =>
+      Windows.sessionConcurrency(events(s, dir))),
     // UNPIVOT: the pivot matrix melts losslessly back to long form
     "event_melt" -> ((s, dir) => Windows.eventTypeMelt(events(s, dir))),
     // Z-order clustering report: per-Z-range row counts and the
@@ -671,6 +674,7 @@ object SparkEntry {
     "user_overlap" -> Oracles.userTypeOverlap,
     "daily_ewma" -> Oracles.dailyEwma,
     "event_melt" -> Oracles.eventTypeMelt,
+    "session_concurrency" -> Oracles.sessionConcurrency,
     "zorder_layout" -> Oracles.zOrderLayout,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,

@@ -498,6 +498,39 @@ object Windows {
     * group but no mergeable artifact — no rollup, no cross-snapshot
     * union, no incremental maintenance; persisting the sketch column
     * is the point. */
+  /** Per-day peak session concurrency — the capacity-planning number
+    * ("how many users were on at once"), computed as the classic
+    * delta sweep: +1 at each session start, −1 one second after its
+    * end, net deltas per second, running sum, max. Sessions attribute
+    * to the day they START (a day-crossing session counts toward its
+    * start day only — the definition is exact and the oracle replays
+    * it; no clip is silent).
+    *
+    * Scale shape: the sweep partitions by day, so the running-sum
+    * sort is bounded by one day's distinct seconds — never a global
+    * single-partition window. Upstream, sessions already collapsed
+    * the event table on one user-keyed shuffle; everything here
+    * moves (day, sec, delta) rows. */
+  def sessionConcurrency(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = userSessions(events, gapSec)
+      .withColumn("day",
+        date_format(col("session_start").cast("timestamp"), "yyyy-MM-dd"))
+    val deltas = s.select(col("day"), col("session_start").as("t"),
+        lit(1L).as("d"))
+      .unionAll(s.select(col("day"), (col("session_end") + 1L).as("t"),
+        lit(-1L).as("d")))
+      .groupBy("day", "t").agg(sum("d").as("net"))
+    val byDay = Window.partitionBy("day").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("running", sum("net").over(byDay))
+      .groupBy("day")
+      .agg(max("running").as("peak_concurrent"))
+      .join(s.groupBy("day").agg(count(lit(1)).as("n_sessions")), "day")
+      .select(col("day"), col("n_sessions"), col("peak_concurrent"))
+  }
+
   /** Z-order layout analysis for the events table — the decision
     * report behind multi-dimensional file clustering at 100 TB: if
     * files were written in Z-curve order over (user_id, day), what

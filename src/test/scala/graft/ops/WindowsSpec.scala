@@ -56,6 +56,19 @@ class WindowsSpec extends SparkSpec {
     assert(got("2024-01-04") == (100L, 142000L, 0L))
   }
 
+  test("sessionConcurrency: endpoint-sharing sessions overlap, back-to-back don't") {
+    // u1: [1000, 2000]; u2: [2000, 3000] — share second 2000 => peak 2
+    // u3: [3001, 4000] — starts after u2 ends => no third overlap
+    val df = ev(
+      (1L, 1L, 1000L), (2L, 1L, 2000L),
+      (3L, 2L, 2000L), (4L, 2L, 3000L),
+      (5L, 3L, 3001L), (6L, 3L, 4000L))
+    val r = Windows.sessionConcurrency(df).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_sessions") == 3L)
+    assert(r.head.getAs[Long]("peak_concurrent") == 2L)
+  }
+
   test("eventPropStats: JSON keys extract, missing keys counted not zeroed") {
     import spark.implicits._
     val df = Seq(
