@@ -453,6 +453,29 @@ object OraclesLlm {
        |      FROM t)
        |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram""".stripMargin
 
+  /** Approx distinct n-grams ([[graft.llm.TextAnalysis
+    * .approxDistinctNgrams]]): oracle recounts the exact side and
+    * pins the sketch's error verdict at 1; the estimate itself never
+    * crosses engines. */
+  val approxDistinctNgrams: String =
+    s"""WITH t AS (SELECT ${toksE("text")} AS toks FROM documents),
+       |g AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+       |        ELSE [toks[i+1] || ' ' || toks[i+2] for i in range(len(toks)-1)] END) AS ngram
+       |      FROM t)
+       |SELECT count(DISTINCT ngram)::BIGINT AS exact_distinct,
+       |  1::BIGINT AS est_ok
+       |FROM g""".stripMargin
+
+  /** Approx token quantiles ([[graft.llm.TextAnalysis
+    * .tokenQuantilesApprox]]): exact total + rank-window verdicts
+    * pinned at 1; sketch values never cross engines. */
+  val tokenQuantilesApprox: String =
+    s"""WITH t AS (SELECT len(${toksE("text")}) AS n FROM documents)
+       |SELECT q_pm::BIGINT AS q_pm,
+       |  (SELECT count(*) FROM t)::BIGINT AS n_total,
+       |  1::BIGINT AS rank_ok
+       |FROM (SELECT unnest([250, 500, 750]) AS q_pm)""".stripMargin
+
   val dedupDocs: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents UNION ALL

@@ -485,9 +485,9 @@ object SparkEntry {
       Pipeline.curriculumShards(docs(s, dir))),
     "training_pipeline" -> ((s, dir) =>
       Pipeline.trainingPipeline(Dedup.withExactDups(docs(s, dir)))),
-    // no oracleSql entries for the two sketch queries: HLL/percentile
-    // sketches are engine-specific, so the driver records the (weaker)
-    // rows-only check for them
+    // the two sketch queries follow the invariant discipline: the
+    // engine-specific estimate stays inside the engine; the oracle
+    // checks the exact QC side and the 0/1 error/rank verdicts
     "approx_distinct_ngrams" -> ((s, dir) =>
       TextAnalysis.approxDistinctNgrams(docs(s, dir))),
     "token_quantiles_approx" -> ((s, dir) =>
@@ -715,6 +715,8 @@ object SparkEntry {
     "vocab_df" -> OraclesLlm.vocabDf,
     "heavy_hitters" -> OraclesLlm.heavyHitters,
     "token_quantiles" -> OraclesLlm.tokenQuantiles,
+    "token_quantiles_approx" -> OraclesLlm.tokenQuantilesApprox,
+    "approx_distinct_ngrams" -> OraclesLlm.approxDistinctNgrams,
     "doc_chunks" -> OraclesLlm.docChunks,
     "doc_repetition" -> OraclesLlm.docRepetition,
     "pack_sequences" -> OraclesLlm.packSequences,

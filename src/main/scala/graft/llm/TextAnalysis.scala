@@ -250,11 +250,25 @@ object TextAnalysis {
         lit(" from 10.0.0."), pmod(col("doc_id"), lit(255))))
         .as("redacted"))
 
-  /** HLL distinct n-grams — the scale path (no exact distinct shuffle). */
-  def approxDistinctNgrams(docs: DataFrame): DataFrame =
-    docs.select(tokens(col("text")).as("toks"))
+  /** HLL distinct n-grams — the scale path (no exact distinct
+    * shuffle), reported with the [[graft.ops.Windows.hllWeeklyUsers]]
+    * discipline: the engine-specific estimate never leaves the
+    * engine; what crosses to the oracle is the EXACT count (the QC
+    * side — one distinct shuffle this report can afford) and a 0/1
+    * error-bound verdict (`errPermille` default 5% ≈ the sketch's
+    * configured rsd; near-exact in sparse mode). */
+  def approxDistinctNgrams(docs: DataFrame,
+                           errPermille: Long = 50L): DataFrame = {
+    val grams = docs.select(tokens(col("text")).as("toks"))
       .select(explode(bigrams(col("toks"))).as("ngram"))
-      .agg(approx_count_distinct(col("ngram")).as("approx_distinct"))
+    grams.agg(approx_count_distinct(col("ngram")).as("approx"))
+      .join(broadcast(grams.agg(
+        countDistinct(col("ngram")).as("exact_distinct"))))
+      .select(col("exact_distinct"),
+        when(abs(col("approx") - col("exact_distinct")) * 1000L
+          <= lit(errPermille) * col("exact_distinct"), 1L).otherwise(0L)
+          .as("est_ok"))
+  }
 
   /** Single-pass document profile: language prediction + quality permille
     * from ONE staged token array — the fused form of [[langId]] +
@@ -612,14 +626,39 @@ object TextAnalysis {
     * [[tokenQuantiles]] for when even the length-domain aggregate is
     * unwanted (e.g. quantiles over a high-cardinality measure where the
     * domain IS data-sized). `approx_percentile` merges bounded sketches
-    * map-side; like the HLL distinct count, engine-specific → rows-only
-    * check by design. */
-  def tokenQuantilesApprox(docs: DataFrame,
-                           quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame =
-    docs
+    * map-side; the sketch values are engine-specific, so the report
+    * follows the invariant discipline: what crosses to the oracle is
+    * the exact total and a 0/1 RANK-WINDOW verdict — the returned
+    * value's true rank must sit within `tolPm` of the requested
+    * quantile (`cnt_lt ≤ (q+tol)·N` and `cnt_le ≥ (q−tol)·N`, all
+    * integer cross-multiplications). The check is agnostic to the
+    * sketch's exact quantile definition — any correct approximate
+    * percentile passes, any rank-violating one fails. GK at accuracy
+    * 10 000 guarantees 0.1‰ rank error; the 10‰ default is a 100×
+    * margin. */
+  def tokenQuantilesApprox(docs: DataFrame, tolPm: Long = 10L): DataFrame = {
+    val lens = docs
       .select(size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val counts = lens.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    val apx = lens
       .agg(percentile_approx(col("n_tokens"),
-        array(quantiles.map(lit): _*), lit(10000)).as("approx_quantiles"))
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("vals"))
+      .select(posexplode(col("vals")))
+      .select(element_at(array(lit(250L), lit(500L), lit(750L)),
+        col("pos").cast("int") + 1).as("q_pm"), col("col").as("v"))
+    counts.join(broadcast(apx))
+      .groupBy("q_pm")
+      .agg(
+        sum(when(col("n_tokens") < col("v"), col("cnt")).otherwise(0L))
+          .as("cnt_lt"),
+        sum(when(col("n_tokens") <= col("v"), col("cnt")).otherwise(0L))
+          .as("cnt_le"),
+        sum(col("cnt")).as("n_total"))
+      .select(col("q_pm"), col("n_total"),
+        when(col("cnt_lt") * 1000L <= (col("q_pm") + tolPm) * col("n_total") &&
+          col("cnt_le") * 1000L >= (col("q_pm") - tolPm) * col("n_total"), 1L)
+          .otherwise(0L).as("rank_ok"))
+  }
 
   /** Per-language top-k docs by quality (quality desc, doc_id asc):
     * corpus curation's "keep the best k per stratum". Ranked with the

