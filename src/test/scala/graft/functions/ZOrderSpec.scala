@@ -52,4 +52,35 @@ class ZOrderSpec extends SparkSpec {
     assert(dayLayoutUserHits == 32,
       "a 1-D day layout cannot prune user point queries")
   }
+
+  test("z-ordered WRITE: real parquet files bound both dims in their stats") {
+    // the report priced it; this is the write itself — repartitionByRange
+    // on the Morton code, then read the produced files back and check
+    // the per-file spans a parquet footer would expose to pruning
+    val events = spark.range(256L * 32L).select(
+      (col("id") % 256L).as("user_id"),
+      (col("id") / 256L).cast("long").as("d"))
+    val z = events
+      .withColumn("uq", col("user_id")) // already 0..255
+      .withColumn("dq", col("d") * 8L)  // 0..31 → 0..248 (8-bit domain)
+      .withColumn("z", ZOrder.interleave(col("uq"), col("dq")))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    z.repartitionByRange(32, col("z"))
+      .write.mode("overwrite").parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("min_u"), max("user_id").as("max_u"),
+        min("d").as("min_d"), max("d").as("max_d"))
+      .collect()
+    assert(perFile.length >= 16, s"expected ~32 files, got ${perFile.length}")
+    // ideal spans for 32 z-ranges: user 64 (2 bits fixed), day 4
+    // (3 bits fixed); range-boundary sampling can straddle one edge,
+    // so allow 2x — still far below the unclustered full spans
+    perFile.foreach { r =>
+      val uSpan = r.getAs[Long]("max_u") - r.getAs[Long]("min_u")
+      val dSpan = r.getAs[Long]("max_d") - r.getAs[Long]("min_d")
+      assert(uSpan <= 128L, s"file user span $uSpan > 128")
+      assert(dSpan <= 8L, s"file day span $dSpan > 8")
+    }
+  }
 }
