@@ -17,7 +17,11 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
   *     no matter how many rows or distinct tokens stream through;
   *   - [[graft.streaming.StreamingSpikes]]: state rows must stay
   *     pinned at the hashtag cardinality (50 here), each key holding
-  *     only its open bucket + trailing closed counts.
+  *     only its open bucket + trailing closed counts;
+  *   - [[graft.streaming.StreamingDistinct]]: state rows must stay
+  *     pinned at the event-type cardinality (5 here) while every
+  *     arriving user_id is NEW — distinct cardinality grows without
+  *     bound, the KMV buffers don't.
   *
   * Env: SPARK_GRAFT_CPUS (32), SKETCH_SOAK_ROWS_PER_SEC (100000),
   * SKETCH_SOAK_SECONDS (60 per phase), SKETCH_SOAK_OUT
@@ -96,6 +100,16 @@ object SketchSoak {
         concat(lit("h"), pmod(col("value"), lit(50))).as("hashtag"),
         expr(s"value div ${rate * 5L}").as("ts")), factorPm = 1100L).toDF())
 
+    // phase 3: KMV distinct — every row a brand-new user (value is
+    // monotonic), 5 event types: unbounded distinct through bounded
+    // sketches
+    val src3 = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load()
+    runPhase("distinct", graft.streaming.StreamingDistinct
+      .estimateStream(src3.select(
+        concat(lit("e"), pmod(col("value"), lit(5))).as("event_type"),
+        col("value").as("user_id"))).toDF())
+
     log.close()
     def stats(name: String): String = {
       val b = batches(name)
@@ -108,7 +122,7 @@ object SketchSoak {
     val summaryPath = outPath.replace(".jsonl", "_SUMMARY.json")
     val sw = new PrintWriter(new File(summaryPath))
     sw.println(s"""{"rows_per_sec_fed":$rate,"seconds_per_phase":$seconds,""" +
-      s"""${stats("heavy_hitters")},${stats("spikes")}}""")
+      s"""${stats("heavy_hitters")},${stats("spikes")},${stats("distinct")}}""")
     sw.close()
     println(s"[sketch-soak] wrote $outPath and $summaryPath")
     spark.stop()
