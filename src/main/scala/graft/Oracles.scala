@@ -699,6 +699,25 @@ object Oracles {
        |  1::BIGINT AS est_ok, 1::BIGINT AS merge_invariant
        |FROM events GROUP BY 1""".stripMargin
 
+  /** ANALYZE-style column stats ([[graft.ops.Relational.columnStats]]):
+    * one row per profiled lineitem column — exact ndv, null count,
+    * cents/date-rendered min & max. */
+  val columnStats: String = {
+    def row(c: String, minMax: String => String): String =
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         |  count(DISTINCT $c)::BIGINT AS ndv,
+         |  ${minMax(s"min($c)")} AS min_v,
+         |  ${minMax(s"max($c)")} AS max_v
+         |FROM lineitem""".stripMargin
+    val cents = (x: String) => s"(round($x * 100)::BIGINT)::VARCHAR"
+    val str = (x: String) => s"($x)::VARCHAR"
+    val date = (x: String) => s"strftime($x, '%Y-%m-%d')"
+    Seq(row("l_quantity", cents), row("l_extendedprice", cents),
+      row("l_shipdate", date), row("l_returnflag", str))
+      .mkString("", "\nUNION ALL\n", "")
+  }
+
   /** Q19-shaped disjunctive bands ([[graft.ops.Relational
     * .brandBandRevenue]]): same three OR-arms on integer centi-
     * quantities. */

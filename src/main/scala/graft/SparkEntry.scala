@@ -185,6 +185,8 @@ object SparkEntry {
     "q19_bands" -> ((s, dir) => Relational.brandBandRevenue(s, dir)),
     // Q17 shape: decorrelated per-part avg, division-free threshold
     "q17_small_qty" -> ((s, dir) => Relational.smallQuantityRevenue(s, dir)),
+    // ANALYZE-style per-column stats in one Expand pass (CBO feed)
+    "column_stats" -> ((s, dir) => Relational.columnStats(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
     // (re-agg invariance, error bound) ship as oracle-checked 0/1s
     "hll_users" -> ((s, dir) => Windows.hllWeeklyUsers(events(s, dir))),
@@ -670,6 +672,7 @@ object SparkEntry {
     "q14_promo" -> Oracles.promoShare,
     "q19_bands" -> Oracles.brandBandRevenue,
     "q17_small_qty" -> Oracles.smallQuantityRevenue,
+    "column_stats" -> Oracles.columnStats,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,
     "daily_ewma" -> Oracles.dailyEwma,

@@ -563,6 +563,48 @@ object Relational {
         (sumCents(col("l_extendedprice")) / 100.0 / 7.0).as("avg_yearly"))
   }
 
+  /** ANALYZE-style column statistics for lineitem — the numbers a
+    * cost-based optimizer (and a human debugging one) feeds on:
+    * per column, row count, null count, EXACT distinct count, and
+    * min/max rendered as strings so one long-form schema covers
+    * every type. All four columns profile in ONE logical pass:
+    * Spark plans the multi-column exact count-distinct as a single
+    * Expand (one row per (input row, distinct-group)) feeding one
+    * aggregate — the fact table is scanned once, not once per
+    * column. The wide result row then unpivots via `stack`, a
+    * zero-shuffle Expand on one row. Renders are engine-proof:
+    * doubles as integer CENTS (float-to-string formatting is the one
+    * place engines legitimately differ; min/max commute with the
+    * monotonic rounding), dates through an explicit UTC format. */
+  def columnStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag")
+    def stats(c: String, render: Column => Column) = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_ndv"),
+      render(min(col(c))).as(s"${c}_min"),
+      render(max(col(c))).as(s"${c}_max"))
+    val cents = (x: Column) => round(x * 100).cast("long").cast("string")
+    val str = (x: Column) => x.cast("string")
+    val date = (x: Column) => date_format(x, "yyyy-MM-dd")
+    val wide = li.agg(count(lit(1)).as("n_rows"),
+      (stats("l_quantity", cents) ++ stats("l_extendedprice", cents) ++
+        stats("l_shipdate", date) ++ stats("l_returnflag", str)): _*)
+    wide.select(col("n_rows"), expr(
+      """stack(4,
+        |  'l_quantity', l_quantity_nulls, l_quantity_ndv,
+        |    l_quantity_min, l_quantity_max,
+        |  'l_extendedprice', l_extendedprice_nulls, l_extendedprice_ndv,
+        |    l_extendedprice_min, l_extendedprice_max,
+        |  'l_shipdate', l_shipdate_nulls, l_shipdate_ndv,
+        |    l_shipdate_min, l_shipdate_max,
+        |  'l_returnflag', l_returnflag_nulls, l_returnflag_ndv,
+        |    l_returnflag_min, l_returnflag_max)
+        |  AS (column_name, n_nulls, ndv, min_v, max_v)""".stripMargin))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("ndv"), col("min_v"), col("max_v"))
+  }
+
   /** Market-basket association mining over order lines: part pairs
     * bought together, scored by support / confidence / lift in exact
     * integer permille (no float reaches the output). The classic
