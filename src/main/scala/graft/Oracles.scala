@@ -467,7 +467,8 @@ object Oracles {
     * row_number form), 3·MAD outlier counts. */
   val valueOutliers: String =
     s"""WITH v AS (
-       |  SELECT event_type, round(value * 1000000)::BIGINT AS v FROM events),
+       |  SELECT event_type, round(value * 1000000)::BIGINT AS v FROM events
+       |  WHERE value IS NOT NULL),
        |med AS (
        |  SELECT event_type, quantile_disc(v, 0.5) AS med FROM v
        |  GROUP BY event_type),
@@ -797,7 +798,14 @@ object Oracles {
   /** Z-order layout report ([[graft.ops.Windows.zOrderLayout]]): the
     * quantize → interleave → bucket chain replayed with the unrolled
     * 8-term Morton sum — all integer ops, bit-identical. */
-  val zOrderLayout: String = {
+  val zOrderLayout: String = zOrderLayoutFor(32)
+
+  /** Parameterized on the bucket count so the divisor is derived from the
+    * same 65536/buckets constant as the engine (which `require`s that
+    * buckets divides 65536). */
+  def zOrderLayoutFor(buckets: Int): String = {
+    require(buckets > 0 && 65536 % buckets == 0)
+    val div = 65536L / buckets
     val terms = (0 until 8).map(i =>
       s"((uq >> $i) & 1) * ${1L << (2 * i)} + " +
         s"((dq >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
@@ -812,7 +820,7 @@ object Oracles {
        |    ((d - d_min) * 256) // (d_max - d_min + 1) AS dq
        |  FROM b, r),
        |z AS (SELECT user_id, d, ($terms)::BIGINT AS z FROM q)
-       |SELECT (z // 2048)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+       |SELECT (z // $div)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
        |  min(user_id)::BIGINT AS min_user, max(user_id)::BIGINT AS max_user,
        |  min(d)::BIGINT AS min_day, max(d)::BIGINT AS max_day
        |FROM z GROUP BY 1""".stripMargin
@@ -824,8 +832,12 @@ object Oracles {
     * running max) per start day. */
   val sessionConcurrency: String =
     s"""WITH s AS (
-       |  SELECT strftime(to_timestamp(session_start), '%Y-%m-%d') AS day,
-       |    session_start, session_end
+       |  -- make_timestamp yields a naive TIMESTAMP, so the day renders
+       |  -- timezone-free regardless of the DuckDB host's TimeZone (the
+       |  -- Spark side pins UTC; to_timestamp here would be TIMESTAMPTZ
+       |  -- and drift on a non-UTC driver host).
+       |  SELECT strftime(make_timestamp(session_start * 1000000), '%Y-%m-%d')
+       |    AS day, session_start, session_end
        |  FROM ($userSessions)),
        |deltas AS (
        |  SELECT day, t, sum(d)::BIGINT AS net FROM (

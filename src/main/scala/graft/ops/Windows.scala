@@ -404,10 +404,13 @@ object Windows {
         Window.partitionBy(lit(1))))
     val med = ranked.filter(col("rn") === expr("(n + 1) div 2"))
       .select(col("latency_sec").as("median_sec"))
+    // Left join: when no user completes the funnel `med` is empty, and an
+    // inner join would collapse the single aggregate row to zero rows —
+    // the report must still emit (n_converted=0, NULL latencies).
     lat.agg(count(lit(1)).as("n_converted"),
         min("latency_sec").as("min_sec"),
         max("latency_sec").as("max_sec"))
-      .join(broadcast(med))
+      .join(broadcast(med), lit(true), "left")
       .select("n_converted", "min_sec", "median_sec", "max_sec")
   }
 
@@ -440,8 +443,13 @@ object Windows {
         .filter(col("rn") === expr("(n + 1) div 2"))
         .select(col("event_type"), col(vCol).as(out))
     }
+    // NULL metric values carry no evidence: excluded from the domain
+    // explicitly (row_number would otherwise rank them nulls-first and
+    // shift the median rank; SQL quantile_disc ignores them — both
+    // engines must share one domain).
     val v = events.select(col("event_type"),
       expr("cast(round(value * 1000000) as long)").as("v"))
+      .filter(col("v").isNotNull)
     val med = lowerMedian(v, "v", "median_micro")
     val dev = v.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("v") - col("median_micro")))
@@ -468,36 +476,6 @@ object Windows {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
-  /** Weekly distinct users via MERGEABLE HLL sketches — the sketch
-    * re-aggregation pattern that makes distinct counting tractable at
-    * 100 TB: sketch ONCE at the finest granularity (per day), then
-    * roll up along any hierarchy by unioning fixed-size register
-    * arrays (`hll_union_agg`), never re-touching the fact table. A
-    * daily sketch at lgK=12 is ≤ ~2.5 KB regardless of cardinality,
-    * so the weekly rollup shuffles |days| kilobyte rows where the
-    * exact rollup re-shuffles every event.
-    *
-    * The output carries the two properties that make the pattern
-    * trustworthy, each as an oracle-checkable 0/1 metric (the
-    * [[graft.llm.LshIndex.bucketStats]] discipline — invariants as
-    * data, estimates never leave the engine):
-    *  - `merge_invariant`: the week estimate is IDENTICAL whether the
-    *    daily sketches are unioned directly or through an intermediate
-    *    2-chunk rollup — union is register-wise max, so any
-    *    re-aggregation tree lands on the same registers (the exactness
-    *    HIP estimators give up post-union; what's left is still
-    *    deterministic and shape-independent, which is what a
-    *    re-aggregating warehouse needs);
-    *  - `est_ok`: the merged estimate is within `errPermille` of the
-    *    exact distinct count (lgK=12 ⇒ ~1.6% relative standard error;
-    *    the exact side costs one extra event-scale shuffle and exists
-    *    for the QC report — at true scale it is sampled, not run
-    *    per-query).
-    *
-    * The alternative (approx_count_distinct) yields one number per
-    * group but no mergeable artifact — no rollup, no cross-snapshot
-    * union, no incremental maintenance; persisting the sketch column
-    * is the point. */
   /** Per-day peak session concurrency — the capacity-planning number
     * ("how many users were on at once"), computed as the classic
     * delta sweep: +1 at each session start, −1 one second after its
@@ -552,6 +530,11 @@ object Windows {
     * as any sorted write. */
   def zOrderLayout(events: DataFrame, buckets: Int = 32): DataFrame = {
     import graft.functions.ZOrder
+    // Integer bucket width: a non-divisor would yield buckets+1 ranges
+    // (65536/buckets truncates) and silently diverge from any consumer
+    // deriving the divisor from the same constant.
+    require(buckets > 0 && 65536 % buckets == 0,
+      s"buckets must divide 65536 (2^16 z-values), got $buckets")
     val base = events.select(col("user_id"),
       datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
         .cast("long").as("d"))
@@ -643,16 +626,21 @@ object Windows {
     import spark.implicits._
     val hashed = events.select(col("event_type"),
       date_trunc("DAY", col("ts")).as("day"), xxhash64(col("user_id")).as("h"))
-    def sketchBy(gcols: Seq[String]): DataFrame =
-      hashed.select(concat_ws(" ", gcols.map(col): _*).as("g"), col("h"))
-        .as[(String, Long)]
-        .groupByKey(_._1).mapValues(_._2)
+    // Tuple group key (not a packed string): an event_type containing the
+    // would-be separator can never mis-split, and the file stays greppable
+    // text. `day_s` is empty for the direct per-type sketch so both
+    // variants share one code path.
+    def sketchBy(withDay: Boolean): DataFrame =
+      hashed.select(col("event_type"),
+          (if (withDay) date_format(col("day"), "yyyy-MM-dd") else lit(""))
+            .as("day_s"), col("h"))
+        .as[(String, String, Long)]
+        .groupByKey(t => (t._1, t._2)).mapValues(_._3)
         .agg(new Kmv.KmvAgg(k).toColumn.name("sk"))
-        .toDF("g", "sk")
-    val direct = sketchBy(Seq("event_type"))
-      .select(col("g").as("event_type"), col("sk"))
-    val rolled = sketchBy(Seq("event_type", "day"))
-      .select(split(col("g"), " ").getItem(0).as("event_type"), col("sk"))
+        .toDF("key", "sk")
+        .select(col("key._1").as("event_type"), col("sk"))
+    val direct = sketchBy(withDay = false)
+    val rolled = sketchBy(withDay = true)
       .groupBy("event_type")
       .agg(Kmv.unionAll(collect_list(col("sk")), k).as("sk_rolled"))
     val sk = direct.join(rolled, "event_type")
@@ -677,6 +665,36 @@ object Windows {
         least(col("m_a"), col("m_b")).as("merge_invariant"))
   }
 
+  /** Weekly distinct users via MERGEABLE HLL sketches — the sketch
+    * re-aggregation pattern that makes distinct counting tractable at
+    * 100 TB: sketch ONCE at the finest granularity (per day), then
+    * roll up along any hierarchy by unioning fixed-size register
+    * arrays (`hll_union_agg`), never re-touching the fact table. A
+    * daily sketch at lgK=12 is ≤ ~2.5 KB regardless of cardinality,
+    * so the weekly rollup shuffles |days| kilobyte rows where the
+    * exact rollup re-shuffles every event.
+    *
+    * The output carries the two properties that make the pattern
+    * trustworthy, each as an oracle-checkable 0/1 metric (the
+    * [[graft.llm.LshIndex.bucketStats]] discipline — invariants as
+    * data, estimates never leave the engine):
+    *  - `merge_invariant`: the week estimate is IDENTICAL whether the
+    *    daily sketches are unioned directly or through an intermediate
+    *    2-chunk rollup — union is register-wise max, so any
+    *    re-aggregation tree lands on the same registers (the exactness
+    *    HIP estimators give up post-union; what's left is still
+    *    deterministic and shape-independent, which is what a
+    *    re-aggregating warehouse needs);
+    *  - `est_ok`: the merged estimate is within `errPermille` of the
+    *    exact distinct count (lgK=12 ⇒ ~1.6% relative standard error;
+    *    the exact side costs one extra event-scale shuffle and exists
+    *    for the QC report — at true scale it is sampled, not run
+    *    per-query).
+    *
+    * The alternative (approx_count_distinct) yields one number per
+    * group but no mergeable artifact — no rollup, no cross-snapshot
+    * union, no incremental maintenance; persisting the sketch column
+    * is the point. */
   def hllWeeklyUsers(events: DataFrame, lgK: Int = 12,
                      errPermille: Long = 50L): DataFrame = {
     val daily = events

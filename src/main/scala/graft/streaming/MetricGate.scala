@@ -43,7 +43,12 @@ object MetricGate {
       val mad = map(profile.toSeq.sortBy(_._1).flatMap { case (k, (_, d)) =>
         Seq(lit(k), lit(d)) }: _*)
       val v = round(value * lit(1000000)).cast("long")
-      element_at(med, eventType).isNull ||
+      // NULL values pass explicitly (the comparison would be NULL and the
+      // filter would silently drop them): no evidence is not evidence of
+      // anomaly — same domain decision as the batch operator, which
+      // excludes NULLs from its medians rather than ranking them.
+      value.isNull ||
+        element_at(med, eventType).isNull ||
         abs(v - element_at(med, eventType)) <=
           lit(nMads) * element_at(mad, eventType)
     }
