@@ -946,4 +946,117 @@ object Oracles {
        |  max(gap_days) AS max_gap_days,
        |  ((sum(gap_days) * 1000) // count(*))::BIGINT AS mean_gap_milli_days
        |FROM gaps WHERE gap_days IS NOT NULL""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Correlated-subquery / semi-join shapes. Deliberately written in the
+  // CORRELATED / IN / NOT EXISTS form here while the engine ships the
+  // decorrelated aggregate+join — agreement proves the rewrite, not just
+  // the arithmetic. Shared partsupp analog: min unit cost in millicents
+  // per (part, supplier) from lineitem (the schema has no partsupp).
+  // ---------------------------------------------------------------------
+
+  /** Q2-shaped min-cost supplier
+    * ([[graft.ops.Relational.minCostSupplier]]). */
+  val minCostSupplier: String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    min((round(l_extendedprice * 100)::BIGINT * 1000)
+       |        // l_quantity::BIGINT) AS cost_mc
+       |  FROM lineitem
+       |  WHERE l_suppkey IN (
+       |    SELECT s_suppkey FROM supplier, nation, region
+       |    WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |      AND r_name = 'EUROPE')
+       |  GROUP BY 1, 2)
+       |SELECT s_name, n_name, p_partkey, p_name, s_acctbal, cost_mc
+       |FROM ps, part, supplier, nation
+       |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+       |  AND s_nationkey = n_nationkey
+       |  AND p_type = 'LARGE' AND p_size >= 40
+       |  AND cost_mc = (SELECT min(ps2.cost_mc) FROM ps ps2
+       |                 WHERE ps2.l_partkey = ps.l_partkey)""".stripMargin
+
+  /** Q11-shaped important parts ([[graft.ops.Relational.importantParts]]):
+    * per-part value through one nation's suppliers vs a global-total
+    * scalar subquery, cross-multiplied on integer cents. */
+  val importantParts: String =
+    s"""WITH perpart AS (
+       |  SELECT l_partkey, sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+       |    AS value_c
+       |  FROM lineitem
+       |  WHERE l_suppkey IN (
+       |    SELECT s_suppkey FROM supplier, nation
+       |    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7')
+       |  GROUP BY 1)
+       |SELECT l_partkey AS partkey, value_c FROM perpart
+       |WHERE value_c * 1000 > (SELECT sum(value_c) FROM perpart)""".stripMargin
+
+  /** Q15-shaped top supplier ([[graft.ops.Relational.topSupplier]]):
+    * quarterly revenue per supplier, `= (SELECT max(...))`, ties kept. */
+  val topSupplier: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |      ::BIGINT AS total_rev_c
+       |  FROM lineitem
+       |  WHERE l_shipdate >= DATE '1996-01-01'
+       |    AND l_shipdate < DATE '1996-04-01'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, total_rev_c
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_rev_c = (SELECT max(total_rev_c) FROM rev)""".stripMargin
+
+  /** Q16-shaped supplier count ([[graft.ops.Relational.supplierCount]]):
+    * NOT IN (negative-balance suppliers — the schema has no comment
+    * column for Q16's complaints scan) over the distinct link table. */
+  val supplierCount: String =
+    s"""SELECT p_brand, p_type, p_size,
+       |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+       |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) links
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+       |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+       |  AND l_suppkey NOT IN (
+       |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Q20-shaped excess-stock suppliers
+    * ([[graft.ops.Relational.excessSuppliers]]): the nested IN chain —
+    * name-filtered parts inside the volume aggregate inside the
+    * supplier semi-join. */
+  val excessSuppliers: String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey, l_suppkey, sum(l_quantity::BIGINT) AS hist_qty,
+       |    sum(CASE WHEN year(l_shipdate) = 1995
+       |        THEN l_quantity::BIGINT ELSE 0 END) AS year_qty
+       |  FROM lineitem
+       |  WHERE l_partkey IN (
+       |    SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+       |  GROUP BY 1, 2)
+       |SELECT s_name, s_acctbal
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_3'
+       |  AND s_suppkey IN (SELECT l_suppkey FROM ps
+       |                    WHERE year_qty > 0 AND year_qty * 2 < hist_qty)
+       |""".stripMargin
+
+  /** Q22-shaped idle wealthy customers
+    * ([[graft.ops.Relational.idleCustomers]]): scalar positive-balance
+    * average (cross-multiplied, no division) + NOT EXISTS anti-join on
+    * orders, grouped by market segment. */
+  val idleCustomers: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_mktsegment,
+       |    round(c_acctbal * 100)::BIGINT AS bal_c
+       |  FROM customer
+       |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')),
+       |a AS (SELECT sum(bal_c) AS sum_c, count(*) AS n_pos FROM cust
+       |      WHERE bal_c > 0)
+       |SELECT c_mktsegment AS segment, count(*)::BIGINT AS numcust,
+       |  sum(bal_c)::BIGINT AS totacctbal_c
+       |FROM cust, a
+       |WHERE bal_c * n_pos > sum_c
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '2000-01-01')
+       |GROUP BY 1""".stripMargin
 }

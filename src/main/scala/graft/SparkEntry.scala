@@ -185,6 +185,18 @@ object SparkEntry {
     "q19_bands" -> ((s, dir) => Relational.brandBandRevenue(s, dir)),
     // Q17 shape: decorrelated per-part avg, division-free threshold
     "q17_small_qty" -> ((s, dir) => Relational.smallQuantityRevenue(s, dir)),
+    // Q2 shape: correlated scalar min decorrelated into agg + join-back
+    "q2_min_cost" -> ((s, dir) => Relational.minCostSupplier(s, dir)),
+    // Q11 shape: group filter vs 1-row global-total broadcast
+    "q11_important_parts" -> ((s, dir) => Relational.importantParts(s, dir)),
+    // Q15 shape: scalar max subquery over a reused aggregate
+    "q15_top_supplier" -> ((s, dir) => Relational.topSupplier(s, dir)),
+    // Q16 shape: NOT IN as broadcast left-anti over the link table
+    "q16_supplier_cnt" -> ((s, dir) => Relational.supplierCount(s, dir)),
+    // Q20 shape: nested IN chain as stacked semi-joins
+    "q20_excess_supp" -> ((s, dir) => Relational.excessSuppliers(s, dir)),
+    // Q22 shape: scalar avg + NOT EXISTS anti-join on the fact side
+    "q22_idle_customers" -> ((s, dir) => Relational.idleCustomers(s, dir)),
     // ANALYZE-style per-column stats in one Expand pass (CBO feed)
     "column_stats" -> ((s, dir) => Relational.columnStats(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
@@ -672,6 +684,12 @@ object SparkEntry {
     "q14_promo" -> Oracles.promoShare,
     "q19_bands" -> Oracles.brandBandRevenue,
     "q17_small_qty" -> Oracles.smallQuantityRevenue,
+    "q2_min_cost" -> Oracles.minCostSupplier,
+    "q11_important_parts" -> Oracles.importantParts,
+    "q15_top_supplier" -> Oracles.topSupplier,
+    "q16_supplier_cnt" -> Oracles.supplierCount,
+    "q20_excess_supp" -> Oracles.excessSuppliers,
+    "q22_idle_customers" -> Oracles.idleCustomers,
     "column_stats" -> Oracles.columnStats,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,

@@ -681,4 +681,219 @@ object Relational {
         count(lit(1)).as("n_customers"),
         (sumCents(col("c_acctbal")) / 100.0).as("sum_acctbal"))
   }
+
+  // ---------------------------------------------------------------------
+  // Correlated-subquery / semi-join TPC-H shapes (q2/q11/q15/q16/q20/q22).
+  // The testdata has no partsupp table, so a partsupp analog is derived
+  // from lineitem where needed: per (partkey, suppkey), the minimum
+  // observed unit price in integer MILLICENTS —
+  // `(round(l_extendedprice*100) * 1000) div l_quantity` — exact integer
+  // arithmetic both engines share. The point of these six is the PLAN
+  // shape: correlated scalar subqueries decorrelated into
+  // aggregate+join-back, `IN`/`NOT IN` as semi/anti hash joins (never a
+  // BroadcastNestedLoop on the fact side), and 1-row global aggregates
+  // joined back as broadcasts.
+  // ---------------------------------------------------------------------
+
+  /** Unit cost in millicents — exact integer division (quantity is an
+    * integer-valued double 1..50). */
+  private def unitMillicents: Column =
+    expr("(cast(round(l_extendedprice * 100) as long) * 1000L)" +
+      " div cast(l_quantity as long)")
+
+  /** The lineitem-derived partsupp analog: min observed unit cost per
+    * (part, supplier), restricted to suppliers of one region. Slim
+    * (partkey, suppkey, cost) rows after one shuffle. */
+  private def partSuppCosts(spark: SparkSession, sfDir: String,
+                            region: String): DataFrame = {
+    val regionSupp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), unitMillicents.as("ucost"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("ucost").as("cost_mc"))
+  }
+
+  /** TPC-H Q2-shaped minimum-cost supplier: for each qualifying part,
+    * the region's supplier(s) offering the minimum unit cost. The
+    * correlated scalar subquery (`cost = (SELECT min(cost) ... WHERE
+    * same partkey)`) is decorrelated the way Catalyst rewrites it: a
+    * per-part min aggregate joined back on partkey — and since
+    * [[partSuppCosts]] already shuffled on (partkey, suppkey), the min
+    * and the join-back reuse that exchange (no second fact shuffle).
+    * Part filter and supplier-name dims broadcast. Ties (two suppliers
+    * at the min cost) are kept, exactly as Q2 does. */
+  def minCostSupplier(spark: SparkSession, sfDir: String,
+                      region: String = "EUROPE", pType: String = "LARGE",
+                      minSize: Int = 40): DataFrame = {
+    val ps = partSuppCosts(spark, sfDir, region)
+    val minc = ps.groupBy(col("l_partkey").as("mk"))
+      .agg(min("cost_mc").as("min_cost_mc"))
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_type") === pType && col("p_size") >= minSize)
+      .select("p_partkey", "p_name")
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    ps.join(minc, ps("l_partkey") === col("mk") &&
+        ps("cost_mc") === col("min_cost_mc"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
+        col("s_acctbal"), col("cost_mc"))
+  }
+
+  /** TPC-H Q11-shaped important parts: parts whose inventory value
+    * through one nation's suppliers exceeds a fraction of the nation's
+    * total. The scalar subquery (global total) is a 1-row aggregate
+    * REUSING the per-part frame, joined back as a broadcast; the
+    * threshold compares integer cents cross-multiplied
+    * (`value_c * frac_den > total_c`), so no division runs. */
+  def importantParts(spark: SparkSession, sfDir: String,
+                     nation: String = "NATION_7",
+                     fracDen: Long = 1000L): DataFrame = {
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("ext_c"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum("ext_c").as("value_c"))
+    val total = perPart.agg(sum("value_c").as("total_c"))
+    perPart.join(broadcast(total))
+      .filter(col("value_c") * fracDen > col("total_c"))
+      .select(col("l_partkey").as("partkey"), col("value_c"))
+  }
+
+  /** TPC-H Q15-shaped top supplier: supplier(s) with the maximum
+    * revenue over one quarter. The `= (SELECT max(...))` scalar
+    * subquery becomes a 1-row max over the same per-supplier aggregate,
+    * broadcast back — the revenue frame is computed once and feeds both
+    * sides (Spark reuses the exchange). Ties all surface, as Q15
+    * specifies. */
+  def topSupplier(spark: SparkSession, sfDir: String,
+                  from: String = "1996-01-01",
+                  until: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(from).cast("date") &&
+        col("l_shipdate") < lit(until).cast("date"))
+      .groupBy("l_suppkey")
+      .agg(sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("total_rev_c"))
+    val maxr = rev.agg(max("total_rev_c").as("max_rev_c"))
+    rev.join(broadcast(maxr))
+      .filter(col("total_rev_c") === col("max_rev_c"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+  }
+
+  /** TPC-H Q16-shaped supplier count: how many distinct suppliers can
+    * deliver each (brand, type, size) combination, excluding excluded
+    * suppliers (negative account balance stands in for Q16's
+    * 'Customer Complaints' comment scan — the schema carries no
+    * comments). `NOT IN (SELECT s_suppkey ...)` plans as a broadcast
+    * LEFT ANTI hash join on the slim distinct link table; the part
+    * filter is a broadcast inner join. One count-distinct shuffle
+    * keyed on the 3-column group. */
+  def supplierCount(spark: SparkSession, sfDir: String,
+                    excludeBrand: String = "Brand#23",
+                    excludeType: String = "PROMO",
+                    sizes: Seq[Int] = Seq(1, 4, 9, 14, 19, 23, 36, 45))
+      : DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= excludeBrand &&
+        col("p_type") =!= excludeType && col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val excluded = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20-shaped excess-stock suppliers: suppliers of one nation
+    * who, for some part matching the name prefix, shipped less than
+    * half their historical volume of that part during one year — the
+    * availqty test recast on lineitem history (no partsupp table). The
+    * nested `IN` chain plans exactly as Q20 wants it:
+    * part-filter semi-join INSIDE the per-(part,supplier) aggregate,
+    * whose qualifying suppkeys semi-join into supplier. Both volume
+    * aggregates share the (partkey, suppkey) exchange; all joins are
+    * hash joins on keys. */
+  def excessSuppliers(spark: SparkSession, sfDir: String,
+                      namePrefix: String = "red",
+                      nation: String = "NATION_3",
+                      shipYear: Int = 1995): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith(namePrefix)).select("p_partkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+    val perPS = li.groupBy("l_partkey", "l_suppkey")
+      .agg(sum("qty").as("hist_qty"),
+        sum(when(year(col("l_shipdate")) === lit(shipYear), col("qty"))
+          .otherwise(0L)).as("year_qty"))
+    val qualifying = perPS
+      .filter(col("year_qty") > 0 && col("year_qty") * 2L < col("hist_qty"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "s_acctbal")
+  }
+
+  /** TPC-H Q22-shaped idle wealthy customers: per market segment (the
+    * stand-in for Q22's phone country codes), customers with above-
+    * average positive balance and NO orders. Two subquery shapes in
+    * one plan: the scalar average is a 1-row aggregate broadcast back
+    * with the comparison cross-multiplied on integer cents
+    * (`bal_c * n_pos > sum_c`), and `NOT EXISTS (orders)` is a LEFT
+    * ANTI join on custkey — at scale both sides hash-partition on
+    * custkey; nothing nested-loops. "Idle" means no orders since the
+    * cutoff (every customer in the corpus has SOME order, so Q22's
+    * plain NOT EXISTS would be vacuously empty; the recency filter
+    * pushes into the orders scan and keeps the anti-join load-bearing).
+    */
+  def idleCustomers(spark: SparkSession, sfDir: String,
+                    segments: Seq[String] = Seq("BUILDING", "MACHINERY",
+                      "AUTOMOBILE"),
+                    cutoff: String = "2000-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment").isin(segments: _*))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val avgPos = cust.filter(col("bal_c") > 0)
+      .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("n_pos"))
+    cust.join(broadcast(avgPos))
+      .filter(col("bal_c") * col("n_pos") > col("sum_c"))
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= lit(cutoff).cast("date"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_c"))
+  }
 }
