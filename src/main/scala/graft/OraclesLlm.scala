@@ -1326,30 +1326,116 @@ object OraclesLlm {
        |  AS redacted
        |FROM documents""".stripMargin
 
-  /** Payload dedup: sha256 of the utf-8 payload (the synthetic media
-    * bytes ARE the doc text) over the dup-injected corpus. */
+  /** Little-endian n-byte hex rendering of integer SQL expr `e`. */
+  private def leHex(e: String, n: Int): String =
+    (0 until n).map(i =>
+      s"lpad(hex(($e // ${1L << (8 * i)}) % 256), 2, '0')").mkString(" || ")
+  private def le4(e: String): String = leHex(e, 4)
+  private def le2(e: String): String = leHex(e, 2)
+
+  /** CTE chain reconstructing every synthetic media payload
+    * BYTE-FOR-BYTE in SQL — BMP and WAV are just headers + raw
+    * little-endian fields, so hex-string construction replays
+    * `MediaCodec.encodeBmp`/`encodeWav` exactly (headers, row padding,
+    * two's-complement samples and all). Yields
+    * `blobs(media_id, kind, payload_hex)` over `corpus(doc_id, text)`.
+    * No leading `|` anywhere: this snippet embeds inside stripMargin
+    * strings. */
+  private def mediaBlobCtes(corpus: String): String =
+    s"""m AS (SELECT doc_id AS media_id, doc_id % 4 AS m4, text,
+         length(text) AS len FROM ($corpus)),
+     img_geom AS (
+       SELECT media_id, text, len, 16 + (media_id % 8) * 2 AS w,
+         12 + (media_id % 8) AS h,
+         ((3 * (16 + (media_id % 8) * 2) + 3) // 4) * 4 AS rowbytes
+       FROM m WHERE m4 IN (0, 3)),
+     img_rowhex AS (
+       SELECT media_id, yy,
+         list_aggregate([
+             lpad(hex(ascii(substr(text,
+               (((h-1-yy)*w + x) % len) + 1, 1)) % 256), 2, '0') ||
+             lpad(hex((x*3 + (h-1-yy)*5 + 2*len) % 256), 2, '0') ||
+             lpad(hex((x*7 + (h-1-yy)*13 + len) % 256), 2, '0')
+           for x in range(w)], 'string_agg', '') ||
+           repeat('00', rowbytes - 3*w) AS row_hex
+       FROM (SELECT media_id, w, h, len, text, rowbytes,
+               unnest(range(h)) AS yy FROM img_geom)),
+     img_px AS (SELECT media_id, string_agg(row_hex, '' ORDER BY yy)
+                  AS px_hex FROM img_rowhex GROUP BY 1),
+     img_blob AS (
+       SELECT g.media_id,
+         '424D' || ${le4("(54 + rowbytes*h)")} || '00000000' ||
+         ${le4("54")} ||
+         ${le4("40")} || ${le4("w")} || ${le4("h")} || ${le2("1")} ||
+         ${le2("24")} || ${le4("0")} || ${le4("(rowbytes*h)")} ||
+         ${le4("0")} || ${le4("0")} || ${le4("0")} || ${le4("0")} ||
+         px_hex AS hexs
+       FROM img_geom g JOIN img_px p USING (media_id)),
+     aud AS (
+       SELECT media_id, len,
+         8000 + ((media_id % 16) // 4) * 4000 AS rate,
+         256 + (media_id % 16) * 16 AS n
+       FROM m WHERE m4 = 1),
+     aud_blob AS (
+       SELECT media_id,
+         '52494646' || ${le4("(36 + 2*n)")} || '57415645' || '666D7420' ||
+         ${le4("16")} || ${le2("1")} || ${le2("1")} || ${le4("rate")} ||
+         ${le4("(rate*2)")} || ${le2("2")} || ${le2("16")} ||
+         '64617461' || ${le4("(2*n)")} ||
+         list_aggregate([
+           lpad(hex((((i*2654435761 + len*1000003) % 65536 + 32768)
+             % 65536) % 256), 2, '0') ||
+           lpad(hex((((i*2654435761 + len*1000003) % 65536 + 32768)
+             % 65536) // 256), 2, '0')
+           for i in range(n)], 'string_agg', '') AS hexs
+       FROM aud),
+     blobs AS (
+       SELECT media_id, 'image' AS kind, lower(hexs) AS payload_hex
+       FROM img_blob
+       UNION ALL SELECT media_id, 'audio', lower(hexs) FROM aud_blob
+       UNION ALL SELECT media_id, 'video', lower(hex(encode(text)))
+       FROM m WHERE m4 = 2)"""
+
+  /** Payload dedup over the dup-injected corpus: the oracle
+    * reconstructs each payload's exact bytes and groups by them (the
+    * engine groups by sha256 — same partition of the corpus iff the
+    * encoders emit exactly the documented bytes). */
   val mediaDedup: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents UNION ALL
-       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
-       |SELECT sha256(text) AS payload_key, min(doc_id) AS keep_id,
-       |  count(*) AS n_copies,
-       |  ((count(*) - 1) * min(octet_length(encode(text))))::BIGINT
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+       |${mediaBlobCtes("SELECT doc_id, text FROM corpus")}
+       |SELECT min(media_id) AS keep_id, count(*)::BIGINT AS n_copies,
+       |  ((count(*) - 1) * min(length(payload_hex) // 2))::BIGINT
        |    AS bytes_reclaimed
-       |FROM corpus GROUP BY 1""".stripMargin
+       |FROM blobs GROUP BY payload_hex""".stripMargin
 
-  /** Synthetic media columns derived from documents (mirrors
-    * `Multimodal.syntheticMedia` arithmetic). */
+  /** Byte-exact payload manifest: the full hex of every reconstructed
+    * BMP/WAV/opaque payload vs the engine's `hex(bytes)`. */
+  val mediaManifest: String =
+    s"""WITH ${mediaBlobCtes("SELECT doc_id, text FROM documents")}
+       |SELECT media_id, kind, (length(payload_hex) // 2)::BIGINT AS n_bytes,
+       |  payload_hex
+       |FROM blobs""".stripMargin
+
+  /** Synthetic media metadata derived from documents (mirrors
+    * `Multimodal.syntheticMedia` arithmetic: real BMP dims and WAV rate
+    * for image/audio, synthetic frame dims for video). */
   private val mediaCte: String =
     s"""media AS (
        |  SELECT doc_id AS media_id,
-       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       |    (doc_id % 4)::INT * 160 + 320 AS width,
-       |    (doc_id % 4)::INT * 90 + 180 AS height,
-       |    (CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END)::INT AS sample_rate,
+       |    CASE doc_id % 4 WHEN 1 THEN 'audio' WHEN 2 THEN 'video'
+       |      ELSE 'image' END AS kind,
+       |    (CASE WHEN doc_id % 4 IN (0, 3) THEN 16 + (doc_id % 8) * 2
+       |      ELSE (doc_id % 4) * 160 + 320 END)::INT AS width,
+       |    (CASE WHEN doc_id % 4 IN (0, 3) THEN 12 + (doc_id % 8)
+       |      ELSE (doc_id % 4) * 90 + 180 END)::INT AS height,
+       |    (CASE WHEN doc_id % 4 = 1
+       |      THEN 8000 + ((doc_id % 16) // 4) * 4000
+       |      ELSE 44100 END)::INT AS sample_rate,
        |    (doc_id % 30) * 1000 + 1000 AS duration_ms,
-       |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
-       |    octet_length(encode(text)) AS n_bytes
+       |    CASE doc_id % 4 WHEN 1 THEN 'wav' WHEN 2 THEN 'mp4'
+       |      ELSE 'bmp' END AS format
        |  FROM documents)""".stripMargin
 
   val mediaMeta: String =
@@ -1357,14 +1443,49 @@ object OraclesLlm {
        |SELECT media_id, kind, width, height, sample_rate, duration_ms, format
        |FROM media""".stripMargin
 
-  /** The decode stub's invariant: the byte-histogram features sum to the
-    * payload length — the oracle checks the whole mapPartitions plumbing
-    * without re-implementing the codec. */
+  /** Feature stats of the REAL decode, replayed as generator arithmetic
+    * (the engine decodes actual BMP/WAV bytes with ImageIO/AudioSystem;
+    * the oracle recomputes what the generator painted — agreement
+    * proves the decode inverts the encode exactly). */
   val mediaFeatures: String =
-    s"""WITH $mediaCte
-       |SELECT media_id, kind, n_bytes::BIGINT AS n_bytes,
-       |  16::BIGINT AS n_features, n_bytes::BIGINT AS feat_sum
-       |FROM media""".stripMargin
+    s"""WITH ${mediaBlobCtes("SELECT doc_id, text FROM documents")},
+       |img_sum AS (
+       |  SELECT media_id,
+       |    sum((x*7 + y*13 + len) % 256)::BIGINT AS sum_r,
+       |    sum((x*3 + y*5 + 2*len) % 256)::BIGINT AS sum_g,
+       |    sum(ascii(substr(text, ((y*w + x) % len) + 1, 1)) % 256)::BIGINT
+       |      AS sum_b,
+       |    sum(CASE WHEN (x*7 + y*13 + len) % 256 + (x*3 + y*5 + 2*len) % 256
+       |         + ascii(substr(text, ((y*w + x) % len) + 1, 1)) % 256 >= 384
+       |        THEN 1 ELSE 0 END)::BIGINT AS bright_px
+       |  FROM (SELECT media_id, len, text, w, p % w AS x, p // w AS y
+       |        FROM (SELECT media_id, w, h, len, text,
+       |                unnest(range(w*h)) AS p FROM img_geom))
+       |  GROUP BY 1),
+       |aud_sum AS (
+       |  SELECT media_id,
+       |    sum(abs(((i*2654435761 + len*1000003) % 65536) - 32768))::BIGINT
+       |      AS sum_abs,
+       |    max(abs(((i*2654435761 + len*1000003) % 65536) - 32768))::BIGINT
+       |      AS peak_abs
+       |  FROM (SELECT media_id, len, unnest(range(n)) AS i FROM aud)
+       |  GROUP BY 1)
+       |SELECT g.media_id, 'image' AS kind,
+       |  (54 + rowbytes*h)::BIGINT AS n_bytes, 1::BIGINT AS decode_ok,
+       |  w::BIGINT AS width, h::BIGINT AS height, (w*h)::BIGINT AS n_px,
+       |  sum_r, sum_g, sum_b, bright_px,
+       |  NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       |  NULL::BIGINT AS sum_abs, NULL::BIGINT AS peak_abs
+       |FROM img_geom g JOIN img_sum USING (media_id)
+       |UNION ALL
+       |SELECT a.media_id, 'audio', (44 + 2*n)::BIGINT, 1,
+       |  NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       |  rate::BIGINT, n::BIGINT, sum_abs, peak_abs
+       |FROM aud a JOIN aud_sum USING (media_id)
+       |UNION ALL
+       |SELECT media_id, 'video', octet_length(encode(text))::BIGINT, 1,
+       |  NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+       |FROM m WHERE m4 = 2""".stripMargin
 
   val frameSample: String =
     s"""WITH $mediaCte

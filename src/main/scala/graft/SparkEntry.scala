@@ -620,12 +620,16 @@ object SparkEntry {
       Multimodal.syntheticMedia(docs(s, dir)).select(
         col("media_id"), col("kind"), col("meta.width"), col("meta.height"),
         col("meta.sample_rate"), col("meta.duration_ms"), col("meta.format"))),
+    // REAL decode: ImageIO over genuine BMP, AudioSystem over genuine
+    // WAV; the oracle replays the generator arithmetic — agreement
+    // proves the decode inverts the encode
     "media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          size(col("features")).cast("long").as("n_features"),
-          aggregate(col("features"), lit(0L),
-            (acc, x) => acc + x.cast("long")).as("feat_sum"))),
+        .toDF()),
+    // byte-exact manifest: full payload hex vs the oracle's in-SQL
+    // BMP/WAV reconstruction (headers, padding, little-endian fields)
+    "media_manifest" -> ((s, dir) =>
+      Multimodal.payloadManifest(Multimodal.syntheticMedia(docs(s, dir)))),
     "frame_sample" -> ((s, dir) =>
       Multimodal.frameSamplePlan(Multimodal.syntheticMedia(docs(s, dir)))),
     "resize_plan" -> ((s, dir) =>
@@ -814,6 +818,7 @@ object SparkEntry {
     "media_dedup" -> OraclesLlm.mediaDedup,
     "media_meta" -> OraclesLlm.mediaMeta,
     "media_features" -> OraclesLlm.mediaFeatures,
+    "media_manifest" -> OraclesLlm.mediaManifest,
     "frame_sample" -> OraclesLlm.frameSample,
     "resize_plan" -> OraclesLlm.resizePlan)
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads plus a typed metadata struct, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The actual codecs are STUBBED (no image/audio libraries ship in this
-  * environment — see [[StubCodec]]): the stub is a deterministic fake
-  * whose output depends only on the payload bytes. Everything around the
-  * stub — schema, batched partition-wise execution, feature schema,
-  * drop-bytes-early projection — is real and tested.
+  * The image and audio codecs are REAL JDK decodes ([[MediaCodec]]:
+  * `javax.imageio.ImageIO` over genuine 24-bit BMP, `javax.sound.sampled
+  * .AudioSystem` over genuine PCM WAV). Only video remains an opaque
+  * payload — the JDK ships no container demuxer, and that boundary is
+  * explicit (`decode_ok` passes it through, features stay NULL) rather
+  * than faked.
   *
   * Scale design:
   *   - payloads dominate row size, so every stage PROJECTS BYTES AWAY as
@@ -23,6 +24,8 @@ import org.apache.spark.sql.types._
   *     pipeline-per-record mistake, `KafkaSparkProcessor.scala:144`),
   *     rows streamed through it in batch — the JVM shape of an arrow-
   *     batched python UDF;
+  *   - a corrupt payload yields a `decode_ok = 0` row, never a thrown
+  *     task (one bad record must not fail a 100 TB job);
   *   - metadata-only transforms (resize plan, frame sampling) are pure
   *     column arithmetic — codegen'd, no UDF.
   */
@@ -35,57 +38,105 @@ object Multimodal {
     .add("sample_rate", IntegerType).add("duration_ms", LongType)
     .add("format", StringType)
 
-  /** Deterministic synthetic media over `documents`: payload bytes are
-    * the utf-8 text (a stand-in for encoded frames), kind/meta derived
-    * from doc_id arithmetic. The offline analog of reading a media
+  final case class Meta(width: Int, height: Int, sample_rate: Int,
+                        duration_ms: Long, format: String)
+  final case class MediaRow(media_id: Long, kind: String,
+                            bytes: Array[Byte], meta: Meta)
+
+  /** Deterministic synthetic media over `documents`: image rows carry a
+    * REAL encoded BMP whose blue channel is the document text, audio
+    * rows a REAL PCM WAV, video rows the utf-8 text as an opaque
+    * container stand-in. kind cycles image/audio/video/image on
+    * doc_id mod 4 (all payload-relevant moduli divide the dedup
+    * corpus's +100000 offset, so exact text duplicates produce
+    * byte-identical payloads). Metadata carries the real image dims /
+    * sample rate; video keeps synthetic frame dims for the
+    * metadata-only planners. The offline analog of reading a media
     * directory with `format("binaryFile")`. */
-  def syntheticMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(MediaKinds.map(lit): _*),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("bytes"),
-      struct(
-        (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(4)) * 90 + 180).cast("int").as("height"),
-        when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(44100)
-          .cast("int").as("sample_rate"),
-        (pmod(col("doc_id"), lit(30)) * 1000 + 1000).as("duration_ms"),
-        element_at(array(lit("png"), lit("wav"), lit("mp4")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"))
-        .as("meta"))
-
-  /** One decoded row: features extracted, payload dropped. */
-  final case class MediaFeatures(
-      media_id: Long, kind: String, n_bytes: Long, features: Array[Float])
-
-  /** The stubbed codec: ??? would be an image/audio decode; the fake is
-    * a deterministic byte-histogram "embedding" so tests can pin values.
-    * One instance per partition, reused across its rows. */
-  final class StubCodec(dim: Int) {
-    /** STUB — stands in for e.g. JPEG decode + CNN features. */
-    def features(bytes: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](dim)
-      var i = 0
-      while (i < bytes.length) {
-        acc(java.lang.Byte.toUnsignedInt(bytes(i)) % dim) += 1.0f
-        i += 1
-      }
-      acc
-    }
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val m4 = ((id % 4) + 4) % 4
+        val kind = m4 match {
+          case 0 | 3 => "image"
+          case 1     => "audio"
+          case _     => "video"
+        }
+        val bytes = kind match {
+          case "image" => MediaCodec.encodeBmp(id, text)
+          case "audio" => MediaCodec.encodeWav(id, text.length)
+          case _       => text.getBytes("UTF-8")
+        }
+        val (w, h) =
+          if (kind == "image") MediaCodec.imageDims(id)
+          else (m4.toInt * 160 + 320, m4.toInt * 90 + 180)
+        val rate = if (kind == "audio") MediaCodec.audioRate(id) else 44100
+        val fmt = kind match {
+          case "image" => "bmp"; case "audio" => "wav"; case _ => "mp4"
+        }
+        MediaRow(id, kind, bytes,
+          Meta(w, h, rate, (id % 30) * 1000 + 1000, fmt))
+    }.toDF()
   }
 
-  /** Decode/feature-extract stage: batched per-partition execution, one
-    * codec per partition, bytes projected away in the output row. */
-  def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+  /** One decoded row: REAL-decode statistics, payload dropped. All
+    * numerics are exact integers (sums/counts/peaks), so the oracle —
+    * which replays the generator arithmetic instead of decoding —
+    * hash-matches bit for bit. NULL columns = not applicable to the
+    * kind. */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, decode_ok: Long,
+      width: Option[Long], height: Option[Long], n_px: Option[Long],
+      sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long],
+      bright_px: Option[Long],
+      sample_rate: Option[Long], n_samples: Option[Long],
+      sum_abs: Option[Long], peak_abs: Option[Long])
+
+  /** The per-partition codec boundary: batched execution, one codec
+    * instance per partition, bytes projected away in the output row.
+    * Image/audio rows are REALLY decoded (ImageIO / AudioSystem);
+    * video passes through with NULL features (no JDK demuxer — the
+    * one honest gap, visible in the schema, not papered over). */
+  final class RealCodec {
+    def imageRow(id: Long, kind: String, bytes: Array[Byte]): MediaFeatures =
+      MediaCodec.decodeImage(bytes) match {
+        case Some(s) => MediaFeatures(id, kind, bytes.length.toLong, 1L,
+          Some(s.width), Some(s.height), Some(s.width * s.height),
+          Some(s.sumR), Some(s.sumG), Some(s.sumB), Some(s.brightPx),
+          None, None, None, None)
+        case None => failed(id, kind, bytes)
+      }
+    def audioRow(id: Long, kind: String, bytes: Array[Byte]): MediaFeatures =
+      MediaCodec.decodeWav(bytes) match {
+        case Some(s) => MediaFeatures(id, kind, bytes.length.toLong, 1L,
+          None, None, None, None, None, None, None,
+          Some(s.sampleRate), Some(s.nSamples), Some(s.sumAbs),
+          Some(s.peakAbs))
+        case None => failed(id, kind, bytes)
+      }
+    def opaqueRow(id: Long, kind: String, bytes: Array[Byte]): MediaFeatures =
+      MediaFeatures(id, kind, bytes.length.toLong, 1L,
+        None, None, None, None, None, None, None, None, None, None, None)
+    private def failed(id: Long, kind: String,
+                       bytes: Array[Byte]): MediaFeatures =
+      MediaFeatures(id, kind, bytes.length.toLong, 0L,
+        None, None, None, None, None, None, None, None, None, None, None)
+  }
+
+  /** Decode/feature-extract stage over (media_id, kind, bytes). */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select("media_id", "kind", "bytes")
+    media.select(col("media_id"), col("kind"), col("bytes"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        val codec = new StubCodec(dim) // per partition, NOT per record
-        rows.map { case (id, kind, bytes) =>
-          MediaFeatures(id, kind, bytes.length.toLong, codec.features(bytes))
+        val codec = new RealCodec // per partition, NOT per record
+        rows.map {
+          case (id, "image", bytes) => codec.imageRow(id, "image", bytes)
+          case (id, "audio", bytes) => codec.audioRow(id, "audio", bytes)
+          case (id, kind, bytes)    => codec.opaqueRow(id, kind, bytes)
         }
       }
   }
@@ -127,7 +178,10 @@ object Multimodal {
     * min media_id. Same 100 TB shape as [[Dedup.exactDedup]]: only the
     * 32-byte digest and id shuffle — the payload is read once at the
     * scan and never moves. `bytes_reclaimed` prices the win:
-    * (n_copies − 1) · payload size. */
+    * (n_copies − 1) · payload size. The digest is the GROUP key but
+    * not an output column: the oracle groups by the payload bytes it
+    * reconstructs itself (its DuckDB build has no blob sha256), and
+    * [[payloadManifest]] pins the exact bytes anyway. */
   def mediaDedup(media: DataFrame): DataFrame =
     media
       .select(col("media_id"), sha2(col("bytes"), 256).as("payload_key"),
@@ -135,14 +189,38 @@ object Multimodal {
       .groupBy("payload_key")
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"),
         ((count(lit(1)) - 1L) * min("n_bytes")).as("bytes_reclaimed"))
+      .select("keep_id", "n_copies", "bytes_reclaimed")
 
-  /** End-to-end: media → features → embedding similarity (bridges the
-    * multimodal path into [[Similarity]]'s ANN operators). */
-  def mediaNearDup(media: DataFrame, dim: Int = 16): DataFrame = {
+  /** Per-payload integrity projection: id, kind, exact byte count and
+    * the full payload rendered as hex — the checksum-manifest shape a
+    * 100 TB media lake maintains (there it would carry sha256 digests;
+    * here the FULL bytes surface so the oracle, which reconstructs
+    * every BMP/WAV payload byte-for-byte in SQL, proves the encoders
+    * emit exactly the documented format — headers, padding, and
+    * little-endian fields included). */
+  def payloadManifest(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("kind"),
+      length(col("bytes")).cast("long").as("n_bytes"),
+      lower(hex(col("bytes"))).as("payload_hex"))
+
+  /** End-to-end: media → decoded features → embedding similarity
+    * (bridges the multimodal path into [[Similarity]]'s ANN
+    * operators). Image rows only: the feature vector is the decoded
+    * per-channel mean (millis) + brightness ratio — byte-identical
+    * payloads give identical vectors, so exact duplicates always
+    * pair. */
+  def mediaNearDup(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val feats = extractFeatures(media, dim)
-      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val feats = extractFeatures(media)
+      .filter(col("kind") === "image" && col("decode_ok") === 1L)
+      .select(col("media_id").as("vec_id"),
+        array(
+          (col("sum_r") * 1000L / col("n_px")).cast("float"),
+          (col("sum_g") * 1000L / col("n_px")).cast("float"),
+          (col("sum_b") * 1000L / col("n_px")).cast("float"),
+          (col("bright_px") * 1000L / col("n_px")).cast("float"))
+          .as("embedding"))
     Similarity.embeddingNearDup(feats, minCosine = 0.999)
   }
 }

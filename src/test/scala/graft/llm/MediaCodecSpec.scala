@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-codec round trips: the encoders emit genuine BMP/WAV bytes and
+  * the JDK decoders (ImageIO / AudioSystem) must invert them exactly —
+  * no Spark involved, this pins the codec layer alone. */
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("BMP round trip: ImageIO decodes to the exact generated pixels") {
+    val text = "hello media"
+    for (id <- Seq(0L, 3L, 7L, 100008L)) {
+      val bytes = MediaCodec.encodeBmp(id, text)
+      assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = MediaCodec.imageDims(id)
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val got = ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+        assert(got == MediaCodec.pixel(x, y, w, text), s"pixel ($x,$y) id=$id")
+      }
+    }
+  }
+
+  test("BMP stats decode matches a direct formula computation") {
+    val text = "abc"
+    val stats = MediaCodec.decodeImage(MediaCodec.encodeBmp(0L, text)).get
+    val (w, h) = MediaCodec.imageDims(0L)
+    val px = for (y <- 0 until h; x <- 0 until w)
+      yield MediaCodec.pixel(x, y, w, text)
+    assert(stats == MediaCodec.ImageStats(w, h,
+      px.map(_._1.toLong).sum, px.map(_._2.toLong).sum,
+      px.map(_._3.toLong).sum,
+      px.count(p => p._1 + p._2 + p._3 >= 384).toLong))
+  }
+
+  test("WAV round trip: AudioSystem recovers rate, count and samples") {
+    for (id <- Seq(1L, 5L, 13L, 100001L); len <- Seq(3, 48, 553)) {
+      val stats = MediaCodec.decodeWav(MediaCodec.encodeWav(id, len)).get
+      val n = MediaCodec.audioSamples(id)
+      // stored u16 → signed two's complement
+      val signed = (0 until n).map(i => MediaCodec.sampleU16(i, len))
+        .map(u => if (u >= 32768) u - 65536 else u)
+      assert(stats.sampleRate == MediaCodec.audioRate(id))
+      assert(stats.nSamples == n.toLong)
+      assert(stats.sumAbs == signed.map(s => math.abs(s.toLong)).sum)
+      assert(stats.peakAbs == signed.map(s => math.abs(s.toLong)).max)
+    }
+  }
+
+  test("exact duplicates under the +100000 dedup offset: identical payloads") {
+    val text = "dup me"
+    assert(MediaCodec.encodeBmp(8L, text).sameElements(
+      MediaCodec.encodeBmp(100008L, text)))
+    assert(MediaCodec.encodeWav(5L, text.length).sameElements(
+      MediaCodec.encodeWav(100005L, text.length)))
+  }
+
+  test("corrupt payloads decode to None, never throw") {
+    assert(MediaCodec.decodeImage("not a bmp".getBytes).isEmpty)
+    assert(MediaCodec.decodeImage(Array[Byte]()).isEmpty)
+    assert(MediaCodec.decodeWav("RIFFgarbage".getBytes).isEmpty)
+    assert(MediaCodec.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    // truncated but well-headed BMP: ImageIO may throw internally — must
+    // surface as None
+    val trunc = MediaCodec.encodeBmp(0L, "abc").take(60)
+    assert(MediaCodec.decodeImage(trunc).isEmpty ||
+      MediaCodec.decodeImage(trunc).isDefined) // must not throw either way
+  }
+}

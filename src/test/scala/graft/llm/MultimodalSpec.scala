@@ -4,34 +4,59 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Multimodal plumbing: schema, per-partition decode batching, stub
-  * invariants, metadata-only plans, bridge into similarity search. */
+/** Multimodal plumbing over REAL codecs: schema, per-partition decode
+  * batching, decode-failure rows, metadata-only plans, payload dedup,
+  * bridge into similarity search. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  // ids 0/8 share image dims (mod 8) and text → byte-identical BMPs
   private def docs = Seq(
-    (0L, "abc"), (1L, "defg"), (2L, "hi"), (3L, "abc")).toDF("doc_id", "text")
+    (0L, "abc"), (1L, "defg"), (2L, "hi"), (8L, "abc")).toDF("doc_id", "text")
 
-  test("syntheticMedia: binary payload + typed metadata struct") {
+  test("syntheticMedia: real BMP/WAV payloads + typed metadata struct") {
     val m = Multimodal.syntheticMedia(docs)
     assert(m.schema("bytes").dataType.typeName == "binary")
     val metaFields = m.schema("meta").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
       .fields.map(f => (f.name, f.dataType)).toSeq
     assert(metaFields == Multimodal.metaType.fields.map(f => (f.name, f.dataType)).toSeq)
-    val r = m.filter(col("media_id") === 1L).collect().head
-    assert(r.getAs[String]("kind") == "audio")
-    assert(new String(r.getAs[Array[Byte]]("bytes"), "UTF-8") == "defg")
+    val byId = m.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(byId(0L).getAs[String]("kind") == "image")
+    assert(new String(byId(0L).getAs[Array[Byte]]("bytes").take(2)) == "BM")
+    assert(byId(1L).getAs[String]("kind") == "audio")
+    assert(new String(byId(1L).getAs[Array[Byte]]("bytes").take(4)) == "RIFF")
+    assert(byId(2L).getAs[String]("kind") == "video")
   }
 
-  test("extractFeatures: histogram features sum to byte count, bytes dropped") {
-    val got = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs), dim = 16)
+  test("extractFeatures: REAL ImageIO/AudioSystem decode, bytes dropped") {
+    val got = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs))
       .collect().map(f => f.media_id -> f).toMap
-    assert(got(0L).n_bytes == 3L && got(0L).features.sum == 3.0f)
-    assert(got(1L).n_bytes == 4L && got(1L).features.map(_.toLong).sum == 4L)
-    assert(got(0L).features.length == 16)
-    // determinism: same payload -> same features
-    assert(got(0L).features.toSeq == got(3L).features.toSeq)
+    assert(!got.values.exists(_.decode_ok != 1L))
+    // image 0: decoded stats equal the generator formulas
+    val (w, h) = MediaCodec.imageDims(0L)
+    val px = for (y <- 0 until h; x <- 0 until w)
+      yield MediaCodec.pixel(x, y, w, "abc")
+    val f0 = got(0L)
+    assert(f0.width.contains(w.toLong) && f0.height.contains(h.toLong))
+    assert(f0.sum_r.contains(px.map(_._1.toLong).sum))
+    assert(f0.sum_b.contains(px.map(_._3.toLong).sum))
+    // identical payload → identical features
+    assert(f0.copy(media_id = 8L) == got(8L))
+    // audio 1: real WAV decode
+    val f1 = got(1L)
+    assert(f1.sample_rate.contains(MediaCodec.audioRate(1L).toLong))
+    assert(f1.n_samples.contains(MediaCodec.audioSamples(1L).toLong))
+    // video 2: opaque pass-through, NULL features
+    assert(got(2L).n_bytes == 2L && got(2L).width.isEmpty &&
+      got(2L).sum_abs.isEmpty)
+  }
+
+  test("corrupt payload yields decode_ok=0 row, not a failed task") {
+    val bad = Seq((99L, "image", "not a bmp".getBytes)).toDF(
+      "media_id", "kind", "bytes")
+    val r = Multimodal.extractFeatures(bad).collect().head
+    assert(r.decode_ok == 0L && r.n_bytes == 9L && r.width.isEmpty)
   }
 
   test("resizePlan fits the box preserving aspect ratio in integer math") {
@@ -41,7 +66,7 @@ class MultimodalSpec extends SparkSpec {
       .select(col("media_id"), col("kind"),
         struct(col("w").as("width"), col("h").as("height"),
           lit(44100).as("sample_rate"), lit(1000L).as("duration_ms"),
-          lit("png").as("format")).as("meta"))
+          lit("bmp").as("format")).as("meta"))
     val got = Multimodal.resizePlan(m, 640, 360).collect()
       .map(r => r.getAs[Long]("media_id") ->
         (r.getAs[Long]("target_width"), r.getAs[Long]("target_height"))).toMap
@@ -52,7 +77,7 @@ class MultimodalSpec extends SparkSpec {
   test("frameSamplePlan: one row per sampled frame, videos only") {
     val got = Multimodal.frameSamplePlan(Multimodal.syntheticMedia(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // doc 2 is the only video (2 % 3 == 2); duration 2*1000+1000 = 3000ms
+    // doc 2 is the only video (2 % 4 == 2); duration 2*1000+1000 = 3000ms
     assert(got.toSeq.sorted == Seq((2L, 0L), (2L, 1000L), (2L, 2000L)))
   }
 
@@ -77,15 +102,26 @@ class MultimodalSpec extends SparkSpec {
       .collect()
       .map(r => r.getAs[Long]("keep_id") ->
         (r.getAs[Long]("n_copies"), r.getAs[Long]("bytes_reclaimed"))).toMap
-    // docs 0 and 3 share payload "abc": keeper 0, one 3-byte copy freed
-    assert(got(0L) == ((2L, 3L)))
+    // docs 0 and 8: same dims (mod 8) + same text -> identical BMPs;
+    // keeper 0, one 630-byte copy freed (54 header + 48*12 pixel rows)
+    assert(got(0L) == ((2L, 630L)))
     assert(got(1L) == ((1L, 0L)) && got(2L) == ((1L, 0L)))
     assert(got.size == 3)
   }
 
-  test("mediaNearDup bridges features into embedding LSH (identical payloads pair)") {
+  test("payloadManifest: engine hex == encoder bytes") {
+    val got = Multimodal.payloadManifest(Multimodal.syntheticMedia(docs))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[String]("payload_hex")).toMap
+    assert(got(0L) == MediaCodec.encodeBmp(0L, "abc")
+      .map("%02x".format(_)).mkString)
+    assert(got(1L) == MediaCodec.encodeWav(1L, 4)
+      .map("%02x".format(_)).mkString)
+  }
+
+  test("mediaNearDup bridges decoded features into embedding LSH") {
     val pairs = Multimodal.mediaNearDup(Multimodal.syntheticMedia(docs))
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
-    assert(pairs.toSeq == Seq((0L, 3L))) // same "abc" payload
+    assert(pairs.toSeq == Seq((0L, 8L))) // identical "abc" BMP payloads
   }
 }
