@@ -60,15 +60,29 @@ object AnnIndex {
   }
 
   /** Serve top-k from the stored index: rank each query vector's
-    * `nprobe` nearest stored centroids (query set is tiny — the window
-    * is fine), then scan only the probed cells through the bounded
-    * [[Similarity.TopKAgg]]. Identical arithmetic to the in-memory
-    * path ⇒ identical results. */
+    * `nprobe` nearest stored centroids, then scan only the probed
+    * cells through the bounded [[Similarity.TopKAgg]]. Identical
+    * arithmetic to the in-memory path ⇒ identical results.
+    *
+    * Probe-side size fallback (the [[LshIndex.query]] contract): the
+    * probe frame is `nQueries · nprobe` rows of quantized vectors —
+    * parameter-sized for interactive serving, where the broadcast hint
+    * is right. A BULK query batch (re-scoring a whole corpus slice)
+    * would blow the broadcast memory contract, so above
+    * `maxBroadcastQueries` the hints drop and Catalyst plans ordinary
+    * shuffle hash joins on cent_id — same rows either way
+    * (AnnIndexSpec pins equality across the threshold;
+    * `maxBroadcastQueries <= 0` forces the fallback for tests). */
   def query(spark: SparkSession, name: String, nQueries: Int = 5,
-            k: Int = 10, nprobe: Int = 1): DataFrame = {
+            k: Int = 10, nprobe: Int = 1,
+            maxBroadcastQueries: Long = 1000L * 1000): DataFrame = {
+    val small = nQueries.toLong <= maxBroadcastQueries
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     val cents = spark.table(centroidsTable(name))
     val cells = spark.table(cellsTable(name))
-    val probed = cells.join(broadcast(probes(cells, cents, nQueries, nprobe)),
+    val probed = cells.join(
+        maybeBroadcast(probes(cells, cents, nQueries, nprobe)),
         col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (dotQ(col("qqv"), col("qv")).cast("double") / (col("qnrm") * col("nrm")))
@@ -276,7 +290,14 @@ object AnnIndex {
     * codes — identical arithmetic to [[Similarity.ivfPqTopK]]
     * (AnnIndexSpec pins the equality). */
   def queryPq(spark: SparkSession, name: String, nQueries: Int = 5,
-              k: Int = 10, nprobe: Int = 1): DataFrame = {
+              k: Int = 10, nprobe: Int = 1,
+              maxBroadcastQueries: Long = 1000L * 1000): DataFrame = {
+    // Same probe-side fallback as [[query]]: probeSet/lut/qn are all
+    // O(nQueries·nprobe·PqM) — broadcast for serving batches, shuffle
+    // joins for bulk re-scoring.
+    val small = nQueries.toLong <= maxBroadcastQueries
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     val cents = spark.table(centroidsTable(name))
     val cells = spark.table(cellsTable(name))
     val cb = spark.table(codebookTable(name))
@@ -295,12 +316,12 @@ object AnnIndex {
     val qn = cells.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"))
     val scored = codes
-      .join(broadcast(probeSet),
+      .join(maybeBroadcast(probeSet),
         col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
-      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .join(maybeBroadcast(lut), Seq("query_id", "m", "code"))
       .groupBy("query_id", "vec_id")
       .agg(sum("dp").as("est_dot"), sum("cbn2").as("recon_n2"))
-      .join(broadcast(qn), Seq("query_id"))
+      .join(maybeBroadcast(qn), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         (col("est_dot").cast("double") /
           (col("qnrm") * sqrt(col("recon_n2").cast("double")))).as("cos"))

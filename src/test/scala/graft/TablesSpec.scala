@@ -85,4 +85,52 @@ class TablesSpec extends SparkSpec {
     assert(fieldsOf("supplier")("s_suppkey") == LongType)
     assert(fieldsOf("part")("p_partkey") == LongType)
   }
+
+  /** Every table's FULL column set, pinned by name — a driver-side
+    * regeneration that adds, drops, or renames any column fails here
+    * with the table named, before any oracle row does. */
+  test("full column inventory of every testdata table") {
+    haveTestdata()
+    val expected = Map(
+      "region" -> Set("r_regionkey", "r_name"),
+      "nation" -> Set("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Set("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"),
+      "supplier" -> Set("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Set("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice"),
+      "orders" -> Set("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+      "events" -> Set("event_id", "ts", "user_id", "event_type", "value",
+        "props"),
+      "documents" -> Set("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Set("vec_id", "embedding", "label"))
+    for ((t, cols) <- expected)
+      assert(fieldsOf(t).keySet == cols,
+        s"$t columns drifted: got ${fieldsOf(t).keySet.toSeq.sorted}")
+  }
+
+  /** Measure/dim types the newest query shapes rely on (q2/q16/q20/q22
+    * arithmetic: acctbal cents, partsupp-analog keys, name prefixes). */
+  test("subquery-shape column types: acctbal, link keys, part attributes") {
+    haveTestdata()
+    val s = fieldsOf("supplier")
+    assert(s("s_acctbal") == DoubleType && s("s_name") == StringType &&
+      s("s_nationkey") == IntegerType, s"supplier columns drifted: $s")
+    val c = fieldsOf("customer")
+    assert(c("c_acctbal") == DoubleType, s"c_acctbal drifted: $c")
+    val p = fieldsOf("part")
+    assert(p("p_name") == StringType && p("p_brand") == StringType &&
+      p("p_type") == StringType && p("p_size") == IntegerType,
+      s"part columns drifted: $p")
+    val li = fieldsOf("lineitem")
+    assert(li("l_partkey") == LongType && li("l_suppkey") == LongType &&
+      li("l_linenumber") == IntegerType, s"lineitem link keys drifted: $li")
+    val o = fieldsOf("orders")
+    assert(o("o_orderpriority") == StringType &&
+      o("o_orderstatus") == StringType, s"orders columns drifted: $o")
+  }
 }

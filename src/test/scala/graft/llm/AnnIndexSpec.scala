@@ -211,4 +211,41 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows(AnnIndex.query(spark, "annspec_cpt", nprobe = 3)) == before)
     assert(rows(AnnIndex.queryPq(spark, "annspec_cpt", nprobe = 3)) == beforePq)
   }
+
+  test("bulk-probe fallback: identical top-k, shuffle plan above the threshold") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    AnnIndex.buildPq(emb, "annspec_fb")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    def joins(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // threshold 0 forces the bulk path: results identical, and with
+    // auto-broadcast off (so plans reflect HINTS only — at spec scale
+    // the stats-based planner would broadcast these tiny tables
+    // regardless, which is exactly what the bulk path must not rely
+    // on) the probe side joins via shuffle
+    val autoBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smallQ = AnnIndex.query(spark, "annspec_fb", nprobe = 3)
+      val bulkQ = AnnIndex.query(spark, "annspec_fb", nprobe = 3,
+        maxBroadcastQueries = 0L)
+      assert(rows(bulkQ) == rows(smallQ) && rows(bulkQ).nonEmpty)
+      assert(joins(smallQ).contains("BroadcastHashJoin"))
+      assert(!joins(bulkQ).contains("BroadcastHashJoin"),
+        "bulk path must not broadcast the probe side")
+      assert(joins(bulkQ).contains("SortMergeJoin") ||
+        joins(bulkQ).contains("ShuffledHashJoin"),
+        "bulk path must plan a shuffle join for the probe side")
+      val smallPq = AnnIndex.queryPq(spark, "annspec_fb", nprobe = 3)
+      val bulkPq = AnnIndex.queryPq(spark, "annspec_fb", nprobe = 3,
+        maxBroadcastQueries = 0L)
+      assert(rows(bulkPq) == rows(smallPq) && rows(bulkPq).nonEmpty)
+      assert(joins(bulkPq).contains("SortMergeJoin") ||
+        joins(bulkPq).contains("ShuffledHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoBc)
+  }
 }
