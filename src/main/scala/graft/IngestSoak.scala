@@ -49,6 +49,11 @@ object IngestSoak {
     Option(new File(outPath).getAbsoluteFile.getParentFile).foreach(_.mkdirs())
     val log = new PrintWriter(new File(outPath))
     val rates = scala.collection.mutable.ArrayBuffer[Double]()
+    // per-batch end-to-end trigger latency and total state-store rows:
+    // the 15 s-trigger SLO story needs latency percentiles and a
+    // bounded-state series, not just throughput
+    val latencies = scala.collection.mutable.ArrayBuffer[Long]()
+    val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
     var inputRows = 0L
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -60,6 +65,9 @@ object IngestSoak {
             log.println(p.json)
             rates += p.processedRowsPerSecond
             inputRows += p.numInputRows
+            latencies += Option(p.durationMs.get("triggerExecution"))
+              .map(_.longValue).getOrElse(-1L)
+            stateRows += p.stateOperators.map(_.numRowsTotal).sum
           }
         }
     }
@@ -121,12 +129,26 @@ object IngestSoak {
     val sorted = rates.sorted
     def pct(p: Double): Double =
       if (sorted.isEmpty) 0.0 else sorted(((sorted.length - 1) * p).toInt)
-    println(s"""{"metric":"ingest_soak","feed_docs_per_sec":$rate,"seconds":$seconds,""" +
+    val latSorted = latencies.sorted
+    def latPct(p: Double): Long =
+      if (latSorted.isEmpty) -1L else latSorted(((latSorted.length - 1) * p).toInt)
+    val summary =
+      s"""{"metric":"ingest_soak","feed_docs_per_sec":$rate,"seconds":$seconds,""" +
       s""""cpus":$cpus,"seed_docs":$nSeeds,"batches":${rates.length},""" +
       s""""input_rows":$inputRows,"corpus_rows":$corpusRows,""" +
       s""""index_rows":$indexRows,""" +
       f""""median_docs_per_sec":${pct(0.5)}%.1f,"p05":${pct(0.05)}%.1f,""" +
-      f""""p95":${pct(0.95)}%.1f,"artifact":"$outPath"}""")
+      f""""p95":${pct(0.95)}%.1f,""" +
+      s""""batch_latency_p50_ms":${latPct(0.5)},""" +
+      s""""batch_latency_p95_ms":${latPct(0.95)},""" +
+      s""""batch_latency_max_ms":${latPct(1.0)},""" +
+      s""""state_rows_series":${stateRows.takeRight(40).mkString("[", ",", "]")},""" +
+      s""""state_rows_max":${if (stateRows.isEmpty) -1L else stateRows.max},""" +
+      s""""artifact":"$outPath"}"""
+    println(summary)
+    sys.env.get("INGEST_SUMMARY_OUT").foreach { f =>
+      val w = new PrintWriter(new File(f)); w.println(summary); w.close()
+    }
     spark.stop()
   }
 }
