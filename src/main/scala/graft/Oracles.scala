@@ -1040,6 +1040,52 @@ object Oracles {
        |                    WHERE year_qty > 0 AND year_qty * 2 < hist_qty)
        |""".stripMargin
 
+  /** Q9-shaped product-type profit
+    * ([[graft.ops.Relational.productProfit]]): revenue minus
+    * partsupp-analog supply cost in exact millicents, by nation and
+    * order year. */
+  val productProfit: String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey AS pk, l_suppkey AS sk,
+       |    min((round(l_extendedprice * 100)::BIGINT * 1000)
+       |        // l_quantity::BIGINT) AS cost_mc
+       |  FROM lineitem GROUP BY 1, 2)
+       |SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |  sum(round(l_extendedprice * (1 - l_discount) * 100000)::BIGINT
+       |      - ps.cost_mc * l_quantity::BIGINT)::BIGINT AS profit_mc
+       |FROM lineitem, orders, supplier, nation, ps
+       |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+       |  AND s_nationkey = n_nationkey
+       |  AND ps.pk = l_partkey AND ps.sk = l_suppkey
+       |  AND l_partkey IN (
+       |    SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Q12-shaped priority counts by line status
+    * ([[graft.ops.Relational.shipPriorityCounts]]). */
+  val shipPriorityCounts: String =
+    s"""SELECT l_linestatus,
+       |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_shipdate >= DATE '1996-01-01'
+       |  AND l_shipdate < DATE '1997-01-01'
+       |GROUP BY 1""".stripMargin
+
+  /** Full CUBE with the grouping bitmask
+    * ([[graft.ops.Relational.revenueCube]]) — same bit order contract
+    * as [[revenueRollup]]. */
+  val revenueCube: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  grouping(l_returnflag, l_linestatus)::BIGINT AS lvl,
+       |  count(*)::BIGINT AS n_lines,
+       |  sum(round(l_quantity * 100)::BIGINT)::BIGINT AS qty_c,
+       |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS price_c
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   /** Q22-shaped idle wealthy customers
     * ([[graft.ops.Relational.idleCustomers]]): scalar positive-balance
     * average (cross-multiplied, no division) + NOT EXISTS anti-join on

@@ -197,6 +197,22 @@ object SparkEntry {
     "q20_excess_supp" -> ((s, dir) => Relational.excessSuppliers(s, dir)),
     // Q22 shape: scalar avg + NOT EXISTS anti-join on the fact side
     "q22_idle_customers" -> ((s, dir) => Relational.idleCustomers(s, dir)),
+    // Q9 shape: composite-key join back to the partsupp-analog costs
+    "q9_profit" -> ((s, dir) => Relational.productProfit(s, dir)),
+    // Q12 shape: conditional priority counts after the orderkey join
+    "q12_priority_class" -> ((s, dir) => Relational.shipPriorityCounts(s, dir)),
+    // full CUBE: one Expand pass, grouping_id bitmask margins
+    "revenue_cube" -> ((s, dir) => Relational.revenueCube(s, dir)),
+    // text-format ingest: write->read roundtrips (explicit schema,
+    // header validation) — the oracle reads parquet, so agreement is a
+    // full value-level check of the text codec
+    "csv_roundtrip" -> ((s, dir) =>
+      graft.sources.TextFormats.csvRoundtrip(s, dir)),
+    "json_roundtrip" -> ((s, dir) =>
+      graft.sources.TextFormats.jsonRoundtrip(s, dir)),
+    // columnar to_json/from_json codec over the full documents table
+    "json_column_roundtrip" -> ((s, dir) =>
+      graft.sources.TextFormats.jsonColumnRoundtrip(s, dir)),
     // ANALYZE-style per-column stats in one Expand pass (CBO feed)
     "column_stats" -> ((s, dir) => Relational.columnStats(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
@@ -694,6 +710,14 @@ object SparkEntry {
     "q16_supplier_cnt" -> Oracles.supplierCount,
     "q20_excess_supp" -> Oracles.excessSuppliers,
     "q22_idle_customers" -> Oracles.idleCustomers,
+    "q9_profit" -> Oracles.productProfit,
+    "q12_priority_class" -> Oracles.shipPriorityCounts,
+    "revenue_cube" -> Oracles.revenueCube,
+    "csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "json_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "json_column_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "column_stats" -> Oracles.columnStats,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,

@@ -702,22 +702,24 @@ object Relational {
       " div cast(l_quantity as long)")
 
   /** The lineitem-derived partsupp analog: min observed unit cost per
-    * (part, supplier), restricted to suppliers of one region. Slim
-    * (partkey, suppkey, cost) rows after one shuffle. */
+    * (part, supplier), optionally restricted to suppliers of one
+    * region. Slim (partkey, suppkey, cost) rows after one shuffle. */
   private def partSuppCosts(spark: SparkSession, sfDir: String,
-                            region: String): DataFrame = {
-    val regionSupp = Tables.supplier(spark, sfDir)
-      .join(broadcast(Tables.nation(spark, sfDir)),
-        col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(spark, sfDir)
-        .filter(col("r_name") === region)),
-        col("n_regionkey") === col("r_regionkey"))
-      .select("s_suppkey")
-    Tables.lineitem(spark, sfDir)
+                            region: Option[String]): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey"), unitMillicents.as("ucost"))
-      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"),
+    val scoped = region.fold(li) { r =>
+      val regionSupp = Tables.supplier(spark, sfDir)
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, sfDir)
+          .filter(col("r_name") === r)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      li.join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"),
         "left_semi")
-      .groupBy("l_partkey", "l_suppkey")
+    }
+    scoped.groupBy("l_partkey", "l_suppkey")
       .agg(min("ucost").as("cost_mc"))
   }
 
@@ -733,7 +735,7 @@ object Relational {
   def minCostSupplier(spark: SparkSession, sfDir: String,
                       region: String = "EUROPE", pType: String = "LARGE",
                       minSize: Int = 40): DataFrame = {
-    val ps = partSuppCosts(spark, sfDir, region)
+    val ps = partSuppCosts(spark, sfDir, Some(region))
     val minc = ps.groupBy(col("l_partkey").as("mk"))
       .agg(min("cost_mc").as("min_cost_mc"))
     val parts = Tables.part(spark, sfDir)
@@ -864,6 +866,83 @@ object Relational {
       .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select("s_name", "s_acctbal")
   }
+
+  /** TPC-H Q9-shaped product-type profit: revenue minus supply cost
+    * per (nation, order year) for parts matching the name prefix. The
+    * supply-cost side is the [[partSuppCosts]] analog (min unit cost
+    * in millicents) — joined back on the COMPOSITE (partkey, suppkey)
+    * key, which is the shape that makes Q9 the join-order workout:
+    * lineitem⋈orders shuffles on orderkey, then the composite-key
+    * join back to the cost table, with part/supplier/nation dims all
+    * broadcast. Profit is exact integer millicents end to end:
+    * `round(ext·(1−disc)·10⁵) − cost_mc·qty`. */
+  def productProfit(spark: SparkSession, sfDir: String,
+                    namePrefix: String = "red"): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith(namePrefix)).select("p_partkey")
+    val ps = partSuppCosts(spark, sfDir, None)
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 100000)" +
+          " as long)").as("rev_mc"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+    li.join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(ps, Seq("l_partkey", "l_suppkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(col("rev_mc") - col("cost_mc") * col("qty"))
+        .as("profit_mc"))
+  }
+
+  /** TPC-H Q12-shaped priority-by-line-status counts: for lineitems
+    * shipped inside one year, how many belong to critical-priority
+    * orders vs not, per line status. One broadcast-ready join keyed
+    * on orderkey (at scale: both sides shuffle on orderkey) and one
+    * tiny conditional-sum aggregate; the date filter pushes into the
+    * lineitem scan. */
+  def shipPriorityCounts(spark: SparkSession, sfDir: String,
+                         from: String = "1996-01-01",
+                         until: String = "1997-01-01"): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(from).cast("date") &&
+        col("l_shipdate") < lit(until).cast("date"))
+      .select("l_orderkey", "l_linestatus")
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
+  /** Full CUBE over (returnflag, linestatus): detail cells, both
+    * 1-dim margins, and the grand total in ONE pass — `cube` plans a
+    * single Expand (4 grouping projections) into one hash aggregate,
+    * where the naive union-of-four would scan lineitem four times.
+    * `lvl` is the `grouping_id()` bitmask (0 = detail … 3 = grand
+    * total); NULL group values are the margin markers, exactly as the
+    * SQL standard renders them. */
+  def revenueCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("lvl"),
+        count(lit(1)).as("n_lines"),
+        sumCents(col("l_quantity")).as("qty_c"),
+        sumCents(col("l_extendedprice")).as("price_c"))
+      .select("l_returnflag", "l_linestatus", "lvl", "n_lines",
+        "qty_c", "price_c")
 
   /** TPC-H Q22-shaped idle wealthy customers: per market segment (the
     * stand-in for Q22's phone country codes), customers with above-
