@@ -1086,6 +1086,69 @@ object Oracles {
        |FROM lineitem
        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** MERGE-style CDC apply ([[graft.ops.Relational.mergeUpsert]]):
+    * the full merge replayed — update/delete/insert resolved through
+    * one FULL OUTER join. */
+  val mergeUpsert: String =
+    s"""WITH t AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+       |    round(c_acctbal * 100)::BIGINT AS bal_c
+       |  FROM customer),
+       |changes AS (
+       |  SELECT CASE WHEN c_custkey % 10 = 2 THEN c_custkey + 1000000
+       |    ELSE c_custkey END AS k,
+       |    CASE c_custkey % 10 WHEN 0 THEN 'U' WHEN 1 THEN 'D'
+       |      ELSE 'I' END AS op,
+       |    c_name AS u_name, c_nationkey AS u_nationkey,
+       |    CASE WHEN c_custkey % 10 = 2 THEN 'NEW' ELSE c_mktsegment END
+       |      AS u_mktsegment,
+       |    bal_c + 10000 AS u_bal_c
+       |  FROM t WHERE c_custkey % 10 <= 2)
+       |SELECT coalesce(k, c_custkey) AS c_custkey,
+       |  coalesce(u_name, c_name) AS c_name,
+       |  CASE WHEN op = 'I' THEN u_nationkey ELSE c_nationkey END
+       |    AS c_nationkey,
+       |  CASE WHEN op IN ('I', 'U') THEN u_mktsegment ELSE c_mktsegment END
+       |    AS c_mktsegment,
+       |  (CASE WHEN op IN ('I', 'U') THEN u_bal_c ELSE bal_c END)::BIGINT
+       |    AS bal_c
+       |FROM t FULL OUTER JOIN changes ON c_custkey = k
+       |WHERE op IS NULL OR op <> 'D'""".stripMargin
+
+  /** Single-pass expectation suite
+    * ([[graft.ops.Relational.expectationsReport]]). */
+  val expectationsReport: String =
+    s"""WITH w AS (
+       |  SELECT count(*)::BIGINT AS n_rows,
+       |    sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+       |        OR l_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_keys,
+       |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+       |        THEN 1 ELSE 0 END)::BIGINT AS qty_range,
+       |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+       |        THEN 1 ELSE 0 END)::BIGINT AS discount_range,
+       |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+       |        THEN 1 ELSE 0 END)::BIGINT AS flag_domain,
+       |    sum(CASE WHEN l_linestatus NOT IN ('O', 'F')
+       |        THEN 1 ELSE 0 END)::BIGINT AS status_domain,
+       |    sum(CASE WHEN l_shipdate < DATE '1995-01-01'
+       |        OR l_shipdate >= DATE '2002-01-01'
+       |        THEN 1 ELSE 0 END)::BIGINT AS date_range,
+       |    (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+       |      AS dup_line_keys
+       |  FROM lineitem),
+       |long AS (
+       |  SELECT 'null_keys' AS check_name, n_rows,
+       |    null_keys AS n_violations FROM w
+       |  UNION ALL SELECT 'qty_range', n_rows, qty_range FROM w
+       |  UNION ALL SELECT 'discount_range', n_rows, discount_range FROM w
+       |  UNION ALL SELECT 'flag_domain', n_rows, flag_domain FROM w
+       |  UNION ALL SELECT 'status_domain', n_rows, status_domain FROM w
+       |  UNION ALL SELECT 'date_range', n_rows, date_range FROM w
+       |  UNION ALL SELECT 'unique_line_keys', n_rows, dup_line_keys FROM w)
+       |SELECT check_name, n_rows, n_violations,
+       |  (CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)::BIGINT AS pass
+       |FROM long""".stripMargin
+
   /** Q22-shaped idle wealthy customers
     * ([[graft.ops.Relational.idleCustomers]]): scalar positive-balance
     * average (cross-multiplied, no division) + NOT EXISTS anti-join on

@@ -213,6 +213,11 @@ object SparkEntry {
     // columnar to_json/from_json codec over the full documents table
     "json_column_roundtrip" -> ((s, dir) =>
       graft.sources.TextFormats.jsonColumnRoundtrip(s, dir)),
+    // MERGE-style CDC apply: one full-outer join resolves U/D/I per row
+    "merge_upsert" -> ((s, dir) => Relational.mergeUpsert(s, dir)),
+    // dbt/Deequ-style expectation suite: all rules in ONE scan
+    "expectations_report" -> ((s, dir) =>
+      Relational.expectationsReport(s, dir)),
     // ANALYZE-style per-column stats in one Expand pass (CBO feed)
     "column_stats" -> ((s, dir) => Relational.columnStats(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
@@ -718,6 +723,8 @@ object SparkEntry {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "json_column_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "merge_upsert" -> Oracles.mergeUpsert,
+    "expectations_report" -> Oracles.expectationsReport,
     "column_stats" -> Oracles.columnStats,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,

@@ -944,6 +944,95 @@ object Relational {
       .select("l_returnflag", "l_linestatus", "lvl", "n_lines",
         "qty_c", "price_c")
 
+  /** MERGE-style CDC batch apply — the warehouse upsert shape Spark
+    * OSS has no native statement for (Delta/Iceberg add MERGE INTO on
+    * top of exactly this plan): one full-outer join of the target with
+    * a changes relation carrying an op column, resolved per row —
+    * matched `U` takes the updated values, matched `D` drops the row,
+    * unmatched `I` inserts, everything else passes through. ONE
+    * shuffle each side on the merge key; no per-op passes. At 100 TB
+    * the same plan runs partition-pruned against the target's
+    * key-bucketed layout ([[graft.sources.Bucketed]]).
+    *
+    * The demo changes batch derives deterministically from the target
+    * (every 10th customer rebalanced, every 10th+1 deleted, every
+    * 10th+2 cloned above the key space as an insert), so the oracle
+    * replays the whole merge. Balances stay integer cents. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val changes = t
+      .filter(pmod(col("c_custkey"), lit(10)) <= 2)
+      .select(
+        when(pmod(col("c_custkey"), lit(10)) === 2,
+          col("c_custkey") + 1000000L).otherwise(col("c_custkey"))
+          .as("k"),
+        when(pmod(col("c_custkey"), lit(10)) === 0, lit("U"))
+          .when(pmod(col("c_custkey"), lit(10)) === 1, lit("D"))
+          .otherwise(lit("I")).as("op"),
+        col("c_name").as("u_name"), col("c_nationkey").as("u_nationkey"),
+        when(pmod(col("c_custkey"), lit(10)) === 2, lit("NEW"))
+          .otherwise(col("c_mktsegment")).as("u_mktsegment"),
+        (col("bal_c") + 10000L).as("u_bal_c"))
+    t.join(changes, t("c_custkey") === changes("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("k"), col("c_custkey")).as("c_custkey"),
+        coalesce(col("u_name"), col("c_name")).as("c_name"),
+        when(col("op") === "I", col("u_nationkey"))
+          .otherwise(col("c_nationkey")).as("c_nationkey"),
+        when(col("op").isin("I", "U"), col("u_mktsegment"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("op").isin("I", "U"), col("u_bal_c"))
+          .otherwise(col("bal_c")).as("bal_c"))
+  }
+
+  /** Single-pass data-quality expectation suite over lineitem — the
+    * dbt-test / Deequ shape: every declared expectation evaluates as a
+    * conditional sum inside ONE aggregate over ONE scan (plus the one
+    * count-distinct for the uniqueness check, which shares the scan
+    * via the same Expand trick as [[columnStats]]), then unpivots to
+    * the long (check, n_violations, pass) report a CI gate consumes.
+    * A 100 TB nightly cannot afford a scan per rule — rule count must
+    * be free. The uniqueness check genuinely fires on this corpus
+    * ((orderkey, linenumber) carries real duplicates), so the report
+    * proves it counts, not just passes. */
+  def expectationsReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    def viol(name: String, bad: Column): Column =
+      sum(when(bad, 1L).otherwise(0L)).as(name)
+    val wide = li.agg(
+      count(lit(1)).as("n_rows"),
+      viol("null_keys", col("l_orderkey").isNull ||
+        col("l_partkey").isNull || col("l_suppkey").isNull),
+      viol("qty_range", col("l_quantity") < 1 || col("l_quantity") > 50),
+      viol("discount_range",
+        col("l_discount") < 0 || col("l_discount") > 0.1),
+      viol("flag_domain", !col("l_returnflag").isin("A", "N", "R")),
+      viol("status_domain", !col("l_linestatus").isin("O", "F")),
+      viol("date_range",
+        col("l_shipdate") < lit("1995-01-01").cast("date") ||
+          col("l_shipdate") >= lit("2002-01-01").cast("date")),
+      (count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber")))
+        .as("dup_line_keys"))
+    wide.select(expr(
+      """stack(7,
+        |  'null_keys', null_keys,
+        |  'qty_range', qty_range,
+        |  'discount_range', discount_range,
+        |  'flag_domain', flag_domain,
+        |  'status_domain', status_domain,
+        |  'date_range', date_range,
+        |  'unique_line_keys', dup_line_keys)
+        |  AS (check_name, n_violations)""".stripMargin),
+      col("n_rows"))
+      .select(col("check_name"), col("n_rows"), col("n_violations"),
+        when(col("n_violations") === 0L, 1L).otherwise(0L).as("pass"))
+  }
+
   /** TPC-H Q22-shaped idle wealthy customers: per market segment (the
     * stand-in for Q22's phone country codes), customers with above-
     * average positive balance and NO orders. Two subquery shapes in
