@@ -1149,6 +1149,48 @@ object Oracles {
        |  (CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)::BIGINT AS pass
        |FROM long""".stripMargin
 
+  /** IVM merge ≡ recompute ([[graft.ops.Windows.incrementalRollup]]):
+    * the oracle is the DIRECT recompute over raw events — equality
+    * proves the partial-merge maintenance path. */
+  val incrementalRollup: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       |  count(*)::BIGINT AS n_events,
+       |  sum(coalesce(round(value * 100)::BIGINT, 0))::BIGINT AS value_c
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Last-touch attribution ([[graft.ops.Windows.purchaseAttribution]]):
+    * the oracle keeps the correlated max-subquery form; the engine
+    * ships the carry-forward window. */
+  val purchaseAttribution: String =
+    s"""WITH e AS (SELECT event_id, user_id,
+       |    floor(epoch(ts))::BIGINT AS sec, event_type FROM events),
+       |p AS (SELECT event_id, user_id, sec FROM e
+       |      WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, sec FROM e WHERE event_type = 'view')
+       |SELECT p.event_id, p.user_id, p.sec AS purchase_sec,
+       |  (SELECT max(v.sec) FROM v
+       |   WHERE v.user_id = p.user_id AND v.sec <= p.sec
+       |     AND v.sec >= p.sec - 604800) AS attributed_view_sec,
+       |  p.sec - (SELECT max(v.sec) FROM v
+       |   WHERE v.user_id = p.user_id AND v.sec <= p.sec
+       |     AND v.sec >= p.sec - 604800) AS delay_sec,
+       |  (CASE WHEN (SELECT max(v.sec) FROM v
+       |   WHERE v.user_id = p.user_id AND v.sec <= p.sec
+       |     AND v.sec >= p.sec - 604800) IS NOT NULL
+       |   THEN 1 ELSE 0 END)::BIGINT AS attributed
+       |FROM p""".stripMargin
+
+  /** Equi-width price histogram
+    * ([[graft.ops.Relational.priceHistogram]]). */
+  val priceHistogram: String =
+    s"""WITH c AS (
+       |  SELECT round(l_extendedprice * 100)::BIGINT AS c FROM lineitem),
+       |r AS (SELECT min(c) AS c_min, max(c) AS c_max FROM c)
+       |SELECT ((c - c_min) * 32) // (c_max - c_min + 1) AS bucket,
+       |  count(*)::BIGINT AS n_rows, sum(c)::BIGINT AS sum_c,
+       |  min(c) AS lo_c, max(c) AS hi_c
+       |FROM c, r GROUP BY 1""".stripMargin
+
   /** Q22-shaped idle wealthy customers
     * ([[graft.ops.Relational.idleCustomers]]): scalar positive-balance
     * average (cross-multiplied, no division) + NOT EXISTS anti-join on

@@ -218,6 +218,16 @@ object SparkEntry {
     // dbt/Deequ-style expectation suite: all rules in ONE scan
     "expectations_report" -> ((s, dir) =>
       Relational.expectationsReport(s, dir)),
+    // IVM: old-partition + delta partials merged by re-aggregation;
+    // the oracle recomputes from raw events — merge ≡ recompute
+    "incremental_rollup" -> ((s, dir) =>
+      Windows.incrementalRollup(events(s, dir))),
+    // last-touch attribution: carry-forward window vs the oracle's
+    // correlated max subquery
+    "purchase_attribution" -> ((s, dir) =>
+      Windows.purchaseAttribution(events(s, dir))),
+    // CBO-style equi-width histogram on observed bounds
+    "price_histogram" -> ((s, dir) => Relational.priceHistogram(s, dir)),
     // ANALYZE-style per-column stats in one Expand pass (CBO feed)
     "column_stats" -> ((s, dir) => Relational.columnStats(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
@@ -725,6 +735,9 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "merge_upsert" -> Oracles.mergeUpsert,
     "expectations_report" -> Oracles.expectationsReport,
+    "incremental_rollup" -> Oracles.incrementalRollup,
+    "purchase_attribution" -> Oracles.purchaseAttribution,
+    "price_histogram" -> Oracles.priceHistogram,
     "column_stats" -> Oracles.columnStats,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,

@@ -117,9 +117,14 @@ object EditDistance {
       .filter(aggregate(
         zip_with(col("hist_a"), col("hist_b"), (x, y) => abs(x - y)),
         lit(0), (acc, x) => acc + x) <= 2 * d)
+      // bounded levenshtein (Spark 3.5+): the DP early-exits once the
+      // banded minimum exceeds d (returns -1 above the threshold), so
+      // far-apart survivors of the cheap filters don't pay the full
+      // O(|a|·|b|) table — for kept pairs the bounded value IS exact
       .select(col("doc_id_a"), col("doc_id_b"),
-        levenshtein(col("title_a"), col("title_b")).cast("long").as("dist"))
-      .filter(col("dist") <= d)
+        levenshtein(col("title_a"), col("title_b"), d).cast("long")
+          .as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** Corpus with injected typo near-dups: every doc_id ≡ 0 (mod 10)

@@ -1033,6 +1033,26 @@ object Relational {
         when(col("n_violations") === 0L, 1L).otherwise(0L).as("pass"))
   }
 
+  /** Equi-width price histogram — the statistic a cost-based optimizer
+    * feeds on (and the one-pass shape a profiler wants): 32 buckets
+    * between the OBSERVED min/max (1-row broadcast, same discipline as
+    * [[graft.ops.Windows.zOrderLayout]]'s quantization), integer cents
+    * end to end so bucket edges are engine-exact, count + sum + bounds
+    * per bucket. Empty buckets are absent (sparse form — the consumer
+    * densifies if it wants zeros). */
+  def priceHistogram(spark: SparkSession, sfDir: String,
+                     buckets: Int = 32): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(expr("cast(round(l_extendedprice * 100) as long)").as("c"))
+    val rng = li.agg(min("c").as("c_min"), max("c").as("c_max"))
+    li.join(broadcast(rng))
+      .withColumn("bucket",
+        expr(s"((c - c_min) * ${buckets}L) div (c_max - c_min + 1L)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"),
+        min("c").as("lo_c"), max("c").as("hi_c"))
+  }
+
   /** TPC-H Q22-shaped idle wealthy customers: per market segment (the
     * stand-in for Q22's phone country codes), customers with above-
     * average positive balance and NO orders. Two subquery shapes in

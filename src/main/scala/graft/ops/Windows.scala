@@ -665,6 +665,70 @@ object Windows {
         least(col("m_a"), col("m_b")).as("merge_invariant"))
   }
 
+  /** Incremental-view-maintenance proof for the daily rollup: the
+    * corpus splits at a day boundary into a "yesterday's materialized
+    * view" half and a "today's delta" half, each aggregates
+    * INDEPENDENTLY, and the two partial states merge by re-aggregation
+    * — count and sum are mergeable, so merge(Σold, Σnew) must equal
+    * recompute(all), and the ORACLE computes the recompute side
+    * directly from raw events. This is the contract that lets a
+    * 100 TB nightly maintain its rollups by touching only the new
+    * partition: the merge shuffles |groups| partial rows, never the
+    * historical fact table. */
+  def incrementalRollup(events: DataFrame,
+                        splitDay: String = "1970-01-08"): DataFrame = {
+    def partial(df: DataFrame): DataFrame = df
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        expr("cast(round(value * 100) as long)").as("v_c"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(coalesce(col("v_c"), lit(0L))).as("value_c"))
+    val base = partial(events.filter(
+      col("ts") < lit(splitDay).cast("timestamp")))
+    val delta = partial(events.filter(
+      col("ts") >= lit(splitDay).cast("timestamp")))
+    base.unionAll(delta)
+      .groupBy("day", "event_type")
+      .agg(sum("n_events").as("n_events"), sum("value_c").as("value_c"))
+  }
+
+  /** Last-touch purchase attribution: every purchase attributes to the
+    * LATEST view by the same user at or before it, within the
+    * attribution window — the marketing-analytics as-of shape. Same
+    * union + carry-forward plan as [[asofJoin]]: one shuffle on
+    * user_id, views sort before purchases at equal seconds (a view in
+    * the same second counts), `last(ignoreNulls)` carries the most
+    * recent view time forward, and the window bound applies as a
+    * residual. No per-purchase subquery, no range join — the carry
+    * costs one user-keyed sort regardless of window size. */
+  def purchaseAttribution(events: DataFrame,
+                          windowSec: Long = 7L * 86400): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("sec"), col("event_type"))
+    val tagged = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("sec"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), col("sec").as("view_sec"))
+      .unionAll(e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sec"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast("long").as("view_sec")))
+    val byUser = Window.partitionBy("user_id").orderBy("sec", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view", last("view_sec", ignoreNulls = true)
+        .over(byUser))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("sec").as("purchase_sec"),
+        when(col("last_view").isNotNull &&
+          col("sec") - col("last_view") <= windowSec, col("last_view"))
+          .as("attributed_view_sec"))
+      .withColumn("delay_sec",
+        col("purchase_sec") - col("attributed_view_sec"))
+      .withColumn("attributed",
+        when(col("attributed_view_sec").isNotNull, 1L).otherwise(0L))
+  }
+
   /** Weekly distinct users via MERGEABLE HLL sketches — the sketch
     * re-aggregation pattern that makes distinct counting tractable at
     * 100 TB: sketch ONCE at the finest granularity (per day), then
