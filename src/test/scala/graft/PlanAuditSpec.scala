@@ -125,4 +125,42 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plans a UDF")
     }
   }
+
+  test("subquery shapes: hash semi/anti joins; nested loops only for 1-row broadcasts") {
+    assume(available, "driver testdata not present")
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    def joinTypes(name: String) =
+      planOf(name).collect { case j: BaseJoinExec => j.joinType }
+    // NOT IN / nested IN lower to hash anti/semi joins
+    assert(joinTypes("q16_supplier_cnt").contains(LeftAnti),
+      "q16 lost its anti join")
+    assert(joinTypes("q20_excess_supp").count(_ == LeftSemi) >= 2,
+      "q20 lost its stacked semi joins")
+    assert(joinTypes("q22_idle_customers").contains(LeftAnti),
+      "q22 lost its anti join")
+    assert(joinTypes("q2_min_cost").nonEmpty &&
+      joinTypes("q9_profit").nonEmpty)
+    // the only nested-loop joins in the whole registry are 1-row
+    // global-aggregate broadcasts (scalar subqueries) — a BNLJ whose
+    // broadcast side is row-bounded by an Aggregate, never a fact side
+    Seq("q11_important_parts", "q15_top_supplier", "q22_idle_customers",
+      "price_histogram").foreach { name =>
+      planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
+        .foreach { j =>
+          val sides = Seq(j.left.toString, j.right.toString)
+          assert(sides.exists(s => s.contains("HashAggregate")),
+            s"$name: BNLJ without a 1-row aggregate side")
+        }
+    }
+  }
+
+  test("merge_upsert resolves through one full-outer join, no extra passes") {
+    assume(available, "driver testdata not present")
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val joins = planOf("merge_upsert").collect { case j: BaseJoinExec => j }
+    assert(joins.map(_.joinType) == Seq(FullOuter),
+      s"merge must be exactly one full-outer join, got ${joins.map(_.joinType)}")
+  }
 }
