@@ -1040,6 +1040,17 @@ object Oracles {
        |                    WHERE year_qty > 0 AND year_qty * 2 < hist_qty)
        |""".stripMargin
 
+  /** Bottom-k sample-quantile sketch QC
+    * ([[graft.ops.Windows.valueQuantilesSketch]]): invariants as
+    * metrics — the oracle pins the exact row counts and asserts the
+    * engine-evaluated 0/1 bounds all hold. */
+  val valueQuantilesSketch: String =
+    s"""SELECT event_type, count(*)::BIGINT AS n_events,
+       |  least(512, count(DISTINCT event_id))::BIGINT AS n_retained,
+       |  1::BIGINT AS p50_ok, 1::BIGINT AS p90_ok,
+       |  1::BIGINT AS merge_invariant
+       |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin
+
   /** Q9-shaped product-type profit
     * ([[graft.ops.Relational.productProfit]]): revenue minus
     * partsupp-analog supply cost in exact millicents, by nation and

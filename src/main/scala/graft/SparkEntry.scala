@@ -228,6 +228,10 @@ object SparkEntry {
       Windows.purchaseAttribution(events(s, dir))),
     // CBO-style equi-width histogram on observed bounds
     "price_histogram" -> ((s, dir) => Relational.priceHistogram(s, dir)),
+    // mergeable bottom-k sample sketch: the quantile leg of the sketch
+    // algebra — exact merge invariance + rank-band QC as 0/1 metrics
+    "value_quantiles_sketch" -> ((s, dir) =>
+      Windows.valueQuantilesSketch(events(s, dir))),
     // ANALYZE-style per-column stats in one Expand pass (CBO feed)
     "column_stats" -> ((s, dir) => Relational.columnStats(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
@@ -738,6 +742,7 @@ object SparkEntry {
     "incremental_rollup" -> Oracles.incrementalRollup,
     "purchase_attribution" -> Oracles.purchaseAttribution,
     "price_histogram" -> Oracles.priceHistogram,
+    "value_quantiles_sketch" -> Oracles.valueQuantilesSketch,
     "column_stats" -> Oracles.columnStats,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,

@@ -729,6 +729,74 @@ object Windows {
         when(col("attributed_view_sec").isNotNull, 1L).otherwise(0L))
   }
 
+  /** Per-type value quantiles via the MERGEABLE bottom-k sample
+    * sketch ([[graft.functions.BottomK]]) — the quantile leg of the
+    * sketch algebra (KMV/HLL: distinct; Misra-Gries: heavy hitters).
+    * Unlike `approx_percentile`'s one-shot answer, the sketch is an
+    * ARTIFACT: per-day sketches union into per-type by plain array
+    * ops, and because the retained set is a function of the input
+    * set, the rollup lands on the IDENTICAL array — checked here as
+    * exact equality (`merge_invariant`). Estimates stay engine-side;
+    * what crosses to the oracle are 0/1 metrics: p50/p90 inside the
+    * exact ±`epsPermille` rank band (the QC side pays one per-type
+    * sort — at true scale it is sampled, not run per-query).
+    * Scale shape: one shuffle of slim (type, day, hash, value) rows
+    * into kilobyte sketches; the estimate path never re-touches
+    * events. */
+  def valueQuantilesSketch(events: DataFrame, k: Int = 512,
+                           epsPermille: Long = 80L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.BottomK
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        xxhash64(col("event_id")).as("h"),
+        expr("cast(round(value * 1000000) as long)").as("v"))
+      .filter(col("v").isNotNull)
+    def sketchBy(withDay: Boolean): DataFrame =
+      rows.select(col("event_type"),
+          (if (withDay) col("day") else lit("")).as("day_s"),
+          col("h"), col("v"))
+        .as[(String, String, Long, Long)]
+        .groupByKey(t => (t._1, t._2)).mapValues(t => (t._3, t._4))
+        .agg(new BottomK.BottomKAgg(k).toColumn.name("sk"))
+        .toDF("key", "sk")
+        .select(col("key._1").as("event_type"), col("sk"))
+    val direct = sketchBy(withDay = false)
+    val rolled = sketchBy(withDay = true)
+      .groupBy("event_type")
+      .agg(BottomK.unionAll(collect_list(col("sk")), k).as("sk_rolled"))
+    // exact rank bands — integer arithmetic so the band edges are
+    // engine-exact: lo = max(1, n·(q−ε) div 1000), hi = ceil analog
+    val byType = Window.partitionBy("event_type").orderBy("v")
+    val ranked = rows
+      .withColumn("rn", row_number().over(byType).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    def band(qpm: Long, name: String): DataFrame = ranked
+      .filter(col("rn") === greatest(lit(1L),
+          expr(s"(n * ${qpm - epsPermille}) div 1000")) ||
+        col("rn") === least(col("n"),
+          expr(s"(n * ${qpm + epsPermille} + 999) div 1000")))
+      .groupBy("event_type")
+      .agg(min("v").as(s"lo_$name"), max("v").as(s"hi_$name"))
+    direct
+      .join(broadcast(rolled), "event_type")
+      .join(broadcast(band(500L, "p50")), "event_type")
+      .join(broadcast(band(900L, "p90")), "event_type")
+      .join(rows.groupBy("event_type").agg(count(lit(1)).as("n_events")),
+        "event_type")
+      .select(col("event_type"), col("n_events"),
+        size(col("sk")).cast("long").as("n_retained"),
+        when(BottomK.quantile(col("sk"), 0.5).between(
+          col("lo_p50"), col("hi_p50")), 1L).otherwise(0L).as("p50_ok"),
+        when(BottomK.quantile(col("sk"), 0.9).between(
+          col("lo_p90"), col("hi_p90")), 1L).otherwise(0L).as("p90_ok"),
+        when(col("sk") === col("sk_rolled"), 1L).otherwise(0L)
+          .as("merge_invariant"))
+  }
+
   /** Weekly distinct users via MERGEABLE HLL sketches — the sketch
     * re-aggregation pattern that makes distinct counting tractable at
     * 100 TB: sketch ONCE at the finest granularity (per day), then
