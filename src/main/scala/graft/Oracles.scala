@@ -916,6 +916,35 @@ object Oracles {
        |  spike AS is_spike
        |FROM r""".stripMargin
 
+  /** Holt double smoothing ([[graft.ops.Windows.dailyHolt]]):
+    * recursive CTE replay with the same explicit FLOOR division the
+    * engine writes out (the trend term goes negative on down-ramps,
+    * where truncation and flooring disagree). */
+  val dailyHolt: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT event_type,
+       |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |    count(*)::BIGINT AS cnt,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY date_trunc('day', ts)) AS rn
+       |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+       |r AS (
+       |  SELECT event_type, day, cnt, rn, cnt * 1000 AS lvl,
+       |    0::BIGINT AS tr
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT event_type, day, cnt, rn, lvl2 AS lvl,
+       |    (((200 * (lvl2 - lvl1) + 800 * tr1) - (((200 * (lvl2 - lvl1) + 800 * tr1) % 1000 + 1000) % 1000)) // 1000) AS tr
+       |  FROM (
+       |    SELECT d.event_type, d.day, d.cnt, d.rn,
+       |      r.lvl AS lvl1, r.tr AS tr1,
+       |      (((300 * d.cnt * 1000 + 700 * (r.lvl + r.tr)) - (((300 * d.cnt * 1000 + 700 * (r.lvl + r.tr)) % 1000 + 1000) % 1000)) // 1000) AS lvl2
+       |    FROM d JOIN r ON d.event_type = r.event_type
+       |      AND d.rn = r.rn + 1))
+       |SELECT event_type, day, cnt AS n_events, lvl AS level_milli,
+       |  tr AS trend_milli, (lvl + tr)::BIGINT AS forecast_milli
+       |FROM r""".stripMargin
+
   /** Pairwise distinct-user overlap ([[graft.ops.Windows
     * .userTypeOverlap]]): the oracle recounts the exact pair overlap
     * from scratch and pins the KMV sketch's error bound and exact

@@ -232,6 +232,8 @@ object SparkEntry {
     // algebra — exact merge invariance + rank-band QC as 0/1 metrics
     "value_quantiles_sketch" -> ((s, dir) =>
       Windows.valueQuantilesSketch(events(s, dir))),
+    // Holt double smoothing: trend-aware EWMA twin, floor-div exact
+    "daily_holt" -> ((s, dir) => Windows.dailyHolt(events(s, dir))),
     // ANALYZE-style per-column stats in one Expand pass (CBO feed)
     "column_stats" -> ((s, dir) => Relational.columnStats(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
@@ -743,6 +745,7 @@ object SparkEntry {
     "purchase_attribution" -> Oracles.purchaseAttribution,
     "price_histogram" -> Oracles.priceHistogram,
     "value_quantiles_sketch" -> Oracles.valueQuantilesSketch,
+    "daily_holt" -> Oracles.dailyHolt,
     "column_stats" -> Oracles.columnStats,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,

@@ -599,6 +599,60 @@ object Windows {
         col("r.spike").as("is_spike"))
   }
 
+  /** Holt double-exponential smoothing of the daily counts — the
+    * trend-aware companion of [[dailyEwma]] (an EWMA lags behind any
+    * sustained ramp; Holt carries an explicit trend term and its
+    * one-step forecast is what capacity alerting compares against).
+    * Same scale shape: the fact table reduces to |type|×|day| counts
+    * in one aggregate, and the inherently sequential recurrence folds
+    * over per-type sorted ARRAYS — nothing sequential ever sees an
+    * event row.
+    *
+    * All arithmetic is fixed-point integer millis with an explicit
+    * FLOOR division (`(y − pmod(y,1000)) div 1000`): the trend term
+    * goes negative on down-ramps, where truncating `div` and SQL's
+    * flooring `//` disagree — the floor form is written out on both
+    * engines, so the recurrence is bit-identical including negatives
+    * (the oracle replays it as a recursive CTE). */
+  def dailyHolt(events: DataFrame, alphaPermille: Long = 300L,
+                betaPermille: Long = 200L): DataFrame = {
+    val a = alphaPermille; val b = 1000L - alphaPermille
+    val bb = betaPermille; val cb = 1000L - betaPermille
+    def fd(y: String) = s"((($y) - pmod(($y), 1000L)) div 1000L)"
+    val daily = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val series = daily
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("cnt"))))
+        .as("series"))
+    val lNew = fd(s"$a * x.cnt * 1000L + $b * (acc.l + acc.tr)")
+    val trNew = fd(s"$bb * ($lNew - acc.l) + $cb * acc.tr")
+    series.select(col("event_type"), expr(
+      s"""aggregate(
+         |  series,
+         |  named_struct('l', -1L, 'tr', 0L, 'rows',
+         |    cast(array() as array<struct<day:string,cnt:bigint,
+         |      level:bigint,trend:bigint,forecast:bigint>>)),
+         |  (acc, x) -> CASE WHEN acc.l < 0L THEN named_struct(
+         |      'l', x.cnt * 1000L, 'tr', 0L,
+         |      'rows', array_append(acc.rows, named_struct(
+         |        'day', x.day, 'cnt', x.cnt, 'level', x.cnt * 1000L,
+         |        'trend', 0L, 'forecast', x.cnt * 1000L)))
+         |    ELSE named_struct(
+         |      'l', $lNew, 'tr', $trNew,
+         |      'rows', array_append(acc.rows, named_struct(
+         |        'day', x.day, 'cnt', x.cnt, 'level', $lNew,
+         |        'trend', $trNew, 'forecast', $lNew + $trNew))) END,
+         |  acc -> acc.rows)""".stripMargin).as("rows"))
+      .select(col("event_type"), explode(col("rows")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.cnt").as("n_events"), col("r.level").as("level_milli"),
+        col("r.trend").as("trend_milli"),
+        col("r.forecast").as("forecast_milli"))
+  }
+
   /** Distinct-user overlap between event-type pairs via KMV set
     * sketches ([[graft.functions.Kmv]]) — the audience-overlap
     * question HLL cannot answer, shaped for 100 TB: one event-scan
