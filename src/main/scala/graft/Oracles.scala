@@ -945,6 +945,51 @@ object Oracles {
        |  tr AS trend_milli, (lvl + tr)::BIGINT AS forecast_milli
        |FROM r""".stripMargin
 
+  /** Ratio-to-report window
+    * ([[graft.ops.Relational.nationRevenueShare]]). */
+  val nationRevenueShare: String =
+    s"""WITH rev AS (
+       |  SELECT r_name, n_name,
+       |    sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |      ::BIGINT AS rev_c
+       |  FROM lineitem, supplier, nation, region
+       |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |    AND n_regionkey = r_regionkey
+       |  GROUP BY 1, 2)
+       |SELECT r_name, n_name, rev_c,
+       |  ((1000 * rev_c) // (sum(rev_c) OVER (PARTITION BY r_name)))
+       |    ::BIGINT AS share_pm,
+       |  rank() OVER (PARTITION BY r_name
+       |    ORDER BY rev_c DESC, n_name)::BIGINT AS region_rank
+       |FROM rev""".stripMargin
+
+  /** Dense-rank top parts per nation
+    * ([[graft.ops.Relational.topPartsPerNation]]): ties kept. */
+  val topPartsPerNation: String =
+    s"""WITH rev AS (
+       |  SELECT n_name, l_partkey AS partkey,
+       |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev_c
+       |  FROM lineitem, supplier, nation
+       |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, partkey, rev_c, rnk FROM (
+       |  SELECT *, dense_rank() OVER (PARTITION BY n_name
+       |    ORDER BY rev_c DESC)::BIGINT AS rnk FROM rev)
+       |WHERE rnk <= 3""".stripMargin
+
+  /** New vs returning actives ([[graft.ops.Windows.newVsReturning]]). */
+  val newVsReturning: String =
+    s"""WITH act AS (
+       |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+       |  FROM events),
+       |fs AS (SELECT user_id, min(day) AS first_day FROM act GROUP BY 1)
+       |SELECT day, count(*)::BIGINT AS n_active,
+       |  sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       |  (count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END))
+       |    ::BIGINT AS n_returning
+       |FROM act JOIN fs USING (user_id)
+       |GROUP BY 1""".stripMargin
+
   /** Pairwise distinct-user overlap ([[graft.ops.Windows
     * .userTypeOverlap]]): the oracle recounts the exact pair overlap
     * from scratch and pins the KMV sketch's error bound and exact

@@ -234,6 +234,14 @@ object SparkEntry {
       Windows.valueQuantilesSketch(events(s, dir))),
     // Holt double smoothing: trend-aware EWMA twin, floor-div exact
     "daily_holt" -> ((s, dir) => Windows.dailyHolt(events(s, dir))),
+    // ratio-to-report + rank over an unbounded window partition
+    "nation_revenue_share" -> ((s, dir) =>
+      Relational.nationRevenueShare(s, dir)),
+    // dense_rank top-k: tie semantics a row_number cut gets wrong
+    "top_parts_per_nation" -> ((s, dir) =>
+      Relational.topPartsPerNation(s, dir)),
+    // growth split: first-seen day vs daily actives, one user exchange
+    "new_vs_returning" -> ((s, dir) => Windows.newVsReturning(events(s, dir))),
     // ANALYZE-style per-column stats in one Expand pass (CBO feed)
     "column_stats" -> ((s, dir) => Relational.columnStats(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
@@ -746,6 +754,9 @@ object SparkEntry {
     "price_histogram" -> Oracles.priceHistogram,
     "value_quantiles_sketch" -> Oracles.valueQuantilesSketch,
     "daily_holt" -> Oracles.dailyHolt,
+    "nation_revenue_share" -> Oracles.nationRevenueShare,
+    "top_parts_per_nation" -> Oracles.topPartsPerNation,
+    "new_vs_returning" -> Oracles.newVsReturning,
     "column_stats" -> Oracles.columnStats,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,

@@ -1053,6 +1053,61 @@ object Relational {
         min("c").as("lo_c"), max("c").as("hi_c"))
   }
 
+  /** Ratio-to-report window analytics: each nation's supplier revenue
+    * as an exact permille share of its REGION's total, with the
+    * within-region rank — the unbounded-frame WindowExec shape
+    * (sum/rank over partition) that reports are made of. One fact
+    * rollup to |nations| rows; the windows run over that tiny frame,
+    * never the fact table. */
+  def nationRevenueShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "n_name", "r_name")
+    val rev = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 10000)" +
+          " as long)").as("rev_c"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum("rev_c").as("rev_c"))
+    val byRegion = Window.partitionBy("r_name")
+    rev.select(col("r_name"), col("n_name"), col("rev_c"),
+      expr("(1000 * rev_c) div (sum(rev_c) over (partition by r_name))")
+        .as("share_pm"),
+      rank().over(byRegion.orderBy(col("rev_c").desc, col("n_name")))
+        .cast("long").as("region_rank"))
+  }
+
+  /** Top revenue parts per nation with TIE semantics: dense_rank keeps
+    * every part on a tied revenue (row_number's arbitrary cut is wrong
+    * when the report promises "the top 3") — the other ranking shape
+    * next to [[topRevenueOrders]]'s TakeOrderedAndProject. The window
+    * runs over the (nation, part) rollup, not the fact table. */
+  def topPartsPerNation(spark: SparkSession, sfDir: String,
+                        topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val rev = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_partkey"),
+        expr("cast(round(l_extendedprice * 100) as long)").as("rev_c"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name", "l_partkey")
+      .agg(sum("rev_c").as("rev_c"))
+    rev.withColumn("rnk", dense_rank().over(
+        Window.partitionBy("n_name").orderBy(col("rev_c").desc))
+        .cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("n_name"), col("l_partkey").as("partkey"),
+        col("rev_c"), col("rnk"))
+  }
+
   /** TPC-H Q22-shaped idle wealthy customers: per market segment (the
     * stand-in for Q22's phone country codes), customers with above-
     * average positive balance and NO orders. Two subquery shapes in

@@ -599,6 +599,28 @@ object Windows {
         col("r.spike").as("is_spike"))
   }
 
+  /** New vs returning active users per day — the growth-analytics
+    * split every product dashboard leads with. Two aggregates share
+    * one user-keyed exchange: the per-user first-seen day, and the
+    * distinct (day, user) activity table; a user counts as NEW on
+    * exactly their first-seen day. The join is |users|-sized on both
+    * sides — at 100 TB both are products of the same shuffle, and the
+    * daily report frame is |days| rows. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val act = events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .distinct()
+    val firstSeen = act.groupBy("user_id").agg(min("day").as("first_day"))
+    act.join(firstSeen, "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"))
+  }
+
   /** Holt double-exponential smoothing of the daily counts — the
     * trend-aware companion of [[dailyEwma]] (an EWMA lags behind any
     * sustained ramp; Holt carries an explicit trend term and its
