@@ -1487,6 +1487,16 @@ object OraclesLlm {
        |  NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
        |FROM m WHERE m4 = 2""".stripMargin
 
+  /** Per-kind rollup of the decoded features — wraps the
+    * [[mediaFeatures]] arithmetic in an outer aggregate. */
+  val mediaKindStats: String =
+    s"""SELECT kind, count(*)::BIGINT AS n_media,
+       |  sum(decode_ok)::BIGINT AS n_decoded,
+       |  sum(n_bytes)::BIGINT AS total_bytes,
+       |  ((1000 * sum(bright_px)) // sum(n_px))::BIGINT AS bright_pm,
+       |  max(peak_abs)::BIGINT AS peak_abs_max
+       |FROM ($mediaFeatures) f GROUP BY kind""".stripMargin
+
   val frameSample: String =
     s"""WITH $mediaCte
        |SELECT media_id, unnest(range(0, duration_ms, 1000)) AS frame_ts_ms

@@ -675,6 +675,16 @@ object SparkEntry {
     // BMP/WAV reconstruction (headers, padding, little-endian fields)
     "media_manifest" -> ((s, dir) =>
       Multimodal.payloadManifest(Multimodal.syntheticMedia(docs(s, dir)))),
+    // corpus-level rollup of the REAL decode: per-kind decode rates,
+    // brightness permille, audio peaks — the media-lake health report
+    "media_kind_stats" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))
+        .toDF().groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum("decode_ok").as("n_decoded"),
+          sum("n_bytes").as("total_bytes"),
+          expr("(1000 * sum(bright_px)) div sum(n_px)").as("bright_pm"),
+          max("peak_abs").as("peak_abs_max"))),
     "frame_sample" -> ((s, dir) =>
       Multimodal.frameSamplePlan(Multimodal.syntheticMedia(docs(s, dir)))),
     "resize_plan" -> ((s, dir) =>
@@ -882,6 +892,7 @@ object SparkEntry {
     "media_meta" -> OraclesLlm.mediaMeta,
     "media_features" -> OraclesLlm.mediaFeatures,
     "media_manifest" -> OraclesLlm.mediaManifest,
+    "media_kind_stats" -> OraclesLlm.mediaKindStats,
     "frame_sample" -> OraclesLlm.frameSample,
     "resize_plan" -> OraclesLlm.resizePlan)
 }

@@ -69,4 +69,29 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeImage(trunc).isEmpty ||
       MediaCodec.decodeImage(trunc).isDefined) // must not throw either way
   }
+
+  test("fuzz: BMP/WAV round trips over random ids and printable-ASCII text") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 25) {
+      val id = math.abs(rnd.nextLong() % 1000000L)
+      val text = (1 to (1 + rnd.nextInt(80)))
+        .map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      val img = MediaCodec.decodeImage(MediaCodec.encodeBmp(id, text)).get
+      val (w, h) = MediaCodec.imageDims(id)
+      val px = for (y <- 0 until h; x <- 0 until w)
+        yield MediaCodec.pixel(x, y, w, text)
+      assert(img == MediaCodec.ImageStats(w, h,
+        px.map(_._1.toLong).sum, px.map(_._2.toLong).sum,
+        px.map(_._3.toLong).sum,
+        px.count(p => p._1 + p._2 + p._3 >= 384).toLong),
+        s"id=$id text.len=${text.length}")
+      val wav = MediaCodec.decodeWav(MediaCodec.encodeWav(id, text.length)).get
+      val n = MediaCodec.audioSamples(id)
+      val signed = (0 until n).map(i => MediaCodec.sampleU16(i, text.length))
+        .map(u => if (u >= 32768) u - 65536 else u)
+      assert(wav == MediaCodec.AudioStats(MediaCodec.audioRate(id), n,
+        signed.map(s => math.abs(s.toLong)).sum,
+        signed.map(s => math.abs(s.toLong)).max), s"id=$id")
+    }
+  }
 }
