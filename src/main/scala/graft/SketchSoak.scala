@@ -23,6 +23,11 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
   *     arriving user_id is NEW — distinct cardinality grows without
   *     bound, the KMV buffers don't.
   *
+  *   - [[graft.streaming.StreamingQuantiles]]: state rows must stay
+  *     pinned at the type cardinality (5 here), each key holding one
+  *     bounded (hash, value) sample buffer while event ids and the
+  *     value distribution drift without bound.
+  *
   * Env: SPARK_GRAFT_CPUS (32), SKETCH_SOAK_ROWS_PER_SEC (100000),
   * SKETCH_SOAK_SECONDS (60 per phase), SKETCH_SOAK_OUT
   * (artifacts/SKETCH_SOAK.jsonl; summary lands beside it as
@@ -110,6 +115,18 @@ object SketchSoak {
         concat(lit("e"), pmod(col("value"), lit(5))).as("event_type"),
         col("value").as("user_id"))).toDF())
 
+    // phase 4: bottom-k quantiles — every row a new event id with a
+    // drifting value distribution: unbounded input through one
+    // <= 2k-long buffer per type
+    val src4 = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load()
+    runPhase("quantiles", graft.streaming.StreamingQuantiles
+      .estimateStream(src4.select(
+        concat(lit("e"), pmod(col("value"), lit(5))).as("event_type"),
+        col("value").as("event_id"),
+        (pmod(col("value") * 2654435761L, lit(100000L)) / 100.0)
+          .as("value"))).toDF())
+
     log.close()
     def stats(name: String): String = {
       val b = batches(name)
@@ -122,7 +139,8 @@ object SketchSoak {
     val summaryPath = outPath.replace(".jsonl", "_SUMMARY.json")
     val sw = new PrintWriter(new File(summaryPath))
     sw.println(s"""{"rows_per_sec_fed":$rate,"seconds_per_phase":$seconds,""" +
-      s"""${stats("heavy_hitters")},${stats("spikes")},${stats("distinct")}}""")
+      s"""${stats("heavy_hitters")},${stats("spikes")},${stats("distinct")},""" +
+      s"""${stats("quantiles")}}""")
     sw.close()
     println(s"[sketch-soak] wrote $outPath and $summaryPath")
     spark.stop()
