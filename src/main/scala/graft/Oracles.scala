@@ -977,6 +977,21 @@ object Oracles {
        |    ORDER BY rev_c DESC)::BIGINT AS rnk FROM rev)
        |WHERE rnk <= 3""".stripMargin
 
+  /** Custom-operator top-k ([[graft.ops.Relational
+    * .topPartsPerNationNative]]): row_number semantics — the engine
+    * side runs the heap-per-key physical operator. */
+  val topPartsPerNationNative: String =
+    s"""WITH rev AS (
+       |  SELECT n_name, l_partkey AS partkey,
+       |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev_c
+       |  FROM lineitem, supplier, nation
+       |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, partkey, rev_c, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY n_name
+       |    ORDER BY rev_c DESC, partkey)::BIGINT AS rank FROM rev)
+       |WHERE rank <= 3""".stripMargin
+
   /** New vs returning actives ([[graft.ops.Windows.newVsReturning]]). */
   val newVsReturning: String =
     s"""WITH act AS (

@@ -240,6 +240,10 @@ object SparkEntry {
     // dense_rank top-k: tie semantics a row_number cut gets wrong
     "top_parts_per_nation" -> ((s, dir) =>
       Relational.topPartsPerNation(s, dir)),
+    // the CUSTOM physical operator (logical node + strategy + exec):
+    // heap-per-key top-k, one exchange, zero sorts
+    "top_parts_native" -> ((s, dir) =>
+      Relational.topPartsPerNationNative(s, dir)),
     // growth split: first-seen day vs daily actives, one user exchange
     "new_vs_returning" -> ((s, dir) => Windows.newVsReturning(events(s, dir))),
     // ANALYZE-style per-column stats in one Expand pass (CBO feed)
@@ -766,6 +770,7 @@ object SparkEntry {
     "daily_holt" -> Oracles.dailyHolt,
     "nation_revenue_share" -> Oracles.nationRevenueShare,
     "top_parts_per_nation" -> Oracles.topPartsPerNation,
+    "top_parts_native" -> Oracles.topPartsPerNationNative,
     "new_vs_returning" -> Oracles.newVsReturning,
     "column_stats" -> Oracles.columnStats,
     "hll_users" -> Oracles.hllWeeklyUsers,

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sentiment)
     ext.injectFunction(GraftExtensions.cleanTweet)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKStrategy)
   }
 }
 
@@ -51,6 +52,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+    val topK = graft.plans.TopKPerKey.TopKStrategy
+    if (!spark.experimental.extraStrategies.contains(topK))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ topK
   }
 
   /** Column-API access to the native expression (no registration needed). */

@@ -1108,6 +1108,29 @@ object Relational {
         col("rev_c"), col("rnk"))
   }
 
+  /** [[topPartsPerNation]]'s row_number twin through the CUSTOM
+    * physical operator ([[graft.plans.TopKPerKey]]): same rollup, then
+    * the heap-per-key exec instead of a window sort — the plan the
+    * scaladoc there promises (one clustering exchange, zero SortExec),
+    * with the oracle replaying row_number semantics in SQL. */
+  def topPartsPerNationNative(spark: SparkSession, sfDir: String,
+                              topK: Int = 3): DataFrame = {
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val rev = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_partkey"),
+        expr("cast(round(l_extendedprice * 100) as long)").as("rev_c"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name", "l_partkey")
+      .agg(sum("rev_c").as("rev_c"))
+    graft.plans.TopKPerKey.topK(rev, Seq("n_name"), "rev_c", "l_partkey",
+        topK)
+      .select(col("n_name"), col("l_partkey").as("partkey"),
+        col("rev_c"), col("rank"))
+  }
+
   /** TPC-H Q22-shaped idle wealthy customers: per market segment (the
     * stand-in for Q22's phone country codes), customers with above-
     * average positive balance and NO orders. Two subquery shapes in
