@@ -55,12 +55,19 @@ object TopKPerKey {
         k, child))
   }
 
-  /** Planner strategy: the whole node maps to one physical operator. */
+  /** Planner strategy: two-phase plan, exactly like partial/final hash
+    * aggregation — top-k per key is mergeable, so a PARTIAL pass runs
+    * before the exchange and the shuffle carries at most
+    * |map partitions|·|keys|·k rows instead of the full input (on a
+    * hot-key corpus that is the difference between shuffling 10⁷ rows
+    * into one reducer and shuffling a few hundred). */
   object TopKStrategy extends SparkStrategy {
     def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case n: TopKPerKeyNode =>
         TopKPerKeyExec(n.keys, n.primary, n.tiebreak, n.k, n.rankAttr,
-          planLater(n.child)) :: Nil
+          partial = false,
+          TopKPerKeyExec(n.keys, n.primary, n.tiebreak, n.k, n.rankAttr,
+            partial = true, planLater(n.child))) :: Nil
       case _ => Nil
     }
   }
@@ -87,15 +94,20 @@ final case class TopKPerKeyNode(
 
 final case class TopKPerKeyExec(
     keys: Seq[Expression], primary: Expression, tiebreak: Expression,
-    k: Int, rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
+    k: Int, rankAttr: Attribute, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+    if (partial) org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    else org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
 
-  /** The one exchange: co-locate each key's rows, then never sort. */
+  /** The final phase's one exchange co-locates each key's SURVIVORS;
+    * the partial phase accepts any distribution. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
@@ -106,11 +118,14 @@ final case class TopKPerKeyExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val numK = k
+    val isPartial = partial
     val (keyExprs, pExpr, tExpr) = (keys, primary, tiebreak)
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val pBound = BindReferences.bindReference(pExpr, childOutput)
-      val tBound = BindReferences.bindReference(tExpr, childOutput)
+      // one CODEGEN'd projection evaluates both ordering longs per row
+      // (interpreted Expression.eval here measured ~20% of the whole
+      // operator's cost)
+      val ordProj = UnsafeProjection.create(Seq(pExpr, tExpr), childOutput)
       // root of each heap is the WORST retained row: smallest primary,
       // then largest tiebreak
       val worstFirst = new Ordering[Entry] {
@@ -123,8 +138,9 @@ final case class TopKPerKeyExec(
         scala.collection.mutable.PriorityQueue[Entry]]()
       while (iter.hasNext) {
         val row = iter.next()
-        val p = pBound.eval(row).asInstanceOf[Long]
-        val t = tBound.eval(row).asInstanceOf[Long]
+        val ord = ordProj(row)
+        val p = ord.getLong(0)
+        val t = ord.getLong(1)
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -141,15 +157,20 @@ final case class TopKPerKeyExec(
           }
         }
       }
-      val outProj = UnsafeProjection.create(output.map(_.dataType).toArray)
-      val joined = new JoinedRow
-      val rankRow = new GenericInternalRow(1)
       import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap { heap =>
-        val best = heap.dequeueAll.reverse // best-first
-        best.iterator.zipWithIndex.map { case (e, i) =>
-          rankRow.update(0, (i + 1).toLong)
-          outProj(joined(e.row, rankRow))
+      if (isPartial) {
+        // survivors only — ranks are assigned after the exchange
+        heaps.values().asScala.iterator.flatMap(_.iterator.map(_.row))
+      } else {
+        val outProj = UnsafeProjection.create(output.map(_.dataType).toArray)
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        heaps.values().asScala.iterator.flatMap { heap =>
+          val best = heap.dequeueAll.reverse // best-first
+          best.iterator.zipWithIndex.map { case (e, i) =>
+            rankRow.update(0, (i + 1).toLong)
+            outProj(joined(e.row, rankRow))
+          }
         }
       }
     }, preservesPartitioning = true)
