@@ -845,24 +845,34 @@ object Windows {
       .groupBy("event_type")
       .agg(BottomK.unionAll(collect_list(col("sk")), k).as("sk_rolled"))
     // exact rank bands — integer arithmetic so the band edges are
-    // engine-exact: lo = max(1, n·(q−ε) div 1000), hi = ceil analog
+    // engine-exact: lo = max(1, n·(q−ε) div 1000), hi = ceil analog.
+    // ONE sort pass total: counts come from a hash aggregate (a
+    // count-over-partition window would be a second sort), and all
+    // four band ranks extract from the same ranked frame via
+    // conditional aggregates (the first cut ran four window passes
+    // over the event table and was the bench's slowest query by 5×).
+    val counts = rows.groupBy("event_type").agg(count(lit(1)).as("n"))
     val byType = Window.partitionBy("event_type").orderBy("v")
     val ranked = rows
       .withColumn("rn", row_number().over(byType).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-    def band(qpm: Long, name: String): DataFrame = ranked
-      .filter(col("rn") === greatest(lit(1L),
-          expr(s"(n * ${qpm - epsPermille}) div 1000")) ||
-        col("rn") === least(col("n"),
-          expr(s"(n * ${qpm + epsPermille} + 999) div 1000")))
+      .join(broadcast(counts), "event_type")
+    def loR(qpm: Long) =
+      greatest(lit(1L), expr(s"(n * ${qpm - epsPermille}) div 1000"))
+    def hiR(qpm: Long) =
+      least(col("n"), expr(s"(n * ${qpm + epsPermille} + 999) div 1000"))
+    val bands = ranked
+      .filter(col("rn") === loR(500L) || col("rn") === hiR(500L) ||
+        col("rn") === loR(900L) || col("rn") === hiR(900L))
       .groupBy("event_type")
-      .agg(min("v").as(s"lo_$name"), max("v").as(s"hi_$name"))
+      .agg(min(when(col("rn") === loR(500L), col("v"))).as("lo_p50"),
+        max(when(col("rn") === hiR(500L), col("v"))).as("hi_p50"),
+        min(when(col("rn") === loR(900L), col("v"))).as("lo_p90"),
+        max(when(col("rn") === hiR(900L), col("v"))).as("hi_p90"))
     direct
       .join(broadcast(rolled), "event_type")
-      .join(broadcast(band(500L, "p50")), "event_type")
-      .join(broadcast(band(900L, "p90")), "event_type")
-      .join(rows.groupBy("event_type").agg(count(lit(1)).as("n_events")),
-        "event_type")
+      .join(broadcast(bands), "event_type")
+      .join(broadcast(counts.select(col("event_type"),
+        col("n").as("n_events"))), "event_type")
       .select(col("event_type"), col("n_events"),
         size(col("sk")).cast("long").as("n_retained"),
         when(BottomK.quantile(col("sk"), 0.5).between(
