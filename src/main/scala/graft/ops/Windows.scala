@@ -841,9 +841,13 @@ object Windows {
         .toDF("key", "sk")
         .select(col("key._1").as("event_type"), col("sk"))
     val direct = sketchBy(withDay = false)
+    // day partitions are disjoint (an event id has ONE day), so the
+    // rollup union skips the O(n²) struct-distinct pass — see
+    // BottomK.unionDisjoint (13 s -> sub-second, measured)
     val rolled = sketchBy(withDay = true)
       .groupBy("event_type")
-      .agg(BottomK.unionAll(collect_list(col("sk")), k).as("sk_rolled"))
+      .agg(BottomK.unionDisjoint(collect_list(col("sk")), k)
+        .as("sk_rolled"))
     // exact rank bands — integer arithmetic so the band edges are
     // engine-exact: lo = max(1, n·(q−ε) div 1000), hi = ceil analog.
     // ONE sort pass total: counts come from a hash aggregate (a
