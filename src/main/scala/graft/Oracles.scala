@@ -81,6 +81,17 @@ object Oracles {
        |             THEN 'USA' ELSE parts[len(parts)] END))
        |ELSE 'NULL' END""".stripMargin
 
+  /** SQL-entry-path demo (`spark.sql` text + the registered
+    * graft_sentiment extension function): weighted sentence sentiment
+    * over RAW document text (no tweet-cleaning stage — the function is
+    * the scorer alone). */
+  val sqlDocSentiment: String =
+    s"""WITH sentd AS (
+       |  SELECT doc_id, lang, n_chars, ${sents("text")} AS ss
+       |  FROM documents)
+       |SELECT doc_id, lang, round(${wscore("ss")}, 4) AS sentiment
+       |FROM sentd WHERE n_chars >= 100""".stripMargin
+
   /** Shared prefix: documents → synthetic wire lines → parsed → country →
     * sentiment → exploded per-hashtag rows `trows(doc_id, ts, hashtag,
     * sentiment_score, sentiment_type, country)`. Mirrors

@@ -244,6 +244,17 @@ object SparkEntry {
     // heap-per-key top-k, one exchange, zero sorts
     "top_parts_native" -> ((s, dir) =>
       Relational.topPartsPerNationNative(s, dir)),
+    // the SQL entry path end-to-end: temp view + spark.sql TEXT with a
+    // session-extension native function (graft_sentiment) in the
+    // projection — the surface an analyst tool actually speaks
+    "sql_doc_sentiment" -> ((s, dir) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""SELECT doc_id, lang,
+                      round(graft_sentiment(text), 4) AS sentiment
+               FROM documents_v
+               WHERE n_chars >= 100""")
+    }),
     // growth split: first-seen day vs daily actives, one user exchange
     "new_vs_returning" -> ((s, dir) => Windows.newVsReturning(events(s, dir))),
     // ANALYZE-style per-column stats in one Expand pass (CBO feed)
@@ -771,6 +782,7 @@ object SparkEntry {
     "nation_revenue_share" -> Oracles.nationRevenueShare,
     "top_parts_per_nation" -> Oracles.topPartsPerNation,
     "top_parts_native" -> Oracles.topPartsPerNationNative,
+    "sql_doc_sentiment" -> Oracles.sqlDocSentiment,
     "new_vs_returning" -> Oracles.newVsReturning,
     "column_stats" -> Oracles.columnStats,
     "hll_users" -> Oracles.hllWeeklyUsers,
