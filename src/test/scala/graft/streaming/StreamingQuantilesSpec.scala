@@ -67,4 +67,47 @@ class StreamingQuantilesSpec extends SparkSpec {
     // bounded state: retained never exceeds k
     assert(emitted.forall(_._2 <= k))
   }
+
+  test("checkpoint recovery: state survives a restart, estimates continue exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 16
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val batch1 = (0L until 60L).map(i => ("click", i, i.toDouble))
+    val batch2 = (60L until 120L).map(i => ("click", i, (300 - i).toDouble))
+
+    // foreachBatch sink: the memory sink refuses checkpoint recovery
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def sink(df: org.apache.spark.sql.Dataset[
+        StreamingQuantiles.QuantileEstimate], id: Long): Unit =
+      df.collect().foreach(e => emitted.add((e.p50_micro, e.p90_micro)))
+
+    val mem1 = MemoryStream[(String, Long, Double)]
+    val q1 = StreamingQuantiles.estimateStream(
+        mem1.toDF().toDF("event_type", "event_id", "value"), k)
+      .writeStream.trigger(Trigger.ProcessingTime(0))
+      .outputMode("update").foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+    mem1.addData(batch1: _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // NEW query instance from the same checkpoint: the per-key buffer
+    // must be restored, so post-restart estimates equal the batch
+    // sketch over batch1 ++ batch2
+    val mem2 = MemoryStream[(String, Long, Double)]
+    mem2.addData(batch1: _*) // source replay: offsets already committed
+    val q2 = StreamingQuantiles.estimateStream(
+        mem2.toDF().toDF("event_type", "event_id", "value"), k)
+      .writeStream.trigger(Trigger.ProcessingTime(0))
+      .outputMode("update").foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+    mem2.addData(batch2: _*)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val last = emitted.toArray(Array.empty[(Long, Long)]).last
+    val want = batchQuantiles(batch1 ++ batch2, k)("click")
+    assert(last._1 == want._1 && last._2 == want._2,
+      s"post-restart estimates diverged: $last vs $want")
+  }
 }
