@@ -1302,6 +1302,23 @@ object Oracles {
        |  min(c) AS lo_c, max(c) AS hi_c
        |FROM c, r GROUP BY 1""".stripMargin
 
+  /** Supplier scorecard ([[graft.ops.Relational.supplierScorecard]]). */
+  val supplierScorecard: String =
+    s"""SELECT s_suppkey, s_name, n_name,
+       |  count(*)::BIGINT AS n_lines,
+       |  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+       |    ::BIGINT AS rev_c,
+       |  count(DISTINCT l_partkey)::BIGINT AS n_parts,
+       |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_returned,
+       |  ((1000 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END))
+       |    // count(*))::BIGINT AS return_pm,
+       |  datediff('day', min(l_shipdate), max(l_shipdate))::BIGINT
+       |    AS active_days
+       |FROM lineitem, supplier, nation
+       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |GROUP BY 1, 2, 3""".stripMargin
+
   /** Q22-shaped idle wealthy customers
     * ([[graft.ops.Relational.idleCustomers]]): scalar positive-balance
     * average (cross-multiplied, no division) + NOT EXISTS anti-join on

@@ -257,6 +257,8 @@ object SparkEntry {
     }),
     // growth split: first-seen day vs daily actives, one user exchange
     "new_vs_returning" -> ((s, dir) => Windows.newVsReturning(events(s, dir))),
+    // multi-metric vendor report from one suppkey rollup
+    "supplier_scorecard" -> ((s, dir) => Relational.supplierScorecard(s, dir)),
     // ANALYZE-style per-column stats in one Expand pass (CBO feed)
     "column_stats" -> ((s, dir) => Relational.columnStats(s, dir)),
     // mergeable HLL rollup: daily sketches → weekly union; invariants
@@ -784,6 +786,7 @@ object SparkEntry {
     "top_parts_native" -> Oracles.topPartsPerNationNative,
     "sql_doc_sentiment" -> Oracles.sqlDocSentiment,
     "new_vs_returning" -> Oracles.newVsReturning,
+    "supplier_scorecard" -> Oracles.supplierScorecard,
     "column_stats" -> Oracles.columnStats,
     "hll_users" -> Oracles.hllWeeklyUsers,
     "user_overlap" -> Oracles.userTypeOverlap,

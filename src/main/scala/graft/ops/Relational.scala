@@ -1131,6 +1131,37 @@ object Relational {
         col("rev_c"), col("rank"))
   }
 
+  /** Supplier scorecard: the multi-metric vendor report — revenue,
+    * line count, return rate in exact permille, distinct parts
+    * carried, active span in days — all from ONE lineitem rollup
+    * keyed on suppkey (count-distinct rides the same exchange), dims
+    * broadcast in afterwards. The shape procurement dashboards read
+    * daily; every number integer-exact. */
+  def supplierScorecard(spark: SparkSession, sfDir: String): DataFrame = {
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_partkey"), col("l_returnflag"),
+        col("l_shipdate"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 10000)" +
+          " as long)").as("rev_c"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("rev_c").as("rev_c"),
+        countDistinct("l_partkey").as("n_parts"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        datediff(max(col("l_shipdate")), min(col("l_shipdate")))
+          .cast("long").as("active_days"))
+      .withColumn("return_pm", expr("(1000 * n_returned) div n_lines"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_lines"), col("rev_c"), col("n_parts"), col("n_returned"),
+        col("return_pm"), col("active_days"))
+  }
+
   /** TPC-H Q22-shaped idle wealthy customers: per market segment (the
     * stand-in for Q22's phone country codes), customers with above-
     * average positive balance and NO orders. Two subquery shapes in
