@@ -25,7 +25,22 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *
   * Env: SPARK_GRAFT_CPUS (32), INGEST_DOCS_PER_SEC (20000),
   * INGEST_SECONDS (120), INGEST_SEEDS (10000),
-  * INGEST_OUT (artifacts/INGEST_SOAK.jsonl). */
+  * INGEST_WATERMARK ("10 minutes"),
+  * INGEST_OUT (artifacts/INGEST_SOAK.jsonl).
+  *
+  * STEADY-STATE NOTE (round-12): a soak shorter than its watermark
+  * delay can only ever observe MONOTONE state growth — eviction fires
+  * when the event-time horizon passes an entry's window, so with the
+  * production default (10 min) a 120 s soak measures the fill phase
+  * and nothing else (that is exactly what INGEST_SOAK_R11's strictly
+  * increasing `state_rows_series` was). To measure the steady state,
+  * run with `INGEST_SECONDS ≥ 2× watermark` (e.g. INGEST_WATERMARK="40
+  * seconds", INGEST_SECONDS=150): past the horizon each batch both
+  * inserts and expires ~rate·trigger rows, and `state_rows_series`
+  * must plateau near `rate · (watermark + trigger)` admitted-doc keys
+  * across the two state stores. The committed evidence is
+  * INGEST_SOAK_R12_SUMMARY.json; DocStreamSpec asserts the bound
+  * mechanically on a compressed timeline. */
 object IngestSoak {
 
   def main(args: Array[String]): Unit = {
@@ -33,6 +48,7 @@ object IngestSoak {
     val rate = sys.env.getOrElse("INGEST_DOCS_PER_SEC", "20000").toInt
     val seconds = sys.env.getOrElse("INGEST_SECONDS", "120").toInt
     val nSeeds = sys.env.getOrElse("INGEST_SEEDS", "10000").toInt
+    val watermark = sys.env.getOrElse("INGEST_WATERMARK", "10 minutes")
     val outPath = sys.env.getOrElse("INGEST_OUT", "artifacts/INGEST_SOAK.jsonl")
 
     val wh = java.nio.file.Files.createTempDirectory("ingest_soak_wh").toString
@@ -113,7 +129,8 @@ object IngestSoak {
       .toString + "/corpus"
     val ckpt = java.nio.file.Files.createTempDirectory("ingest_soak_ckpt").toString
     val q = graft.streaming.DocStream
-      .ingest(feed, evalDocs, "ingest_soak_idx", corpusDir)
+      .ingest(feed, evalDocs, "ingest_soak_idx", corpusDir,
+        watermark = watermark)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
       .option("checkpointLocation", ckpt)
       .start()
@@ -132,8 +149,17 @@ object IngestSoak {
     val latSorted = latencies.sorted
     def latPct(p: Double): Long =
       if (latSorted.isEmpty) -1L else latSorted(((latSorted.length - 1) * p).toInt)
+    // plateau verdict: does the state series stop growing once the
+    // watermark horizon passes? tail = last third of the series; the
+    // soak is steady iff the tail's max/min spread stays within 25%
+    // (the r11 fill-phase series grew 36% over its last third — this
+    // verdict catches exactly that; a flat-at-max steady state passes).
+    val tail = stateRows.takeRight(math.max(3, stateRows.length / 3))
+    val statePlateau =
+      tail.length >= 3 && tail.max <= tail.min + tail.min / 4
     val summary =
       s"""{"metric":"ingest_soak","feed_docs_per_sec":$rate,"seconds":$seconds,""" +
+      s""""watermark":"$watermark","state_plateau":$statePlateau,""" +
       s""""cpus":$cpus,"seed_docs":$nSeeds,"batches":${rates.length},""" +
       s""""input_rows":$inputRows,"corpus_rows":$corpusRows,""" +
       s""""index_rows":$indexRows,""" +

@@ -1353,7 +1353,7 @@ object OraclesLlm {
        SELECT media_id, yy,
          list_aggregate([
              lpad(hex(ascii(substr(text,
-               (((h-1-yy)*w + x) % len) + 1, 1)) % 256), 2, '0') ||
+               (((h-1-yy)*w + x) % greatest(len, 1)) + 1, 1)) % 256), 2, '0') ||
              lpad(hex((x*3 + (h-1-yy)*5 + 2*len) % 256), 2, '0') ||
              lpad(hex((x*7 + (h-1-yy)*13 + len) % 256), 2, '0')
            for x in range(w)], 'string_agg', '') ||
@@ -1453,10 +1453,11 @@ object OraclesLlm {
        |  SELECT media_id,
        |    sum((x*7 + y*13 + len) % 256)::BIGINT AS sum_r,
        |    sum((x*3 + y*5 + 2*len) % 256)::BIGINT AS sum_g,
-       |    sum(ascii(substr(text, ((y*w + x) % len) + 1, 1)) % 256)::BIGINT
-       |      AS sum_b,
+       |    sum(ascii(substr(text, ((y*w + x) % greatest(len, 1)) + 1, 1))
+       |        % 256)::BIGINT AS sum_b,
        |    sum(CASE WHEN (x*7 + y*13 + len) % 256 + (x*3 + y*5 + 2*len) % 256
-       |         + ascii(substr(text, ((y*w + x) % len) + 1, 1)) % 256 >= 384
+       |         + ascii(substr(text, ((y*w + x) % greatest(len, 1)) + 1, 1))
+       |           % 256 >= 384
        |        THEN 1 ELSE 0 END)::BIGINT AS bright_px
        |  FROM (SELECT media_id, len, text, w, p % w AS x, p // w AS y
        |        FROM (SELECT media_id, w, h, len, text,
@@ -2034,6 +2035,37 @@ object OraclesLlm {
        |JOIN t ta ON cand.doc_id_a = ta.doc_id
        |JOIN t tb ON cand.doc_id_b = tb.doc_id
        |WHERE levenshtein(ta.title, tb.title) <= 2""".stripMargin
+
+  /** Brute-force ground truth for the gram-frequency-CAPPED variant
+    * ([[graft.llm.EditDistance.editDistancePairs]] with gramFreqCap=16
+    * over the mixed slice corpus): the oracle is the quadratic
+    * reference — every pair within edit distance 2, no filtering — so
+    * agreement proves the engine's safe-join + length-banded-fallback
+    * split is exact, not just self-consistent. The slice (10% of
+    * documents + typo dups + hex-titled safe rows) keeps the cross
+    * join DuckDB-sized. */
+  val editDistancePairsCapped: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 400000,
+       |    substr(text, 1, 2 + doc_id % 7) || 'q' ||
+       |      substr(text, 4 + doc_id % 7)
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 800000,
+       |    printf('uq%x mixed corpus safe title row',
+       |           (doc_id * 2654435761) % 1000000007)
+       |  FROM documents WHERE doc_id % 10 = 1),
+       |t AS (
+       |  SELECT doc_id, substr(text, 1, 32) AS title FROM corpus
+       |  WHERE length(substr(text, 1, 32)) >= 8)
+       |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |       levenshtein(a.title, b.title)::BIGINT AS dist
+       |FROM t a JOIN t b
+       |  ON a.doc_id < b.doc_id
+       | AND abs(length(a.title) - length(b.title)) <= 2
+       |WHERE levenshtein(a.title, b.title) <= 2""".stripMargin
 
   /** Held-out bigram surprisal with unigram backoff
     * ([[graft.llm.LangModel.bigramSurprisal]] trained on the even-doc

@@ -86,8 +86,10 @@ object SparkEntry {
     // aggregated — the oracle computes the same rollup straight from
     // the rows, so the hash compare proves the source lossless
     "wire_scan" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_wire_scan").toString
+      // fresh dir per invocation (the wire write is append-mode), but
+      // under the shutdown-hooked scratch root so bench reps don't
+      // leak table copies into /tmp past the JVM's lifetime
+      val tmp = graft.sources.TextFormats.freshScratchDir("graft_wire_scan")
       TrendPipeline.trendRows(docs(s, dir))
         .select(col("hashtag"), col("sentiment_score"),
           col("sentiment_type"), col("country"))
@@ -280,6 +282,11 @@ object SparkEntry {
     "zorder_layout" -> ((s, dir) => Windows.zOrderLayout(events(s, dir))),
     // large-large join with plan-level skew salting; oracle is salt-blind
     "order_revenue_salted" -> ((s, dir) => Relational.orderRevenueSalted(s, dir)),
+    // the SELECTIVE salter: only keys above a frequency threshold salt
+    // (the SkewBench-measured revision — full salting loses on elapsed
+    // time; see Relational.selectiveSaltedJoin); same salt-blind oracle
+    "order_revenue_salted_selective" -> ((s, dir) =>
+      Relational.orderRevenueSaltedSelective(s, dir)),
     // bucketed point-in-interval join; oracle states the raw inequality
     "range_join" -> ((s, dir) => Ranges.orderShipWindow(s, dir)),
     // ---- LLM-data-pipeline operators (graft.llm) ----
@@ -439,6 +446,23 @@ object SparkEntry {
     "edit_distance_pairs" -> ((s, dir) =>
       EditDistance.editDistancePairs(
         EditDistance.withTypoDocs(docs(s, dir)))),
+    // the gram-frequency-capped variant on a mixed corpus: a 10% slice
+    // (plus typo dups) whose tiny vocabulary makes every gram hot at
+    // cap=16 — driving those docs through the length-banded FALLBACK —
+    // unioned with hex-titled docs that keep >= 5 sub-cap grams and
+    // stay on the bucketed prefix join; the oracle is brute force, so
+    // agreement proves the two-path split loses no pair
+    "edit_distance_pairs_capped" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val slice = EditDistance.withTypoDocs(
+        base.filter(pmod(col("doc_id"), lit(10)) === 0))
+      val safeRows = base.filter(pmod(col("doc_id"), lit(10)) === 1)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          format_string("uq%x mixed corpus safe title row",
+            pmod(col("doc_id") * 2654435761L, lit(1000000007L))).as("text"))
+      EditDistance.editDistancePairs(slice.unionAll(safeRows),
+        gramFreqCap = 16L)
+    }),
     "redact_text" -> ((s, dir) => TextAnalysis.redactedDocs(docs(s, dir))),
     // corpus statistics + curation selection ops
     "vocab_df" -> ((s, dir) => TextAnalysis.vocabDf(docs(s, dir))),
@@ -796,6 +820,7 @@ object SparkEntry {
     "zorder_layout" -> Oracles.zOrderLayout,
     "customers_by_region" -> Oracles.customersByRegion,
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
+    "order_revenue_salted_selective" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,
     "token_stats" -> OraclesLlm.tokenStats,
     "lang_id" -> OraclesLlm.langId,
@@ -829,6 +854,7 @@ object SparkEntry {
     "dedup_clusters" -> OraclesLlm.dedupClusters,
     "leakage_split" -> OraclesLlm.leakageSplit,
     "edit_distance_pairs" -> OraclesLlm.editDistancePairs,
+    "edit_distance_pairs_capped" -> OraclesLlm.editDistancePairsCapped,
     "redact_text" -> OraclesLlm.redactText,
     "vocab_df" -> OraclesLlm.vocabDf,
     "heavy_hitters" -> OraclesLlm.heavyHitters,

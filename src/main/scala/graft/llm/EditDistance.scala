@@ -39,7 +39,34 @@ import org.apache.spark.sql.functions._
   *     construction (a naive all-grams join on this corpus's shared
   *     title prefixes is quadratic in the hot grams; measured 121 s
   *     vs ~1 s at sf0.1).
-  *  3. Content filter (Ed-Join's second move): a unit edit changes
+  *  3. POSITION-BUCKETED join key (round-12): the ±d position guard
+  *     moves INTO the join key — rows join on `(gram, pos div
+  *     (d+1))`, one side emitting its own bucket and the other its
+  *     bucket ±1 (any |Δpos| ≤ d pair lands in a neighbor bucket
+  *     because the ±d interval spans < 2 bucket widths), and the
+  *     exact |Δpos| ≤ d filter still runs post-join. Same survivors,
+  *     but a hot gram's f² join fan-out splits across its position
+  *     buckets: measured 22.4 M → 6.4 M join rows (3.5×) on the
+  *     driver corpus at sf0.1, and the cut compounds at 100× where f
+  *     grows with the corpus.
+  *  4. GRAM-FREQUENCY CEILING (round-12): with `gramFreqCap` set,
+  *     grams with global freq > cap are HOT and sort AFTER every
+  *     sub-cap gram in the shared total order (hot-last is still one
+  *     global total order, so the prefix theorem holds unchanged).
+  *     A string whose `d·q + 1`-prefix stays sub-cap joins as usual —
+  *     now with every per-(gram, bucket) fan-out ≤ cap, so its
+  *     candidate count is bounded by `(d·q + 1) · 3 · cap` REGARDLESS
+  *     of corpus size. A string whose prefix must include a hot gram
+  *     (it has fewer than `d·q + 1` sub-cap grams) exits the gram
+  *     join entirely and instead pairs against every title within
+  *     ±d length (the length-banded fallback — exact trivially,
+  *     bounded by `|unsafe| · (2d+1) · max-titles-per-length`). Any
+  *     true pair has both sides safe (gram join catches it: both
+  *     prefixes are sub-cap and share a matched gram), or at least
+  *     one side unsafe (fallback catches it) — EXACT either way.
+  *     The default cap (MaxValue) disables the split: every doc is
+  *     safe and the plan is the pure bucketed prefix join.
+  *  5. Content filter (Ed-Join's second move): a unit edit changes
   *     the count of at most 2 characters by 1, so `ed(a,b) ≤ d`
   *     implies the L1 distance of the char-frequency histograms is
   *     ≤ 2d — and restricting the histogram to any fixed charset
@@ -51,7 +78,7 @@ import org.apache.spark.sql.functions._
   *     candidates → 1 474 survivors (the tiny synthetic vocabulary
   *     makes rare grams common, so the histogram does the real
   *     pruning there).
-  *  4. Exact `levenshtein ≤ d` verifies the surviving distinct
+  *  6. Exact `levenshtein ≤ d` verifies the surviving distinct
   *     pairs — every stage passes a superset, never a miss.
   *
   * Scale shape: the wide join carries slim (doc_id, len, pos, gram)
@@ -68,9 +95,12 @@ object EditDistance {
     * distance `d`, with the exact distance. Titles shorter than
     * `minLen` are out of scope (the count filter needs
     * `len − q + 1 > d·q` to have teeth; below that, share-nothing
-    * pairs become possible and only a cross join is exact). */
+    * pairs become possible and only a cross join is exact).
+    * `gramFreqCap` bounds the per-gram join fan-out at scale — see
+    * point 4 of the object doc; the default disables it. */
   def editDistancePairs(docs: DataFrame, d: Int = 2,
-                        titleLen: Int = 32, minLen: Int = 8): DataFrame = {
+                        titleLen: Int = 32, minLen: Int = 8,
+                        gramFreqCap: Long = Long.MaxValue): DataFrame = {
     val q = 2
     require(minLen - q + 1 > d * q,
       s"minLen=$minLen too small for exact q-gram filtering at d=$d")
@@ -85,24 +115,53 @@ object EditDistance {
       .select(col("doc_id"), col("len"),
         col("pq.pos").as("pos"), col("pq.gram").as("gram"))
     val freq = qg.groupBy("gram").agg(count(lit(1)).as("freq"))
-    // each string's d*q+1 globally-rarest grams (one shared total
-    // order: freq, then gram, then position — engine-independent).
+    // each string's d*q+1 globally-rarest grams under ONE shared total
+    // order: (hot, freq, gram, pos) — hot-last, so a capped gram enters
+    // a prefix only when the doc has no sub-cap alternative, which is
+    // exactly the fallback criterion. With the cap disabled, hot is
+    // constant-false and the order is the classic (freq, gram, pos).
     // localCheckpoint: both sides of the self-join read the SAME
     // materialized prefix set instead of recomputing the scan + gram
     // histogram + window lineage twice (the [[Bpe]] pattern; the set
     // is (d·q+1)·|corpus| slim rows — cluster-memory trivial).
     val prefix = qg.join(freq, "gram")
+      .withColumn("hot", col("freq") > gramFreqCap)
       .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy("freq", "gram", "pos")))
+        Window.partitionBy("doc_id").orderBy("hot", "freq", "gram", "pos")))
       .filter(col("rk") <= d * q + 1)
-      .select("doc_id", "len", "pos", "gram")
+      .withColumn("unsafe",
+        max(col("hot")).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "len", "pos", "gram", "unsafe")
       .localCheckpoint()
-    val cand = prefix.toDF("doc_id_a", "len_a", "pos_a", "gram")
-      .join(prefix.toDF("doc_id_b", "len_b", "pos_b", "gram"), Seq("gram"))
+    // bucketed self-join over the SAFE prefixes: key (gram, pos div
+    // (d+1)), side A emitting bucket ±1 — any |Δpos| ≤ d partner lands
+    // in a neighbor bucket; the exact guards re-filter post-join
+    val safe = prefix.filter(!col("unsafe"))
+      .withColumn("pb", floor(col("pos") / (d + 1)))
+      .select("doc_id", "len", "pos", "gram", "pb")
+    val candMain = safe
+      .withColumn("pb", explode(array(col("pb") - 1, col("pb"), col("pb") + 1)))
+      .toDF("doc_id_a", "len_a", "pos_a", "gram", "pb")
+      .join(safe.toDF("doc_id_b", "len_b", "pos_b", "gram", "pb"),
+        Seq("gram", "pb"))
       .filter(col("doc_id_a") < col("doc_id_b") &&
         abs(col("pos_a") - col("pos_b")) <= d &&
         abs(col("len_a") - col("len_b")) <= d)
-      .select("doc_id_a", "doc_id_b").distinct()
+      .select("doc_id_a", "doc_id_b")
+    // length-banded fallback for the unsafe docs: every title within
+    // ±d length is a candidate (a true pair can't differ by more), so
+    // a pair with an unsafe side never depends on the gram join
+    val unsafeDocs = prefix.filter(col("unsafe"))
+      .select("doc_id", "len").distinct()
+    val candFallback = unsafeDocs
+      .withColumn("len", explode(sequence(col("len") - d, col("len") + d)))
+      .toDF("u_id", "len")
+      .join(titles.select(col("doc_id").as("o_id"),
+        length(col("title")).as("len")), Seq("len"))
+      .filter(col("u_id") =!= col("o_id"))
+      .select(least(col("u_id"), col("o_id")).as("doc_id_a"),
+        greatest(col("u_id"), col("o_id")).as("doc_id_b"))
+    val cand = candMain.unionAll(candFallback).distinct()
     // char histogram per title (len − len(replace) count trick); the
     // zip_with L1 ≤ 2d test prunes before the quadratic DP
     val charset = ('a' to 'z') ++ Seq(' ') ++ ('0' to '9')

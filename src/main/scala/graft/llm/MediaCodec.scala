@@ -35,12 +35,16 @@ object MediaCodec {
 
   /** Pixel at image coordinates (x, y), y = 0 at the TOP. The blue
     * channel carries the document text (byte at position (y·w+x) mod
-    * len), so payload equality ⟺ (dims, text) equality. */
+    * len), so payload equality ⟺ (dims, text) equality. An EMPTY text
+    * paints blue 0 — one bad record must never fail the job, so the
+    * mod-by-length cannot be allowed to throw on len = 0 (the oracle's
+    * SQL reconstruction guards identically: `% greatest(len, 1)` with
+    * DuckDB's `ascii('') = 0`). */
   def pixel(x: Int, y: Int, w: Int, text: String): (Int, Int, Int) = {
     val len = text.length
     val r = (x * 7 + y * 13 + len) % 256
     val g = (x * 3 + y * 5 + 2 * len) % 256
-    val b = text.charAt((y * w + x) % len).toInt % 256
+    val b = if (len == 0) 0 else text.charAt((y * w + x) % len).toInt % 256
     (r, g, b)
   }
 

@@ -112,8 +112,26 @@ object Similarity {
     topKByQuery(scored, k)
   }
 
-  /** (query_id, vec_id, cos) → per-query top-k rows via [[TopKAgg]]. */
-  private[llm] def topKByQuery(scored: DataFrame, k: Int): DataFrame = {
+  /** (query_id, vec_id, cos) → per-query top-k rows, ranked by the
+    * custom heap-per-key physical operator
+    * ([[graft.plans.TopKPerKey]]): the same two-phase partial/final
+    * shape as [[TopKAgg]] (shuffle carries ≤ |map partitions|·k rows
+    * per query), but expressed at the PLAN level — no typed
+    * serialization boundary around the scored rows, a codegen'd
+    * ordering over (cos DESC, vec_id ASC), and the whole similarity
+    * stack (brute / IVF / PQ / IVF-PQ / persisted index) routes
+    * through the one operator. Ranking uses the full-precision cosine;
+    * the 6-dp rounding is display-only, applied after. */
+  private[graft] def topKByQuery(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerKey.topK(scored, Seq("query_id"), "cos", "vec_id", k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos"), 6).as("score"), col("rank"))
+
+  /** The typed-[[TopKAgg]] form of [[topKByQuery]] — kept as the
+    * benchmark baseline the custom operator is measured against
+    * ([[graft.TopKBench]]) and the semantics twin TopKPerKeySpec pins
+    * row-for-row. Not used by any registered query. */
+  private[graft] def topKByQueryAgg(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored.as[(Long, Long, Double)]

@@ -662,11 +662,21 @@ object TextAnalysis {
 
   /** Per-language top-k docs by quality (quality desc, doc_id asc):
     * corpus curation's "keep the best k per stratum". Ranked with the
-    * bounded typed top-k aggregator, NOT a per-key window — a window
-    * would funnel every profiled row of a language into one task's sort;
-    * the aggregator ships ≤ k rows per (language, partition). Quality is
-    * an integer permille, exact as double (< 2^53). */
-  def topQualityPerLang(docs: DataFrame, k: Int = 5): DataFrame = {
+    * custom heap-per-key physical operator
+    * ([[graft.plans.TopKPerKey]]), NOT a per-key window — a window
+    * would funnel every profiled row of a language into one task's
+    * sort; the two-phase heap exec ships ≤ k rows per (language,
+    * partition) and sorts nothing. Quality stays the exact integer
+    * permille end to end (no double round-trip). */
+  def topQualityPerLang(docs: DataFrame, k: Int = 5): DataFrame =
+    graft.plans.TopKPerKey.topK(
+      docProfile(docs).select(col("pred_lang"), col("doc_id"), col("quality")),
+      Seq("pred_lang"), "quality", "doc_id", k)
+
+  /** The typed-aggregator form of [[topQualityPerLang]] — the
+    * benchmark baseline for [[graft.TopKBench]]'s parity row; not used
+    * by any registered query. */
+  private[graft] def topQualityPerLangAgg(docs: DataFrame, k: Int = 5): DataFrame = {
     import Similarity.{Hit, TopKAgg}
     val spark = docs.sparkSession
     import spark.implicits._

@@ -86,6 +86,69 @@ object Relational {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** SELECTIVE salting — the round-12 revision of [[saltedJoin]]'s
+    * guidance, driven by SkewBench data: salting ALL keys inflates the
+    * small side `salts`× for every key, and the measured artifact
+    * (SKEW_STRESS.json r11) showed full salting LOSING to plain AQE on
+    * elapsed time (14.2 s vs 6.3 s) even while it bounded the task
+    * tail. The fix is to salt only the keys that need it: one
+    * partial-aggregated frequency pass over the left side's key column
+    * finds keys above `hotThreshold` (map-side combine makes this
+    * |distinct keys| rows, and the survivors are by definition few —
+    * a set of hot keys is broadcastable or it isn't a skew problem,
+    * it's a uniform-volume problem), both sides broadcast-join that
+    * tiny set, hot keys salt into `salts` sub-keys, and every other
+    * key keeps salt 0 — the small side replicates ONLY for hot keys.
+    * Result rows are identical to the plain join (the oracle is
+    * salt-blind). Ranking after measurement: AQE skew-join first,
+    * selective salting second (when the tail must be bounded in the
+    * PLAN — e.g. a retry must not straggle either), full salting
+    * never. */
+  def selectiveSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+                          saltCol: Column, salts: Int,
+                          hotThreshold: Long): DataFrame = {
+    val hot = left.groupBy(key).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col(key), lit(true).as("__hot"))
+    val l = left.join(broadcast(hot), Seq(key), "left_outer")
+      .withColumn("__salt",
+        when(col("__hot"),
+          coalesce(pmod(saltCol.cast("long"), lit(salts.toLong)), lit(0L)))
+          .otherwise(lit(0L)))
+      .drop("__hot")
+    val r = right.join(broadcast(hot), Seq(key), "left_outer")
+      .withColumn("__salt",
+        explode(when(col("__hot"),
+          array((0 until salts).map(i => lit(i.toLong)): _*))
+          .otherwise(array(lit(0L)))))
+      .drop("__hot")
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** [[orderRevenueSalted]] through the SELECTIVE salter: identical
+    * rows (same oracle), but only orderkeys above the frequency
+    * threshold salt — on this corpus's uniform keys the hot set is
+    * empty and the plan degenerates to the plain join plus one slim
+    * key-frequency pass, which is exactly the selling point: the
+    * insurance costs ~nothing when no key is hot. */
+  def orderRevenueSaltedSelective(spark: SparkSession, sfDir: String,
+                                  salts: Int = 8,
+                                  hotThreshold: Long = 1000L): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate")
+    selectiveSaltedJoin(li, ord, "o_orderkey", col("l_linenumber"), salts,
+      hotThreshold)
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue_c"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("n_lines"),
+        (col("revenue_c") / 10000.0).as("revenue"))
+  }
+
   /** Per-order revenue via the salted join (orders replicated 8×,
     * lineitem salted on l_linenumber): same rows as the plain
     * lineitem⋈orders rollup — the oracle proves salting is invisible in
@@ -1015,8 +1078,13 @@ object Relational {
       viol("date_range",
         col("l_shipdate") < lit("1995-01-01").cast("date") ||
           col("l_shipdate") >= lit("2002-01-01").cast("date")),
+      // distinct over the STRUCT, not the column pair: countDistinct(a, b)
+      // skips rows where either key is NULL, while the oracle's
+      // count(DISTINCT (a, b)) counts row-values containing NULLs — the
+      // struct form matches that exactly, so the two engines agree even
+      // when the adjacent null_keys expectation fires
       (count(lit(1)) -
-        countDistinct(col("l_orderkey"), col("l_linenumber")))
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
         .as("dup_line_keys"))
     wide.select(expr(
       """stack(7,

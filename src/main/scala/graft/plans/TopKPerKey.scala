@@ -4,7 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BoundReference, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -33,9 +34,12 @@ import org.apache.spark.sql.types.LongType
   * results): equal to
   * `row_number() OVER (PARTITION BY keys ORDER BY primary DESC,
   * tiebreak ASC) <= k` — TopKPerKeySpec pins equality against that
-  * window form and the oracle replays it in SQL. Both ordering
-  * columns are LongType (the engine's exact integer discipline makes
-  * that the common case; widen with a cast upstream if needed). */
+  * window form and the oracle replays it in SQL. Ordering columns may
+  * be ANY orderable type (long, double, string, date, …): comparisons
+  * run through one codegen'd [[GenerateOrdering]] over the projected
+  * (primary, tiebreak) pair with the window form's exact null
+  * placement (DESC NULLS LAST, ASC NULLS FIRST), and non-orderable
+  * types fail fast at plan-build time. */
 object TopKPerKey {
 
   /** Public API: top-k per key with rank. Columns are referenced by
@@ -50,9 +54,25 @@ object TopKPerKey {
       child.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${child.output.map(_.name)}"))
-    GraftSqlBridge.ofRows(df.sparkSession,
-      TopKPerKeyNode(keys.map(ref), ref(primaryDesc), ref(tiebreakAsc),
-        k, child))
+    // misuse must error HERE, at plan build, not produce silently wrong
+    // ranks at runtime: the exec orders through a generated ordering, so
+    // any orderable type is fine, but a map/struct-of-map column is not
+    def orderable(name: String): Attribute = {
+      val a = ref(name)
+      require(RowOrdering.isOrderable(a.dataType),
+        s"ordering column $name: ${a.dataType.simpleString} is not orderable")
+      a
+    }
+    // self-registration (idempotent): every similarity/curation top-k
+    // routes through this operator, so a session that skipped
+    // GraftExtensions.register must still be able to plan the node
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    GraftSqlBridge.ofRows(spark,
+      TopKPerKeyNode(keys.map(ref), orderable(primaryDesc),
+        orderable(tiebreakAsc), k, child))
   }
 
   /** Planner strategy: two-phase plan, exactly like partial/final hash
@@ -113,7 +133,13 @@ final case class TopKPerKeyExec(
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)
 
-  private final class Entry(val p: Long, val t: Long, val row: UnsafeRow)
+  /** A retained row plus its COPIED 2-col ordering projection — the
+    * ordering row is what the generated comparator reads, so the heap
+    * never re-evaluates the ordering expressions. The payload row is
+    * stored as [[InternalRow]] (copy() of whatever the child emits):
+    * only the final output projection needs a concrete layout, and a
+    * child that emits GenericInternalRow must not ClassCastException. */
+  private final class Entry(val ord: UnsafeRow, val row: InternalRow)
 
   protected override def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -122,25 +148,28 @@ final case class TopKPerKeyExec(
     val (keyExprs, pExpr, tExpr) = (keys, primary, tiebreak)
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      // one CODEGEN'd projection evaluates both ordering longs per row
+      // one CODEGEN'd projection evaluates both ordering columns per row
       // (interpreted Expression.eval here measured ~20% of the whole
       // operator's cost)
       val ordProj = UnsafeProjection.create(Seq(pExpr, tExpr), childOutput)
-      // root of each heap is the WORST retained row: smallest primary,
-      // then largest tiebreak
+      // one CODEGEN'd comparator over the projected pair, with
+      // row_number's exact sort: primary DESC NULLS LAST, tiebreak ASC
+      // NULLS FIRST — works for any orderable type (the LongType-only
+      // getLong reads this replaces silently mis-ranked NULLs and
+      // non-long columns)
+      val bestFirst: Ordering[InternalRow] = GenerateOrdering.generate(Seq(
+        SortOrder(BoundReference(0, pExpr.dataType, pExpr.nullable), Descending),
+        SortOrder(BoundReference(1, tExpr.dataType, tExpr.nullable), Ascending)))
+      // root of each heap is the WORST retained row (= greatest under
+      // the best-first sort)
       val worstFirst = new Ordering[Entry] {
-        def compare(a: Entry, b: Entry): Int = {
-          val c = java.lang.Long.compare(b.p, a.p) // smaller p = higher prio
-          if (c != 0) c else java.lang.Long.compare(a.t, b.t)
-        }
+        def compare(a: Entry, b: Entry): Int = bestFirst.compare(a.ord, b.ord)
       }
       val heaps = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.PriorityQueue[Entry]]()
       while (iter.hasNext) {
         val row = iter.next()
-        val ord = ordProj(row)
-        val p = ord.getLong(0)
-        val t = ord.getLong(1)
+        val ord = ordProj(row) // reused buffer: copy only on retain
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -148,13 +177,10 @@ final case class TopKPerKeyExec(
           heaps.put(key.copy(), heap)
         }
         if (heap.size < numK) {
-          heap.enqueue(new Entry(p, t, row.copy().asInstanceOf[UnsafeRow]))
-        } else {
-          val worst = heap.head
-          if (p > worst.p || (p == worst.p && t < worst.t)) {
-            heap.dequeue()
-            heap.enqueue(new Entry(p, t, row.copy().asInstanceOf[UnsafeRow]))
-          }
+          heap.enqueue(new Entry(ord.copy(), row.copy()))
+        } else if (bestFirst.compare(ord, heap.head.ord) < 0) {
+          heap.dequeue()
+          heap.enqueue(new Entry(ord.copy(), row.copy()))
         }
       }
       import scala.jdk.CollectionConverters._

@@ -31,15 +31,37 @@ import graft.Tables
   */
 object TextFormats {
 
-  private def tempDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** ONE JVM-scoped scratch root, deleted on exit: the roundtrips write
+    * with mode=overwrite to fixed subpaths, so a 200-query bench loop
+    * rewrites the same two table copies instead of accreting a fresh
+    * /tmp directory per invocation (the returned read plan is lazy —
+    * the files must outlive this call, which rules out delete-on-return;
+    * the shutdown hook is the correct lifetime). */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_textfmt")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir
+  }
+
+  /** A fresh unique scratch subdirectory under the shutdown-hooked
+    * root — for callers whose write mode is append (reusing one path
+    * would accrete rows across invocations), so their per-call dirs
+    * still get reclaimed at JVM exit instead of leaking into /tmp. */
+  def freshScratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
 
   /** CSV write→read roundtrip over nation: explicit schema + header.
     * Returning the read-back frame makes the oracle compare every
     * value that survived the text codec. */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val src = Tables.nation(spark, sfDir)
-    val dir = tempDir("graft_csv") + "/nation"
+    val dir = scratchRoot.resolve("csv_nation").toString
     src.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(dir)
     spark.read.schema(src.schema).option("header", "true")
@@ -52,7 +74,7 @@ object TextFormats {
     * bit-exact). */
   def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val src = Tables.supplier(spark, sfDir)
-    val dir = tempDir("graft_json") + "/supplier"
+    val dir = scratchRoot.resolve("json_supplier").toString
     src.coalesce(1).write.mode("overwrite").json(dir)
     spark.read.schema(src.schema).json(dir)
   }

@@ -57,6 +57,50 @@ class EditDistanceSpec extends SparkSpec {
     assert(got.nonEmpty) // the injected typos guarantee a non-trivial set
   }
 
+  test("gramFreqCap: capped run equals brute force (fallback-heavy corpus)") {
+    // the tiny synthetic vocabulary makes EVERY gram hot at cap=16, so
+    // this drives essentially the whole corpus through the
+    // length-banded fallback — the path the default cap never takes
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = EditDistance.withTypoDocs(base)
+    val got = EditDistance.editDistancePairs(corpus, gramFreqCap = 16L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("dist"))).toSet
+    val uncapped = EditDistance.editDistancePairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("dist"))).toSet
+    assert(got == uncapped)
+    assert(got.nonEmpty)
+  }
+
+  test("gramFreqCap: mixed safe/unsafe corpus — both paths, exact result") {
+    // hot-gram docs (shared low-variety titles, typo pair among them)
+    // go unsafe at cap=8; the hex-title docs keep >= 5 sub-cap grams
+    // and stay on the prefix join; a typo pair exists in EACH class
+    val hotDocs = (1L to 20L).map(i => (i, "aaab aaab aaab aaab aaab aaab")) ++
+      Seq((100L, "aaab aaab aaab aaab aaab aaaX")) // dist-1 partner of the block
+    val safeDocs = (200L until 220L).map(i =>
+      (i, f"uq${i * 2654435761L % 100000007L}%x unique title row $i%d")) ++
+      Seq((300L, f"uq${210L * 2654435761L % 100000007L}%x unique title row 21Z"))
+    val corpus = (hotDocs ++ safeDocs).toDF("doc_id", "text")
+    val capped = EditDistance.editDistancePairs(corpus, gramFreqCap = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val titles = corpus
+      .select(col("doc_id"), expr("substring(text, 1, 32)").as("title"))
+      .filter(length(col("title")) >= 8)
+    val brute = titles.toDF("a", "ta")
+      .crossJoin(titles.toDF("b", "tb"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == brute)
+    // the hot block collapses at dist 0 and its typo partner at dist 1:
+    // pairs that only the fallback can find at this cap
+    assert(capped.contains((1L, 2L, 0L)) && capped.contains((1L, 100L, 1L)))
+  }
+
   test("withTypoDocs: injected copies are within d of their source title") {
     val base = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

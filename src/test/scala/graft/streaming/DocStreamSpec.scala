@@ -450,6 +450,52 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("steady-state curate state stays BOUNDED by the watermark window") {
+    // the round-12 plateau claim, asserted mechanically on a compressed
+    // timeline: feed unique docs whose event time advances 5 s per
+    // batch under a 10 s watermark — entries live ~3 batches
+    // (delay/step + watermark-lag batch), so across the TWO state
+    // stores (digest + sketch) steady-state rows must stay under
+    // 2 stores × (liveBatches + 2 slack) × K, far below the
+    // 2 × totalBatches × K a monotone fill would reach.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    val evalDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val q = DocStream.curate(docs, evalDocs, watermark = "10 seconds")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("steady_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    val K = 40
+    val nBatches = 12
+    try {
+      for (b <- 0 until nBatches) {
+        mem.addData((0 until K).map { i =>
+          val id = b * 1000L + i
+          (id, s"batch $b row $i the unique payload token${id * 7}", ts(5L * b))
+        }: _*)
+        q.processAllAvailable()
+      }
+      val totals = q.recentProgress
+        .filter(_.numInputRows > 0)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      val steadyBound = 2L * 5 * K
+      val monotoneFill = 2L * nBatches * K
+      // fill phase is allowed; the TAIL must sit under the window bound
+      val tail = totals.takeRight(totals.length / 3)
+      assert(tail.nonEmpty && tail.max <= steadyBound,
+        s"steady-state state rows ${tail.max} exceed window bound " +
+          s"$steadyBound (monotone fill would reach $monotoneFill); " +
+          s"series=${totals.mkString(",")}")
+      // and eviction genuinely ran (this is not an empty-state artifact)
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0L, "no eviction observed — bound proves nothing")
+    } finally q.stop()
+  }
+
   test("watermark evicts nearDupGate sketch state too: numRowsRemoved > 0") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]

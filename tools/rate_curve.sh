@@ -1,0 +1,61 @@
+#!/bin/bash
+# Ingest rate curve: step the IngestSoak feed rate and record, per rate,
+# whether the 15 s trigger SLO holds (batch_latency_max_ms < 15000) and
+# whether state plateaus past the watermark horizon. Produces
+# artifacts/INGEST_RATE_CURVE.json — the engine's measured rated ingest
+# throughput (the honest analog of the reference's 10 msg/s producer
+# ceiling in BASELINE.md).
+#
+# Usage: bash tools/rate_curve.sh [rates...]   (default: 10000 20000 40000 80000)
+set -euo pipefail
+cd /root/repo
+RATES=("${@:-10000 20000 40000 80000}")
+[ $# -eq 0 ] && RATES=(10000 20000 40000 80000)
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+OUT=artifacts/INGEST_RATE_CURVE.json
+TMP=$(mktemp -d)
+for r in "${RATES[@]}"; do
+  echo "=== rate $r docs/s ==="
+  INGEST_DOCS_PER_SEC=$r INGEST_SECONDS=90 INGEST_WATERMARK="40 seconds" \
+  INGEST_SEEDS=10000 INGEST_OUT="$TMP/soak_$r.jsonl" \
+  INGEST_SUMMARY_OUT="$TMP/summary_$r.json" \
+  java $ADD_OPENS -Xmx24g -cp "$CP" graft.IngestSoak 2>/dev/null | tail -1
+done
+python3 - "$TMP" "$OUT" "${RATES[@]}" <<'EOF'
+import json, sys
+tmp, out, rates = sys.argv[1], sys.argv[2], sys.argv[3:]
+rows = []
+for r in rates:
+    d = json.load(open(f"{tmp}/summary_{r}.json"))
+    rows.append({
+        "feed_docs_per_sec": d["feed_docs_per_sec"],
+        "median_docs_per_sec": d["median_docs_per_sec"],
+        "batch_latency_p50_ms": d["batch_latency_p50_ms"],
+        "batch_latency_p95_ms": d["batch_latency_p95_ms"],
+        "batch_latency_max_ms": d["batch_latency_max_ms"],
+        "state_rows_max": d["state_rows_max"],
+        "state_plateau": d["state_plateau"],
+        "holds_15s_trigger": d["batch_latency_max_ms"] < 15000,
+    })
+rated = max((r["feed_docs_per_sec"] for r in rows if r["holds_15s_trigger"]),
+            default=0)
+doc = {"metric": "ingest_rate_curve",
+       "trigger_slo_ms": 15000,
+       "watermark": "40 seconds",
+       "seconds_per_rate": 90,
+       "rated_docs_per_sec": rated,
+       "note": "rated = highest stepped feed rate whose max batch latency "
+               "stays under the 15 s trigger (reference contract: "
+               "KafkaSparkProcessor's 15 s micro-batch)",
+       "rates": rows}
+open(out, "w").write(json.dumps(doc, indent=1) + "\n")
+print(json.dumps(doc, indent=1))
+EOF
