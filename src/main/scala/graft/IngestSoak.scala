@@ -49,6 +49,12 @@ object IngestSoak {
     val seconds = sys.env.getOrElse("INGEST_SECONDS", "120").toInt
     val nSeeds = sys.env.getOrElse("INGEST_SEEDS", "10000").toInt
     val watermark = sys.env.getOrElse("INGEST_WATERMARK", "10 minutes")
+    // in-loop index compaction cadence (0 = off): without it, probe
+    // cost creeps with BATCH COUNT (each append adds >=1 file per
+    // touched bucket) — the r12 soak measured per-batch trigger
+    // latency rising 9.9 -> 17 s over 16 uncompacted appends at
+    // 20k docs/s even while state rows plateaued
+    val compactEvery = sys.env.getOrElse("INGEST_COMPACT_EVERY", "0").toInt
     val outPath = sys.env.getOrElse("INGEST_OUT", "artifacts/INGEST_SOAK.jsonl")
 
     val wh = java.nio.file.Files.createTempDirectory("ingest_soak_wh").toString
@@ -130,7 +136,7 @@ object IngestSoak {
     val ckpt = java.nio.file.Files.createTempDirectory("ingest_soak_ckpt").toString
     val q = graft.streaming.DocStream
       .ingest(feed, evalDocs, "ingest_soak_idx", corpusDir,
-        watermark = watermark)
+        watermark = watermark, compactEvery = compactEvery)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
       .option("checkpointLocation", ckpt)
       .start()
@@ -160,6 +166,7 @@ object IngestSoak {
     val summary =
       s"""{"metric":"ingest_soak","feed_docs_per_sec":$rate,"seconds":$seconds,""" +
       s""""watermark":"$watermark","state_plateau":$statePlateau,""" +
+      s""""compact_every":$compactEvery,""" +
       s""""cpus":$cpus,"seed_docs":$nSeeds,"batches":${rates.length},""" +
       s""""input_rows":$inputRows,"corpus_rows":$corpusRows,""" +
       s""""index_rows":$indexRows,""" +

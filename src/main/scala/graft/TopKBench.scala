@@ -109,7 +109,14 @@ object TopKBench {
       graft.llm.TextAnalysis.topQualityPerLangAgg(docs, 5),
       graft.llm.TextAnalysis.topQualityPerLang(docs, 5), pairK = 5)
 
-    val out = "[" + Seq(hotRow, cosineRow, qualityRow).mkString(",\n ") + "]"
+    // string tiebreak through the generalized ordering (round 12)
+    val trendRows = graft.ops.TrendPipeline.trendRows(docs).localCheckpoint()
+    val topnRow = pair("topn_trends", "typed_topk_aggregator",
+      graft.ops.TrendPipeline.topNTrendsAgg(trendRows, 3),
+      graft.ops.TrendPipeline.topNTrends(trendRows, 3), pairK = 3)
+
+    val out = "[" + Seq(hotRow, cosineRow, qualityRow, topnRow)
+      .mkString(",\n ") + "]"
     Option(new File(outPath).getAbsoluteFile.getParentFile).foreach(_.mkdirs())
     val w = new PrintWriter(new File(outPath)); w.println(out); w.close()
     println(out)

@@ -217,9 +217,22 @@ object TrendPipeline {
 
   /** Dashboard top-N (`README.md:18-28`): top `n` hashtags per time
     * bucket by count, hashtag as deterministic tiebreak. Ranked with
-    * [[TopNTrendsAgg]], not a per-bucket window — see the aggregator
-    * doc for the hot-bucket rationale. */
-  def topNTrends(rows: DataFrame, n: Int): DataFrame = {
+    * the custom heap-per-key physical operator
+    * ([[graft.plans.TopKPerKey]]) — a viral time bucket with millions
+    * of distinct hashtags ships ≤n rows per map partition instead of
+    * funneling its whole count set into one window-sort task, and the
+    * generalized ordering (round 12) handles the STRING tiebreak
+    * directly (cnt DESC, hashtag ASC), so the trend dashboard rides
+    * the same operator as the similarity stack. */
+  def topNTrends(rows: DataFrame, n: Int): DataFrame =
+    graft.plans.TopKPerKey.topK(
+      rows.groupBy("ts", "hashtag").agg(count(lit(1)).as("cnt")),
+      Seq("ts"), "cnt", "hashtag", n)
+
+  /** The typed-[[TopNTrendsAgg]] form of [[topNTrends]] — the
+    * benchmark/semantics baseline the operator is pinned against
+    * (TrendPipelineSpec); not used by any registered query. */
+  private[graft] def topNTrendsAgg(rows: DataFrame, n: Int): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     rows.groupBy("ts", "hashtag").agg(count(lit(1)).as("cnt"))

@@ -62,6 +62,18 @@ class TrendPipelineSpec extends SparkSpec {
       (200, "#c", 1L, 1L)))
   }
 
+  test("topNTrends: custom-operator form equals the typed-aggregator baseline") {
+    // driver corpus: real bucket/hashtag cardinality, string tiebreak
+    val rows = TrendPipeline.trendRows(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val native = TrendPipeline.topNTrends(rows, 3)
+    val agg = TrendPipeline.topNTrendsAgg(rows, 3)
+    assert(native.columns.toSeq == agg.columns.toSeq)
+    assert(native.exceptAll(agg).count() == 0 &&
+      agg.exceptAll(native).count() == 0)
+    assert(native.count() > 0)
+  }
+
   test("countJoinSentiment joins counts with mean per hashtag") {
     val rows = Seq(
       (100, "#a", 1.0), (100, "#a", 3.0), (100, "#b", 2.0))

