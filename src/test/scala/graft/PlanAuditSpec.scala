@@ -97,6 +97,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("top-k queries plan the custom TopKPerKeyExec (two-phase: partial + final)") {
+    assume(available, "driver testdata not present")
+    // round 12 routed the whole bounded-top-k family through the custom
+    // operator; this pins the routing so a refactor can't silently fall
+    // back to the window or the typed aggregator. Exactly TWO exec
+    // nodes per query = the partial/final pair (like hash aggregation).
+    Seq("top_parts_native", "cosine_topk", "doc_sim_topk",
+      "top_quality_per_lang", "topn_trends", "ivf_topk").foreach { name =>
+      val execs = planOf(name).collect {
+        case e: graft.plans.TopKPerKeyExec => e
+      }
+      assert(execs.length == 2,
+        s"$name must plan the two-phase TopKPerKeyExec, found ${execs.length}")
+      assert(execs.count(_.partial) == 1 && execs.count(!_.partial) == 1,
+        s"$name: expected one partial + one final phase")
+    }
+  }
+
   test("dedup-family shuffles never carry the raw text column") {
     assume(available, "driver testdata not present")
     // The core 100 TB dedup claim: every stateful/shuffling dedup stage
