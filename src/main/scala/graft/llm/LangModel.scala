@@ -87,13 +87,23 @@ object LangModel {
     * (w1, w2) and unigram count tables, score to per-doc bigram term
     * frequencies — so the wide joins carry distinct bigrams, not
     * occurrences. The three count joins share the bigram/token keys;
-    * `N` rides along as a 1-row broadcast. */
+    * `N` rides along as a 1-row broadcast. `uni` is MATERIALIZED once
+    * (localCheckpoint — vocabulary-bounded, slim (token, cnt) rows):
+    * it feeds THREE consumers (the w1 join, the w2 join, and the
+    * grand total), and without the checkpoint each consumer re-ran
+    * the whole train-corpus tokenize + aggregate lineage. (A
+    * measured non-change for the record: dropping the per-doc
+    * (doc_id, w1, w2) pre-agg — it deduplicates only 3.5% of rows at
+    * sf0.1 — made the query ~25% SLOWER, not faster; the aggregated
+    * relation's accurate size stats and partial-agg row reduction
+    * beat the saved exchange. The pre-agg stays.) */
   def bigramSurprisal(trainDocs: DataFrame, scoreDocs: DataFrame,
                       penaltyBits: Long = 3L,
                       keepMaxMillibits: Long = 4500L): DataFrame = {
     val trainToks = trainDocs
       .select(explode(TextFns.tokens(col("text"))).as("token"))
     val uni = trainToks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = uni.agg(sum("cnt").as("n_total"))
     val trainBi = trainDocs
       .select(explode(bigramPairs(TextFns.tokens(col("text")))).as("bg"))

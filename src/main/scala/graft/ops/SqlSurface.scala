@@ -123,6 +123,31 @@ object SqlSurface {
          |  GROUP BY o_orderkey, o_orderdate
          |  ORDER BY revenue_c DESC, o_orderkey
          |  LIMIT 10)""".stripMargin,
+    "q5_region_volume" ->
+      s"""SELECT n_name,
+         |  ${cents("l_extendedprice * (1.0 - l_discount)", 4)} / 10000.0
+         |    AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= DATE '1995-01-01'
+         |  AND o_orderdate < DATE '1996-01-01'
+         |GROUP BY n_name""".stripMargin,
+    "q10_returned" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${cents("l_extendedprice * (1.0 - l_discount)", 4)} / 10000.0
+         |    AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
