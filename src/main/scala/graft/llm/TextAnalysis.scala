@@ -255,13 +255,20 @@ object TextAnalysis {
     * discipline: the engine-specific estimate never leaves the
     * engine; what crosses to the oracle is the EXACT count (the QC
     * side — one distinct shuffle this report can afford) and a 0/1
-    * error-bound verdict (`errPermille` default 5% ≈ the sketch's
-    * configured rsd; near-exact in sparse mode). */
+    * error-bound verdict. Sketch precision vs contract: `rsd` is a
+    * STANDARD DEVIATION, not a bound — at Spark's default rsd=0.05
+    * the 50‰ verdict is a 1σ test, and this corpus's estimate sits at
+    * 40–50‰ across SFs (it failed the boundary by 0.5‰ at sf0.1), so
+    * the sketch is configured at rsd=0.02: the 50‰ contract becomes a
+    * 2.5σ bound (measured error 14–18‰ at every SF) at the cost of a
+    * constant-factor-larger sketch — still KB-sized, still one
+    * aggregate. */
   def approxDistinctNgrams(docs: DataFrame,
-                           errPermille: Long = 50L): DataFrame = {
+                           errPermille: Long = 50L,
+                           rsd: Double = 0.02): DataFrame = {
     val grams = docs.select(tokens(col("text")).as("toks"))
       .select(explode(bigrams(col("toks"))).as("ngram"))
-    grams.agg(approx_count_distinct(col("ngram")).as("approx"))
+    grams.agg(approx_count_distinct(col("ngram"), rsd).as("approx"))
       .join(broadcast(grams.agg(
         countDistinct(col("ngram")).as("exact_distinct"))))
       .select(col("exact_distinct"),
