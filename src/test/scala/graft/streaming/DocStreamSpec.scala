@@ -272,6 +272,63 @@ class DocStreamSpec extends SparkSpec {
     assert(indexed == Set(1L, 102L, 202L), s"got $indexed")
   }
 
+  test("FULL ingest loop survives a restart: history gate + exactly-once stores across recovery") {
+    // the end-to-end recovery contract: a second query incarnation on
+    // the SAME checkpoint must (a) not re-ingest the committed batch
+    // (offset log), (b) still near-dup new arrivals against the FIRST
+    // incarnation's survivors (the persisted index is the cross-
+    // incarnation memory — no watermark state survives a restart for
+    // this), and (c) leave corpus and index with exactly one row per
+    // admitted doc (the dynamic batch_id partition overwrite +
+    // self-healing gate, now exercised through the real checkpoint
+    // machinery instead of a hand-called ingestBatch replay)
+    import org.apache.spark.sql.types._
+    import graft.llm.LshIndex
+    val evalDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val seedText =
+      "the restart corpus seed keeps many distinct tokens and each one is meaningful " * 3
+    LshIndex.build(Seq((1L, seedText)).toDF("doc_id", "text"),
+      "ingest_restart_idx")
+    val in = Files.createTempDirectory("ingest_restart_in").toString
+    val ckpt = Files.createTempDirectory("ingest_restart_ckpt").toString
+    val corpusDir =
+      Files.createTempDirectory("ingest_restart_c").toString + "/corpus"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("event_time", TimestampType)))
+    val fresh1 =
+      "a completely original first payload and the words are quite useful inside " * 3
+    val fresh2 =
+      "another independent later document and the vocabulary overlaps nobody else " * 3
+    def run(): Unit = {
+      val q = DocStream.ingest(
+        spark.readStream.schema(schema).csv(in), evalDocs,
+        "ingest_restart_idx", corpusDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    }
+    Files.writeString(java.nio.file.Path.of(in, "a.csv"),
+      s"""101,"dup $seedText",2026-01-01T00:00:10.000Z\n""" +
+        s"""102,"$fresh1",2026-01-01T00:00:20.000Z""")
+    run() // incarnation 1: 101 drops (seed near-dup), 102 admitted
+    Files.writeString(java.nio.file.Path.of(in, "b.csv"),
+      s"""201,"dup $fresh1",2026-01-01T00:01:00.000Z\n""" +
+        s"""202,"$fresh2",2026-01-01T00:01:10.000Z""")
+    run() // incarnation 2, same checkpoint: 201 is a near-dup of the
+          // FIRST incarnation's survivor — only the stored index knows
+    val corpus = spark.read.parquet(corpusDir).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(corpus.sorted == Seq(102L, 202L),
+      s"corpus must hold each survivor exactly once, got $corpus")
+    spark.catalog.refreshTable(LshIndex.setsTable("ingest_restart_idx"))
+    val indexed = spark.table(LshIndex.setsTable("ingest_restart_idx"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(indexed.sorted == Seq(1L, 102L, 202L),
+      s"index must hold seed + survivors exactly once, got $indexed")
+  }
+
   test("dedup state survives a restart: a post-recovery duplicate is still dropped") {
     // the state store holds content digests; if only source offsets
     // recovered (and not state), the batch-2 duplicate would pass
