@@ -32,6 +32,27 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("SQL text gets the same scan pushdown as the DataFrame twin (q1)") {
+    assume(available, "driver testdata not present")
+    // the SqlSurface claim that both forms lower to the same Catalyst
+    // plans, checked at the physical level: the parsed TEXT must push
+    // its date filter into the parquet scan and prune to the 7 needed
+    // columns, exactly like PlanAuditSpec asserts for the API form
+    SqlSurface.registerViews(spark, sfDir)
+    val scans = planNodes(
+      SqlSurface.run(spark, "q1_agg").queryExecution.executedPlan)
+      .collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scans.nonEmpty, "no parquet scan under the SQL text plan")
+    val scan = scans.head
+    assert(scan.metadata.getOrElse("PushedFilters", "")
+      .contains("LessThanOrEqual(l_shipdate"),
+      s"text form lost the scan pushdown: ${scan.metadata.get("PushedFilters")}")
+    assert(scan.requiredSchema.length <= 7,
+      s"text form reads ${scan.requiredSchema.length} columns of 16")
+  }
+
   test("the text surface covers the dashboard set and the TPC-H core") {
     val names = SqlSurface.sqlTexts.keySet
     Seq("topn_trends", "hashtag_timeseries", "sentiment_distribution",
