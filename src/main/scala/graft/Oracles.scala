@@ -1338,4 +1338,72 @@ object Oracles {
        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= DATE '2000-01-01')
        |GROUP BY 1""".stripMargin
+
+  /** Blocked Jaro-Winkler similarity join over part names
+    * ([[graft.ops.Relational.jaroWinklerPairs]]): DuckDB's
+    * `jaro_winkler_similarity` replays the engine's native expression
+    * (same Winkler 1990 semantics incl. the 0.7 boost threshold,
+    * verified value-for-value in JaroWinklerSpec). */
+  val jaroWinklerPairs: String =
+    s"""WITH p AS (SELECT p_partkey, p_name, p_brand,
+       |             substr(p_name, 1, 1) AS blk FROM part)
+       |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       |  a.p_name AS name_a, b.p_name AS name_b,
+       |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+       |FROM p a JOIN p b
+       |  ON a.p_brand = b.p_brand AND a.blk = b.blk
+       |  AND a.p_partkey < b.p_partkey
+       |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
+       |""".stripMargin
+
+  /** Count-Min point-frequency QC
+    * ([[graft.ops.Relational.cmsPartCounts]]): every sketch cell is
+    * rebuilt with the same affine hashes `((a·k+b) % (2^31−1)) % 512`
+    * in plain integer SQL, so the estimates cross engines exactly. */
+  val cmsPartCounts: String =
+    s"""WITH h AS (SELECT * FROM (VALUES (0, 1299721, 7), (1, 104729, 13),
+       |             (2, 15485863, 31)) t(i, a, b)),
+       |cells AS (
+       |  SELECT h.i AS i,
+       |    ((h.a * l.l_partkey + h.b) % 2147483647) % 512 AS bkt,
+       |    count(*)::BIGINT AS c
+       |  FROM lineitem l CROSS JOIN h GROUP BY 1, 2),
+       |keys AS (SELECT l_partkey, count(*)::BIGINT AS cnt
+       |         FROM lineitem GROUP BY 1)
+       |SELECT k.l_partkey, any_value(k.cnt) AS cnt,
+       |  min(c.c)::BIGINT AS est,
+       |  min(c.c)::BIGINT - any_value(k.cnt) AS overcount
+       |FROM keys k CROSS JOIN h
+       |JOIN cells c ON c.i = h.i
+       |  AND c.bkt = ((h.a * k.l_partkey + h.b) % 2147483647) % 512
+       |GROUP BY 1""".stripMargin
+
+  /** 3-iteration PageRank over the bipartite supply graph
+    * ([[graft.ops.Graph.pagerankSupply]]), unrolled: each iteration is
+    * one join + group-by, the exact relational algebra the engine
+    * runs — only the 1e9-scaled integer ranks cross engines. */
+  val pagerankSupply: String = {
+    def step(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT e.dst AS node,
+         |    (SELECT 0.15 / n FROM nn) +
+         |      0.85 * sum(r.rank / d.outdeg) AS rank
+         |  FROM edges e
+         |  JOIN deg d ON d.src = e.src
+         |  JOIN $prev r ON r.node = e.src
+         |  GROUP BY e.dst)"""
+    s"""WITH pairs AS (SELECT DISTINCT l_suppkey AS s,
+       |                 10000000 + l_partkey AS p FROM lineitem),
+       |edges AS (SELECT s AS src, p AS dst FROM pairs
+       |          UNION ALL SELECT p, s FROM pairs),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |r0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS rank FROM nodes),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT node, round(rank * 1000000000)::BIGINT AS rank_e9
+       |FROM r3""".stripMargin
+  }
 }

@@ -246,6 +246,12 @@ object SparkEntry {
     // heap-per-key top-k, one exchange, zero sorts
     "top_parts_native" -> ((s, dir) =>
       Relational.topPartsPerNationNative(s, dir)),
+    // blocked Jaro-Winkler similarity join (native codegen'd scalar)
+    "jw_name_pairs" -> ((s, dir) => Relational.jaroWinklerPairs(s, dir)),
+    // Count-Min sketch: mergeable point-frequency with one-sided error
+    "cms_part_counts" -> ((s, dir) => Relational.cmsPartCounts(s, dir)),
+    // iterative fixed-point: 3-iteration PageRank over the supply graph
+    "pagerank_supply" -> ((s, dir) => graft.ops.Graph.pagerankSupply(s, dir)),
     // the SQL entry path end-to-end: temp view + spark.sql TEXT with a
     // session-extension native function (graft_sentiment) in the
     // projection — the surface an analyst tool actually speaks
@@ -822,6 +828,9 @@ object SparkEntry {
     "order_revenue_salted" -> Oracles.orderRevenueSalted,
     "order_revenue_salted_selective" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,
+    "jw_name_pairs" -> Oracles.jaroWinklerPairs,
+    "cms_part_counts" -> Oracles.cmsPartCounts,
+    "pagerank_supply" -> Oracles.pagerankSupply,
     "token_stats" -> OraclesLlm.tokenStats,
     "lang_id" -> OraclesLlm.langId,
     "quality_score" -> OraclesLlm.qualityScore,

@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.polyhash)
     ext.injectFunction(GraftExtensions.sentiment)
     ext.injectFunction(GraftExtensions.cleanTweet)
+    ext.injectFunction(GraftExtensions.jaroWinkler)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKStrategy)
   }
@@ -39,7 +40,17 @@ object GraftExtensions {
     unary("graft_clean_tweet", classOf[graft.text.CleanTweetTextExpression],
       graft.text.CleanTweetTextExpression(_))
 
-  private val all = Seq(polyhash, sentiment, cleanTweet)
+  private[graft] val jaroWinkler: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerExpression].getName, "graft_jaro_winkler"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_jaro_winkler expects exactly 2 arguments, got ${children.length}")
+      JaroWinklerExpression(children.head, children(1))
+    })
+
+  private val all = Seq(polyhash, sentiment, cleanTweet, jaroWinkler)
 
   /** Imperative registration on a live session (tests, notebooks):
     * functions plus the range-join rewrite (idempotent — the rule runs

@@ -1261,4 +1261,69 @@ object Relational {
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_c"))
   }
+
+  /** Jaro-Winkler similarity join over part names — the typo-tolerant
+    * entity-resolution shape (catalog reconciliation: "small ring" vs
+    * "smal ring"). Candidates come from BLOCKING, never a cross join:
+    * two names can only pair if they share (brand, first letter) — the
+    * standard ER blocking-key trade (recall bounded by the block rule,
+    * cost bounded by the largest block: Σ|block|² pairs instead of
+    * |part|²; at sf0.1 that is ~0.5 M scored pairs vs 400 M all-pairs).
+    * Scoring is the native codegen'd [[graft.functions.JaroWinkler]]
+    * expression — a scalar projection on the joined candidates, fully
+    * inside whole-stage codegen. Key inequality keeps one orientation
+    * per pair; exact duplicates (jw = 1.0) are kept — they ARE the
+    * strongest matches, and the exact-dedup operators already quantify
+    * them separately. Output rounds to 4dp (scaled-int convention) so
+    * the DuckDB `jaro_winkler_similarity` oracle hashes identically.
+    */
+  def jaroWinklerPairs(spark: SparkSession, sfDir: String,
+                       minSim: Double = 0.9): DataFrame = {
+    import graft.functions.JaroWinkler.jaroWinklerCol
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        substring(col("p_name"), 1, 1).as("blk"))
+    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+      col("p_brand").as("p_brand"), col("blk"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+      col("p_brand").as("p_brand"), col("blk"))
+    a.join(b, Seq("p_brand", "blk"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("jw", round(jaroWinklerCol(col("name_a"), col("name_b")), 4))
+      .filter(col("jw") >= minSim)
+      .select("key_a", "key_b", "name_a", "name_b", "jw")
+  }
+
+  /** Count-Min point-frequency QC over part keys: one global sketch
+    * (built as a MERGE of per-returnflag partial sketches — the rollup
+    * tree is part of the query, not just a spec claim), broadcast as a
+    * single 12 KiB row against the exact per-key counts, estimates
+    * probed with native `least`/`element_at` arithmetic
+    * ([[graft.functions.CountMin.estimate]]). Every row carries the
+    * one-sided error invariant the sketch guarantees
+    * (`est ≥ cnt`, checked as data by the oracle hash): at 100 TB the
+    * exact-count side of this QC is sampled; the sketch side is the
+    * production path — KB-sized state per stream/partition regardless
+    * of key cardinality. */
+  def cmsPartCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CountMin
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_partkey"))
+    // partial sketches per return flag, merged with the exact
+    // element-wise union — exercises mergeability on the hot path
+    val partials = li.as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new CountMin.CmsAgg().toColumn.name("sk"))
+      .toDF("flag", "sk")
+    val sketch = partials.agg(
+      aggregate(collect_list(col("sk")), CountMin.zeroCol,
+        CountMin.merge2).as("cms"))
+    val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    exact.join(broadcast(sketch))
+      .select(col("l_partkey"),
+        col("cnt"),
+        CountMin.estimate(col("cms"), col("l_partkey")).as("est"))
+      .withColumn("overcount", col("est") - col("cnt"))
+  }
 }
