@@ -1378,6 +1378,33 @@ object Oracles {
        |  AND c.bkt = ((h.a * k.l_partkey + h.b) % 2147483647) % 512
        |GROUP BY 1""".stripMargin
 
+  /** Bounded multi-source BFS over the supply graph
+    * ([[graft.ops.Graph.bfsSupply]]), unrolled: hop h's frontier joins
+    * the previous hop's NEW nodes and anti-filters everything already
+    * visited — the same frontier/anti-join algebra the engine
+    * iterates, as plain CTEs. */
+  val bfsSupply: String = {
+    def hop(h: Int): String =
+      s"""l$h AS (SELECT DISTINCT e.dst AS node
+         |  FROM edges e JOIN l${h - 1} ON l${h - 1}.node = e.src
+         |  WHERE e.dst NOT IN (SELECT node FROM v${h - 1})),
+         |v$h AS (SELECT * FROM v${h - 1}
+         |        UNION ALL SELECT node, $h AS level FROM l$h)"""
+    s"""WITH pairs AS (SELECT DISTINCT l_suppkey AS s,
+       |                 10000000 + l_partkey AS p FROM lineitem),
+       |edges AS (SELECT s AS src, p AS dst FROM pairs
+       |          UNION ALL SELECT p, s FROM pairs),
+       |l0 AS (SELECT DISTINCT s_suppkey AS node FROM supplier
+       |       WHERE s_nationkey = 0),
+       |v0 AS (SELECT node, 0 AS level FROM l0),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)},
+       |${hop(4)}
+       |SELECT level::BIGINT AS level, count(*)::BIGINT AS n_nodes
+       |FROM v4 GROUP BY 1""".stripMargin
+  }
+
   /** 3-iteration PageRank over the bipartite supply graph
     * ([[graft.ops.Graph.pagerankSupply]]), unrolled: each iteration is
     * one join + group-by, the exact relational algebra the engine

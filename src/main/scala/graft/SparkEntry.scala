@@ -252,6 +252,8 @@ object SparkEntry {
     "cms_part_counts" -> ((s, dir) => Relational.cmsPartCounts(s, dir)),
     // iterative fixed-point: 3-iteration PageRank over the supply graph
     "pagerank_supply" -> ((s, dir) => graft.ops.Graph.pagerankSupply(s, dir)),
+    // iterative frontier expansion: bounded multi-source BFS levels
+    "bfs_levels" -> ((s, dir) => graft.ops.Graph.bfsSupply(s, dir)),
     // the SQL entry path end-to-end: temp view + spark.sql TEXT with a
     // session-extension native function (graft_sentiment) in the
     // projection — the surface an analyst tool actually speaks
@@ -831,6 +833,7 @@ object SparkEntry {
     "jw_name_pairs" -> Oracles.jaroWinklerPairs,
     "cms_part_counts" -> Oracles.cmsPartCounts,
     "pagerank_supply" -> Oracles.pagerankSupply,
+    "bfs_levels" -> Oracles.bfsSupply,
     "token_stats" -> OraclesLlm.tokenStats,
     "lang_id" -> OraclesLlm.langId,
     "quality_score" -> OraclesLlm.qualityScore,

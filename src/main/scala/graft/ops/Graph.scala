@@ -102,6 +102,59 @@ object Graph {
     out
   }
 
+  /** Multi-source BFS: hop distance from `seeds` (a `node` column)
+    * over directed `edges`, bounded at `maxHops`. The OTHER iterative
+    * shape next to [[pageRank]]'s fixed-width relaxation: a monotone
+    * frontier expansion where each step is
+    * edges⋈frontier → distinct → ANTI-join visited, and the working
+    * set SHRINKS as the reachable set saturates (the loop exits early
+    * on an empty frontier — `frontier.isEmpty` on a just-checkpointed
+    * frame is a metadata-cheap check, not a recompute).
+    *
+    * Scale shape: the per-hop join carries only frontier-adjacent
+    * edges; `visited` is node-sized and each hop's new slice is
+    * checkpointed, so hop h's plan never re-derives hops 1..h−1. The
+    * anti-join hash-partitions on node — same key as the frontier
+    * join, so AQE reuses the exchange where sizes allow. */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("level", lit(0))
+      .localCheckpoint(eager = true)
+    var frontier = visited.select("node")
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("level", lit(hop))
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next)
+        frontier = next.select("node")
+      }
+      hop += 1
+    }
+    visited
+  }
+
+  /** Registry query: reachability profile of the supply graph —
+    * nodes by hop distance from one nation's suppliers. Pure integer
+    * output (level, node count), so the unrolled DuckDB oracle
+    * hash-matches with no FP concerns. */
+  def bfsSupply(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                nationKey: Int = 0, maxHops: Int = 4): DataFrame = {
+    val edges = supplyEdges(graft.Tables.lineitem(spark, sfDir))
+    val seeds = graft.Tables.supplier(spark, sfDir)
+      .filter(col("s_nationkey") === nationKey)
+      .select(col("s_suppkey").cast("long").as("node"))
+    bfsLevels(edges, seeds, maxHops)
+      .groupBy(col("level").cast("long").as("level"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Registry query: 3-iteration PageRank over the bipartite supply
     * graph. Ranks ship as 1e9-scaled BIGINTs: the per-node inflow sums
     * are doubles whose engine-vs-oracle difference is bounded by FP

@@ -44,6 +44,38 @@ class GraphSpec extends SparkSpec {
       s"rank mass not conserved: $total (dangling nodes should not exist)")
   }
 
+  test("BFS on a path graph: level == hop index, early stop at the end") {
+    val path = (0L until 6L).map(i => i -> (i + 1))
+    val got = Graph.bfsLevels(path.toDF("src", "dst"),
+        Seq(Tuple1(0L)).toDF("node"), 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === (0L to 6L).map(i => i -> i.toInt).toMap)
+  }
+
+  test("BFS stays inside its component and respects maxHops") {
+    // two disjoint 3-cycles; seed in the first one
+    val c1 = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L)
+    val c2 = Seq(10L -> 11L, 11L -> 12L, 12L -> 10L)
+    val all = (c1 ++ c2).toDF("src", "dst")
+    val seeds = Seq(Tuple1(0L)).toDF("node")
+    val got = Graph.bfsLevels(all, seeds, 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2))
+    // hop bound truncates the path: only 2 hops from the seed
+    val bounded = Graph.bfsLevels(all, seeds, 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(bounded === Set(0L, 1L))
+  }
+
+  test("multi-source BFS takes the min distance over seeds") {
+    val path = (0L until 8L).map(i => i -> (i + 1))
+    val seeds = Seq(Tuple1(0L), Tuple1(5L)).toDF("node")
+    val got = Graph.bfsLevels(path.toDF("src", "dst"), seeds, 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // nodes 5..8 are closer to the second seed
+    assert(got(4L) === 4 && got(5L) === 0 && got(6L) === 1 && got(8L) === 3)
+  }
+
   test("rounded ranks are invariant under input repartitioning") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")

@@ -98,6 +98,8 @@ Audit criteria: joins broadcast where a side is small, filters pushed to
 the parquet scan, ReadSchema pruned to needed columns, no CartesianProduct.
 Note: `dedup_clusters` is iterative (large-star/small-star rounds) — its
 'plan' is the final labels LogicalRDD; the per-round join/agg plans execute
+during build. `pagerank_supply` is likewise iterative — the audited plan
+is the final checkpointed ranks; each iteration's join+agg plan executes
 during build. `token_quantiles`' single-partition window is domain-bounded
 (one row per distinct length), not data-bounded — intentional.
 Regenerate: `python3 tools/gen_plans.py [sfDir]`
