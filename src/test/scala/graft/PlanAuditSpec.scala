@@ -181,4 +181,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins.map(_.joinType) == Seq(FullOuter),
       s"merge must be exactly one full-outer join, got ${joins.map(_.joinType)}")
   }
+
+  test("jw_name_pairs: blocked equi-join candidates, JW scalar inside codegen") {
+    assume(available, "driver testdata not present")
+    val plan = planOf("jw_name_pairs")
+    // candidates come from an equi-join on the block keys — any
+    // nested-loop here would mean the blocking degenerated to all-pairs
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "blocking degenerated to a nested-loop join")
+    assert(plan.collect { case j: BaseJoinExec => j }.nonEmpty)
+    // the native expression evaluates inside a WholeStageCodegen span —
+    // the whole point of an Expression over a UDF. Codegen stages only
+    // exist in AQE's FINAL plan, so execute first, then audit.
+    val df = SparkEntry.queries("jw_name_pairs")(spark, sfDir)
+    df.collect()
+    val codegen = planNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegen.exists(_.toString.contains("graft_jaro_winkler")),
+      "graft_jaro_winkler fell out of whole-stage codegen")
+  }
+
+  test("cms_part_counts: the only nested loop is the 1-row sketch broadcast") {
+    assume(available, "driver testdata not present")
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val bnlj = planOf("cms_part_counts")
+      .collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size == 1, s"expected exactly the sketch BNLJ, got ${bnlj.size}")
+    assert(bnlj.head.toString.contains("Aggregate") ||
+      Seq(bnlj.head.left, bnlj.head.right)
+        .exists(_.toString.contains("Aggregate")),
+      "sketch side of the BNLJ is not a 1-row aggregate")
+  }
 }
