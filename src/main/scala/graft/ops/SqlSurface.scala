@@ -206,5 +206,19 @@ object SqlSurface {
          |FROM customer
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
-         |GROUP BY r_name""".stripMargin)
+         |GROUP BY r_name""".stripMargin,
+
+    // the similarity-join shape through the TEXT path: the same
+    // session-extension native expression (graft_jaro_winkler) an
+    // analyst would call, over the same blocking join
+    "jw_name_pairs" ->
+      s"""WITH p AS (SELECT p_partkey, p_name, p_brand,
+         |             substring(p_name, 1, 1) AS blk FROM part)
+         |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         |  a.p_name AS name_a, b.p_name AS name_b,
+         |  round(graft_jaro_winkler(a.p_name, b.p_name), 4) AS jw
+         |FROM p a JOIN p b
+         |  ON a.p_brand = b.p_brand AND a.blk = b.blk
+         |  AND a.p_partkey < b.p_partkey
+         |WHERE round(graft_jaro_winkler(a.p_name, b.p_name), 4) >= 0.9""".stripMargin)
 }

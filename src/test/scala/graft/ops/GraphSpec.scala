@@ -44,6 +44,18 @@ class GraphSpec extends SparkSpec {
       s"rank mass not conserved: $total (dangling nodes should not exist)")
   }
 
+  test("lineage truncation (checkpointEvery) never changes the ranks") {
+    // 12 iterations cross the checkpoint boundary twice at the default
+    // cadence; against checkpointEvery=1 (truncate every step) the
+    // arithmetic is identical — checkpointing is a plan-shape decision,
+    // never a numeric one
+    val star = (1L to 6L).flatMap(i => Seq(0L -> i, i -> 0L))
+    def run(every: Int) =
+      Graph.pageRank(star.toDF("src", "dst"), 12, checkpointEvery = every)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(5) === run(1))
+  }
+
   test("BFS on a path graph: level == hop index, early stop at the end") {
     val path = (0L until 6L).map(i => i -> (i + 1))
     val got = Graph.bfsLevels(path.toDF("src", "dst"),
