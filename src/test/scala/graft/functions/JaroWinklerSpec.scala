@@ -48,6 +48,28 @@ class JaroWinklerSpec extends SparkSpec {
     }
   }
 
+  test("1008-pair DuckDB fixture: every value identical, bit-for-bit") {
+    // pre-computed by the ORACLE ENGINE itself (DuckDB 1.0.0
+    // jaro_winkler_similarity over seeded random + adversarial pairs:
+    // shared prefixes, transpositions, repeats, empties, length skews)
+    // — the strongest fidelity pin available offline. Doubles compare
+    // EXACTLY: both engines compute the same rational arithmetic in
+    // IEEE doubles, so any difference is a semantics bug, not noise.
+    val path = getClass.getResource("/jaro_winkler_duckdb.jsonl")
+    assume(path != null, "fixture missing from test resources")
+    val rows = spark.read
+      .schema("a string, b string, jw double")
+      .json(path.getPath)
+      .collect()
+    assert(rows.length === 1008)
+    rows.foreach { r =>
+      val (a, b, want) = (r.getString(0), r.getString(1), r.getDouble(2))
+      val got = jw(a, b)
+      assert(got === want,
+        s"divergence from DuckDB on ('$a', '$b'): got $got want $want")
+    }
+  }
+
   test("SQL function graft_jaro_winkler resolves after registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(
