@@ -50,10 +50,18 @@ object Graph {
     * (asserted in PageRankSpec).
     *
     * The single driver-side scalar is N (one `count()`), needed for the
-    * teleport constant — the iteration itself never collects.
+    * teleport constant — the iteration itself never collects (with
+    * `tol > 0`, one additional 1-row max-delta aggregate per CHECKPOINT
+    * span, not per iteration — convergence detection rides the
+    * materialization the lineage truncation already pays for).
+    *
+    * `iterations` is the hard cap; `tol > 0` adds early exit when the
+    * max per-node rank change across a whole checkpoint span falls
+    * under `tol` — the fixed-point contract real deployments want
+    * (iterate until stable, never past the cap).
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-               checkpointEvery: Int = 5): DataFrame = {
+               checkpointEvery: Int = 5, tol: Double = 0.0): DataFrame = {
     val spark = edges.sparkSession
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
@@ -73,7 +81,10 @@ object Graph {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var ckpts = List.empty[DataFrame]
-    for (i <- 1 to iterations) {
+    var spanStart = ranks // ranks at the last convergence check
+    var i = 1
+    var converged = false
+    while (i <= iterations && !converged) {
       var next = linked
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
@@ -90,8 +101,17 @@ object Graph {
       if (i % checkpointEvery == 0 && i < iterations) {
         next = next.localCheckpoint(eager = true)
         ckpts ::= next
+        if (tol > 0.0) {
+          val delta = next.as("b")
+            .join(spanStart.as("a"), col("a.node") === col("b.node"))
+            .agg(max(abs(col("b.rank") - col("a.rank"))).as("d"))
+            .collect()(0).getDouble(0)
+          if (delta < tol) converged = true
+          spanStart = next
+        }
       }
       ranks = next
+      i += 1
     }
     // one final materialization: hands the caller a lineage-free result
     // so every iteration-scoped cache can be dropped deterministically

@@ -44,6 +44,25 @@ class GraphSpec extends SparkSpec {
       s"rank mass not conserved: $total (dangling nodes should not exist)")
   }
 
+  test("tol stops a converged iteration early; tol=0 never changes results") {
+    // directed ring: uniform from step 0, so the first convergence
+    // check (after one checkpoint span) sees delta == 0 and exits —
+    // far below the 100-iteration cap (wall-clock-visible if it didn't)
+    val n = 8L
+    val ring = (0L until n).map(i => i -> ((i + 1) % n))
+    val t0 = System.nanoTime()
+    val ranks = Graph.pageRank(ring.toDF("src", "dst"), 100,
+        checkpointEvery = 2, tol = 1e-12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    ranks.values.foreach(r => assert(math.abs(r - 1.0 / n) < 1e-12))
+    assert(sec < 30, s"convergence exit did not fire (took $sec s)")
+    // and the default tol=0 path is exactly the old fixed-count loop
+    val fixed = Graph.pageRank(ring.toDF("src", "dst"), 4)
+      .collect().map(r => r.getDouble(1))
+    fixed.foreach(r => assert(math.abs(r - 1.0 / n) < 1e-12))
+  }
+
   test("lineage truncation (checkpointEvery) never changes the ranks") {
     // 12 iterations cross the checkpoint boundary twice at the default
     // cadence; against checkpointEvery=1 (truncate every step) the
