@@ -16,12 +16,19 @@ object BenchBudget {
   /** query name → budget seconds; empty map when the file is absent
     * (new checkout, budgets not yet committed) so callers degrade to
     * no-op rather than fail. */
-  def load(path: String): Map[String, Double] =
+  def load(path: String): Map[String, Double] = loadSection(path, "queries")
+
+  /** Same flat `"name": number` parse for any named top-level object in
+    * the artifact (e.g. `"mins"` — the min-of-N series the budget
+    * tripwire compares since round 13). The section must contain only
+    * scalar number values; the emitters keep `queries`/`mins` flat and
+    * ahead of any nested object with a colliding key. */
+  def loadSection(path: String, section: String): Map[String, Double] =
     try {
       val text = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
-      val qStart = text.indexOf("\"queries\"")
+      val qStart = text.indexOf("\"" + section + "\"")
       if (qStart < 0) Map.empty
       else {
         val body = text.substring(text.indexOf('{', qStart) + 1,

@@ -1358,14 +1358,22 @@ object Oracles {
 
   /** Count-Min point-frequency QC
     * ([[graft.ops.Relational.cmsPartCounts]]): every sketch cell is
-    * rebuilt with the same affine hashes `((a·k+b) % (2^31−1)) % 512`
-    * in plain integer SQL, so the estimates cross engines exactly. */
+    * rebuilt with the same affine hashes
+    * `((a·(k mod⁺ P) + b) % P) % 512`, P = 2^31−1, in plain integer
+    * SQL, so the estimates cross engines exactly. The key reduces
+    * mod⁺ P FIRST (`(k % P + P) % P` — DuckDB's `%` keeps the
+    * dividend's sign, so the double-mod is the floor-mod spelling),
+    * mirroring the engine's overflow-free round-13 hash: congruent for
+    * every key below P (all TPC-H keys — identical cells to the old
+    * form) and overflow-free over the whole BIGINT domain, where the
+    * pre-r13 `a·k` raised a DuckDB overflow error for |k| ≥ ~2^39. */
   val cmsPartCounts: String =
     s"""WITH h AS (SELECT * FROM (VALUES (0, 1299721, 7), (1, 104729, 13),
        |             (2, 15485863, 31)) t(i, a, b)),
        |cells AS (
        |  SELECT h.i AS i,
-       |    ((h.a * l.l_partkey + h.b) % 2147483647) % 512 AS bkt,
+       |    ((h.a * ((l.l_partkey % 2147483647 + 2147483647) % 2147483647)
+       |      + h.b) % 2147483647) % 512 AS bkt,
        |    count(*)::BIGINT AS c
        |  FROM lineitem l CROSS JOIN h GROUP BY 1, 2),
        |keys AS (SELECT l_partkey, count(*)::BIGINT AS cnt
@@ -1375,7 +1383,8 @@ object Oracles {
        |  min(c.c)::BIGINT - any_value(k.cnt) AS overcount
        |FROM keys k CROSS JOIN h
        |JOIN cells c ON c.i = h.i
-       |  AND c.bkt = ((h.a * k.l_partkey + h.b) % 2147483647) % 512
+       |  AND c.bkt = ((h.a * ((k.l_partkey % 2147483647 + 2147483647)
+       |                       % 2147483647) + h.b) % 2147483647) % 512
        |GROUP BY 1""".stripMargin
 
   /** Bounded multi-source BFS over the supply graph

@@ -21,11 +21,20 @@ import org.apache.spark.sql.functions._
   * re-aggregate forever at 100 TB.
   *
   * Hash family is the SQL-reconstructible affine family
-  * `h_i(k) = ((a_i·k + b_i) mod P) mod W` with P = 2^31−1 — chosen
-  * (like [[graft.llm.Dedup]]'s MinHash family) so the DuckDB oracle
-  * can rebuild every cell with plain integer arithmetic and the
+  * `h_i(k) = ((a_i·(k mod⁺ P) + b_i) mod P) mod W` with P = 2^31−1 —
+  * chosen (like [[graft.llm.Dedup]]'s MinHash family) so the DuckDB
+  * oracle can rebuild every cell with plain integer arithmetic and the
   * estimates cross engines as exact BIGINTs, not approximations.
-  * `a_i·k` stays below 2^63 for any key under 2^39 (a_i < 2^24).
+  * The key is reduced mod P FIRST (`mod⁺` = floor/positive mod, so
+  * negative keys land in [0, P) on both engines): `a_i·(k mod⁺ P)`
+  * stays below 2^55 (a_i < 2^24, k mod⁺ P < 2^31), so the arithmetic
+  * cannot overflow Long for ANY Long key — the pre-round-13 form
+  * `a_i·k` silently wrapped in the engine for |k| ≥ ~2^39 while the
+  * DuckDB oracle raised an overflow error, a cross-engine divergence
+  * mode; mod-first is congruent for every key both engines previously
+  * agreed on (k mod⁺ P < P ⇒ identical buckets for all TPC-H keys) and
+  * now agrees for the full Long domain (CountMinSpec pins
+  * Long.MaxValue/MinValue against a BigInt ground truth).
   *
   * Estimation is a native Column (`least` of D `element_at`s over the
   * flattened sketch) — the sketch is one broadcastable row; probing a
@@ -40,7 +49,7 @@ object CountMin {
   val B: Array[Long] = Array(7L, 13L, 31L)
 
   @inline private[graft] def bucket(i: Int, k: Long): Int =
-    (Math.floorMod(A(i) * k + B(i), P) % W).toInt
+    ((A(i) * Math.floorMod(k, P) + B(i)) % P % W).toInt
 
   /** Typed Aggregator: Long keys in, flat D·W counter array out.
     * Buffer starts empty (zero-length) so the common all-partial-empty
@@ -85,7 +94,7 @@ object CountMin {
     * `min_i sketch[i·W + h_i(key)]` — pure native arithmetic. */
   def estimate(sketch: Column, key: Column): Column = {
     val cells = (0 until D).map { i =>
-      val h = pmod(lit(A(i)) * key + lit(B(i)), lit(P)) % W
+      val h = (lit(A(i)) * pmod(key, lit(P)) + lit(B(i))) % P % W
       element_at(sketch, (lit(i * W) + h + 1).cast("int"))
     }
     least(cells: _*)

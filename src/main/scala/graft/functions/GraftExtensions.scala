@@ -15,6 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sentiment)
     ext.injectFunction(GraftExtensions.cleanTweet)
     ext.injectFunction(GraftExtensions.jaroWinkler)
+    ext.injectFunction(GraftExtensions.extractHashtags)
+    ext.injectFunction(GraftExtensions.country)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKStrategy)
   }
@@ -50,7 +52,14 @@ object GraftExtensions {
       JaroWinklerExpression(children.head, children(1))
     })
 
-  private val all = Seq(polyhash, sentiment, cleanTweet, jaroWinkler)
+  private[graft] val extractHashtags =
+    unary("graft_extract_hashtags", classOf[graft.text.ExtractHashtagsExpression],
+      graft.text.ExtractHashtagsExpression(_))
+  private[graft] val country =
+    unary("graft_country", classOf[CountryExpression], CountryExpression(_))
+
+  private val all =
+    Seq(polyhash, sentiment, cleanTweet, jaroWinkler, extractHashtags, country)
 
   /** Imperative registration on a live session (tests, notebooks):
     * functions plus the range-join rewrite (idempotent — the rule runs

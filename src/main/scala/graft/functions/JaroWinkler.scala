@@ -30,7 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The engine iterates UTF-16 code units; the oracle iterates UTF-8
   * bytes. Identical on ASCII (all driver-table name/text columns the
-  * registry queries feed it); documented boundary for non-ASCII input.
+  * registry queries feed it); for non-ASCII input the two domains
+  * diverge (multi-byte chars shift lengths, match windows and prefix
+  * counts) — the boundary is PINNED, not just narrated, by
+  * JaroWinklerSpec's "non-ASCII boundary" test: exact values for both
+  * domains on accented Latin, Greek, CJK and astral (surrogate-pair)
+  * fixtures, e.g. café/cafe = 0.8833 (engine) vs 0.8483 (byte oracle).
   *
   * 100 TB design note: this is a SCALAR — the quadratic all-pairs
   * problem stays with the caller. [[graft.ops.Relational]]'s

@@ -87,11 +87,18 @@ object LangModel {
     * (w1, w2) and unigram count tables, score to per-doc bigram term
     * frequencies — so the wide joins carry distinct bigrams, not
     * occurrences. The three count joins share the bigram/token keys;
-    * `N` rides along as a 1-row broadcast. `uni` is MATERIALIZED once
-    * (localCheckpoint — vocabulary-bounded, slim (token, cnt) rows):
+    * `N` rides along as a 1-row broadcast. `uni` is LAZILY persisted
+    * (MEMORY_AND_DISK — vocabulary-bounded, slim (token, cnt) rows):
     * it feeds THREE consumers (the w1 join, the w2 join, and the
-    * grand total), and without the checkpoint each consumer re-ran
-    * the whole train-corpus tokenize + aggregate lineage. (A
+    * grand total), so the first consumer to run pays the tokenize +
+    * aggregate once and the rest read the cache. An EAGER
+    * localCheckpoint here (round 12) measured locally identical to
+    * both the lazy persist and to no materialization at all
+    * (~3.7 s at sf0.1 ×3 reps each), but inserted a synchronous
+    * materialization job + block-manager writes inside the timed
+    * region — on the shared driver host that job landed in a CPU-
+    * starvation window and the query "measured" 18.9 s (round-12
+    * post-mortem). Lazy persist keeps the sharing with no extra job. (A
     * measured non-change for the record: dropping the per-doc
     * (doc_id, w1, w2) pre-agg — it deduplicates only 3.5% of rows at
     * sf0.1 — made the query ~25% SLOWER, not faster; the aggregated
@@ -103,7 +110,7 @@ object LangModel {
     val trainToks = trainDocs
       .select(explode(TextFns.tokens(col("text"))).as("token"))
     val uni = trainToks.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = uni.agg(sum("cnt").as("n_total"))
     val trainBi = trainDocs
       .select(explode(bigramPairs(TextFns.tokens(col("text")))).as("bg"))

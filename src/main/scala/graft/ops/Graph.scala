@@ -41,13 +41,24 @@ object Graph {
 
   /** Fixed-iteration PageRank with damping `d`:
     *   rank⁰(v) = 1/N
-    *   rankⁱ(v) = (1−d)/N + d·Σ_{(u,v)∈E} rankⁱ⁻¹(u)/outdeg(u)
+    *   rankⁱ(v) = (1−d)/N + d·(Σ_{(u,v)∈E} rankⁱ⁻¹(u)/outdeg(u) + DMⁱ⁻¹/N)
+    * where DM = Σ over DANGLING nodes u (no out-edges) of rank(u) —
+    * the classic dangling-mass redistribution (Page et al. 1999 §2.5;
+    * "lumped" handling as in Langville & Meyer 2004), which keeps
+    * Σ rank = 1 for ARBITRARY edge sets instead of silently dropping
+    * the mass that flows into sink nodes.
     *
-    * Nodes with no in-edges keep the teleport term (right join below);
-    * dangling nodes (no OUT-edges) are assumed absent — true for any
-    * bidirectional edge set like [[supplyEdges]] — so no dangling-mass
-    * redistribution pass is needed and Σ rank = 1 is preserved exactly
-    * (asserted in PageRankSpec).
+    * Nodes with no in-edges keep the teleport term (right join below).
+    * Danglingness is detected ONCE up front (dst-only nodes, one
+    * anti-join); when the set is empty — true for any bidirectional
+    * edge set like [[supplyEdges]] — the loop runs the slimmer
+    * DM-free plan, so the general contract costs the common case one
+    * node-sized anti-join, not a per-iteration term.
+    *
+    * With dangling nodes present, DM enters the plan as a 1-row
+    * broadcast aggregate over the previous ranks — it stays INSIDE the
+    * lazy checkpoint span (no per-iteration collect); the fused span
+    * plan just gains one node-sized semi-join + scalar per step.
     *
     * The single driver-side scalar is N (one `count()`), needed for the
     * teleport constant — the iteration itself never collects (with
@@ -71,11 +82,19 @@ object Graph {
       .repartition(shufflePartitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // node set = distinct sources: the documented no-dangling contract
-    // (every node has out-edges) makes the dst side redundant — one
-    // distinct instead of three, and the same set the oracle derives
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // node set: distinct sources plus any dst-only (dangling) nodes.
+    // Sources and dangling are disjoint distinct sets, so their union
+    // needs no second distinct; when no node dangles — the common,
+    // bidirectional case — `nodes` IS the source set and the loop
+    // below skips the dangling-mass term entirely.
+    val srcNodes = edges.select(col("src").as("node")).distinct()
+    val dangling = edges.select(col("dst").as("node")).distinct()
+      .join(srcNodes, Seq("node"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = !dangling.isEmpty
+    val nodes =
+      (if (hasDangling) srcNodes.unionByName(dangling) else srcNodes)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge set")
     val teleport = (1.0 - damping) / n
@@ -86,14 +105,25 @@ object Graph {
     var i = 1
     var converged = false
     while (i <= iterations && !converged) {
-      var next = linked
+      val inflow = linked
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node")
         .agg(sum("c").as("inflow"))
         .join(nodes, Seq("node"), "right")
-        .select(col("node"),
-          (lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+      var next =
+        if (hasDangling) {
+          // DM = Σ rank over dangling nodes, as a 1-row broadcast that
+          // stays lazy inside the checkpoint span (never collected)
+          val dm = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+          inflow.join(broadcast(dm))
+            .select(col("node"),
+              (lit(teleport) + lit(damping) *
+                (coalesce(col("inflow"), lit(0.0)) + col("dm") / n)).as("rank"))
+        } else inflow
+          .select(col("node"),
+            (lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
       // iterations stay LAZY (one fused multi-join plan per checkpoint
       // span — a single Spark job, with `linked` cached across its
       // stages); lineage is truncated only every `checkpointEvery`
@@ -120,6 +150,7 @@ object Graph {
     ckpts.foreach(_.unpersist())
     linked.unpersist()
     nodes.unpersist()
+    dangling.unpersist()
     out
   }
 

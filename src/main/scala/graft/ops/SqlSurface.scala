@@ -93,12 +93,59 @@ object SqlSurface {
         |           ORDER BY count(*) DESC, hashtag) AS BIGINT) AS rank
         |  FROM trend_rows GROUP BY ts, hashtag)
         |WHERE rank <= 3""".stripMargin,
+    // the FULL trend pipeline as one pure SQL text — from the raw
+    // `documents` view through wire encode/parse, country heuristic,
+    // 4-regex clean + lexicon sentiment, hashtag explode/clean, and
+    // the deterministic dedup — with every engine-native step invoked
+    // through its session-extension SQL function (graft_country,
+    // graft_clean_tweet, graft_sentiment, graft_extract_hashtags), so
+    // an analyst needs NO DataFrame API to run the reference's whole
+    // dataflow. The texts parse to the same native codegen'd
+    // expressions the API plans (asserted plan-level in
+    // SqlSurfaceSpec).
     "trend_rows" ->
-      s"""SELECT ts, hashtag, sentiment_score,
+      s"""WITH tw AS (
+         |  SELECT doc_id,
+         |    CAST(1700000000 + (doc_id % 10) * 15 AS INT) AS ts,
+         |    CASE CAST(doc_id % 5 AS INT)
+         |      WHEN 0 THEN 'San Francisco, CA'
+         |      WHEN 1 THEN 'Toronto, Ontario'
+         |      WHEN 2 THEN 'Paris'
+         |      WHEN 3 THEN 'Austin, TX'
+         |      ELSE 'Berlin, Germany, EU' END AS loc,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '\\\\bspark\\\\b', '#spark'),
+         |      '\\\\bdata\\\\b', '#data'),
+         |      '\\\\bstream\\\\b', '#stream') AS ht
+         |  FROM documents),
+         |-- wire encode + parse, the exact WireCodec semantics:
+         |-- null-coalesced concat_ws (a NULL slot must still emit its
+         |-- delimiter) and try_element_at (malformed line -> NULL row,
+         |-- never an ANSI error)
+         |parsed AS (
+         |  SELECT doc_id, ts,
+         |    try_element_at(split(line, ' /TLOC/ '), 1) AS location,
+         |    try_element_at(split(line, ' /TLOC/ '), 2) AS txt
+         |  FROM (SELECT doc_id, ts,
+         |          concat_ws(' /TLOC/ ', coalesce(loc, ''),
+         |                    coalesce(ht, '')) AS line
+         |        FROM tw)),
+         |scored AS (
+         |  SELECT doc_id, ts,
+         |    graft_country(location) AS country,
+         |    graft_sentiment(graft_clean_tweet(txt)) AS sentiment_score,
+         |    graft_extract_hashtags(txt) AS tags
+         |  FROM parsed),
+         |trows AS (
+         |  SELECT ts,
+         |    regexp_replace(tag, '(\\\\w*RT)|[^a-zA-Z0-9#]', '') AS hashtag,
+         |    sentiment_score, country
+         |  FROM scored LATERAL VIEW explode(tags) t AS tag)
+         |SELECT ts, hashtag, sentiment_score,
          |       $bucketSql AS sentiment_type, country
          |FROM (SELECT ts, hashtag, country,
          |             min(sentiment_score) AS sentiment_score
-         |      FROM trend_rows GROUP BY ts, hashtag, country)""".stripMargin,
+         |      FROM trows GROUP BY ts, hashtag, country)""".stripMargin,
     // ---- TPC-H shapes over the raw table views ----
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -66,6 +66,41 @@ class CountMinSpec extends SparkSpec {
     got.foreach { case (k, e) => assert(e === estOf(sk, k)) }
   }
 
+  test("full-Long key domain: overflow-free hash matches BigInt ground truth") {
+    // the pre-r13 hash `a*k` wrapped Long for |k| >= ~2^39; the
+    // mod-first form must agree with exact BigInt arithmetic for ANY
+    // key — extremes, ±2^39 boundary straddlers, and negatives
+    def bigBucket(i: Int, k: Long): Int = {
+      val p = BigInt(P)
+      val kr = (BigInt(k) % p + p) % p // floor-mod
+      ((BigInt(A(i)) * kr + B(i)) % p % W).toInt
+    }
+    val hard = Seq(Long.MaxValue, Long.MinValue, -1L, 0L,
+      (1L << 39) - 1, 1L << 39, (1L << 39) + 123L, -(1L << 45),
+      Long.MaxValue - P, 987654321987654321L)
+    for (k <- hard; i <- 0 until D) {
+      val b = bucket(i, k)
+      assert(b === bigBucket(i, k), s"hash $i wrong for key $k")
+      assert(b >= 0 && b < W)
+    }
+    // and mod-first is congruent with the old small-key behavior:
+    // keys below P (every TPC-H key) keep their exact buckets
+    for (k <- Seq(1L, 42L, 199999L, P - 1); i <- 0 until D)
+      assert(bucket(i, k) === ((A(i) * k + B(i)) % P % W).toInt)
+    // a sketch over huge keys still never undercounts, and the Column
+    // estimator agrees with the scalar path out to the extremes
+    import spark.implicits._
+    val hugeKeys = hard.flatMap(k => Seq.fill(3)(k))
+    val sk = sketchOf(hugeKeys)
+    val skDf = spark.range(1).select(lit(sk).as("sk"))
+    hard.foreach { k =>
+      val e = skDf.select(estimate(col("sk"), lit(k)).as("e"))
+        .collect()(0).getLong(0)
+      assert(e === estOf(sk, k), s"column/scalar split for key $k")
+      assert(e >= 3L, s"undercount for huge key $k")
+    }
+  }
+
   test("absent keys estimate >= 0 and zero sketch estimates 0") {
     val skDf = spark.range(1).select(zeroCol.as("sk"))
     val e = skDf.select(estimate(col("sk"), lit(999983L)).as("e"))

@@ -70,6 +70,86 @@ class JaroWinklerSpec extends SparkSpec {
     }
   }
 
+  test("non-ASCII boundary: UTF-16-unit engine vs UTF-8-byte oracle, pinned") {
+    // The engine iterates UTF-16 code units; DuckDB's
+    // jaro_winkler_similarity iterates UTF-8 BYTES. Same algorithm,
+    // different symbol domain — identical whenever every symbol is one
+    // ASCII unit on both sides, divergent otherwise (multi-byte chars
+    // change lengths, match windows and prefix counts). This test makes
+    // that boundary a PINNED fact instead of a doc sentence: a generic
+    // reference of the identical algorithm runs over both domains, the
+    // ASCII property is fuzz-checked, and known non-ASCII pairs assert
+    // BOTH engines' exact values (so either side changing semantics
+    // fails loudly).
+    def jaroSeq(a: IndexedSeq[Int], b: IndexedSeq[Int]): Double = {
+      val (la, lb) = (a.length, b.length)
+      if (la == 0 || lb == 0) return 0.0
+      val window = math.max(math.max(la, lb) / 2 - 1, 0)
+      val am = new Array[Boolean](la); val bm = new Array[Boolean](lb)
+      var m = 0
+      for (i <- 0 until la) {
+        var j = math.max(0, i - window); var found = false
+        val hi = math.min(lb - 1, i + window)
+        while (!found && j <= hi) {
+          if (!bm(j) && a(i) == b(j)) { am(i) = true; bm(j) = true; m += 1; found = true }
+          j += 1
+        }
+      }
+      if (m == 0) return 0.0
+      var half = 0; var j = 0
+      for (i <- 0 until la) if (am(i)) {
+        while (!bm(j)) j += 1
+        if (a(i) != b(j)) half += 1
+        j += 1
+      }
+      val t = half / 2
+      (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    }
+    def jwSeq(a: IndexedSeq[Int], b: IndexedSeq[Int]): Double = {
+      val jv = jaroSeq(a, b)
+      if (jv <= 0.7) return jv
+      var l = 0
+      val mx = math.min(4, math.min(a.length, b.length))
+      while (l < mx && a(l) == b(l)) l += 1
+      jv + l * 0.1 * (1.0 - jv)
+    }
+    def bytes(s: String): IndexedSeq[Int] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).toIndexedSeq.map(_ & 0xff)
+    def units(s: String): IndexedSeq[Int] = s.map(_.toInt)
+
+    // 1) the engine IS the generic algorithm over UTF-16 units
+    //    (ASCII and non-ASCII alike)
+    val rnd = new scala.util.Random(99)
+    def ascii() = (0 until rnd.nextInt(10)).map(_ =>
+      ('a' + rnd.nextInt(4)).toChar).mkString
+    for (_ <- 1 to 2000) {
+      val (a, b) = (ascii(), ascii())
+      assert(jw(a, b) === jwSeq(units(a), units(b)))
+      assert(jw(a, b) === jwSeq(bytes(a), bytes(b)),
+        s"ASCII must be domain-independent: '$a'/'$b'")
+    }
+
+    // 2) pinned divergent pairs: (a, b, engine UTF-16 value, oracle
+    //    UTF-8-byte value) — values captured from both domains
+    val pinned = Seq(
+      ("café", "cafe", 0.8833333333333334, 0.8483333333333334),
+      ("über", "uber", 0.8333333333333334, 0.7833333333333333),
+      ("naïve", "naive", 0.8933333333333333, 0.8577777777777779),
+      ("schön", "schon", 0.9066666666666667, 0.8755555555555556),
+      ("αβγδ", "αβγε", 0.8833333333333334, 0.95),
+      ("日本語", "日本話", 0.8222222222222222, 0.9111111111111111),
+      // astral plane: each emoji is TWO UTF-16 units (surrogate pair)
+      // and FOUR UTF-8 bytes — both domains super-ASCII, still unequal
+      ("😀😀", "😀😁", 0.8833333333333334, 0.95))
+    pinned.foreach { case (a, b, engineWant, byteWant) =>
+      assert(jw(a, b) === engineWant, s"engine value moved for '$a'/'$b'")
+      assert(jwSeq(units(a), units(b)) === engineWant)
+      assert(jwSeq(bytes(a), bytes(b)) === byteWant,
+        s"byte-domain value moved for '$a'/'$b'")
+      assert(engineWant !== byteWant)
+    }
+  }
+
   test("SQL function graft_jaro_winkler resolves after registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(

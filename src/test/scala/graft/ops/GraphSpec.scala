@@ -3,9 +3,9 @@ package graft.ops
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** PageRank invariants: rank conservation (no dangling mass on
-  * bidirectional graphs), known closed-form fixpoints, and plan-level
-  * determinism under repartitioning. */
+/** PageRank invariants: rank conservation (including dangling-mass
+  * redistribution on graphs with sink nodes), known closed-form
+  * fixpoints, and plan-level determinism under repartitioning. */
 class GraphSpec extends SparkSpec {
 
   import spark.implicits._
@@ -13,6 +13,25 @@ class GraphSpec extends SparkSpec {
   private def ranksOf(edges: Seq[(Long, Long)], iters: Int) =
     Graph.pageRank(edges.toDF("src", "dst"), iters)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  /** In-memory reference PageRank with the same dangling-mass
+    * redistribution semantics the engine implements — the oracle for
+    * the dangling-graph cases. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(out.contains).map(rank).sum
+      val inflow = edges.groupBy(_._2).view
+        .mapValues(es => es.map(e => rank(e._1) / out(e._1)).sum).toMap
+      rank = nodes.map(v =>
+        v -> ((1 - d) / n + d * (inflow.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    rank
+  }
 
   test("directed ring: uniform distribution is the exact fixpoint") {
     val n = 10L
@@ -42,6 +61,48 @@ class GraphSpec extends SparkSpec {
     val total = ranks.agg(sum("rank")).collect()(0).getDouble(0)
     assert(math.abs(total - 1.0) < 1e-9,
       s"rank mass not conserved: $total (dangling nodes should not exist)")
+  }
+
+  test("dangling sink: mass is redistributed, ranks match the reference") {
+    // 0 -> 1 -> 2 where 2 has NO out-edges: without redistribution the
+    // rank flowing into 2 leaks every iteration and the total decays
+    val chain = Seq(0L -> 1L, 1L -> 2L)
+    for (iters <- Seq(1, 3, 7)) {
+      val got = ranksOf(chain, iters)
+      val want = refPageRank(chain, iters)
+      assert(got.keySet === want.keySet)
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - want(v)) < 1e-12, s"node $v at $iters iters")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9,
+        s"dangling mass leaked at $iters iters: ${got.values.sum}")
+    }
+  }
+
+  test("dangling hub: a sink with many in-edges conserves total rank") {
+    // stars INTO node 99 (dangling), plus a 2-cycle on the side; the
+    // sink hoards inflow which must recycle to everyone via DM/N
+    val edges = (1L to 5L).map(i => i -> 99L) ++ Seq(6L -> 7L, 7L -> 6L)
+    for (iters <- Seq(2, 6)) {
+      val got = ranksOf(edges, iters)
+      val want = refPageRank(edges, iters)
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - want(v)) < 1e-12, s"node $v at $iters iters")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+      // the sink outranks its symmetric feeders
+      assert(got(99L) > got(1L))
+    }
+  }
+
+  test("dangling graph: checkpoint cadence never changes the ranks") {
+    // DM is computed from the previous ranks inside the lazy span —
+    // truncating lineage at different points must be numerically inert
+    val edges = Seq(0L -> 1L, 1L -> 2L, 0L -> 2L, 2L -> 3L) // 3 dangles
+    def run(every: Int) =
+      Graph.pageRank(edges.toDF("src", "dst"), 9, checkpointEvery = every)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(5) === run(1))
   }
 
   test("tol stops a converged iteration early; tol=0 never changes results") {

@@ -53,6 +53,27 @@ class SqlSurfaceSpec extends SparkSpec {
       s"text form reads ${scan.requiredSchema.length} columns of 16")
   }
 
+  test("the full-SQL trend pipeline plans the NATIVE expressions, no UDFs") {
+    assume(available, "driver testdata not present")
+    // the round-13 pure-SQL trend_rows text must parse to the same
+    // codegen'd native expressions the DataFrame pipeline plans —
+    // graft_sentiment / graft_clean_tweet / graft_extract_hashtags /
+    // graft_country resolving through the session extension, never a
+    // ScalaUDF fallback
+    graft.functions.GraftExtensions.register(spark)
+    SqlSurface.registerViews(spark, sfDir)
+    val plan = SqlSurface.run(spark, "trend_rows")
+      .queryExecution.optimizedPlan
+    val exprs = scala.collection.mutable.Set[String]()
+    plan.foreach(_.expressions.foreach(_.foreach(e =>
+      exprs += e.getClass.getSimpleName)))
+    Seq("SentimentScoreExpression", "CleanTweetTextExpression",
+      "ExtractHashtagsExpression", "CountryExpression").foreach { n =>
+      assert(exprs.contains(n), s"native $n missing from the SQL-text plan")
+    }
+    assert(!exprs.contains("ScalaUDF"), "SQL text fell back to a UDF")
+  }
+
   test("the text surface covers the dashboard set and the TPC-H core") {
     val names = SqlSurface.sqlTexts.keySet
     Seq("topn_trends", "hashtag_timeseries", "sentiment_distribution",

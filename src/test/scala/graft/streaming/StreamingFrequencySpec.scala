@@ -48,11 +48,14 @@ class StreamingFrequencySpec extends SparkSpec {
 
     val all = batch1 ++ batch2
     val want = batchEst(all)
-    // LAST emission per (type, user) is the running estimate over
-    // everything so far == the batch estimate over the whole input
-    val rows = spark.table("sf_cms").collect().zipWithIndex
-      .map { case (r, i) => ((r.getString(0), r.getLong(1)), (i, r.getLong(2))) }
-    val last = rows.groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2._1)._2._2 }
+    // the FINAL estimate per (type, user) is the MAX emission: CMS
+    // counters only ever grow, so the running estimate is monotone
+    // non-decreasing across triggers — max is order-independent, where
+    // inferring "last" from collect() row order leaned on an
+    // undocumented memory-sink ordering guarantee (round-12 advice)
+    val rows = spark.table("sf_cms").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val last = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     last.foreach { case (k, est) =>
       assert(est === want(k), s"stream/batch divergence for $k")
     }
