@@ -79,6 +79,22 @@ object GraphBench {
     rows += s"""{"case":"pagerank_12_ckpt_every_1","sec":${f"$secEvery1%.3f"},"ranks_equal_default_cadence":$agree}"""
     require(agree, "checkpoint cadence changed the rounded ranks")
 
+    // 4. dangling-mass redistribution at scale: sink-ify the odd part
+    // nodes (drop their out-edges), leaving ~25% of edges removed and
+    // half the part nodes dangling — measures the DM term (a lazy
+    // 1-row broadcast aggregate per iteration) on a graph-sized input
+    // and proves rank conservation holds at scale, not just on the
+    // GraphSpec toys
+    val danglingEdges = edges.filter(
+      !(col("src") >= Graph.PartOffset && pmod(col("src"), lit(2)) === 1))
+    val (danglingSec, danglingMass) = time {
+      Graph.pageRank(danglingEdges, 6)
+        .agg(sum("rank")).collect()(0).getDouble(0)
+    }
+    rows += s"""{"case":"pagerank_6_dangling","sec":${f"$danglingSec%.3f"},"rank_mass":${f"$danglingMass%.9f"}}"""
+    require(math.abs(danglingMass - 1.0) < 1e-6,
+      s"dangling redistribution leaked rank mass: $danglingMass")
+
     // 3. BFS: total + per-hop saturation profile
     val seeds = Tables.supplier(spark, sfDir)
       .filter(col("s_nationkey") === 0)

@@ -56,9 +56,16 @@ object Graph {
     * node-sized anti-join, not a per-iteration term.
     *
     * With dangling nodes present, DM enters the plan as a 1-row
-    * broadcast aggregate over the previous ranks — it stays INSIDE the
-    * lazy checkpoint span (no per-iteration collect); the fused span
-    * plan just gains one node-sized semi-join + scalar per step.
+    * broadcast aggregate over the previous ranks (never a collect) —
+    * BUT it makes each step consume the previous ranks TWICE (inflow
+    * join + DM semi-join), so inside a lazy multi-iteration span the
+    * plan would DOUBLE per step (2^span subtree copies — measured
+    * 18.6 s vs 5.0 s for 6 iterations at sf0.1 when left lazy).
+    * Dangling mode therefore materializes each iteration
+    * (localCheckpoint per step): both DM consumers then read one
+    * cached node-sized relation, and the measured cost is the ordinary
+    * cadence-1 one (GRAPH_BENCH `pagerank_12_ckpt_every_1`), not the
+    * exponential one.
     *
     * The single driver-side scalar is N (one `count()`), needed for the
     * teleport constant — the iteration itself never collects (with
@@ -76,10 +83,17 @@ object Graph {
     val spark = edges.sparkSession
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    // big side: partition once on the join key, persist across iterations
-    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val linked = edges.join(outDeg, "src")
-      .repartition(shufflePartitions, col("src"))
+    // big side: partition + PERSIST the edge set once — the setup phase
+    // consumes it four times (outdeg, the linked join, and both node-set
+    // derivations for the dangling check), and for derived edge sets
+    // like [[supplyEdges]] each un-cached consumer would re-run the
+    // full fact-table distinct. Partitioning by src up front also makes
+    // the outdeg aggregate and the linked join shuffle-free (both key
+    // on src and reuse the cached partitioning).
+    val e = edges.repartition(shufflePartitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val linked = e.join(outDeg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // node set: distinct sources plus any dst-only (dangling) nodes.
@@ -87,8 +101,8 @@ object Graph {
     // needs no second distinct; when no node dangles — the common,
     // bidirectional case — `nodes` IS the source set and the loop
     // below skips the dangling-mass term entirely.
-    val srcNodes = edges.select(col("src").as("node")).distinct()
-    val dangling = edges.select(col("dst").as("node")).distinct()
+    val srcNodes = e.select(col("src").as("node")).distinct()
+    val dangling = e.select(col("dst").as("node")).distinct()
       .join(srcNodes, Seq("node"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hasDangling = !dangling.isEmpty
@@ -114,7 +128,10 @@ object Graph {
       var next =
         if (hasDangling) {
           // DM = Σ rank over dangling nodes, as a 1-row broadcast that
-          // stays lazy inside the checkpoint span (never collected)
+          // stays lazy (never collected). This is the step's SECOND
+          // consumer of `ranks`, which is why dangling mode
+          // materializes every iteration below — left lazy, the span
+          // plan doubles per step (see the method scaladoc).
           val dm = ranks.join(dangling, Seq("node"), "left_semi")
             .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
           inflow.join(broadcast(dm))
@@ -124,11 +141,17 @@ object Graph {
         } else inflow
           .select(col("node"),
             (lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-      // iterations stay LAZY (one fused multi-join plan per checkpoint
-      // span — a single Spark job, with `linked` cached across its
-      // stages); lineage is truncated only every `checkpointEvery`
-      // steps, which is what bounds optimizer time at high iteration
-      // counts without paying a materialization per step
+      // No-dangling mode: iterations stay LAZY (one fused multi-join
+      // plan per checkpoint span — a single Spark job, with `linked`
+      // cached across its stages); lineage is truncated only every
+      // `checkpointEvery` steps, which is what bounds optimizer time at
+      // high iteration counts without paying a materialization per
+      // step. Dangling mode: every iteration materializes (two
+      // consumers of `ranks` per step make laziness exponential).
+      if (hasDangling && !(i % checkpointEvery == 0) && i < iterations) {
+        next = next.localCheckpoint(eager = true)
+        ckpts ::= next
+      }
       if (i % checkpointEvery == 0 && i < iterations) {
         next = next.localCheckpoint(eager = true)
         ckpts ::= next
@@ -151,6 +174,7 @@ object Graph {
     linked.unpersist()
     nodes.unpersist()
     dangling.unpersist()
+    e.unpersist()
     out
   }
 
