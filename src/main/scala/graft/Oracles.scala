@@ -1356,6 +1356,30 @@ object Oracles {
        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
        |""".stripMargin
 
+  /** Entity clusters over the Jaro-Winkler pair graph
+    * ([[graft.ops.Relational.nameClusters]]): the same blocked JW
+    * pair join, then transitive closure via recursive CTE, each
+    * clustered part labeled with its component's min partkey —
+    * mirroring the engine's large-star/small-star fixpoint, which
+    * converges to the same min-reachable-id labeling. */
+  val nameClusters: String =
+    s"""WITH RECURSIVE p AS (SELECT p_partkey, p_name, p_brand,
+       |             substr(p_name, 1, 1) AS blk FROM part),
+       |pairs AS (
+       |  SELECT a.p_partkey AS u, b.p_partkey AS v
+       |  FROM p a JOIN p b
+       |    ON a.p_brand = b.p_brand AND a.blk = b.blk
+       |    AND a.p_partkey < b.p_partkey
+       |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9),
+       |edges AS (SELECT u AS a, v AS b FROM pairs
+       |          UNION SELECT v, u FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS p_partkey, least(src, min(dst))::BIGINT AS canonical_key
+       |FROM reach GROUP BY src""".stripMargin
+
   /** Count-Min point-frequency QC
     * ([[graft.ops.Relational.cmsPartCounts]]): every sketch cell is
     * rebuilt with the same affine hashes

@@ -547,6 +547,64 @@ object OraclesLlm {
        |SELECT doc_a, doc_b, inter_size, union_size
        |FROM scored WHERE inter_size * 1000 >= union_size * 800""".stripMargin
 
+  /** The shingle-set chain alone (corpus → token hashes → distinct
+    * shingle sets) over the near-dup corpus — shared by the exact
+    * set-similarity join oracles, which need sets but not bands. */
+  private val shingleSetsCtes: String =
+    s"""$nearDupCorpus,
+       |th AS (SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM corpus),
+       |sets AS (SELECT doc_id, sh FROM
+       |  (SELECT doc_id, ${shSetE("ths")} AS sh FROM th) WHERE len(sh) > 0),
+       |s2 AS (SELECT doc_id, sh, len(sh) AS sz FROM sets)""".stripMargin
+
+  /** BRUTE-FORCE all-pairs shingle Jaccard
+    * ([[graft.llm.SetSimJoin.ssjoinExact]]): the completeness proof
+    * for the engine's prefix-filtered join — the oracle enumerates
+    * every pair, so any qualifying pair the prefix filter missed
+    * (or any extra pair it emitted) hash-mismatches. Quadratic is
+    * FINE here: that is what makes it an oracle, not an engine. */
+  val ssjoinExact: String =
+    s"""WITH $shingleSetsCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.sh, b.sh))::BIGINT AS inter_size,
+       |  (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))::BIGINT AS union_size,
+       |  (1000 * len(list_intersect(a.sh, b.sh)))
+       |    // (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) AS jaccard_pm
+       |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.sh, b.sh)) * 1000 >=
+       |  (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 500""".stripMargin
+
+  /** Prefix-filter selectivity twin
+    * ([[graft.llm.SetSimJoin.ssjoinPrefixStats]]): rebuilds the
+    * ENGINE'S candidate generation — (df ASC, hash ASC) global order
+    * via `list(... ORDER BY ...)`, integer-ceil prefix length,
+    * inverted-index join + length filter — so the candidate count
+    * pins the prefix logic itself cross-engine, not just the final
+    * verified pairs. */
+  val ssjoinPrefixStats: String =
+    s"""WITH $shingleSetsCtes,
+       |tk AS (SELECT doc_id, sz, unnest(sh) AS h FROM s2),
+       |df AS (SELECT h, count(*) AS df FROM tk GROUP BY h),
+       |ord AS (SELECT t.doc_id, t.sz, list(t.h ORDER BY d.df, t.h) AS ord
+       |        FROM tk t JOIN df d ON t.h = d.h GROUP BY t.doc_id, t.sz),
+       |pref AS (SELECT doc_id, sz,
+       |    unnest(list_slice(ord, 1, sz - ((sz * 500 + 999) // 1000) + 1)) AS h
+       |  FROM ord),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM pref a JOIN pref b ON a.h = b.h
+       |         WHERE a.doc_id < b.doc_id
+       |           AND a.sz * 1000 >= b.sz * 500 AND b.sz * 1000 >= a.sz * 500),
+       |ver AS (SELECT c.doc_a, c.doc_b
+       |        FROM cand c
+       |        JOIN s2 a ON c.doc_a = a.doc_id
+       |        JOIN s2 b ON c.doc_b = b.doc_id
+       |        WHERE len(list_intersect(a.sh, b.sh)) * 1000 >=
+       |          (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 500)
+       |SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM s2
+       |UNION ALL SELECT 'n_prefix_postings', count(*)::BIGINT FROM pref
+       |UNION ALL SELECT 'n_candidate_pairs', count(*)::BIGINT FROM cand
+       |UNION ALL SELECT 'n_pairs', count(*)::BIGINT FROM ver""".stripMargin
+
   /** Degree histogram over the verified pair graph
     * ([[graft.llm.Dedup.dupDegrees]]): same band chain, endpoints
     * unioned, two rollups. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Country, Sentiment}
-import graft.llm.{Classifier, Dedup, EditDistance, LangModel, LshIndex, Multimodal, Packing, Pipeline, Retrieval, Similarity, TextAnalysis}
+import graft.llm.{Classifier, Dedup, EditDistance, LangModel, LshIndex, Multimodal, Packing, Pipeline, Retrieval, SetSimJoin, Similarity, TextAnalysis}
 import graft.model.WireCodec
 import graft.ops.{Ranges, Relational, TrendPipeline, Windows}
 import graft.text.TextOps
@@ -248,6 +248,8 @@ object SparkEntry {
       Relational.topPartsPerNationNative(s, dir)),
     // blocked Jaro-Winkler similarity join (native codegen'd scalar)
     "jw_name_pairs" -> ((s, dir) => Relational.jaroWinklerPairs(s, dir)),
+    // ER clusters: connected components over the JW pair graph
+    "name_clusters" -> ((s, dir) => Relational.nameClusters(s, dir)),
     // Count-Min sketch: mergeable point-frequency with one-sided error
     "cms_part_counts" -> ((s, dir) => Relational.cmsPartCounts(s, dir)),
     // iterative fixed-point: 3-iteration PageRank over the supply graph
@@ -438,6 +440,13 @@ object SparkEntry {
     }),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Dedup.withNearDups(docs(s, dir)))),
+    // EXACT set-similarity self-join (prefix filtering, recall 1) —
+    // the completeness counterpart to the LSH candidates above
+    "ssjoin_exact" -> ((s, dir) =>
+      SetSimJoin.ssjoinExact(Dedup.withNearDups(docs(s, dir)))),
+    // the prefix filter's selectivity, pinned cross-engine
+    "ssjoin_prefix_stats" -> ((s, dir) =>
+      SetSimJoin.ssjoinPrefixStats(Dedup.withNearDups(docs(s, dir)))),
     // threshold-tuning report: docs removed per Jaccard cutoff
     "dedup_rate_curve" -> ((s, dir) =>
       Dedup.dedupRateCurve(Dedup.withNearDups(docs(s, dir)))),
@@ -831,6 +840,7 @@ object SparkEntry {
     "order_revenue_salted_selective" -> Oracles.orderRevenueSalted,
     "range_join" -> Oracles.rangeJoin,
     "jw_name_pairs" -> Oracles.jaroWinklerPairs,
+    "name_clusters" -> Oracles.nameClusters,
     "cms_part_counts" -> Oracles.cmsPartCounts,
     "pagerank_supply" -> Oracles.pagerankSupply,
     "bfs_levels" -> Oracles.bfsSupply,
@@ -862,6 +872,8 @@ object SparkEntry {
     "lsh_tuning" -> OraclesLlm.lshTuning,
     "minhash_signatures" -> OraclesLlm.minhashSignatures,
     "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,
+    "ssjoin_exact" -> OraclesLlm.ssjoinExact,
+    "ssjoin_prefix_stats" -> OraclesLlm.ssjoinPrefixStats,
     "dedup_rate_curve" -> OraclesLlm.dedupRateCurve,
     "dedup_clusters" -> OraclesLlm.dedupClusters,
     "leakage_split" -> OraclesLlm.leakageSplit,

@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join via prefix filtering — the
+  * AllPairs/PPJoin family (Bayardo et al., "Scaling Up All Pairs
+  * Similarity Search", WWW 2007; the MapReduce shape is Vernica et
+  * al., SIGMOD 2010). Operates on the SAME 3-token shingle-hash sets
+  * as the MinHash path ([[Dedup.shingleSets]]), so its results are
+  * directly comparable with [[Dedup.minhashDedup]] — and that is the
+  * point: LSH banding is probabilistic (the (4,4) S-curve's knee sits
+  * near J ≈ 0.7, and pairs below it can be MISSED), while prefix
+  * filtering carries a completeness theorem — every pair with
+  * Jaccard ≥ t is GUARANTEED to collide on at least one prefix
+  * token, recall exactly 1 by construction. The trade: LSH cost is
+  * threshold-independent; prefix-filter candidate volume grows as t
+  * drops. So this is the tool when "no missed pair" is a contract
+  * (decontamination audits, eval-set leakage sweeps, high-t dedup),
+  * and LSH is the tool for low-t exploration.
+  *
+  * Why it is exact (the theorem, for the spec and the reviewer): fix
+  * a TOTAL order on shingle hashes and give each doc's set `x` a
+  * prefix of its first `|x| − ⌈t·|x|⌉ + 1` elements in that order.
+  * For any pair with J(A,B) ≥ t the overlap satisfies
+  * `|A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|)`, so A∩B has at least
+  * `⌈t·|A|⌉` elements. Let w be the GLOBALLY SMALLEST common
+  * element: within A every common element sorts at or after w, so
+  * w's position is at most `|A| − ⌈t·|A|⌉ + 1` — inside A's prefix;
+  * symmetrically inside B's. The same w is in BOTH prefixes, and the
+  * inverted-index join on prefix elements emits the pair. (The
+  * shared global order is load-bearing: per-doc orders would only
+  * promise SOME common element in each prefix, not the same one.)
+  *
+  * The order is (document frequency ASC, hash ASC) — rare shingles
+  * first, the standard AllPairs trick: candidate volume is
+  * Σ_sh df_prefix(sh)², and putting the rarest shingles in prefixes
+  * makes those partial dfs tiny (boilerplate shingles that would
+  * quadratically explode an inverted-index join are exactly what the
+  * prefix truncation drops). The hash tiebreak makes the order total
+  * and engine/oracle-deterministic.
+  *
+  * 100 TB shape: three shuffles — the shingle-df aggregate, the
+  * per-doc sort-and-slice aggregate, and the prefix inverted-index
+  * join — each carrying slim (hash, id, size) rows, never text or
+  * full sets. The length filter `t·|A| ≤ |B| ≤ |A|/t` prunes
+  * candidates BEFORE the distinct; full sets are fetched only for
+  * pairs surviving candidate dedup, so the verification join's input
+  * is candidate-bounded, not |corpus|². Every predicate is integer
+  * cross-multiplication (`sz·1000 ≥ sz·pm`, ceil as
+  * `(sz·pm + 999) div 1000`) — no FP anywhere, so the DuckDB oracle
+  * reproduces the candidate set and the verified pairs bit-for-bit.
+  */
+object SetSimJoin {
+
+  /** [[Dedup.shingleSets]] plus the set cardinality (join/filter key
+    * for the length bound; shingle-free docs are already dropped). */
+  private[llm] def sizedSets(docs: DataFrame): DataFrame =
+    Dedup.shingleSets(docs).withColumn("sz", size(col("sh")))
+
+  /** Per-doc prefix postings under the (df ASC, hash ASC) global
+    * order: one (sh, doc_id, sz) row per prefix element, prefix
+    * length `sz − ⌈t·sz⌉ + 1` in exact integer arithmetic. */
+  private[llm] def prefixPostings(sets: DataFrame, minJaccardPm: Int): DataFrame = {
+    val shDf = sets.select(explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    // (df, h) struct sort = the global rare-first order; collect_list
+    // feeds array_sort so the per-doc order is total and deterministic
+    val ordered = sets
+      .select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
+      .join(shDf, "h")
+      .groupBy("doc_id", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+    val prefLen =
+      expr(s"sz - ((sz * $minJaccardPm + 999) div 1000) + 1").cast("int")
+    ordered.select(col("doc_id"), col("sz"),
+      explode(slice(col("ord").getField("h"), lit(1), prefLen)).as("h"))
+  }
+
+  /** Candidate pairs: prefix inverted-index join + both-sided length
+    * filter, deduped. Complete w.r.t. J ≥ minJaccardPm/1000 by the
+    * prefix-filter theorem (object scaladoc). */
+  private[llm] def candidatePairs(sets: DataFrame, minJaccardPm: Int): DataFrame = {
+    val pref = prefixPostings(sets, minJaccardPm)
+    val a = pref.select(col("h"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val b = pref.select(col("h"),
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("sz_a") * 1000L >= col("sz_b") * minJaccardPm.toLong &&
+        col("sz_b") * 1000L >= col("sz_a") * minJaccardPm.toLong)
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  private def verified(sets: DataFrame, cands: DataFrame,
+                       minJaccardPm: Int): DataFrame =
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter_size",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("union_size",
+        (col("sz_a") + col("sz_b")).cast("long") - col("inter_size"))
+      .filter(col("inter_size") * 1000L >=
+        col("union_size") * minJaccardPm.toLong)
+      .select(col("doc_a"), col("doc_b"), col("inter_size"), col("union_size"),
+        expr("(1000 * inter_size) div union_size").as("jaccard_pm"))
+
+  /** All pairs with shingle-set Jaccard ≥ minJaccardPm/1000 — EXACT
+    * (recall 1, verified intersection sizes; same columns as
+    * [[Dedup.ngramJaccardPairs]] so the two paths diff directly).
+    * Default 500 sits BELOW the (4,4) LSH knee on purpose: that is
+    * the region where banding misses pairs and exactness earns its
+    * extra candidates. The brute-force DuckDB oracle is the
+    * completeness proof — any pair the prefix filter missed would
+    * hash-mismatch. */
+  def ssjoinExact(docs: DataFrame, minJaccardPm: Int = 500): DataFrame = {
+    val sets = sizedSets(docs)
+    verified(sets, candidatePairs(sets, minJaccardPm), minJaccardPm)
+  }
+
+  /** Filter-selectivity report: corpus size, prefix-posting volume,
+    * candidate pairs after the length filter, verified pairs. The
+    * DuckDB twin rebuilds the PREFIX logic itself (df order, integer
+    * ceil, slice), so the candidate count pins the engine's candidate
+    * GENERATION — not just its final answer — cross-engine. This is
+    * the number to watch at scale: candidates/verified is the price
+    * of exactness, and a corpus whose ratio explodes (boilerplate
+    * shingles with huge prefix dfs) is the signal to cap document
+    * frequency up front or fall back to LSH. */
+  def ssjoinPrefixStats(docs: DataFrame, minJaccardPm: Int = 500): DataFrame = {
+    val sets = sizedSets(docs)
+    val pref = prefixPostings(sets, minJaccardPm)
+    val cands = candidatePairs(sets, minJaccardPm)
+    val pairs = verified(sets, cands, minJaccardPm)
+    def m(name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("value")).select(lit(name).as("metric"), col("value"))
+    m("n_docs", sets)
+      .unionAll(m("n_prefix_postings", pref))
+      .unionAll(m("n_candidate_pairs", cands))
+      .unionAll(m("n_pairs", pairs))
+  }
+}

@@ -1294,6 +1294,28 @@ object Relational {
       .select("key_a", "key_b", "name_a", "name_b", "jw")
   }
 
+  /** Entity-resolution CLUSTERS: connected components over the
+    * [[jaroWinklerPairs]] similarity graph, each clustered part
+    * labeled with its component's min partkey (the canonical entity).
+    * This is detect → cluster → canonicalize — the full ER story the
+    * similarity join only starts: pairwise ≥0.9 matches are not an
+    * entity mapping until transitivity is resolved ("smal ring" ~
+    * "small ring" ~ "small rings" must land in ONE cluster even when
+    * the endpoints' direct similarity dips under the threshold).
+    * Reuses [[graft.llm.Dedup.dedupClusters]]'s alternating
+    * large-star/small-star fixpoint verbatim — component labeling is
+    * domain-agnostic, and composing the two proves the operator
+    * library composes (same O(log) round bound, same slim
+    * (u, v)-edge shuffles; the pair graph here is part-sized, orders
+    * of magnitude below the doc near-dup graph). */
+  def nameClusters(spark: SparkSession, sfDir: String,
+                   minSim: Double = 0.9): DataFrame =
+    graft.llm.Dedup.dedupClusters(
+        jaroWinklerPairs(spark, sfDir, minSim)
+          .select(col("key_a").as("doc_a"), col("key_b").as("doc_b")))
+      .select(col("doc_id").as("p_partkey"),
+        col("canonical_id").as("canonical_key"))
+
   /** Count-Min point-frequency QC over part keys: one global sketch
     * (built as a MERGE of per-returnflag partial sketches — the rollup
     * tree is part of the query, not just a spec claim), broadcast as a

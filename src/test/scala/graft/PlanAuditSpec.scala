@@ -124,7 +124,8 @@ class PlanAuditSpec extends SparkSpec {
     // text — sample_docs, strip_repeated_spans — are not in this list;
     // their shuffles are output-shaped, not key-shaped.)
     Seq("dedup_docs", "minhash_dedup", "simhash_dedup", "chunk_dedup",
-      "ngram_jaccard_pairs", "contamination", "bloom_contamination",
+      "ngram_jaccard_pairs", "ssjoin_exact", "ssjoin_prefix_stats",
+      "contamination", "bloom_contamination",
       "dedup_clusters", "dedup_rate_by_source", "embedding_near_dup",
       "lsh_index_query").foreach { name =>
       val leaky = planOf(name).collect {

@@ -107,6 +107,32 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == ref.toSeq)
   }
 
+  test("nameClusters labels each JW component with its min partkey") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Relational.jaroWinklerPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b")))
+    assume(pairs.nonEmpty, "no JW pairs at this SF")
+    // driver-side union-find reference over the same pair graph
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ref = parent.keys.map(k => k -> find(k)).toMap
+    val got = Relational.nameClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("canonical_key"))
+      .toMap
+    assert(got == ref)
+    // transitivity did real work if any component has > 2 nodes
+    assert(got.values.toSeq.distinct.size < got.size)
+  }
+
   test("customerOrderDistribution keeps the zero-order bucket") {
     import spark.implicits._
     // 3 customers: one with 2 orders, one with 1, one with none
