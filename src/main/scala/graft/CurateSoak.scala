@@ -124,7 +124,10 @@ object CurateSoak {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
       .option("checkpointLocation", ckpt)
       .start()
-    try Thread.sleep(seconds * 1000L) finally q.stop()
+    // see IngestSoak: a saturated stop can rethrow the in-flight
+    // batch's interruption; the summary must still be written
+    try Thread.sleep(seconds * 1000L)
+    finally scala.util.Try(q.stop())
     spark.streams.removeListener(listener)
     log.synchronized(log.close())
 

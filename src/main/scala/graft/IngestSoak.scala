@@ -140,12 +140,23 @@ object IngestSoak {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
       .option("checkpointLocation", ckpt)
       .start()
-    try Thread.sleep(seconds * 1000L) finally q.stop()
+    // stop() can rethrow the in-flight batch's interruption (e.g. a
+    // foreachBatch parquet write aborted mid-task) — that is the
+    // EXPECTED way to end a saturated run, not a reason to lose the
+    // summary, so swallow it and let the measured series speak
+    try Thread.sleep(seconds * 1000L)
+    finally scala.util.Try(q.stop())
     spark.streams.removeListener(listener)
     log.synchronized(log.close())
 
-    // ground truth from the stores the loop wrote
-    val corpusRows = spark.read.parquet(corpusDir).count()
+    // ground truth from the stores the loop wrote. A saturated run can
+    // finish ZERO batches inside the measurement window (the overload
+    // regime a rate sweep is probing for) — then the corpus dir is
+    // empty and a bare parquet read throws UNABLE_TO_INFER_SCHEMA. The
+    // summary must still be written (corpus_rows 0, median 0 — the
+    // "does not keep up" verdict), not crash the sweep.
+    val corpusRows = scala.util.Try(spark.read.parquet(corpusDir).count())
+      .getOrElse(0L)
     spark.catalog.refreshTable(graft.llm.LshIndex.setsTable("ingest_soak_idx"))
     val indexRows =
       spark.table(graft.llm.LshIndex.setsTable("ingest_soak_idx")).count()

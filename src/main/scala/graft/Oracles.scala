@@ -1380,6 +1380,26 @@ object Oracles {
        |SELECT src AS p_partkey, least(src, min(dst))::BIGINT AS canonical_key
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Value/recency skyline ([[graft.ops.Skyline.paretoOrders]]): the
+    * oracle runs the classic SINGLE-PASS sorted algorithm — collapse
+    * to per-price max date, one x-desc window keeping the strict
+    * running max, keep buckets that beat it — i.e. the exact global
+    * computation the engine's two-phase range-partitioned prefix scan
+    * distributes. Same math, opposite physical plan: agreement pins
+    * the distribution logic, not just the dominance arithmetic. */
+  val paretoOrders: String =
+    s"""WITH b AS (
+       |  SELECT o_totalprice AS x, max(o_orderdate) AS maxy
+       |  FROM orders GROUP BY 1),
+       |f AS (
+       |  SELECT x, maxy, max(maxy) OVER (ORDER BY x DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sm
+       |  FROM b)
+       |SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+       |FROM orders o
+       |JOIN f ON o.o_totalprice = f.x AND o.o_orderdate = f.maxy
+       |WHERE f.sm IS NULL OR f.sm < f.maxy""".stripMargin
+
   /** Count-Min point-frequency QC
     * ([[graft.ops.Relational.cmsPartCounts]]): every sketch cell is
     * rebuilt with the same affine hashes

@@ -605,6 +605,104 @@ object OraclesLlm {
        |UNION ALL SELECT 'n_candidate_pairs', count(*)::BIGINT FROM cand
        |UNION ALL SELECT 'n_pairs', count(*)::BIGINT FROM ver""".stripMargin
 
+  /** Interpolated Kneser-Ney bigram surprisal
+    * ([[graft.llm.LangModel.knSurprisal]] over the doc_id-parity
+    * split): same count tables as the backoff oracle plus the two
+    * continuation-diversity tables and the bigram-type total; every
+    * probability is the exact Long rational from the scaladoc
+    * (numerators ≤ 7·max(c1)·T, inside the engine's asserted domain,
+    * so DuckDB's overflow-raising BIGINT arithmetic is congruent). */
+  val knSurprisal: String =
+    s"""WITH tr AS (
+       |  SELECT ${toksE("text")} AS toks FROM documents WHERE doc_id % 2 = 0),
+       |scd AS (
+       |  SELECT doc_id, ${toksE("text")} AS toks FROM documents
+       |  WHERE doc_id % 2 = 1),
+       |trt AS (SELECT unnest(toks) AS token FROM tr),
+       |uni AS (SELECT token, count(*)::BIGINT AS c1 FROM trt GROUP BY token),
+       |trb AS (
+       |  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*)::BIGINT AS c2
+       |  FROM tr, unnest(range(1, len(toks))) AS u(i) GROUP BY 1, 2),
+       |na AS (SELECT w1, count(*)::BIGINT AS n1a FROM trb GROUP BY w1),
+       |nb AS (SELECT w2, count(*)::BIGINT AS n1b FROM trb GROUP BY w2),
+       |tt AS (SELECT count(*)::BIGINT AS t FROM trb),
+       |scb AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+       |         count(*)::BIGINT AS tf
+       |  FROM scd, unnest(range(1, len(toks))) AS u(i) GROUP BY 1, 2, 3),
+       |j AS (
+       |  SELECT s.doc_id, s.tf,
+       |    (length(printf('%b',
+       |      CASE
+       |        WHEN trb.c2 IS NOT NULL THEN
+       |          (4 * u1.c1 * tt.t)
+       |            // ((4 * trb.c2 - 3) * tt.t + 3 * na.n1a * coalesce(nb.n1b, 1))
+       |        WHEN na.n1a IS NOT NULL THEN
+       |          (4 * u1.c1 * tt.t) // (3 * na.n1a * coalesce(nb.n1b, 1))
+       |        ELSE tt.t // coalesce(nb.n1b, 1)
+       |      END)) - 1)::BIGINT AS bits,
+       |    CASE WHEN trb.c2 IS NULL THEN s.tf ELSE 0 END AS bk,
+       |    CASE WHEN nb.n1b IS NULL THEN s.tf ELSE 0 END AS ov
+       |  FROM scb s
+       |  LEFT JOIN trb ON s.w1 = trb.w1 AND s.w2 = trb.w2
+       |  LEFT JOIN na ON s.w1 = na.w1
+       |  LEFT JOIN uni u1 ON s.w1 = u1.token
+       |  LEFT JOIN nb ON s.w2 = nb.w2
+       |  CROSS JOIN tt)
+       |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       |  sum(tf * bits)::BIGINT AS total_bits,
+       |  sum(bk)::BIGINT AS n_backoff, sum(ov)::BIGINT AS n_oov,
+       |  ((1000 * sum(tf * bits)) // sum(tf))::BIGINT AS millibits_per_bigram,
+       |  CASE WHEN (1000 * sum(tf * bits)) // sum(tf) <= 4500
+       |    THEN 1 ELSE 0 END::BIGINT AS kept
+       |FROM j GROUP BY doc_id""".stripMargin
+
+  /** KN continuation-diversity report
+    * ([[graft.llm.LangModel.knContinuation]]): per-token occurrence
+    * count vs distinct-left-context count over the FULL corpus, top
+    * 100 by occurrence, ties on the token. */
+  val knContinuation: String =
+    s"""WITH t AS (SELECT ${toksE("text")} AS toks FROM documents),
+       |uni AS (
+       |  SELECT token, count(*)::BIGINT AS c1
+       |  FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+       |bi AS (
+       |  SELECT DISTINCT toks[i] AS w1, toks[i+1] AS w2
+       |  FROM t, unnest(range(1, len(toks))) AS u(i)),
+       |nb AS (SELECT w2, count(*)::BIGINT AS n1b FROM bi GROUP BY w2),
+       |tt AS (SELECT count(*)::BIGINT AS t FROM bi)
+       |SELECT token, c1, coalesce(nb.n1b, 0)::BIGINT AS n1b,
+       |  ((1000 * coalesce(nb.n1b, 0)) // tt.t)::BIGINT AS p_cont_pm
+       |FROM uni LEFT JOIN nb ON uni.token = nb.w2 CROSS JOIN tt
+       |ORDER BY c1 DESC, token LIMIT 100""".stripMargin
+
+  /** Length/quality document skyline
+    * ([[graft.ops.Skyline.paretoDocs]]): the BRUTE-FORCE dominance
+    * anti-join over the same integer quality attributes — quadratic
+    * on purpose: enumerating every candidate dominator is the
+    * completeness proof for the engine's range-partitioned prefix
+    * scan (any frontier row the engine wrongly kept or dropped
+    * hash-mismatches). */
+  val paretoDocs: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, len(${toksE("text")})::BIGINT AS wc,
+       |    len(list_distinct(${toksE("text")}))::BIGINT AS uniq,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('the','a','of','and','is')))::BIGINT AS stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, wc AS word_count,
+       |    (least(1000, wc * 20)
+       |     + (CASE WHEN wc = 0 THEN 0 ELSE (1000 * uniq) // wc END)
+       |     + (CASE WHEN wc = 0 THEN 0 ELSE (1000 * stop) // wc END)) // 3
+       |      AS quality
+       |  FROM s)
+       |SELECT a.doc_id, a.word_count, a.quality
+       |FROM q a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM q b
+       |  WHERE b.word_count >= a.word_count AND b.quality >= a.quality
+       |    AND (b.word_count > a.word_count OR b.quality > a.quality))""".stripMargin
+
   /** Degree histogram over the verified pair graph
     * ([[graft.llm.Dedup.dupDegrees]]): same band chain, endpoints
     * unioned, two rollups. */

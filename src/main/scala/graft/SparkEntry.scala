@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Country, Sentiment}
 import graft.llm.{Classifier, Dedup, EditDistance, LangModel, LshIndex, Multimodal, Packing, Pipeline, Retrieval, SetSimJoin, Similarity, TextAnalysis}
 import graft.model.WireCodec
-import graft.ops.{Ranges, Relational, TrendPipeline, Windows}
+import graft.ops.{Ranges, Relational, Skyline, TrendPipeline, Windows}
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -543,6 +543,19 @@ object SparkEntry {
       LangModel.unigramSurprisal(docs(s, dir))),
     // held-out bigram LM with unigram backoff: train on the even-doc
     // half, score the odd half (the CCNet deployment shape)
+    // interpolated Kneser-Ney: continuation-count smoothing, same split
+    "kn_surprisal" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LangModel.knSurprisal(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
+    // the KN continuation-diversity table itself (the "Francisco" report)
+    "kn_continuation" -> ((s, dir) => LangModel.knContinuation(docs(s, dir))),
+    // 2-objective Pareto frontiers: curation (length × quality) and
+    // analytics (value × recency) instances of the same skyline operator
+    "pareto_docs" -> ((s, dir) => Skyline.paretoDocs(docs(s, dir))),
+    "pareto_orders" -> ((s, dir) => Skyline.paretoOrders(s, dir)),
     "bigram_surprisal" -> ((s, dir) => {
       val d = docs(s, dir)
       LangModel.bigramSurprisal(
@@ -906,6 +919,10 @@ object SparkEntry {
     "ngram_novelty" -> OraclesLlm.ngramNovelty,
     "unigram_surprisal" -> OraclesLlm.unigramSurprisal,
     "bigram_surprisal" -> OraclesLlm.bigramSurprisal,
+    "kn_surprisal" -> OraclesLlm.knSurprisal,
+    "kn_continuation" -> OraclesLlm.knContinuation,
+    "pareto_docs" -> OraclesLlm.paretoDocs,
+    "pareto_orders" -> Oracles.paretoOrders,
     "collocations" -> OraclesLlm.collocations,
     "mixture_weights" -> OraclesLlm.mixtureWeights,
     "epoch_plan" -> OraclesLlm.epochPlan,

@@ -151,6 +151,136 @@ object LangModel {
           .otherwise(0L))
   }
 
+  /** Interpolated Kneser-Ney bigram surprisal — the smoothing KenLM
+    * itself uses (Kneser & Ney 1995; Chen & Goodman 1998's
+    * interpolated variant), next to [[bigramSurprisal]]'s simpler
+    * penalty-backoff: instead of charging a fixed penalty for unseen
+    * bigrams, KN discounts every seen bigram by D and hands the
+    * collected mass to the CONTINUATION distribution
+    * `p_cont(w2) = |{w1 : c(w1,w2) > 0}| / |bigram types|` — "how
+    * many contexts does w2 complete" rather than "how often does w2
+    * occur" (the classic "San Francisco" effect: "Francisco" is
+    * frequent but only ever follows "San", so its continuation
+    * probability — and its plausibility after a NOVEL context — is
+    * tiny).
+    *
+    * Exact integer form, discount D = 3/4 kept as the rational 3/4:
+    *  - seen bigram (c2 > 0):
+    *    `p = (c2 − 3/4)/c1 + (3/4)·(n1a(w1)/c1)·(n1b(w2)/T)`
+    *      = `((4·c2 − 3)·T + 3·n1a·n1b) / (4·c1·T)`
+    *  - unseen bigram, seen history (n1a(w1) > 0):
+    *    `p = (3/4)·(n1a(w1)/c1)·p_cont = 3·n1a·n1b' / (4·c1·T)`
+    *  - no usable history (w1 unseen, or never starts a bigram):
+    *    `p = p_cont(w2) = n1b'/T`
+    * where `n1a(w1) = |{w2 : c(w1,w2)>0}|`, `n1b(w2) = |{w1 :
+    * c(w1,w2)>0}|`, `T = |bigram types|`, and `n1b' = coalesce(n1b,
+    * 1)` gives a never-seen continuation one type of epsilon mass
+    * (the OOV floor; flagged in `n_oov`). Cost per bigram is
+    * `floor(log2(den div num))` whole bits via binary-string length —
+    * the same integer-exact quantization as the rest of this file.
+    *
+    * Overflow is GUARDED, not documented away: every numerator and
+    * denominator above is ≤ 7·max(c1)·T, so the 1-row stats broadcast
+    * asserts `max(c1)·T < 2^61` with `assert_true` — a corpus beyond
+    * the bound (top-token count × bigram types ≥ 2.3·10^18; far past
+    * any single LM's training set) fails LOUDLY with instructions to
+    * shard, instead of wrapping Long arithmetic into silently wrong
+    * costs. The DuckDB oracle runs the same Long-domain arithmetic
+    * (DuckDB raises on 64-bit overflow rather than wrapping, so
+    * inside the guarded domain the two engines are congruent).
+    *
+    * Scale shape: identical join graph to [[bigramSurprisal]] — both
+    * corpora collapse map-side to count tables (`bi` additionally
+    * collapses to the two slim continuation-diversity tables, one
+    * more map-side agg each); the wide joins carry distinct bigrams;
+    * `T`/guard ride a 1-row broadcast. */
+  def knSurprisal(trainDocs: DataFrame, scoreDocs: DataFrame,
+                  keepMaxMillibits: Long = 4500L): DataFrame = {
+    val uni = trainDocs
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+    val bi = trainDocs
+      .select(explode(bigramPairs(TextFns.tokens(col("text")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1a = bi.groupBy("w1").agg(count(lit(1)).as("n1a"))
+    val n1b = bi.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    // 1-row stats: T with the loud overflow guard FUSED INTO the
+    // consumed column (a free-standing assert column would be pruned
+    // as dead by the optimizer; coalesce(assert_true(...), 0) + T
+    // cannot be — assert_true is NULL on success, fatal on failure)
+    val guard = assert_true(
+      col("max_c1").cast("double") * col("t_raw").cast("double")
+        < lit(math.pow(2.0, 61)),
+      lit("kn_surprisal: max(c1)*T >= 2^61 would overflow the " +
+        "exact Long arithmetic; shard the LM by corpus slice and " +
+        "merge count tables"))
+    val stats = bi.agg(count(lit(1)).as("t_raw"))
+      .join(uni.agg(max("c1").as("max_c1")))
+      .select((coalesce(guard.cast("long"), lit(0L)) + col("t_raw"))
+        .as("t_types"))
+    val scoreTf = scoreDocs
+      .select(col("doc_id"),
+        explode(bigramPairs(TextFns.tokens(col("text")))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val q =
+      when(col("c2").isNotNull,
+        expr("(4 * c1_w1 * t_types) div ((4 * c2 - 3) * t_types + 3 * n1a * coalesce(n1b, 1))"))
+        .when(col("n1a").isNotNull,
+          expr("(4 * c1_w1 * t_types) div (3 * n1a * coalesce(n1b, 1))"))
+        .otherwise(expr("t_types div coalesce(n1b, 1)"))
+    scoreTf
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(n1a, Seq("w1"), "left")
+      .join(uni.select(col("token").as("w1"), col("c1").as("c1_w1")),
+        Seq("w1"), "left")
+      .join(n1b, Seq("w2"), "left")
+      .join(broadcast(stats))
+      .select(col("doc_id"), col("tf"),
+        (length(bin(q)) - 1).cast("long").as("bits"),
+        when(col("c2").isNull, col("tf")).otherwise(lit(0L)).as("bk"),
+        when(col("n1b").isNull, col("tf")).otherwise(lit(0L)).as("ov"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("bits")).as("total_bits"),
+        sum("bk").as("n_backoff"),
+        sum("ov").as("n_oov"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        col("n_backoff"), col("n_oov"),
+        expr("(1000 * total_bits) div n_bigrams").as("millibits_per_bigram"))
+      .withColumn("kept",
+        when(col("millibits_per_bigram") <= keepMaxMillibits, 1L)
+          .otherwise(0L))
+  }
+
+  /** The KN continuation-diversity table itself, pinned as a query:
+    * per token, occurrence count `c1` vs continuation count `n1b`
+    * (distinct left contexts) with the continuation probability in
+    * permille — the "Francisco" diagnostic ranking (frequent tokens
+    * whose `n1b` is small are exactly the collocation-bound tokens KN
+    * reranks). Top-k by occurrence so the report is corpus-size-free;
+    * ties broken on the token. */
+  def knContinuation(docs: DataFrame, k: Int = 100): DataFrame = {
+    val toks = docs.select(TextFns.tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+    val bi = toks.select(explode(bigramPairs(col("toks"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val n1b = bi.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val t = bi.agg(count(lit(1)).as("t_types"))
+    uni
+      .join(n1b, uni("token") === n1b("w2"), "left")
+      .join(broadcast(t))
+      .select(col("token"), col("c1"),
+        coalesce(col("n1b"), lit(0L)).as("n1b"),
+        expr("(1000 * coalesce(n1b, 0)) div t_types").as("p_cont_pm"))
+      .orderBy(col("c1").desc, col("token"))
+      .limit(k)
+  }
+
   /** Collocation mining: the corpus's top-k adjacent token pairs by
     * Dice association, `dice_pm = 2000·c(w1,w2) div (c(w1)+c(w2))` —
     * the classic lexicographic collocation measure (Smadja 1993,

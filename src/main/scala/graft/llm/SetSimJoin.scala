@@ -139,8 +139,8 @@ object SetSimJoin {
     def m(name: String, d: DataFrame): DataFrame =
       d.agg(count(lit(1)).as("value")).select(lit(name).as("metric"), col("value"))
     m("n_docs", sets)
-      .unionAll(m("n_prefix_postings", pref))
-      .unionAll(m("n_candidate_pairs", cands))
-      .unionAll(m("n_pairs", pairs))
+      .union(m("n_prefix_postings", pref))
+      .union(m("n_candidate_pairs", cands))
+      .union(m("n_pairs", pairs))
   }
 }

@@ -267,5 +267,23 @@ object SqlSurface {
          |FROM p a JOIN p b
          |  ON a.p_brand = b.p_brand AND a.blk = b.blk
          |  AND a.p_partkey < b.p_partkey
-         |WHERE round(graft_jaro_winkler(a.p_name, b.p_name), 4) >= 0.9""".stripMargin)
+         |WHERE round(graft_jaro_winkler(a.p_name, b.p_name), 4) >= 0.9""".stripMargin,
+
+    // the skyline shape as an analyst would type it: the single-pass
+    // sorted-window algorithm. Exact same math as the engine's
+    // range-partitioned Skyline.pareto2D (the spec pins them
+    // row-for-row) — the window form is the RIGHT spelling at
+    // dashboard scale, the operator the right one at corpus scale
+    "pareto_orders" ->
+      s"""WITH b AS (
+         |  SELECT o_totalprice AS x, max(o_orderdate) AS maxy
+         |  FROM orders GROUP BY o_totalprice),
+         |f AS (
+         |  SELECT x, maxy, max(maxy) OVER (ORDER BY x DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sm
+         |  FROM b)
+         |SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+         |FROM orders o
+         |JOIN f ON o.o_totalprice = f.x AND o.o_orderdate = f.maxy
+         |WHERE f.sm IS NULL OR f.sm < f.maxy""".stripMargin)
 }

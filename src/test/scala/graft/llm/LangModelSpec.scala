@@ -74,6 +74,57 @@ class LangModelSpec extends SparkSpec {
     assert(r.getAs[Long]("millibits_per_bigram") == 400L)
   }
 
+  test("knSurprisal: all four branches, hand-computed exact rationals") {
+    // train "a b a b c": uni a=2 b=2 c=1; bigrams (a,b)=2 (b,a)=1
+    // (b,c)=1 -> T=3; n1a: a->1, b->2; n1b: a->1, b->1, c->1
+    val train = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      // seen (a,b): q = (4*2*3) div ((4*2-3)*3 + 3*1*1) = 24 div 18 = 1 -> 0 bits
+      (1L, "a b"),
+      // unseen (b,b), history b seen: q = 24 div (3*2*1) = 4 -> 2 bits
+      (3L, "b b"),
+      // w1 'z' unseen -> continuation-only: q = 3 div n1b(a)=1 -> 1 bit
+      (5L, "z a"),
+      // w1 'c' SEEN but never starts a bigram -> same continuation branch
+      (7L, "c a"),
+      // OOV continuation: q = 3 div 1 -> 1 bit, flagged in n_oov
+      (9L, "z z"))
+      .toDF("doc_id", "text")
+    val got = LangModel.knSurprisal(train, score).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("total_bits"),
+          r.getAs[Long]("n_backoff"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("millibits_per_bigram")))).toMap
+    assert(got.keySet == Set(1L, 3L, 5L, 7L, 9L))
+    assert(got(1L) == ((1L, 0L, 0L, 0L, 0L)))
+    assert(got(3L) == ((1L, 2L, 1L, 0L, 2000L)))
+    assert(got(5L) == ((1L, 1L, 1L, 0L, 1000L)))
+    assert(got(7L) == ((1L, 1L, 1L, 0L, 1000L)))
+    assert(got(9L) == ((1L, 1L, 1L, 1L, 1000L)))
+  }
+
+  test("knSurprisal: KN reranks the 'Francisco' token below its raw frequency") {
+    // 'f' occurs 3 times but ONLY after 's' (one continuation type);
+    // 'x' occurs 3 times after 3 different contexts. After the novel
+    // history 'q', KN must charge f MORE than x even though c1(f)=c1(x).
+    val train = Seq((0L, "s f s f s f a x b x c x")).toDF("doc_id", "text")
+    val score = Seq((1L, "q f"), (3L, "q x")).toDF("doc_id", "text")
+    val got = LangModel.knSurprisal(train, score).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("total_bits")).toMap
+    assert(got(1L) > got(3L),
+      s"KN must penalize the collocation-bound token: $got")
+  }
+
+  test("knContinuation: counts and permille on a hand corpus") {
+    val docs = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val got = LangModel.knContinuation(docs).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("c1"),
+        r.getAs[Long]("n1b"), r.getAs[Long]("p_cont_pm")))
+    // order: c1 desc, token asc; T=3 types, every token 1 left context
+    assert(got.toSeq == Seq(("a", 2L, 1L, 333L), ("b", 2L, 1L, 333L),
+      ("c", 1L, 1L, 333L)))
+  }
+
   test("collocations: hand-computed Dice, minCount prunes, order deterministic") {
     // "a b" x3 (c1(a)=4: 'a b' x3 + 'a c'; c(b)=3) -> dice = 6000 div 7 = 857
     // "a c" x1 pruned by minCount=3; "b a" x2 pruned

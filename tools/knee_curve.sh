@@ -36,13 +36,17 @@ for r in "$@"; do
     [ -f "$S" ] && continue
     wait_for_quiet
     echo "=== rate $r attempt $a ==="
+    # a crashed attempt records as failed and the sweep continues
     INGEST_DOCS_PER_SEC=$r INGEST_SECONDS=120 INGEST_WATERMARK="40 seconds" \
     INGEST_COMPACT_EVERY=6 INGEST_SEEDS=10000 \
     INGEST_OUT="$OUTDIR/soak_${r}_${a}.jsonl" INGEST_SUMMARY_OUT="$S" \
-    java $ADD_OPENS -Xmx24g -cp "$CP" graft.IngestSoak 2>/dev/null | tail -1
+    java $ADD_OPENS -Xmx24g -cp "$CP" graft.IngestSoak 2>"$OUTDIR/err_${r}_${a}.log" \
+      | tail -1 || echo "[knee] attempt failed (see err_${r}_${a}.log)"
     # early exit for this rate if the attempt is green on both criteria
     python3 - "$S" <<'EOF' && break || true
-import json, sys
+import json, sys, os
+if not os.path.exists(sys.argv[1]):
+    sys.exit(1)
 d = json.load(open(sys.argv[1]))
 ok = d["batch_latency_p95_ms"] < 15000 and \
      d["median_docs_per_sec"] >= 0.95 * d["feed_docs_per_sec"]
