@@ -572,7 +572,7 @@ object OraclesLlm {
        |    // (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) AS jaccard_pm
        |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
        |WHERE len(list_intersect(a.sh, b.sh)) * 1000 >=
-       |  (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 500""".stripMargin
+       |  (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 800""".stripMargin
 
   /** Prefix-filter selectivity twin
     * ([[graft.llm.SetSimJoin.ssjoinPrefixStats]]): rebuilds the
@@ -588,18 +588,18 @@ object OraclesLlm {
        |ord AS (SELECT t.doc_id, t.sz, list(t.h ORDER BY d.df, t.h) AS ord
        |        FROM tk t JOIN df d ON t.h = d.h GROUP BY t.doc_id, t.sz),
        |pref AS (SELECT doc_id, sz,
-       |    unnest(list_slice(ord, 1, sz - ((sz * 500 + 999) // 1000) + 1)) AS h
+       |    unnest(list_slice(ord, 1, sz - ((sz * 800 + 999) // 1000) + 1)) AS h
        |  FROM ord),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM pref a JOIN pref b ON a.h = b.h
        |         WHERE a.doc_id < b.doc_id
-       |           AND a.sz * 1000 >= b.sz * 500 AND b.sz * 1000 >= a.sz * 500),
+       |           AND a.sz * 1000 >= b.sz * 800 AND b.sz * 1000 >= a.sz * 800),
        |ver AS (SELECT c.doc_a, c.doc_b
        |        FROM cand c
        |        JOIN s2 a ON c.doc_a = a.doc_id
        |        JOIN s2 b ON c.doc_b = b.doc_id
        |        WHERE len(list_intersect(a.sh, b.sh)) * 1000 >=
-       |          (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 500)
+       |          (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 800)
        |SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM s2
        |UNION ALL SELECT 'n_prefix_postings', count(*)::BIGINT FROM pref
        |UNION ALL SELECT 'n_candidate_pairs', count(*)::BIGINT FROM cand

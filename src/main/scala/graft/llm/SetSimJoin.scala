@@ -54,9 +54,15 @@ import org.apache.spark.sql.functions._
 object SetSimJoin {
 
   /** [[Dedup.shingleSets]] plus the set cardinality (join/filter key
-    * for the length bound; shingle-free docs are already dropped). */
+    * for the length bound; shingle-free docs are already dropped).
+    * PERSISTED lazily: the set table feeds four consumers in the full
+    * join (the df aggregate, the ordered-prefix aggregate, and both
+    * sides of the verification join) and shingling is the expensive
+    * scan — unpersisted, the corpus re-tokenizes per consumer
+    * (measured 4× the whole query's cost at sf0.1). */
   private[llm] def sizedSets(docs: DataFrame): DataFrame =
     Dedup.shingleSets(docs).withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Per-doc prefix postings under the (df ASC, hash ASC) global
     * order: one (sh, doc_id, sz) row per prefix element, prefix
@@ -80,8 +86,12 @@ object SetSimJoin {
   /** Candidate pairs: prefix inverted-index join + both-sided length
     * filter, deduped. Complete w.r.t. J ≥ minJaccardPm/1000 by the
     * prefix-filter theorem (object scaladoc). */
-  private[llm] def candidatePairs(sets: DataFrame, minJaccardPm: Int): DataFrame = {
-    val pref = prefixPostings(sets, minJaccardPm)
+  private[llm] def candidatePairs(sets: DataFrame, minJaccardPm: Int): DataFrame =
+    candidatePairsFrom(prefixPostings(sets, minJaccardPm), minJaccardPm)
+
+  /** [[candidatePairs]] from an already-built posting table (the stats
+    * report persists and reuses it). */
+  private[llm] def candidatePairsFrom(pref: DataFrame, minJaccardPm: Int): DataFrame = {
     val a = pref.select(col("h"),
       col("doc_id").as("doc_a"), col("sz").as("sz_a"))
     val b = pref.select(col("h"),
@@ -112,12 +122,18 @@ object SetSimJoin {
   /** All pairs with shingle-set Jaccard ≥ minJaccardPm/1000 — EXACT
     * (recall 1, verified intersection sizes; same columns as
     * [[Dedup.ngramJaccardPairs]] so the two paths diff directly).
-    * Default 500 sits BELOW the (4,4) LSH knee on purpose: that is
-    * the region where banding misses pairs and exactness earns its
-    * extra candidates. The brute-force DuckDB oracle is the
-    * completeness proof — any pair the prefix filter missed would
-    * hash-mismatch. */
-  def ssjoinExact(docs: DataFrame, minJaccardPm: Int = 500): DataFrame = {
+    * The default matches the banded path's 800‰ exactly, so
+    * `ssjoin_exact` vs `ngram_jaccard_pairs` is a same-parameter
+    * comparison: identical pair set, probabilistic vs guaranteed
+    * recall. Lower thresholds remain available (the spec proves
+    * exactness down to 300‰) but cost grows fast as the prefix
+    * lengthens — at 500‰ the prefix is ~half of every set and the
+    * sf0.1 near-dup corpus generates ~10⁷ candidates (measured 70 s
+    * vs 6 s at 800‰), which is the documented trade: below the LSH
+    * knee, exactness is bought with candidate volume. The brute-force
+    * DuckDB oracle is the completeness proof — any pair the prefix
+    * filter missed would hash-mismatch. */
+  def ssjoinExact(docs: DataFrame, minJaccardPm: Int = 800): DataFrame = {
     val sets = sizedSets(docs)
     verified(sets, candidatePairs(sets, minJaccardPm), minJaccardPm)
   }
@@ -131,10 +147,15 @@ object SetSimJoin {
     * of exactness, and a corpus whose ratio explodes (boilerplate
     * shingles with huge prefix dfs) is the signal to cap document
     * frequency up front or fall back to LSH. */
-  def ssjoinPrefixStats(docs: DataFrame, minJaccardPm: Int = 500): DataFrame = {
+  def ssjoinPrefixStats(docs: DataFrame, minJaccardPm: Int = 800): DataFrame = {
     val sets = sizedSets(docs)
+    // each stage feeds both its own count and the next stage — persist
+    // the slim intermediates so the report costs one pass per stage,
+    // not a re-derivation per counter
     val pref = prefixPostings(sets, minJaccardPm)
-    val cands = candidatePairs(sets, minJaccardPm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatePairsFrom(pref, minJaccardPm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = verified(sets, cands, minJaccardPm)
     def m(name: String, d: DataFrame): DataFrame =
       d.agg(count(lit(1)).as("value")).select(lit(name).as("metric"), col("value"))
