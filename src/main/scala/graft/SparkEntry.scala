@@ -212,6 +212,8 @@ object SparkEntry {
       graft.sources.TextFormats.csvRoundtrip(s, dir)),
     "json_roundtrip" -> ((s, dir) =>
       graft.sources.TextFormats.jsonRoundtrip(s, dir)),
+    "orc_roundtrip" -> ((s, dir) =>
+      graft.sources.TextFormats.orcRoundtrip(s, dir)),
     // columnar to_json/from_json codec over the full documents table
     "json_column_roundtrip" -> ((s, dir) =>
       graft.sources.TextFormats.jsonColumnRoundtrip(s, dir)),
@@ -826,6 +828,8 @@ object SparkEntry {
     "csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "json_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "orc_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
     "json_column_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "merge_upsert" -> Oracles.mergeUpsert,

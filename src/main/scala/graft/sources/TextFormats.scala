@@ -79,6 +79,23 @@ object TextFormats {
     spark.read.schema(src.schema).json(dir)
   }
 
+  /** ORC write→read roundtrip over customer — the OTHER columnar lake
+    * format Spark ships natively, exercised with an explicit
+    * compression codec (zstd) so the full encode→compress→decode→
+    * decode path is value-checked, doubles included. Unlike the text
+    * formats there is no schema-inference hazard (ORC files carry
+    * their schema), so the discipline pinned here is simpler: the
+    * read-back must be VALUE-identical to the parquet ground truth
+    * the oracle reads — any codec/type-mapping divergence (e.g.
+    * decimal/char widening) hash-mismatches. */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val dir = scratchRoot.resolve("orc_customer").toString
+    src.write.mode("overwrite").option("compression", "zstd").orc(dir)
+    spark.read.orc(dir)
+  }
+
   /** Columnar JSON codec roundtrip over the FULL documents table:
     * to_json(struct(*)) → from_json(schema) → reproject, no file IO —
     * both directions are codegen'd expressions, so this is the shape
