@@ -1802,6 +1802,59 @@ object OraclesLlm {
   val bpeEncode: String = bpeEncodeSql(3)
   val bpeEncode8: String = bpeEncodeSql(8)
 
+  /** WordPiece greedy longest-match encode
+    * ([[graft.llm.WordPiece.encode]]) over the same 8-round BPE
+    * vocabulary (corpus characters ∪ merge outputs): the oracle
+    * computes the identical longest-piece-per-position table
+    * relationally, then follows each word's greedy chain with a
+    * RECURSIVE CTE — the sequential spelling of the engine's
+    * length-bounded `aggregate` fold. Every step advances ≥ 1
+    * position (unmatched characters advance 1 and count as unk), so
+    * both formulations terminate in ≤ length(word) steps with the
+    * same terminal state. */
+  val wordpieceEncode8: String = {
+    val rounds = 8
+    val vocabUnion = (1 to rounds)
+      .map(r => s"SELECT lhs || rhs AS piece FROM best$r")
+      .mkString("\nUNION ")
+    "WITH RECURSIVE " + bpeCtes(rounds) + ",\n" +
+      s"""vocab AS (
+         |  SELECT DISTINCT unnest(string_split(token, '')) AS piece FROM w
+         |  UNION
+         |  $vocabUnion),
+         |occ AS (
+         |  SELECT doc_id, token, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(${toksE("text")}) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |aw AS (SELECT DISTINCT token FROM occ),
+         |cand AS (
+         |  SELECT token, pl[1] AS p, pl[2] AS l,
+         |         substr(token, pl[1] + 1, pl[2]) AS piece
+         |  FROM (SELECT token,
+         |          unnest(flatten([[ [p, l]
+         |            for l in range(1, length(token) - p + 1) ]
+         |            for p in range(length(token))])) AS pl
+         |        FROM aw)),
+         |lp AS (
+         |  SELECT c.token, c.p, max(c.l) AS adv
+         |  FROM cand c JOIN vocab v ON c.piece = v.piece GROUP BY 1, 2),
+         |walk(token, pos, pieces, unks) AS (
+         |  SELECT token, 0, 0::BIGINT, 0::BIGINT FROM aw
+         |  UNION ALL
+         |  SELECT wk.token, wk.pos + coalesce(lp.adv, 1),
+         |         wk.pieces + CASE WHEN lp.adv IS NULL THEN 0 ELSE 1 END,
+         |         wk.unks + CASE WHEN lp.adv IS NULL THEN 1 ELSE 0 END
+         |  FROM walk wk LEFT JOIN lp ON wk.token = lp.token AND wk.pos = lp.p
+         |  WHERE wk.pos < length(wk.token)),
+         |done AS (SELECT token, pieces, unks FROM walk
+         |         WHERE pos >= length(token))
+         |SELECT o.doc_id, sum(o.tf)::BIGINT AS n_tokens,
+         |  sum(o.tf * d.pieces)::BIGINT AS n_pieces,
+         |  sum(o.tf * d.unks)::BIGINT AS n_unk
+         |FROM occ o JOIN done d ON o.token = d.token
+         |GROUP BY o.doc_id""".stripMargin
+  }
+
   /** Per-source tokenizer fertility ([[graft.llm.Bpe.fertility]]):
     * replay the learned merges over the DISTINCT vocabulary (token
     * kept alongside its symbol list), then join token occurrences per

@@ -594,6 +594,10 @@ object SparkEntry {
     // replays the checkpointed training path bit-for-bit
     "bpe_merges_8" -> ((s, dir) => graft.llm.Bpe.merges(docs(s, dir), rounds = 8)),
     "bpe_encode_8" -> ((s, dir) => graft.llm.Bpe.encode(docs(s, dir), rounds = 8)),
+    // WordPiece greedy longest-match over the same 8-round vocab —
+    // the OTHER industrial tokenizer apply, directly diffable vs BPE
+    "wordpiece_encode_8" -> ((s, dir) =>
+      graft.llm.WordPiece.encode(docs(s, dir), rounds = 8)),
     // tokenizer application: per-doc compression accounting after the
     // learned merges (train -> apply, one corpus scan each)
     "bpe_encode" -> ((s, dir) => graft.llm.Bpe.encode(docs(s, dir))),
@@ -939,6 +943,7 @@ object SparkEntry {
     "bpe_encode" -> OraclesLlm.bpeEncode,
     "bpe_merges_8" -> OraclesLlm.bpeMerges8,
     "bpe_encode_8" -> OraclesLlm.bpeEncode8,
+    "wordpiece_encode_8" -> OraclesLlm.wordpieceEncode8,
     "bpe_encode_cross" -> OraclesLlm.bpeEncodeCross,
     "bpe_fertility" -> OraclesLlm.bpeFertility,
     "stratified_sample" -> OraclesLlm.stratifiedSample,
