@@ -1380,6 +1380,70 @@ object Oracles {
        |SELECT src AS p_partkey, least(src, min(dst))::BIGINT AS canonical_key
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Sorted-neighborhood ER ([[graft.ops.Relational.sortedNeighborhoodPairs]]):
+    * the oracle computes the SAME global sort rank with a plain
+    * `row_number` (tie-broken by key, binary string order on both
+    * engines for this ASCII column) and the neighborhood as a direct
+    * rank-distance join — the naive single-node statement of exactly
+    * the computation the engine distributes (two-phase rank + bucket
+    * join). w = 8 ⇒ dist ∈ [1, 7]. */
+  val sortedNeighborhoodPairs: String =
+    s"""WITH r AS (SELECT p_partkey, p_name,
+       |    row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+       |  FROM part)
+       |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       |  a.p_name AS name_a, b.p_name AS name_b,
+       |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw,
+       |  (b.rnk - a.rnk)::BIGINT AS dist
+       |FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 7
+       |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
+       |""".stripMargin
+
+  /** Blocking-paradigm recall audit
+    * ([[graft.ops.Relational.blockingComparison]]): both candidate
+    * generators replayed in SQL, pairs canonicalized to
+    * (key_lo < key_hi), full outer join → presence-flag groups. */
+  val blockingComparison: String =
+    s"""WITH r AS (SELECT p_partkey, p_name,
+       |    row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+       |  FROM part),
+       |snm AS (
+       |  SELECT DISTINCT least(a.p_partkey, b.p_partkey) AS key_lo,
+       |    greatest(a.p_partkey, b.p_partkey) AS key_hi
+       |  FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 7
+       |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9),
+       |p AS (SELECT p_partkey, p_name, p_brand,
+       |    substr(p_name, 1, 1) AS blk FROM part),
+       |kb AS (
+       |  SELECT DISTINCT a.p_partkey AS key_lo, b.p_partkey AS key_hi
+       |  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.blk = b.blk
+       |    AND a.p_partkey < b.p_partkey
+       |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9)
+       |SELECT (CASE WHEN s.key_lo IS NOT NULL THEN 1 ELSE 0 END)::INT
+       |    AS in_sorted_neighborhood,
+       |  (CASE WHEN k.key_lo IS NOT NULL THEN 1 ELSE 0 END)::INT
+       |    AS in_key_blocking,
+       |  count(*)::BIGINT AS n_pairs
+       |FROM snm s FULL OUTER JOIN kb k
+       |  ON s.key_lo = k.key_lo AND s.key_hi = k.key_hi
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Row-level Unicode canonicalization
+    * ([[graft.llm.TextAnalysis.canonicalizedNames]]): chr(233) is the
+    * precomposed é, chr(769) the combining acute — DuckDB's
+    * `strip_accents`/`nfc_normalize` replay the engine's native
+    * expressions (semantics pinned in UnicodeNormSpec). */
+  val canonicalizedNames: String =
+    s"""WITH s AS (SELECT s_suppkey,
+       |    replace(s_name, 'e', chr(233)) AS accented,
+       |    replace(s_name, 'e', 'e' || chr(769)) AS dec
+       |  FROM supplier)
+       |SELECT s_suppkey, accented,
+       |  strip_accents(accented) AS folded,
+       |  (CASE WHEN nfc_normalize(dec) = accented THEN 1 ELSE 0 END)::INT
+       |    AS composed_ok
+       |FROM s""".stripMargin
+
   /** Value/recency skyline ([[graft.ops.Skyline.paretoOrders]]): the
     * oracle runs the classic SINGLE-PASS sorted algorithm — collapse
     * to per-price max date, one x-desc window keeping the strict

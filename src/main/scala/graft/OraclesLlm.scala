@@ -446,6 +446,30 @@ object OraclesLlm {
        |        trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS n
        |      FROM documents)""".stripMargin
 
+  /** Unicode-canonicalization corpus audit
+    * ([[graft.llm.TextAnalysis.unicodeNormStats]]): chr(769) is the
+    * combining acute, chr(776) the combining diaeresis — the same
+    * decomposed decoration the engine injects; `nfc_normalize` /
+    * `strip_accents` replay the native expressions (semantics pinned
+    * empirically in UnicodeNormSpec, incl. the NFD→drop-marks→NFC
+    * recomposition pipeline strip_accents runs). Both engines count
+    * CODE POINTS in length(), which sum_dec_chars pins as data. */
+  val unicodeNormStats: String =
+    s"""WITH d AS (
+       |  SELECT text,
+       |    replace(replace(text, 'e', 'e' || chr(769)),
+       |            'o', 'o' || chr(776)) AS dec
+       |  FROM documents)
+       |SELECT count(*)::BIGINT AS n_docs,
+       |  sum(length(text))::BIGINT AS sum_raw_chars,
+       |  sum(length(dec))::BIGINT AS sum_dec_chars,
+       |  sum(length(nfc_normalize(dec)))::BIGINT AS sum_nfc_chars,
+       |  sum(CASE WHEN nfc_normalize(dec) <> dec THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_noncanonical,
+       |  sum(CASE WHEN strip_accents(dec) = text THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_fold_roundtrip
+       |FROM d""".stripMargin
+
   val ngramCounts: String =
     s"""WITH t AS (SELECT ${toksE("text")} AS toks FROM documents),
        |g AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]

@@ -252,6 +252,13 @@ object SparkEntry {
     "jw_name_pairs" -> ((s, dir) => Relational.jaroWinklerPairs(s, dir)),
     // ER clusters: connected components over the JW pair graph
     "name_clusters" -> ((s, dir) => Relational.nameClusters(s, dir)),
+    // sort-based blocking (Hernández-Stolfo merge/purge): linear n·(w-1)
+    // candidates via the two-phase exact rank + bucketed window join
+    "snm_name_pairs" -> ((s, dir) =>
+      Relational.sortedNeighborhoodPairs(s, dir)),
+    // recall audit: key-blocking vs sorted-neighborhood on one predicate
+    "blocking_comparison" -> ((s, dir) =>
+      Relational.blockingComparison(s, dir)),
     // Count-Min sketch: mergeable point-frequency with one-sided error
     "cms_part_counts" -> ((s, dir) => Relational.cmsPartCounts(s, dir)),
     // iterative fixed-point: 3-iteration PageRank over the supply graph
@@ -308,6 +315,13 @@ object SparkEntry {
     // published Gopher hard gates: per-rule 0/1 verdicts, all-integer
     "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    // Unicode canonicalization (native NFC + accent folding): corpus
+    // audit over injected decomposed sequences, pinned to DuckDB's
+    // nfc_normalize/strip_accents value-for-value
+    "unicode_normalize_stats" -> ((s, dir) =>
+      TextAnalysis.unicodeNormStats(docs(s, dir))),
+    "canonicalize_names" -> ((s, dir) => TextAnalysis.canonicalizedNames(
+      Tables.supplier(s, dir), "s_suppkey", "s_name")),
     // linear quality classifier: closed-form training on the quality
     // heuristic's pseudo-labels, then bag-of-tokens scoring
     "classifier_weights" -> ((s, dir) => Classifier.tokenWeights(docs(s, dir))),
@@ -862,6 +876,9 @@ object SparkEntry {
     "range_join" -> Oracles.rangeJoin,
     "jw_name_pairs" -> Oracles.jaroWinklerPairs,
     "name_clusters" -> Oracles.nameClusters,
+    "snm_name_pairs" -> Oracles.sortedNeighborhoodPairs,
+    "blocking_comparison" -> Oracles.blockingComparison,
+    "canonicalize_names" -> Oracles.canonicalizedNames,
     "cms_part_counts" -> Oracles.cmsPartCounts,
     "pagerank_supply" -> Oracles.pagerankSupply,
     "bfs_levels" -> Oracles.bfsSupply,
@@ -879,6 +896,7 @@ object SparkEntry {
     "semantic_topk" -> OraclesLlm.semanticTopK,
     "hybrid_rrf_topk" -> OraclesLlm.hybridRrfTopK,
     "doc_fingerprint" -> OraclesLlm.docFingerprint,
+    "unicode_normalize_stats" -> OraclesLlm.unicodeNormStats,
     "ngram_counts" -> OraclesLlm.ngramCounts,
     "dedup_docs" -> OraclesLlm.dedupDocs,
     "dedup_rate_by_source" -> OraclesLlm.dedupRateBySource,

@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jaroWinkler)
     ext.injectFunction(GraftExtensions.extractHashtags)
     ext.injectFunction(GraftExtensions.country)
+    ext.injectFunction(GraftExtensions.nfcNormalize)
+    ext.injectFunction(GraftExtensions.stripAccents)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKStrategy)
   }
@@ -57,9 +59,16 @@ object GraftExtensions {
       graft.text.ExtractHashtagsExpression(_))
   private[graft] val country =
     unary("graft_country", classOf[CountryExpression], CountryExpression(_))
+  private[graft] val nfcNormalize =
+    unary("graft_nfc_normalize", classOf[NfcNormalizeExpression],
+      NfcNormalizeExpression(_))
+  private[graft] val stripAccents =
+    unary("graft_strip_accents", classOf[StripAccentsExpression],
+      StripAccentsExpression(_))
 
   private val all =
-    Seq(polyhash, sentiment, cleanTweet, jaroWinkler, extractHashtags, country)
+    Seq(polyhash, sentiment, cleanTweet, jaroWinkler, extractHashtags, country,
+      nfcNormalize, stripAccents)
 
   /** Imperative registration on a live session (tests, notebooks):
     * functions plus the range-join rewrite (idempotent — the rule runs

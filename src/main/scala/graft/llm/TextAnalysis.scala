@@ -200,6 +200,65 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Unicode-canonicalization audit over the corpus — the QC a pipeline
+    * runs before trusting hash-keyed dedup on multi-source text (see
+    * [[graft.functions.UnicodeNormOps]]: non-NFC byte encodings make
+    * identical documents hash apart). The driver corpus is ASCII, so the
+    * non-canonical text this audits is INJECTED deterministically: every
+    * 'e' gains a combining acute (U+0301) and every 'o' a combining
+    * diaeresis (U+0308) — decomposed sequences NFC composes to 'é'/'ö',
+    * exercising the real slow path on every row. One-row output:
+    *
+    *   - `n_docs`, `sum_raw_chars`: corpus size before decoration;
+    *   - `sum_dec_chars`: after decoration (+1 code point per e/o —
+    *     pins that both engines count CODE POINTS, not bytes);
+    *   - `sum_nfc_chars`: after NFC (combining pairs compose back to
+    *     precomposed singletons, so this equals `sum_raw_chars`);
+    *   - `n_noncanonical`: docs NFC actually changed (every doc with an
+    *     e/o — pins the changed-text detection both ways);
+    *   - `n_fold_roundtrip`: docs where accent-folding the decorated
+    *     text returns the original ASCII exactly (all of them — the
+    *     invariant that folding undoes decoration, nothing more).
+    *
+    * Scale shape: one pass, two scalar projections per row inside
+    * whole-stage codegen, one partial-aggregated 1-row result — the
+    * audit costs a corpus scan and nothing else. */
+  def unicodeNormStats(docs: DataFrame): DataFrame = {
+    import graft.functions.UnicodeNorm.{nfcNormalize, stripAccentsCol}
+    val dec = docs.select(col("text"),
+      replace(replace(col("text"), lit("e"), lit("e\u0301")),
+        lit("o"), lit("o\u0308")).as("dec"))
+    dec.agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).as("sum_raw_chars"),
+      sum(length(col("dec"))).as("sum_dec_chars"),
+      sum(length(nfcNormalize(col("dec")))).as("sum_nfc_chars"),
+      sum(when(nfcNormalize(col("dec")) =!= col("dec"), 1L).otherwise(0L))
+        .as("n_noncanonical"),
+      sum(when(stripAccentsCol(col("dec")) === col("text"), 1L).otherwise(0L))
+        .as("n_fold_roundtrip"))
+  }
+
+  /** Row-level canonicalization twin of [[unicodeNormStats]] on an
+    * entity-name column: decorate each name with PRECOMPOSED accents
+    * ('e' → U+00E9) and separately with the DECOMPOSED sequence
+    * ('e' → e+U+0301), then return the accent-folded name and an
+    * integer flag that NFC maps the decomposed form onto the
+    * precomposed one — the canonical-equivalence fact itself, checked
+    * per row by the oracle hash. Stateless projection; no shuffle. */
+  def canonicalizedNames(names: DataFrame, idCol: String,
+                         nameCol: String): DataFrame = {
+    import graft.functions.UnicodeNorm.{nfcNormalize, stripAccentsCol}
+    names.select(col(idCol),
+      replace(col(nameCol), lit("e"), lit("\u00e9")).as("accented"),
+      replace(col(nameCol), lit("e"), lit("e\u0301")).as("dec"))
+      .select(col(idCol), col("accented"),
+        stripAccentsCol(col("accented")).as("folded"),
+        when(nfcNormalize(col("dec")) === col("accented"), 1)
+          .otherwise(0).as("composed_ok"))
+      .drop("dec")
+  }
+
   /** Word-bigram counts — one hash aggregate; `approx_count_distinct`
     * (HLL) of bigrams is exposed in the library for the 100 TB path where
     * an exact distinct would shuffle the full n-gram space. */

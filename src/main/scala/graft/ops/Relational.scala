@@ -1316,6 +1316,96 @@ object Relational {
       .select(col("doc_id").as("p_partkey"),
         col("canonical_id").as("canonical_key"))
 
+  /** Sorted-neighborhood entity resolution (Hernández & Stolfo 1995,
+    * the merge/purge method) — the SORT-based blocking paradigm, the
+    * classic complement to [[jaroWinklerPairs]]'s KEY-based blocking:
+    * instead of comparing only within equal (brand, first-letter)
+    * blocks, sort ALL records by the name and compare each record to
+    * its `w-1` successors in sort order. Finds the cross-block matches
+    * equality blocking structurally cannot ("Brand#12 smal ring" vs
+    * "Brand#13 small ring" share no brand key but sort adjacent), at a
+    * candidate cost that is EXACTLY linear: n·(w-1) pairs, no
+    * worst-case quadratic block.
+    *
+    * 100 TB design, piece by piece:
+    *   - the global sort rank comes from the engine's two-phase exact
+    *     rank (same trick as [[graft.llm.Pipeline.curriculumShards]]):
+    *     a 2-char-prefix histogram (≤ a few hundred rows) broadcast as
+    *     the cumulative offset + per-prefix `row_number` — never a
+    *     single-partition global window. A pathological corpus where
+    *     one 2-char prefix dominates refines the bucket key with more
+    *     characters; names here distribute across ~60 prefixes.
+    *   - the neighborhood join is a BUCKET equi-join, not a range
+    *     join: rank bucket `⌊(rank-1)/w⌋`, left side exploded to
+    *     (bucket, bucket+1), so every (ra < rb ≤ ra+w-1) pair meets in
+    *     exactly one hash-join bucket; the rank-distance filter then
+    *     cuts the corner pairs. 2n join rows, shuffle on a dense long.
+    *   - scoring is the native codegen'd Jaro-Winkler scalar on the
+    *     n·(w-1) candidates only.
+    * Output one row per matched pair in rank order (key_a is the
+    * earlier name in sort order), with the rank distance — the audit
+    * column that shows WHERE in the window matches live (dist 1-2 in
+    * practice; a healthy signal the window is not undersized). */
+  def sortedNeighborhoodPairs(spark: SparkSession, sfDir: String,
+                              w: Int = 8, minSim: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.JaroWinkler.jaroWinklerCol
+    val p = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_name"))
+      .withColumn("bkt", substring(col("p_name"), 1, 2))
+    val hist = p.groupBy("bkt").agg(count(lit(1)).as("n"))
+    val prefix = hist
+      .withColumn("better",
+        coalesce(sum("n").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "better")
+    val ranked = p
+      .withColumn("r", row_number().over(
+        Window.partitionBy("bkt").orderBy("p_name", "p_partkey")).cast("long"))
+      .join(broadcast(prefix), "bkt")
+      .select(col("p_partkey"), col("p_name"),
+        (col("better") + col("r")).as("rank"))
+    val a = ranked.select(col("rank").as("rank_a"),
+        col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+        expr(s"(rank - 1) div $w").as("nb"))
+      .select(col("rank_a"), col("key_a"), col("name_a"),
+        explode(array(col("nb"), col("nb") + 1L)).as("nb"))
+    val b = ranked.select(col("rank").as("rank_b"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+      expr(s"(rank - 1) div $w").as("nb"))
+    a.join(b, Seq("nb"))
+      .filter(col("rank_b") - col("rank_a") >= 1 &&
+        col("rank_b") - col("rank_a") <= w - 1)
+      .withColumn("jw", round(jaroWinklerCol(col("name_a"), col("name_b")), 4))
+      .filter(col("jw") >= minSim)
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+        col("jw"), (col("rank_b") - col("rank_a")).as("dist"))
+  }
+
+  /** Head-to-head audit of the two blocking paradigms over the SAME
+    * match predicate (JW ≥ 0.9 on part names): every matched pair is
+    * tagged with whether key-blocking ([[jaroWinklerPairs]]), the
+    * sorted neighborhood ([[sortedNeighborhoodPairs]]), or both found
+    * it — the recall-accounting a pipeline does before trusting either
+    * candidate generator alone. Pairs canonicalize to key_lo < key_hi
+    * before the full outer join (SNM orients by sort rank, key
+    * blocking by key order). Output ≤ 3 rows; both inputs are already
+    * slim pair sets, the audit adds one hash join and a 3-group
+    * aggregate. */
+  def blockingComparison(spark: SparkSession, sfDir: String,
+                         w: Int = 8, minSim: Double = 0.9): DataFrame = {
+    val snm = sortedNeighborhoodPairs(spark, sfDir, w, minSim)
+      .select(least(col("key_a"), col("key_b")).as("key_lo"),
+        greatest(col("key_a"), col("key_b")).as("key_hi"))
+      .distinct().withColumn("snm", lit(1))
+    val blk = jaroWinklerPairs(spark, sfDir, minSim)
+      .select(col("key_a").as("key_lo"), col("key_b").as("key_hi"))
+      .distinct().withColumn("blk", lit(1))
+    snm.join(blk, Seq("key_lo", "key_hi"), "full_outer")
+      .groupBy(coalesce(col("snm"), lit(0)).as("in_sorted_neighborhood"),
+        coalesce(col("blk"), lit(0)).as("in_key_blocking"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Count-Min point-frequency QC over part keys: one global sketch
     * (built as a MERGE of per-returnflag partial sketches — the rollup
     * tree is part of the query, not just a spec claim), broadcast as a

@@ -269,6 +269,21 @@ object SqlSurface {
          |  AND a.p_partkey < b.p_partkey
          |WHERE round(graft_jaro_winkler(a.p_name, b.p_name), 4) >= 0.9""".stripMargin,
 
+    // Unicode canonicalization through the TEXT path: the same two
+    // session-extension native expressions (graft_nfc_normalize,
+    // graft_strip_accents) the row-level registry query uses — the
+    // decomposed decoration is spelled with SQL unicode escapes
+    "canonicalize_names" ->
+      s"""WITH s AS (SELECT s_suppkey,
+         |    replace(s_name, 'e', '\\u00e9') AS accented,
+         |    replace(s_name, 'e', 'e\\u0301') AS dec
+         |  FROM supplier)
+         |SELECT s_suppkey, accented,
+         |  graft_strip_accents(accented) AS folded,
+         |  CAST(CASE WHEN graft_nfc_normalize(dec) = accented
+         |       THEN 1 ELSE 0 END AS INT) AS composed_ok
+         |FROM s""".stripMargin,
+
     // the skyline shape as an analyst would type it: the single-pass
     // sorted-window algorithm. Exact same math as the engine's
     // range-partitioned Skyline.pareto2D (the spec pins them

@@ -133,6 +133,49 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.toSeq.distinct.size < got.size)
   }
 
+  test("sortedNeighborhoodPairs ≡ naive global-sort window (exactness)") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val dir = "/root/testdata/sf0.001"
+    val w = 8
+    // naive single-node reference: collect, sort by (name, key), compare
+    // each record to its w-1 successors — the definitionally-correct SNM
+    val parts = graft.Tables.part(spark, dir)
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (k, n) => (n, k) }
+    val want = (for {
+      i <- parts.indices
+      j <- (i + 1) until math.min(i + w, parts.length)
+      jw = graft.functions.JaroWinklerOps
+        .jaroWinkler(parts(i)._2, parts(j)._2)
+      jwr = math.round(jw * 10000) / 10000.0 if jwr >= 0.9
+    } yield (parts(i)._1, parts(j)._1, jwr, (j - i).toLong)).toSet
+    val got = Relational.sortedNeighborhoodPairs(spark, dir, w).collect()
+      .map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
+        r.getAs[Double]("jw"), r.getAs[Long]("dist"))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "window should catch at least one near-dup name")
+  }
+
+  test("blockingComparison: group counts tie out against the pair sets") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val dir = "/root/testdata/sf0.001"
+    val snm = Relational.sortedNeighborhoodPairs(spark, dir).collect()
+      .map(r => (math.min(r.getAs[Long]("key_a"), r.getAs[Long]("key_b")),
+        math.max(r.getAs[Long]("key_a"), r.getAs[Long]("key_b")))).toSet
+    val blk = Relational.jaroWinklerPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"))).toSet
+    val rows = Relational.blockingComparison(spark, dir).collect()
+      .map(r => ((r.getAs[Int]("in_sorted_neighborhood"),
+        r.getAs[Int]("in_key_blocking")), r.getAs[Long]("n_pairs"))).toMap
+    assert(rows.getOrElse((1, 1), 0L) === (snm & blk).size.toLong)
+    assert(rows.getOrElse((1, 0), 0L) === (snm -- blk).size.toLong)
+    assert(rows.getOrElse((0, 1), 0L) === (blk -- snm).size.toLong)
+    assert(!rows.contains((0, 0)))
+  }
+
   test("customerOrderDistribution keeps the zero-order bucket") {
     import spark.implicits._
     // 3 customers: one with 2 orders, one with 1, one with none
