@@ -778,6 +778,64 @@ object OraclesLlm {
        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
        |  FROM sp GROUP BY doc_id, span_id)""".stripMargin
 
+  /** GPT-3-style 13-gram decontamination
+    * ([[graft.llm.Dedup.ngramDecontamination]]): the same seed-with-
+    * first polynomial window hash as the span oracles, k = 13, over
+    * the leak-injected corpus; training windows joined to the DISTINCT
+    * eval window set. */
+  val ngramDecontamination: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 100 = 7 OR doc_id % 11 = 5
+       |    THEN text || ' canary benchmark passage held out for' ||
+       |      ' evaluation integrity audit number forty two of the' ||
+       |      ' held out suite'
+       |    ELSE text END AS text FROM documents),
+       |th AS (SELECT doc_id, [${polyE("w")} for w in ${toksE("text")}] AS ths FROM base),
+       |w0 AS (
+       |  SELECT doc_id,
+       |    [{'pos': i + 1,
+       |      'whash': list_reduce(ths[i+1:i+13], (acc, x) -> (acc*31 + x) % $P)}
+       |     for i in range(len(ths) - 12)] AS ws
+       |  FROM th WHERE len(ths) >= 13),
+       |w AS (SELECT doc_id, u.pos AS pos, u.whash AS whash
+       |      FROM (SELECT doc_id, unnest(ws) AS u FROM w0)),
+       |ev AS (SELECT DISTINCT whash, doc_id AS eval_id FROM w
+       |       WHERE doc_id % 100 = 7),
+       |tr AS (SELECT doc_id, pos, whash FROM w WHERE doc_id % 100 <> 7)
+       |SELECT tr.doc_id, count(DISTINCT tr.pos)::BIGINT AS n_dirty_windows,
+       |  count(DISTINCT ev.eval_id)::BIGINT AS n_eval_docs
+       |FROM tr JOIN ev USING (whash)
+       |GROUP BY tr.doc_id""".stripMargin
+
+  /** Per-source quality calibration
+    * ([[graft.llm.Pipeline.qualityCalibration]]): the quality replay
+    * plus RANK within source — `rank()-1` is exactly the engine's
+    * strictly-lower histogram prefix, so ties share a value and the
+    * single-partition window the oracle uses states the math the
+    * engine's broadcast histogram distributes. */
+  val qualityCalibration: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source, len(${toksE("text")})::BIGINT AS wc,
+       |    len(list_distinct(${toksE("text")}))::BIGINT AS uniq,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('the','a','of','and','is')))::BIGINT AS stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    ((least(1000, wc * 20)
+       |      + (CASE WHEN wc = 0 THEN 0 ELSE (1000 * uniq) // wc END)
+       |      + (CASE WHEN wc = 0 THEN 0 ELSE (1000 * stop) // wc END)) // 3)
+       |      AS quality
+       |  FROM s),
+       |r AS (
+       |  SELECT doc_id, source, quality,
+       |    rank() OVER (PARTITION BY source ORDER BY quality) AS rnk,
+       |    count(*) OVER (PARTITION BY source) AS cnt
+       |  FROM q)
+       |SELECT doc_id, source, quality::BIGINT AS quality,
+       |  (CASE WHEN cnt > 1 THEN (1000 * (rnk - 1)) // (cnt - 1)
+       |        ELSE 0 END)::BIGINT AS calib_pm
+       |FROM r""".stripMargin
+
   /** Maximal repeated ≥8-token spans
     * ([[graft.llm.Dedup.repeatedSpans]]): windows whose hash occurs in
     * ≥2 distinct docs, merged per doc by island detection. */

@@ -540,6 +540,10 @@ object SparkEntry {
     // the transform the spans feed: text with repeated spans excised
     "strip_repeated_spans" -> ((s, dir) =>
       Dedup.stripRepeatedSpans(Dedup.withBoilerplate(docs(s, dir)))),
+    // GPT-3 13-gram rule: training docs sharing a window with the
+    // eval split, over the same O(n) rolling window hashes
+    "ngram_decontamination" -> ((s, dir) =>
+      Dedup.ngramDecontamination(docs(s, dir))),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(docs(s, dir))),
     // whole-doc packing (SFT style): bucket-local next-fit, waste measured
     "bin_pack" -> ((s, dir) => Packing.binPack(docs(s, dir))),
@@ -633,6 +637,10 @@ object SparkEntry {
     // two-phase histogram-prefix rank (no single-partition sort)
     "curriculum_shards" -> ((s, dir) =>
       Pipeline.curriculumShards(docs(s, dir))),
+    // per-source quantile normalization of quality (RANK permille via
+    // the broadcast (source, quality) histogram — no per-source window)
+    "quality_calibration" -> ((s, dir) =>
+      Pipeline.qualityCalibration(docs(s, dir))),
     "training_pipeline" -> ((s, dir) =>
       Pipeline.trainingPipeline(Dedup.withExactDups(docs(s, dir)))),
     // the two sketch queries follow the invariant discipline: the
@@ -933,6 +941,7 @@ object SparkEntry {
     "bloom_gate_kept" -> OraclesLlm.bloomGateKept,
     "chunk_dedup" -> OraclesLlm.chunkDedup,
     "repeated_spans" -> OraclesLlm.repeatedSpans,
+    "ngram_decontamination" -> OraclesLlm.ngramDecontamination,
     "repeated_token_fraction" -> OraclesLlm.repeatedTokenFraction,
     "strip_repeated_spans" -> OraclesLlm.stripRepeatedSpans,
     "sample_docs" -> OraclesLlm.sampleDocs,
@@ -969,6 +978,7 @@ object SparkEntry {
     "top_quality_per_lang" -> OraclesLlm.topQualityPerLang,
     "curation_funnel" -> OraclesLlm.curationFunnel,
     "curriculum_shards" -> OraclesLlm.curriculumShards,
+    "quality_calibration" -> OraclesLlm.qualityCalibration,
     "training_pipeline" -> OraclesLlm.trainingPipeline,
     "simhash_dedup" -> OraclesLlm.simhashDedup,
     "cosine_topk" -> OraclesLlm.cosineTopK,

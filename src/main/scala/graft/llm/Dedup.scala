@@ -844,6 +844,52 @@ object Dedup {
         (col("n_tokens") - size(col("kept"))).cast("long").as("removed_tokens"))
   }
 
+  /** N-GRAM decontamination (Brown et al. 2020, GPT-3 Appendix C):
+    * flag every TRAINING document that shares at least one k-token
+    * window with the EVAL set — the published 13-gram rule, the
+    * n-gram-granular sibling of the exact/Bloom decontamination gates
+    * (which only catch whole-document matches). Eval membership is the
+    * deterministic split doc_id ≡ 7 (mod 100); per flagged training
+    * doc: how many of its window positions are dirty and how many
+    * distinct eval docs it collides with — the audit columns that
+    * separate a verbatim leak (many windows, one eval doc) from a
+    * shared boilerplate phrase (few windows, many eval docs).
+    *
+    * Scale shape: both sides reuse [[windowHashRows]]'s slim
+    * (doc_id, pos, whash) rows — raw text never shuffles. The join is
+    * hash-equi on whash with the DISTINCT eval side; in production the
+    * eval set is tiny (AQE broadcasts it), but nothing here requires
+    * that. Cost is one corpus-token-sized window pass, the same bound
+    * as [[repeatedSpans]].
+    *
+    * The driver corpus shares no organic 13-grams, so contamination is
+    * INJECTED deterministically ([[withEvalLeak]]): a 17-token canary
+    * appended to every eval doc AND to training docs ≡ 5 (mod 11) —
+    * those leak 5 windows each (17−13+1), which the oracle hash pins
+    * exactly. */
+  def ngramDecontamination(docs: DataFrame, k: Int = 13): DataFrame = {
+    val w = windowHashRows(withEvalLeak(docs), k)
+    val evalW = w.filter(pmod(col("doc_id"), lit(100)) === 7)
+      .select(col("whash"), col("doc_id").as("eval_id")).distinct()
+    val trainW = w.filter(pmod(col("doc_id"), lit(100)) =!= 7)
+    trainW.join(evalW, Seq("whash"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("pos")).as("n_dirty_windows"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Corpus with an injected eval-set leak for [[ngramDecontamination]]:
+    * a 17-token canary appended to every eval doc (doc_id ≡ 7 mod 100)
+    * and to the training docs that are "contaminated" (≡ 5 mod 11). */
+  def withEvalLeak(docs: DataFrame): DataFrame = {
+    val leak = " canary benchmark passage held out for evaluation" +
+      " integrity audit number forty two of the held out suite"
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(100)) === 7 ||
+          pmod(col("doc_id"), lit(11)) === 5,
+        concat(col("text"), lit(leak))).otherwise(col("text")).as("text"))
+  }
+
   /** Corpus with injected sub-document BOILERPLATE: every doc_id ≡ 3
     * (mod 7) gets a fixed 16-token footer appended — the repeated-span
     * shape (license header / site chrome) that whole-doc and

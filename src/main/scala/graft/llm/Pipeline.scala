@@ -162,4 +162,43 @@ object Pipeline {
         (col("better") + col("bucket_rank")).as("rank"))
       .withColumn("shard", expr(s"(rank - 1) div $shardSize"))
   }
+
+  /** Cross-source quality CALIBRATION: a web-crawl doc's quality 600
+    * and a curated-source doc's 600 are not the same signal, so
+    * mixing sources on the raw score systematically over/under-samples
+    * whole sources. The standard fix is rank normalization WITHIN each
+    * source: `calib_pm` = the doc's quality percentile (exact integer
+    * permille, RANK semantics — ties share, `1000·(rank−1) div (n−1)`,
+    * 0 for a single-doc source) among the docs of ITS source. After
+    * calibration "keep the top 30% of each source" is the same
+    * statement for every source — the per-source twin of
+    * [[curriculumShards]]' global rank.
+    *
+    * Scale shape — NO per-source window (a big source would funnel
+    * into one partition): quality is an integer permille, so the
+    * (source, quality) histogram is ≤ |sources|·1001 rows; the
+    * strictly-lower prefix sum and per-source totals run on the
+    * histogram alone, broadcast back, and the per-doc step is a
+    * broadcast-join projection. RANK (not row_number) is what makes
+    * the histogram sufficient: every doc in a (source, quality) cell
+    * shares one calibrated value by definition. */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val hist = q.groupBy("source", "quality").agg(count(lit(1)).as("n"))
+    val bySrc = Window.partitionBy("source").orderBy("quality")
+    val cal = hist
+      .withColumn("lower", coalesce(sum("n").over(
+        bySrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum("n").over(
+        Window.partitionBy("source")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("source"), col("quality"),
+        when(col("total") > 1,
+          expr("(1000 * lower) div (total - 1)")).otherwise(0L)
+          .as("calib_pm"))
+    q.join(broadcast(cal), Seq("source", "quality"))
+      .select("doc_id", "source", "quality", "calib_pm")
+  }
 }

@@ -432,4 +432,29 @@ class DedupSpec extends SparkSpec {
     val train = rows.count(_.getAs[String]("split") == "train") / n
     assert(train > 0.8 && train < 0.97, s"train share $train")
   }
+
+  test("ngramDecontamination flags exactly the leak-injected training docs") {
+    import spark.implicits._
+    // ids: 7 and 107 are the eval split (≡7 mod 100); 16 is the
+    // contamination-marked training doc (≡5 mod 11); 3 and 20 are clean
+    val docs = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (7L, "first eval document body with its own distinct tokens one two three"),
+      (107L, "second eval document body entirely different words four five six"),
+      (16L, "train doc that will be contaminated with the canary text"),
+      (20L, "another clean training document with plenty of harmless tokens here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramDecontamination(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dirty_windows"), r.getAs[Long]("n_eval_docs"))))
+      .toMap
+    // only the marked training doc is flagged — never the eval docs
+    // themselves, never the clean docs
+    assert(got.keySet === Set(16L))
+    // the 17-token canary yields exactly 17-13+1 = 5 pure-leak windows;
+    // boundary windows mix doc-specific tokens and match nothing
+    assert(got(16L)._1 === 5L)
+    // both eval docs carry the same canary windows
+    assert(got(16L)._2 === 2L)
+  }
 }

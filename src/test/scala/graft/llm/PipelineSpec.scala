@@ -6,6 +6,36 @@ import graft.SparkSpec
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("qualityCalibration: rank permille within source, ties share, singleton 0") {
+    val docs = Seq(
+      (1L, "aa bb cc", "s1"),
+      (2L, "aa aa aa aa", "s1"),
+      (3L, "the of and is a the of", "s1"),
+      (4L, "aa bb cc", "s1"), // same text as doc 1 → same quality: a tie
+      (5L, "only document of its source", "s2")
+    ).toDF("doc_id", "text", "source")
+    // reference: RANK semantics over the engine's own (oracle-checked)
+    // quality scores — strictly-lower count, ties share
+    val q = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("quality")).toMap
+    val s1 = Seq(1L, 2L, 3L, 4L).map(q)
+    def expectPm(id: Long): Long =
+      1000L * s1.count(_ < q(id)) / (s1.length - 1)
+    val got = Pipeline.qualityCalibration(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("quality"),
+          r.getAs[Long]("calib_pm")))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(got(id)._2 === q(id))
+      assert(got(id)._3 === expectPm(id), s"doc $id")
+    }
+    // the tie shares one calibrated value
+    assert(got(1L)._3 === got(4L)._3)
+    // a single-doc source calibrates to 0, not a division by zero
+    assert(got(5L) === (("s2", q(5L), 0L)))
+  }
+
   test("trainingPipeline: filters, dedups to canonical, redacts, counts") {
     val docs = Seq(
       // survives: English, plenty of unique words + stopwords, has PII
