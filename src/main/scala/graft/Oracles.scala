@@ -1428,6 +1428,34 @@ object Oracles {
        |  ON s.key_lo = k.key_lo AND s.key_hi = k.key_hi
        |GROUP BY 1, 2""".stripMargin
 
+  /** Multi-pass SNM ([[graft.ops.Relational.sortedNeighborhoodMultipass]]):
+    * both passes replayed as plain `row_number` windows (forward key =
+    * name, reverse key = token-reversed name), pairs canonicalized,
+    * full outer join → per-pass provenance flags. */
+  val sortedNeighborhoodMultipass: String =
+    s"""WITH p AS (SELECT p_partkey, p_name FROM part),
+       |f AS (SELECT p_partkey, p_name,
+       |    row_number() OVER (ORDER BY p_name, p_partkey) AS rnk FROM p),
+       |fp AS (SELECT DISTINCT least(a.p_partkey, b.p_partkey) AS key_a,
+       |    greatest(a.p_partkey, b.p_partkey) AS key_b
+       |  FROM f a JOIN f b ON b.rnk - a.rnk BETWEEN 1 AND 7
+       |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9),
+       |r AS (SELECT p_partkey, p_name,
+       |    array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+       |      AS skey FROM p),
+       |r2 AS (SELECT p_partkey, p_name,
+       |    row_number() OVER (ORDER BY skey, p_partkey) AS rnk FROM r),
+       |rp AS (SELECT DISTINCT least(a.p_partkey, b.p_partkey) AS key_a,
+       |    greatest(a.p_partkey, b.p_partkey) AS key_b
+       |  FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND 7
+       |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9)
+       |SELECT coalesce(f.key_a, rr.key_a) AS key_a,
+       |  coalesce(f.key_b, rr.key_b) AS key_b,
+       |  (CASE WHEN f.key_a IS NOT NULL THEN 1 ELSE 0 END)::INT AS in_fwd,
+       |  (CASE WHEN rr.key_a IS NOT NULL THEN 1 ELSE 0 END)::INT AS in_rev
+       |FROM fp f FULL OUTER JOIN rp rr
+       |  ON f.key_a = rr.key_a AND f.key_b = rr.key_b""".stripMargin
+
   /** Row-level Unicode canonicalization
     * ([[graft.llm.TextAnalysis.canonicalizedNames]]): chr(233) is the
     * precomposed é, chr(769) the combining acute — DuckDB's

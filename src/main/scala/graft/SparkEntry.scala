@@ -259,6 +259,10 @@ object SparkEntry {
     // recall audit: key-blocking vs sorted-neighborhood on one predicate
     "blocking_comparison" -> ((s, dir) =>
       Relational.blockingComparison(s, dir)),
+    // multi-pass SNM: forward + token-reversed orderings, per-pass
+    // provenance — the published recall fix for single-pass SNM
+    "snm_multipass_pairs" -> ((s, dir) =>
+      Relational.sortedNeighborhoodMultipass(s, dir)),
     // Count-Min sketch: mergeable point-frequency with one-sided error
     "cms_part_counts" -> ((s, dir) => Relational.cmsPartCounts(s, dir)),
     // iterative fixed-point: 3-iteration PageRank over the supply graph
@@ -886,6 +890,7 @@ object SparkEntry {
     "name_clusters" -> Oracles.nameClusters,
     "snm_name_pairs" -> Oracles.sortedNeighborhoodPairs,
     "blocking_comparison" -> Oracles.blockingComparison,
+    "snm_multipass_pairs" -> Oracles.sortedNeighborhoodMultipass,
     "canonicalize_names" -> Oracles.canonicalizedNames,
     "cms_part_counts" -> Oracles.cmsPartCounts,
     "pagerank_supply" -> Oracles.pagerankSupply,

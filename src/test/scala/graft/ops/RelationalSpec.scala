@@ -176,6 +176,29 @@ class RelationalSpec extends SparkSpec {
     assert(!rows.contains((0, 0)))
   }
 
+  test("sortedNeighborhoodMultipass: provenance flags tie out; both passes contribute") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val dir = "/root/testdata/sf0.001"
+    val fwd = Relational.sortedNeighborhoodPairs(spark, dir).collect()
+      .map(r => (math.min(r.getAs[Long]("key_a"), r.getAs[Long]("key_b")),
+        math.max(r.getAs[Long]("key_a"), r.getAs[Long]("key_b")))).toSet
+    val rows = Relational.sortedNeighborhoodMultipass(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("key_a"), r.getAs[Long]("key_b")),
+        (r.getAs[Int]("in_fwd"), r.getAs[Int]("in_rev"))))
+    // one row per canonical pair, keys ordered
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.foreach { case ((a, b), _) => assert(a < b) }
+    val byPair = rows.toMap
+    // in_fwd rows are exactly the single-pass pairs
+    assert(byPair.filter(_._2._1 == 1).keySet === fwd)
+    // never an all-zero row, and the reverse ordering finds pairs the
+    // forward pass structurally missed (the multi-pass raison d'être)
+    assert(byPair.values.forall(v => v._1 == 1 || v._2 == 1))
+    assert(byPair.values.exists(v => v._1 == 0 && v._2 == 1),
+      "reverse pass found nothing new — multipass adds no recall here")
+  }
+
   test("customerOrderDistribution keeps the zero-order bucket") {
     import spark.implicits._
     // 3 customers: one with 2 orders, one with 1, one with none
