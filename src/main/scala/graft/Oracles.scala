@@ -1578,4 +1578,44 @@ object Oracles {
        |SELECT node, round(rank * 1000000000)::BIGINT AS rank_e9
        |FROM r3""".stripMargin
   }
+
+  /** 3-iteration PERSONALIZED PageRank
+    * ([[graft.ops.Graph.pprSupply]]), unrolled like the uniform
+    * oracle; the teleport weight rides the node relation (`sw`) and
+    * each step's per-node term is `0.15·s(v) + 0.85·inflow(v)` — the
+    * bipartite supply graph has no dangling nodes, so the DM·s(v)
+    * term is identically zero and stays out of both plans. The LEFT
+    * join keeps zero-inflow nodes (unreached at iteration i), whose
+    * rank is the bare teleport term — 0 off the seed support. */
+  val pprSupply: String = {
+    def step(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT sw.node,
+         |    0.15 * sw.s + 0.85 * coalesce(agg.inflow, 0) AS rank
+         |  FROM sw LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS inflow
+         |    FROM edges e
+         |    JOIN deg d ON d.src = e.src
+         |    JOIN $prev r ON r.node = e.src
+         |    GROUP BY e.dst) agg ON agg.node = sw.node)"""
+    s"""WITH pairs AS (SELECT DISTINCT l_suppkey AS s,
+       |                 10000000 + l_partkey AS p FROM lineitem),
+       |edges AS (SELECT s AS src, p AS dst FROM pairs
+       |          UNION ALL SELECT p, s FROM pairs),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |seeds AS (SELECT DISTINCT s_suppkey::BIGINT AS node FROM supplier
+       |          WHERE s_suppkey % 10 = 1),
+       |ns AS (SELECT count(*)::DOUBLE AS k FROM seeds),
+       |sw AS (SELECT n.node,
+       |         CASE WHEN s.node IS NOT NULL THEN (SELECT 1.0 / k FROM ns)
+       |              ELSE 0.0 END AS s
+       |       FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+       |r0 AS (SELECT node, s AS rank FROM sw),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT node, round(rank * 1000000000)::BIGINT AS rank_e9
+       |FROM r3""".stripMargin
+  }
 }

@@ -269,6 +269,9 @@ object SparkEntry {
     "pagerank_supply" -> ((s, dir) => graft.ops.Graph.pagerankSupply(s, dir)),
     // iterative frontier expansion: bounded multi-source BFS levels
     "bfs_levels" -> ((s, dir) => graft.ops.Graph.bfsSupply(s, dir)),
+    // personalized PageRank: seed-teleport random walk with restart,
+    // zero extra shuffles over the uniform operator
+    "ppr_supply" -> ((s, dir) => graft.ops.Graph.pprSupply(s, dir)),
     // the SQL entry path end-to-end: temp view + spark.sql TEXT with a
     // session-extension native function (graft_sentiment) in the
     // projection — the surface an analyst tool actually speaks
@@ -895,6 +898,7 @@ object SparkEntry {
     "cms_part_counts" -> Oracles.cmsPartCounts,
     "pagerank_supply" -> Oracles.pagerankSupply,
     "bfs_levels" -> Oracles.bfsSupply,
+    "ppr_supply" -> Oracles.pprSupply,
     "token_stats" -> OraclesLlm.tokenStats,
     "lang_id" -> OraclesLlm.langId,
     "quality_score" -> OraclesLlm.qualityScore,

@@ -255,4 +255,115 @@ object Graph {
       .select(col("node"),
         round(col("rank") * 1e9d).cast("long").as("rank_e9"))
   }
+
+  /** PERSONALIZED PageRank (Page et al. 1999 §6 "personalized" E
+    * vector; the random-walk-with-restart form): the walker teleports
+    * to the SEED set instead of uniformly, so rank measures relevance
+    * TO THE SEEDS — the recommendation/similarity query ("parts most
+    * relevant to these suppliers") where global PageRank measures
+    * importance overall.
+    *
+    *   rank⁰(v)  = s(v)
+    *   rankⁱ(v) = (1−d)·s(v) + d·(Σ_{(u,v)∈E} rankⁱ⁻¹(u)/outdeg(u)
+    *                              + DMⁱ⁻¹·s(v))
+    * with s(v) = 1/|S| on seeds, 0 elsewhere, and DM the dangling
+    * mass (which in PPR restarts at the seeds, not uniformly).
+    *
+    * Same scale mechanics as [[pageRank]], same reasons: edges
+    * partitioned+persisted once, one rank shuffle per iteration, lazy
+    * fused spans with lineage truncation every `checkpointEvery`
+    * steps when no node dangles, per-step materialization when one
+    * does (the DM term makes each step consume the previous ranks
+    * twice — left lazy the span plan doubles per step). The per-node
+    * teleport weight rides the persisted node relation as a column,
+    * so personalization adds ZERO extra shuffles over the uniform
+    * operator. Seeds outside the node set would silently lose
+    * teleport mass, so they fail loudly instead. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int, damping: Double = 0.85,
+                           checkpointEvery: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val e = edges.repartition(shufflePartitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val linked = e.join(outDeg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcNodes = e.select(col("src").as("node")).distinct()
+    val dangling = e.select(col("dst").as("node")).distinct()
+      .join(srcNodes, Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = !dangling.isEmpty
+    val allNodes =
+      if (hasDangling) srcNodes.unionByName(dangling) else srcNodes
+    val seedSet = seeds.select(col("node")).distinct()
+    val k = seedSet.count()
+    require(k > 0, "personalizedPageRank needs a non-empty seed set")
+    require(seedSet.join(allNodes, Seq("node"), "left_anti").isEmpty,
+      "personalizedPageRank: every seed must be a node of the edge set" +
+        " (a seed outside the graph would silently lose teleport mass)")
+    // node relation WITH the teleport weight column — persisted once,
+    // read by every iteration's right join
+    val nodes = allNodes
+      .join(seedSet.withColumn("sv", lit(1.0 / k)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("sv"), lit(0.0)).as("sv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count() // materialize the node+weight relation once, up front
+
+    var ranks = nodes.select(col("node"), col("sv").as("rank"))
+    var ckpts = List.empty[DataFrame]
+    var i = 1
+    while (i <= iterations) {
+      // zero-rank nodes contribute nothing to inflow, so the outflow
+      // side prunes them — in early iterations the walker's support is
+      // seed-local and this keeps the join frontier-sized, the PPR
+      // analog of BFS's shrinking frontier (exact: 0/outdeg = 0)
+      val inflow = linked
+        .join(ranks.filter(col("rank") =!= 0.0)
+          .select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("inflow"))
+        .join(nodes, Seq("node"), "right")
+      var next =
+        if (hasDangling) {
+          val dm = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+          inflow.join(broadcast(dm))
+            .select(col("node"), col("sv"),
+              (lit(1.0 - damping) * col("sv") + lit(damping) *
+                (coalesce(col("inflow"), lit(0.0)) + col("dm") * col("sv")))
+                .as("rank"))
+        } else inflow
+          .select(col("node"), col("sv"),
+            (lit(1.0 - damping) * col("sv") +
+              lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+      if ((hasDangling || i % checkpointEvery == 0) && i < iterations) {
+        next = next.localCheckpoint(eager = true)
+        ckpts ::= next
+      }
+      ranks = next
+      i += 1
+    }
+    val out = ranks.select("node", "rank").localCheckpoint(eager = true)
+    ckpts.foreach(_.unpersist())
+    linked.unpersist(); nodes.unpersist(); dangling.unpersist(); e.unpersist()
+    out
+  }
+
+  /** Registry query: 3-iteration personalized PageRank over the supply
+    * graph, seeded at suppliers with suppkey ≡ 1 (mod 10) — "which
+    * parts and suppliers are most relevant to THIS supplier cohort".
+    * Same 1e9-scaled integer output convention as [[pagerankSupply]]
+    * (same FP-order bound, 6+ orders below rounding granularity). */
+  def pprSupply(spark: org.apache.spark.sql.SparkSession,
+                sfDir: String, iterations: Int = 3): DataFrame = {
+    val edges = supplyEdges(graft.Tables.lineitem(spark, sfDir))
+    val seeds = graft.Tables.supplier(spark, sfDir)
+      .filter(pmod(col("s_suppkey"), lit(10)) === 1)
+      .select(col("s_suppkey").cast("long").as("node"))
+    personalizedPageRank(edges, seeds, iterations)
+      .select(col("node"),
+        round(col("rank") * 1e9d).cast("long").as("rank_e9"))
+  }
 }

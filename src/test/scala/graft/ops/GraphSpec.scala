@@ -136,6 +136,63 @@ class GraphSpec extends SparkSpec {
     assert(run(5) === run(1))
   }
 
+  private def pprOf(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int) =
+    Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        seeds.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("PPR with all nodes as seeds == uniform PageRank (no dangling)") {
+    val star = (1L to 9L).flatMap(i => Seq(0L -> i, i -> 0L))
+    val uniform = ranksOf(star, 4)
+    val ppr = pprOf(star, 0L to 9L, 4)
+    uniform.foreach { case (v, r) => assert(math.abs(ppr(v) - r) < 1e-12) }
+  }
+
+  test("PPR: mass conserves; rank concentrates at the seed side") {
+    val star = (1L to 9L).flatMap(i => Seq(0L -> i, i -> 0L))
+    val ppr = pprOf(star, Seq(3L), 6)
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9)
+    // the seed leaf outranks every other leaf (restart bias), and the
+    // non-seed leaves stay symmetric
+    (1L to 9L).filter(_ != 3L).foreach(i => assert(ppr(3L) > ppr(i)))
+    assert((1L to 9L).filter(_ != 3L).map(ppr).distinct.size === 1)
+  }
+
+  test("PPR: rank stays 0 off the seeds' reachable component") {
+    // two disjoint 2-cycles; seed in the first
+    val edges = Seq(1L -> 2L, 2L -> 1L, 10L -> 11L, 11L -> 10L)
+    val ppr = pprOf(edges, Seq(1L), 5)
+    assert(ppr(10L) === 0.0 && ppr(11L) === 0.0)
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-12)
+  }
+
+  test("PPR with a dangling sink: mass restarts at the seeds, conserves") {
+    // 1 -> 2 -> 3 (3 is a sink); seed at 1
+    val edges = Seq(1L -> 2L, 2L -> 3L)
+    val ppr = pprOf(edges, Seq(1L), 6)
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9)
+    // hand reference with the same DM-to-seeds semantics
+    val nodes = Seq(1L, 2L, 3L)
+    val out = Map(1L -> 1, 2L -> 1)
+    val sv = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0)
+    var rank = sv
+    for (_ <- 1 to 6) {
+      val dm = rank(3L)
+      val inflow = Map(2L -> rank(1L), 3L -> rank(2L))
+      rank = nodes.map(v => v ->
+        (0.15 * sv(v) + 0.85 * (inflow.getOrElse(v, 0.0) + dm * sv(v)))).toMap
+    }
+    nodes.foreach(v => assert(math.abs(ppr(v) - rank(v)) < 1e-12, s"node $v"))
+  }
+
+  test("PPR rejects seeds outside the graph, loudly") {
+    val edges = Seq(1L -> 2L, 2L -> 1L)
+    val e = intercept[IllegalArgumentException] {
+      pprOf(edges, Seq(99L), 2)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("BFS on a path graph: level == hop index, early stop at the end") {
     val path = (0L until 6L).map(i => i -> (i + 1))
     val got = Graph.bfsLevels(path.toDF("src", "dst"),
