@@ -598,6 +598,27 @@ object OraclesLlm {
        |WHERE len(list_intersect(a.sh, b.sh)) * 1000 >=
        |  (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 800""".stripMargin
 
+  /** LSH recall audit ([[graft.llm.SetSimJoin.dedupRecallAudit]]):
+    * exact qualifying pairs (brute force — the oracle's privilege)
+    * left-joined to the banded-and-verified pair set; the banded set
+    * is a subset of the exact one (verification re-checks true
+    * Jaccard), so the groups are hits (1) and S-curve misses (0). */
+  val dedupRecallAudit: String =
+    s"""WITH $minhashCtes,
+       |lsh AS (SELECT DISTINCT doc_a, doc_b FROM scored
+       |        WHERE inter_size * 1000 >= union_size * 800),
+       |ex AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 1000 >=
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 800)
+       |SELECT (CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END)::INT
+       |    AS in_lsh,
+       |  count(*)::BIGINT AS n_pairs
+       |FROM ex LEFT JOIN lsh l
+       |  ON ex.doc_a = l.doc_a AND ex.doc_b = l.doc_b
+       |GROUP BY 1""".stripMargin
+
   /** Prefix-filter selectivity twin
     * ([[graft.llm.SetSimJoin.ssjoinPrefixStats]]): rebuilds the
     * ENGINE'S candidate generation — (df ASC, hash ASC) global order

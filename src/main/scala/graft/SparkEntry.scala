@@ -470,6 +470,9 @@ object SparkEntry {
     // the prefix filter's selectivity, pinned cross-engine
     "ssjoin_prefix_stats" -> ((s, dir) =>
       SetSimJoin.ssjoinPrefixStats(Dedup.withNearDups(docs(s, dir)))),
+    // LSH recall as DATA: banded pairs vs the exact join, same corpus
+    "dedup_recall_audit" -> ((s, dir) =>
+      SetSimJoin.dedupRecallAudit(Dedup.withNearDups(docs(s, dir)))),
     // threshold-tuning report: docs removed per Jaccard cutoff
     "dedup_rate_curve" -> ((s, dir) =>
       Dedup.dedupRateCurve(Dedup.withNearDups(docs(s, dir)))),
@@ -929,6 +932,7 @@ object SparkEntry {
     "minhash_signatures" -> OraclesLlm.minhashSignatures,
     "ngram_jaccard_pairs" -> OraclesLlm.ngramJaccardPairs,
     "ssjoin_exact" -> OraclesLlm.ssjoinExact,
+    "dedup_recall_audit" -> OraclesLlm.dedupRecallAudit,
     "ssjoin_prefix_stats" -> OraclesLlm.ssjoinPrefixStats,
     "dedup_rate_curve" -> OraclesLlm.dedupRateCurve,
     "dedup_clusters" -> OraclesLlm.dedupClusters,

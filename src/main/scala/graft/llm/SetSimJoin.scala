@@ -164,4 +164,23 @@ object SetSimJoin {
       .union(m("n_candidate_pairs", cands))
       .union(m("n_pairs", pairs))
   }
+
+  /** Recall audit of the BANDED LSH near-dup path against this
+    * module's EXACT join, same threshold, same corpus: every
+    * qualifying pair tagged with whether the banding surfaced it.
+    * LSH verification re-checks exact Jaccard on its candidates, so
+    * the banded pair set is a SUBSET of the exact one by construction
+    * — the (in_lsh = 0) row COUNTS THE S-CURVE MISSES, turning the
+    * probabilistic-recall caveat every LSH deployment carries from
+    * prose into an oracle-checked number. Both generators are
+    * linear-shaped (prefix filter / band buckets); the audit itself
+    * adds one slim pair-set join and a 2-group aggregate. */
+  def dedupRecallAudit(docs: DataFrame, minJaccardPm: Int = 800): DataFrame = {
+    val exact = ssjoinExact(docs, minJaccardPm).select("doc_a", "doc_b")
+    val lsh = Dedup.minhashDedup(docs, minJaccardPm)
+      .select("doc_a", "doc_b").distinct().withColumn("l", lit(1))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .groupBy(coalesce(col("l"), lit(0)).as("in_lsh"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -87,6 +87,22 @@ class SetSimJoinSpec extends SparkSpec {
     assert(m("n_pairs") == engine(docs, 500).size.toLong)
   }
 
+  test("dedupRecallAudit: groups tie out; LSH is a subset of exact") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    val corpus = Dedup.withNearDups(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val nExact = SetSimJoin.ssjoinExact(corpus).count()
+    val nLsh = Dedup.minhashDedup(corpus)
+      .select("doc_a", "doc_b").distinct().count()
+    val rows = SetSimJoin.dedupRecallAudit(corpus).collect()
+      .map(r => r.getAs[Int]("in_lsh") -> r.getAs[Long]("n_pairs")).toMap
+    assert(rows.keySet.subsetOf(Set(0, 1)))
+    // partition of the exact pair set; the LSH group is the LSH count
+    assert(rows.values.sum === nExact)
+    assert(rows.getOrElse(1, 0L) === nLsh)
+  }
+
   test("prefix length formula: exact integer ceil, never empty") {
     // sz = 7, t = 0.5 -> ceil = 4, prefix = 4; sz = 1 -> prefix = 1
     val docs = Seq(
