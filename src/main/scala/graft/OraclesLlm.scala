@@ -1747,6 +1747,40 @@ object OraclesLlm {
        |  NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
        |FROM m WHERE m4 = 2""".stripMargin
 
+  /** REAL pixel resize ([[graft.llm.Multimodal.mediaResize]], 8×6 box):
+    * the oracle replays the exact-rational box fit and the
+    * center-aligned NN index map sx = ((2x'+1)·w) // (2·tw), then the
+    * generator pixel formula at the SAMPLED coordinates — so the hash
+    * verifies the engine's decode + resample end to end, not just the
+    * plan arithmetic. */
+  val mediaResize: String =
+    s"""WITH ${mediaBlobCtes("SELECT doc_id, text FROM documents")},
+       |rs AS (
+       |  SELECT media_id, w, h, len, text,
+       |    CASE WHEN 8*h <= 6*w THEN 8 ELSE (w*6) // h END AS tw,
+       |    CASE WHEN 8*h <= 6*w THEN (h*8) // w ELSE 6 END AS th
+       |  FROM img_geom),
+       |px AS (
+       |  SELECT media_id, tw, th, len, text, w,
+       |    ((2*(q % tw) + 1) * w) // (2*tw) AS sx,
+       |    ((2*(q // tw) + 1) * h) // (2*th) AS sy
+       |  FROM (SELECT media_id, w, h, len, text, tw, th,
+       |          unnest(range(tw*th)) AS q FROM rs))
+       |SELECT media_id, 1::BIGINT AS decode_ok,
+       |  any_value(tw)::BIGINT AS target_width,
+       |  any_value(th)::BIGINT AS target_height,
+       |  any_value(tw*th)::BIGINT AS out_n_px,
+       |  sum((sx*7 + sy*13 + len) % 256)::BIGINT AS out_sum_r,
+       |  sum((sx*3 + sy*5 + 2*len) % 256)::BIGINT AS out_sum_g,
+       |  sum(ascii(substr(text, ((sy*w + sx) % greatest(len, 1)) + 1, 1))
+       |      % 256)::BIGINT AS out_sum_b,
+       |  sum(CASE WHEN (sx*7 + sy*13 + len) % 256
+       |       + (sx*3 + sy*5 + 2*len) % 256
+       |       + ascii(substr(text, ((sy*w + sx) % greatest(len, 1)) + 1, 1))
+       |         % 256 >= 384
+       |      THEN 1 ELSE 0 END)::BIGINT AS out_bright_px
+       |FROM px GROUP BY media_id""".stripMargin
+
   /** Per-kind rollup of the decoded features — wraps the
     * [[mediaFeatures]] arithmetic in an outer aggregate. */
   val mediaKindStats: String =

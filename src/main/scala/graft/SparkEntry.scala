@@ -798,7 +798,11 @@ object SparkEntry {
       Multimodal.frameSamplePlan(Multimodal.syntheticMedia(docs(s, dir)))),
     "resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(Multimodal.syntheticMedia(docs(s, dir)), 640, 360)
-        .select("media_id", "kind", "target_width", "target_height")))
+        .select("media_id", "kind", "target_width", "target_height")),
+    // REAL pixel resize: ImageIO decode + integer NN resample, stats
+    // over the resampled raster (the oracle replays the index map)
+    "media_resize" -> ((s, dir) =>
+      Multimodal.mediaResize(Multimodal.syntheticMedia(docs(s, dir)))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1031,5 +1035,6 @@ object SparkEntry {
     "media_manifest" -> OraclesLlm.mediaManifest,
     "media_kind_stats" -> OraclesLlm.mediaKindStats,
     "frame_sample" -> OraclesLlm.frameSample,
-    "resize_plan" -> OraclesLlm.resizePlan)
+    "resize_plan" -> OraclesLlm.resizePlan,
+    "media_resize" -> OraclesLlm.mediaResize)
 }

@@ -156,6 +156,52 @@ object MediaCodec {
       }
     } catch { case _: Exception => None }
 
+  final case class ResizeStats(targetW: Long, targetH: Long, sumR: Long,
+                               sumG: Long, sumB: Long, brightPx: Long)
+
+  /** REAL pixel resize: decode via ImageIO, fit into a maxW×maxH box
+    * preserving aspect ratio (the same exact-rational fit as the
+    * metadata-only planner: fit width iff maxW·h ≤ maxH·w, integer
+    * floor divisions), then CENTER-ALIGNED nearest-neighbor resample —
+    * src(x',y') = in(⌊(2x'+1)·w / 2tw⌋, ⌊(2y'+1)·h / 2th⌋), all-integer
+    * so the SQL oracle replays the identical index map — and the same
+    * channel statistics [[decodeImage]] reports, over the RESAMPLED
+    * raster. The output raster re-encodes with [[encodeBmp]]'s packer
+    * when a pipeline materializes thumbnails; the statistics contract
+    * here is what the oracle can verify cross-engine. */
+  def resizeNearest(bytes: Array[Byte], maxW: Int, maxH: Int): Option[ResizeStats] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w <= 0 || h <= 0) None
+        else {
+          val fitW = maxW.toLong * h <= maxH.toLong * w
+          val tw = if (fitW) maxW else ((w.toLong * maxH) / h).toInt
+          val th = if (fitW) ((h.toLong * maxW) / w).toInt else maxH
+          var (sr, sg, sb, bright) = (0L, 0L, 0L, 0L)
+          var y = 0
+          while (y < th) {
+            val sy = (((2L * y + 1) * h) / (2L * th)).toInt
+            var x = 0
+            while (x < tw) {
+              val sx = (((2L * x + 1) * w) / (2L * tw)).toInt
+              val argb = img.getRGB(sx, sy)
+              val r = (argb >> 16) & 0xff
+              val g = (argb >> 8) & 0xff
+              val b = argb & 0xff
+              sr += r; sg += g; sb += b
+              if (r + g + b >= 384) bright += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some(ResizeStats(tw, th, sr, sg, sb, bright))
+        }
+      }
+    } catch { case _: Exception => None }
+
   final case class AudioStats(sampleRate: Long, nSamples: Long,
                               sumAbs: Long, peakAbs: Long)
 

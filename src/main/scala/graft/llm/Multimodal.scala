@@ -161,6 +161,42 @@ object Multimodal {
         .as("target_height"))
   }
 
+  final case class ResizedRow(
+      media_id: Long, decode_ok: Long,
+      target_width: Option[Long], target_height: Option[Long],
+      out_n_px: Option[Long], out_sum_r: Option[Long],
+      out_sum_g: Option[Long], out_sum_b: Option[Long],
+      out_bright_px: Option[Long])
+
+  /** REAL resize stage over the image rows — [[resizePlan]] plans it,
+    * this executes it: ImageIO decode, exact-rational box fit,
+    * center-aligned integer nearest-neighbor resample
+    * ([[MediaCodec.resizeNearest]]), channel statistics over the
+    * RESAMPLED raster. Same scale shape as [[extractFeatures]]: one
+    * codec per partition, payload bytes projected away in the output
+    * row, a corrupt payload yields `decode_ok = 0` instead of a thrown
+    * task. All outputs are exact integers, so the oracle — which
+    * replays the generator pixel formula through the identical NN
+    * index map in SQL — hash-matches bit for bit; agreement proves
+    * decode AND resample, not just the plan arithmetic. */
+  def mediaResize(media: DataFrame, maxW: Int = 8, maxH: Int = 6): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          MediaCodec.resizeNearest(bytes, maxW, maxH) match {
+            case Some(s) => ResizedRow(id, 1L,
+              Some(s.targetW), Some(s.targetH), Some(s.targetW * s.targetH),
+              Some(s.sumR), Some(s.sumG), Some(s.sumB), Some(s.brightPx))
+            case None => ResizedRow(id, 0L,
+              None, None, None, None, None, None, None)
+          }
+        }
+      }.toDF()
+  }
+
   /** Frame sampling plan for video rows: one row per sampled frame at
     * `everyMs` intervals — explode over a sequence(), no decode. */
   def frameSamplePlan(media: DataFrame, everyMs: Long = 1000L): DataFrame =

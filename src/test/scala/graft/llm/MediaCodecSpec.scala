@@ -36,6 +36,32 @@ class MediaCodecSpec extends AnyFunSuite {
       px.count(p => p._1 + p._2 + p._3 >= 384).toLong))
   }
 
+  test("NN resize matches a hand-built reference over the formula pixels") {
+    val text = "resize me please"
+    for (id <- Seq(0L, 3L, 4L, 7L, 100008L)) {
+      val (w, h) = MediaCodec.imageDims(id)
+      val bytes = MediaCodec.encodeBmp(id, text)
+      val got = MediaCodec.resizeNearest(bytes, 8, 6).get
+      // reference: the same exact-rational fit + center-aligned NN map,
+      // applied to the generator formula directly (no codec involved)
+      val fitW = 8L * h <= 6L * w
+      val tw = if (fitW) 8 else (w * 6) / h
+      val th = if (fitW) (h * 8) / w else 6
+      val px = for (y <- 0 until th; x <- 0 until tw) yield {
+        val sx = (((2L * x + 1) * w) / (2L * tw)).toInt
+        val sy = (((2L * y + 1) * h) / (2L * th)).toInt
+        MediaCodec.pixel(sx, sy, w, text)
+      }
+      assert(got === MediaCodec.ResizeStats(tw, th,
+        px.map(_._1.toLong).sum, px.map(_._2.toLong).sum,
+        px.map(_._3.toLong).sum,
+        px.count(p => p._1 + p._2 + p._3 >= 384).toLong), s"id=$id")
+      assert(got.targetW <= 8 && got.targetH <= 6)
+    }
+    // corrupt payload: None, never a throw
+    assert(MediaCodec.resizeNearest(Array[Byte](1, 2, 3), 8, 6).isEmpty)
+  }
+
   test("WAV round trip: AudioSystem recovers rate, count and samples") {
     for (id <- Seq(1L, 5L, 13L, 100001L); len <- Seq(3, 48, 553)) {
       val stats = MediaCodec.decodeWav(MediaCodec.encodeWav(id, len)).get
