@@ -1781,6 +1781,25 @@ object OraclesLlm {
        |      THEN 1 ELSE 0 END)::BIGINT AS out_bright_px
        |FROM px GROUP BY media_id""".stripMargin
 
+  /** REAL audio downsample ([[graft.llm.Multimodal.audioDownsample]],
+    * factor 4): the oracle keeps every 4th index of the generator
+    * sample sequence — the identical decimation map — and recomputes
+    * the decimated statistics. `(x % 65536) - 32768` IS the signed
+    * two's-complement value of the stored u16 (both branches of the
+    * sign fold collapse to it). */
+  val audioDownsample: String =
+    s"""WITH ${mediaBlobCtes("SELECT doc_id, text FROM documents")},
+       |ds AS (SELECT media_id, len, rate, n,
+       |         unnest(range(0, n, 4)) AS i FROM aud)
+       |SELECT media_id, 1::BIGINT AS decode_ok,
+       |  any_value(rate // 4)::BIGINT AS out_rate,
+       |  count(*)::BIGINT AS out_samples,
+       |  sum(abs(((i*2654435761 + len*1000003) % 65536) - 32768))::BIGINT
+       |    AS out_sum_abs,
+       |  max(abs(((i*2654435761 + len*1000003) % 65536) - 32768))::BIGINT
+       |    AS out_peak_abs
+       |FROM ds GROUP BY media_id""".stripMargin
+
   /** Per-kind rollup of the decoded features — wraps the
     * [[mediaFeatures]] arithmetic in an outer aggregate. */
   val mediaKindStats: String =

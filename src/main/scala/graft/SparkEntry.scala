@@ -802,7 +802,10 @@ object SparkEntry {
     // REAL pixel resize: ImageIO decode + integer NN resample, stats
     // over the resampled raster (the oracle replays the index map)
     "media_resize" -> ((s, dir) =>
-      Multimodal.mediaResize(Multimodal.syntheticMedia(docs(s, dir)))))
+      Multimodal.mediaResize(Multimodal.syntheticMedia(docs(s, dir)))),
+    // REAL audio downsample: AudioSystem decode + integer decimation
+    "audio_downsample" -> ((s, dir) =>
+      Multimodal.audioDownsample(Multimodal.syntheticMedia(docs(s, dir)))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1036,5 +1039,6 @@ object SparkEntry {
     "media_kind_stats" -> OraclesLlm.mediaKindStats,
     "frame_sample" -> OraclesLlm.frameSample,
     "resize_plan" -> OraclesLlm.resizePlan,
-    "media_resize" -> OraclesLlm.mediaResize)
+    "media_resize" -> OraclesLlm.mediaResize,
+    "audio_downsample" -> OraclesLlm.audioDownsample)
 }

@@ -202,6 +202,42 @@ object MediaCodec {
       }
     } catch { case _: Exception => None }
 
+  final case class DownsampleStats(outRate: Long, outSamples: Long,
+                                   sumAbs: Long, peakAbs: Long)
+
+  /** REAL audio downsample by integer DECIMATION: decode via
+    * AudioSystem, keep every `factor`-th frame (out(i) = in(i·factor) —
+    * the index map the SQL oracle replays; a production pipeline adds
+    * an anti-alias filter first, which is float DSP and stays out of
+    * the cross-engine contract), and report the decoded statistics of
+    * the decimated signal. Output rate = rate / factor (exact integer
+    * for the 8/12/16/20 kHz corpus at factor 4 → 2/3/4/5 kHz). */
+  def downsample(bytes: Array[Byte], factor: Int): Option[DownsampleStats] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || factor <= 0)
+        None
+      else {
+        val data = in.readAllBytes()
+        in.close()
+        var (sum, peak, n) = (0L, 0L, 0L)
+        var i = 0
+        while (2 * i + 2 <= data.length) {
+          val off = 2 * i
+          val s =
+            if (fmt.isBigEndian)
+              ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+            else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+          val a = math.abs(s.toLong)
+          sum += a; if (a > peak) peak = a; n += 1
+          i += factor
+        }
+        Some(DownsampleStats(fmt.getSampleRate.toLong / factor, n, sum, peak))
+      }
+    } catch { case _: Exception => None }
+
   final case class AudioStats(sampleRate: Long, nSamples: Long,
                               sumAbs: Long, peakAbs: Long)
 

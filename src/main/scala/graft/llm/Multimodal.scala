@@ -197,6 +197,33 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class DownsampledRow(
+      media_id: Long, decode_ok: Long,
+      out_rate: Option[Long], out_samples: Option[Long],
+      out_sum_abs: Option[Long], out_peak_abs: Option[Long])
+
+  /** REAL audio downsample stage over the audio rows — the audio
+    * sibling of [[mediaResize]]: AudioSystem decode, integer
+    * decimation (out(i) = in(i·factor), the index map the oracle
+    * replays over the generator sample formula), statistics of the
+    * decimated signal. Same partition-codec shape; corrupt payloads
+    * yield `decode_ok = 0`. */
+  def audioDownsample(media: DataFrame, factor: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          MediaCodec.downsample(bytes, factor) match {
+            case Some(s) => DownsampledRow(id, 1L, Some(s.outRate),
+              Some(s.outSamples), Some(s.sumAbs), Some(s.peakAbs))
+            case None => DownsampledRow(id, 0L, None, None, None, None)
+          }
+        }
+      }.toDF()
+  }
+
   /** Frame sampling plan for video rows: one row per sampled frame at
     * `everyMs` intervals — explode over a sequence(), no decode. */
   def frameSamplePlan(media: DataFrame, everyMs: Long = 1000L): DataFrame =

@@ -62,6 +62,25 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.resizeNearest(Array[Byte](1, 2, 3), 8, 6).isEmpty)
   }
 
+  test("decimation downsample matches a hand reference over the formula") {
+    for (id <- Seq(1L, 5L, 13L, 100001L); len <- Seq(0, 7, 120)) {
+      val bytes = MediaCodec.encodeWav(id, len)
+      val got = MediaCodec.downsample(bytes, 4).get
+      val n = MediaCodec.audioSamples(id)
+      val kept = (0 until n by 4).map { i =>
+        val u = MediaCodec.sampleU16(i, len)
+        // signed two's-complement value of the stored u16
+        math.abs(if (u < 32768) u.toLong else u.toLong - 65536L)
+      }
+      assert(got === MediaCodec.DownsampleStats(
+        MediaCodec.audioRate(id) / 4L, kept.length.toLong,
+        kept.sum, kept.max), s"id=$id len=$len")
+    }
+    assert(MediaCodec.downsample(Array[Byte](9, 9), 4).isEmpty)
+    assert(MediaCodec.downsample(
+      MediaCodec.encodeWav(1L, 3), 0).isEmpty) // bad factor: None, no throw
+  }
+
   test("WAV round trip: AudioSystem recovers rate, count and samples") {
     for (id <- Seq(1L, 5L, 13L, 100001L); len <- Seq(3, 48, 553)) {
       val stats = MediaCodec.decodeWav(MediaCodec.encodeWav(id, len)).get
