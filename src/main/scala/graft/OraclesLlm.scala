@@ -1800,6 +1800,48 @@ object OraclesLlm {
        |    AS out_peak_abs
        |FROM ds GROUP BY media_id""".stripMargin
 
+  /** Brightness (r+g+b) of the generator pixel sampled at the dHash
+    * grid cell (gx, gy) — the 9×8 center-aligned NN map inlined
+    * (2·9 = 18, 2·8 = 16 denominators). */
+  private def dhashB(gx: String, gy: String): String = {
+    val sx = s"(((2*($gx) + 1) * w) // 18)"
+    val sy = s"(((2*($gy) + 1) * h) // 16)"
+    s"(($sx*7 + $sy*13 + len) % 256 + ($sx*3 + $sy*5 + 2*len) % 256" +
+      s" + ascii(substr(text, (($sy*w + $sx) % greatest(len, 1)) + 1, 1))" +
+      s" % 256)"
+  }
+
+  /** Shared dHash replay ([[graft.llm.Multimodal.imageDHash]]): one
+    * row per (image, grid row), the 8 adjacent-brightness bits packed
+    * into a row byte, rows concatenated as lowercase hex. */
+  private def dhashCtes(corpus: String): String =
+    s"""${mediaBlobCtes(corpus)},
+       |dg AS (SELECT media_id, w, h, len, text,
+       |         unnest(range(8)) AS gy FROM img_geom),
+       |drow AS (SELECT media_id, gy,
+       |    list_sum([(CASE WHEN ${dhashB("x+1", "gy")} > ${dhashB("x", "gy")}
+       |                    THEN 1 ELSE 0 END) * (128 >> x)
+       |              for x in range(8)]) AS rowbyte
+       |  FROM dg),
+       |dhashes AS (
+       |  SELECT media_id,
+       |    lower(string_agg(lpad(hex(rowbyte), 2, '0'), '' ORDER BY gy))
+       |      AS dhash
+       |  FROM drow GROUP BY media_id)""".stripMargin
+
+  val imageDHash: String =
+    s"""WITH ${dhashCtes("SELECT doc_id, text FROM documents")}
+       |SELECT media_id, 1::BIGINT AS decode_ok, dhash FROM dhashes""".stripMargin
+
+  val imageDHashDups: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+       |${dhashCtes("SELECT doc_id, text FROM corpus")}
+       |SELECT dhash, min(media_id) AS canonical_id,
+       |  count(*)::BIGINT AS n_copies
+       |FROM dhashes GROUP BY dhash HAVING count(*) >= 2""".stripMargin
+
   /** Per-kind rollup of the decoded features — wraps the
     * [[mediaFeatures]] arithmetic in an outer aggregate. */
   val mediaKindStats: String =

@@ -805,7 +805,12 @@ object SparkEntry {
       Multimodal.mediaResize(Multimodal.syntheticMedia(docs(s, dir)))),
     // REAL audio downsample: AudioSystem decode + integer decimation
     "audio_downsample" -> ((s, dir) =>
-      Multimodal.audioDownsample(Multimodal.syntheticMedia(docs(s, dir)))))
+      Multimodal.audioDownsample(Multimodal.syntheticMedia(docs(s, dir)))),
+    // perceptual image fingerprint (dHash) + content-level dup classes
+    "image_dhash" -> ((s, dir) =>
+      Multimodal.imageDHash(Multimodal.syntheticMedia(docs(s, dir)))),
+    "image_dhash_dups" -> ((s, dir) => Multimodal.imageDHashDups(
+      Multimodal.syntheticMedia(Dedup.withExactDups(docs(s, dir))))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1040,5 +1045,7 @@ object SparkEntry {
     "frame_sample" -> OraclesLlm.frameSample,
     "resize_plan" -> OraclesLlm.resizePlan,
     "media_resize" -> OraclesLlm.mediaResize,
-    "audio_downsample" -> OraclesLlm.audioDownsample)
+    "audio_downsample" -> OraclesLlm.audioDownsample,
+    "image_dhash" -> OraclesLlm.imageDHash,
+    "image_dhash_dups" -> OraclesLlm.imageDHashDups)
 }

@@ -238,6 +238,58 @@ object MediaCodec {
       }
     } catch { case _: Exception => None }
 
+  /** Perceptual difference hash (dHash — the classic image near-dup
+    * fingerprint): decode, sample a 9×8 brightness grid with the same
+    * center-aligned integer NN map as [[resizeNearest]], emit one bit
+    * per horizontally-adjacent comparison (bit = brighter-than-left-
+    * neighbor), row-major, as a 16-hex-char string (2 hex digits per
+    * 8-bit row — strings sidestep the 64-bit sign pitfalls a packed
+    * BIGINT hash has in engines that trap overflow). Identical images
+    * hash identically by construction; small re-encodes/crops move few
+    * bits — the property that makes dHash the standard cheap image
+    * dedup key. Brightness = r+g+b (integer, no luma weights — exact
+    * cross-engine). */
+  def dHashHex(bytes: Array[Byte]): Option[String] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w <= 0 || h <= 0) None
+        else {
+          val gw = 9; val gh = 8
+          val grid = Array.ofDim[Int](gh, gw)
+          var y = 0
+          while (y < gh) {
+            val sy = (((2L * y + 1) * h) / (2L * gh)).toInt
+            var x = 0
+            while (x < gw) {
+              val sx = (((2L * x + 1) * w) / (2L * gw)).toInt
+              val argb = img.getRGB(sx, sy)
+              grid(y)(x) = ((argb >> 16) & 0xff) + ((argb >> 8) & 0xff) +
+                (argb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val sb = new java.lang.StringBuilder(16)
+          y = 0
+          while (y < gh) {
+            var rowByte = 0
+            var x = 0
+            while (x < gw - 1) {
+              rowByte = (rowByte << 1) |
+                (if (grid(y)(x + 1) > grid(y)(x)) 1 else 0)
+              x += 1
+            }
+            sb.append(f"$rowByte%02x")
+            y += 1
+          }
+          Some(sb.toString)
+        }
+      }
+    } catch { case _: Exception => None }
+
   final case class AudioStats(sampleRate: Long, nSamples: Long,
                               sumAbs: Long, peakAbs: Long)
 

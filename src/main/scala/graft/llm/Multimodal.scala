@@ -224,6 +224,38 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Perceptual dHash per image row ([[MediaCodec.dHashHex]]) — the
+    * image analog of the text fingerprint: a 64-bit
+    * brightness-gradient signature that survives re-encoding, and the
+    * grouping key for CONTENT-level image dedup where
+    * [[mediaDedup]]'s sha256 only catches byte-identical payloads.
+    * Same partition-codec shape; corrupt → NULL hash, decode_ok = 0. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          MediaCodec.dHashHex(bytes) match {
+            case Some(hx) => (id, 1L, Some(hx))
+            case None     => (id, 0L, None: Option[String])
+          }
+        }
+      }.toDF("media_id", "decode_ok", "dhash")
+  }
+
+  /** Perceptual-duplicate classes: images grouped by [[imageDHash]],
+    * classes of ≥ 2 with the canonical (min) id — the content-level
+    * dedup verdict. Only the 16-char hash and the id shuffle. */
+  def imageDHashDups(media: DataFrame): DataFrame =
+    imageDHash(media)
+      .filter(col("decode_ok") === 1L)
+      .groupBy("dhash")
+      .agg(min("media_id").as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2L)
+
   /** Frame sampling plan for video rows: one row per sampled frame at
     * `everyMs` intervals — explode over a sequence(), no decode. */
   def frameSamplePlan(media: DataFrame, everyMs: Long = 1000L): DataFrame =

@@ -81,6 +81,35 @@ class MediaCodecSpec extends AnyFunSuite {
       MediaCodec.encodeWav(1L, 3), 0).isEmpty) // bad factor: None, no throw
   }
 
+  test("dHash matches a codec-free reference; equal content hashes equal") {
+    val text = "perceptual fingerprint corpus text"
+    for (id <- Seq(0L, 3L, 4L, 7L)) {
+      val (w, h) = MediaCodec.imageDims(id)
+      val got = MediaCodec.dHashHex(MediaCodec.encodeBmp(id, text)).get
+      assert(got.length === 16 && got.matches("[0-9a-f]{16}"))
+      val b = Array.tabulate(8, 9) { (gy, gx) =>
+        val sx = (((2L * gx + 1) * w) / 18L).toInt
+        val sy = (((2L * gy + 1) * h) / 16L).toInt
+        val (r, g, bl) = MediaCodec.pixel(sx, sy, w, text)
+        r + g + bl
+      }
+      val want = (0 until 8).map { gy =>
+        val byte = (0 until 8).foldLeft(0) { (acc, x) =>
+          (acc << 1) | (if (b(gy)(x + 1) > b(gy)(x)) 1 else 0)
+        }
+        f"$byte%02x"
+      }.mkString
+      assert(got === want, s"id=$id")
+    }
+    // the dedup-offset twin (same dims, same text) hashes identically
+    assert(MediaCodec.dHashHex(MediaCodec.encodeBmp(0L, text)) ===
+      MediaCodec.dHashHex(MediaCodec.encodeBmp(100000L, text)))
+    // different text generally moves the hash (blue channel shifts)
+    assert(MediaCodec.dHashHex(MediaCodec.encodeBmp(0L, text)) !==
+      MediaCodec.dHashHex(MediaCodec.encodeBmp(0L, "zzz qqq xxx jjj")))
+    assert(MediaCodec.dHashHex(Array[Byte](0, 1)).isEmpty)
+  }
+
   test("WAV round trip: AudioSystem recovers rate, count and samples") {
     for (id <- Seq(1L, 5L, 13L, 100001L); len <- Seq(3, 48, 553)) {
       val stats = MediaCodec.decodeWav(MediaCodec.encodeWav(id, len)).get
