@@ -217,6 +217,10 @@ object SparkEntry {
     // columnar to_json/from_json codec over the full documents table
     "json_column_roundtrip" -> ((s, dir) =>
       graft.sources.TextFormats.jsonColumnRoundtrip(s, dir)),
+    // two writer generations, one mergeSchema read: the missing column
+    // surfaces as NULL (the reader-side schema-evolution contract)
+    "schema_evolution" -> ((s, dir) =>
+      graft.sources.TextFormats.schemaEvolutionRead(s, dir)),
     // MERGE-style CDC apply: one full-outer join resolves U/D/I per row
     "merge_upsert" -> ((s, dir) => Relational.mergeUpsert(s, dir)),
     // dbt/Deequ-style expectation suite: all rules in ONE scan
@@ -880,6 +884,11 @@ object SparkEntry {
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
     "json_column_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "schema_evolution" ->
+      """SELECT c_custkey, c_name, 1::BIGINT AS gen,
+        |  NULL::VARCHAR AS c_mktsegment FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, 2::BIGINT, c_mktsegment FROM customer""".stripMargin,
     "merge_upsert" -> Oracles.mergeUpsert,
     "expectations_report" -> Oracles.expectationsReport,
     "incremental_rollup" -> Oracles.incrementalRollup,

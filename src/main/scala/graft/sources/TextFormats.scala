@@ -96,6 +96,30 @@ object TextFormats {
     spark.read.orc(dir)
   }
 
+  /** SCHEMA EVOLUTION read: two writer generations of the same table —
+    * generation 1 without a column the pipeline later added, generation
+    * 2 with it — read back as ONE relation with `mergeSchema`, the
+    * lake-maintenance fact every long-lived dataset hits (a backfill
+    * can't rewrite 100 TB of history to add a column; the READER must
+    * reconcile). Generation 1's missing `c_mktsegment` surfaces as
+    * NULL, exactly like the oracle's UNION-with-NULLs restatement, and
+    * the `gen` column proves both generations arrived. mergeSchema is
+    * asked for EXPLICITLY per read (the global default stays off — a
+    * footer-merge pass over every file is not a cost to pay silently
+    * at scale). */
+  def schemaEvolutionRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.customer(spark, sfDir)
+    val dir = scratchRoot.resolve("evolve_customer").toString
+    src.select(col("c_custkey"), col("c_name"), lit(1L).as("gen"))
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    src.select(col("c_custkey"), col("c_name"), lit(2L).as("gen"),
+        col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/gen=1", s"$dir/gen=2")
+      .select("c_custkey", "c_name", "gen", "c_mktsegment")
+  }
+
   /** Columnar JSON codec roundtrip over the FULL documents table:
     * to_json(struct(*)) → from_json(schema) → reproject, no file IO —
     * both directions are codegen'd expressions, so this is the shape
