@@ -914,6 +914,19 @@ object OraclesLlm {
        |WHERE inter_size * 1000 >= union_size * 800
        |  AND doc_a < 100000 AND doc_b >= 100000""".stripMargin
 
+  /** [[lshIndexQuery]] after deleting stored docs ≡ 0 (mod 20)
+    * ([[graft.llm.LshIndex.delete]] / [[graft.llm.LshIndex
+    * .purgeDeleted]] — logical and physical paths answer identically,
+    * so both registry queries share this oracle): tombstoned stored
+    * partners simply stop matching. */
+  val lshDeleteQuery: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b, inter_size, union_size
+       |FROM scored
+       |WHERE inter_size * 1000 >= union_size * 800
+       |  AND doc_a < 100000 AND doc_b >= 100000
+       |  AND doc_a % 20 <> 0""".stripMargin
+
   /** Kept side of the stored-index history gate
     * ([[graft.llm.LshIndex.gate]], the per-micro-batch check
     * [[graft.streaming.DocStream.ingest]] runs): batch docs (ids ≥

@@ -385,6 +385,33 @@ object SparkEntry {
           concat(lit("dup "), col("text")).as("text"))
       LshIndex.query(batch, "lsh_oracle")
     }),
+    // right-to-be-forgotten: tombstoned stored docs stop matching
+    // immediately (logical delete, O(|deleted|))
+    "lsh_delete_query" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LshIndex.build(d, "lsh_del")
+      LshIndex.delete(
+        d.filter(pmod(col("doc_id"), lit(20)) === 0).select("doc_id"),
+        "lsh_del")
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("dup "), col("text")).as("text"))
+      LshIndex.query(batch, "lsh_del")
+    }),
+    // the physical half: purge rewrites without tombstoned rows; the
+    // query answer is identical (same oracle)
+    "lsh_purge_query" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LshIndex.build(d, "lsh_purge")
+      LshIndex.delete(
+        d.filter(pmod(col("doc_id"), lit(20)) === 0).select("doc_id"),
+        "lsh_purge")
+      LshIndex.purgeDeleted(s, "lsh_purge")
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("dup "), col("text")).as("text"))
+      LshIndex.query(batch, "lsh_purge")
+    }),
     // the KEPT side of the stored-index history gate (the per-batch
     // check DocStream.ingest runs): near-dups of indexed docs drop,
     // sub-shingle-size docs pass vacuously
@@ -946,6 +973,8 @@ object SparkEntry {
     "minhash_dedup" -> OraclesLlm.minhashDedup,
     "dup_degrees" -> OraclesLlm.dupDegrees,
     "lsh_index_query" -> OraclesLlm.lshIndexQuery,
+    "lsh_delete_query" -> OraclesLlm.lshDeleteQuery,
+    "lsh_purge_query" -> OraclesLlm.lshDeleteQuery,
     "lsh_history_gate" -> OraclesLlm.lshHistoryGate,
     "lsh_bucket_stats" -> OraclesLlm.lshBucketStats,
     "lsh_frag_stats" -> OraclesLlm.lshFragStats,

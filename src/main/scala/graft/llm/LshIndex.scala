@@ -48,6 +48,7 @@ object LshIndex {
 
   def setsTable(name: String): String = name + "_sets"
   def bandsTable(name: String): String = name + "_bands"
+  def tombstonesTable(name: String): String = name + "_tombstones"
 
   /** Build and persist the index — the one corpus-sized
     * shingle/signature pass this corpus ever pays. Bands derive from
@@ -60,7 +61,7 @@ object LshIndex {
     * warehouse directory survives, LOCATION_ALREADY_EXISTS). */
   def build(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
     val spark = docs.sparkSession
-    Seq(setsTable(name), bandsTable(name)).foreach { t =>
+    Seq(setsTable(name), bandsTable(name), tombstonesTable(name)).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
@@ -126,6 +127,64 @@ object LshIndex {
       spark, bandsTable(name), "band_key", dedup = true)
   }
 
+  /** DELETE from the index — the right-to-be-forgotten path a training
+    * corpus store must have (a takedown/GDPR request cannot wait for,
+    * or pay, a corpus-sized rewrite): the doc_ids land in a TOMBSTONE
+    * table (tiny — one long per deleted doc) and every subsequent
+    * [[query]]/[[gate]] excludes tombstoned stored docs via a broadcast
+    * anti-join on the CANDIDATE set (the cheapest correct point: a
+    * tombstoned hot doc stops costing verification immediately). The
+    * physical rows survive until [[purgeDeleted]] — the same
+    * logical-delete-then-compact contract every LSM/lakehouse store
+    * uses, because the delete itself must be O(|deleted|), not
+    * O(|corpus|). Idempotent: re-deleting an id appends a duplicate
+    * tombstone row, which `distinct` at read time absorbs. */
+  def delete(docIds: DataFrame, name: String): Unit = {
+    docIds.select(col("doc_id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(tombstonesTable(name))
+  }
+
+  /** The tombstone set, when any delete has happened. */
+  private def tombstones(spark: SparkSession, name: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(tombstonesTable(name)))
+      Some(spark.table(tombstonesTable(name)).select("doc_id").distinct())
+    else None
+
+  /** Anti-join `df` against the tombstones on `key` (no-op when no
+    * delete has happened). Tombstones broadcast: a delete set is
+    * request-sized, never corpus-sized. */
+  private def excludeDeleted(df: DataFrame, name: String,
+                             key: String): DataFrame =
+    tombstones(df.sparkSession, name).fold(df) { t =>
+      df.join(broadcast(t.withColumnRenamed("doc_id", key)), Seq(key),
+        "left_anti")
+    }
+
+  /** Physically drop tombstoned rows from both bucketed tables and
+    * clear the tombstone table — the delete's [[compact]] analog, run
+    * on the same maintenance cadence. The surviving rows are
+    * materialized (localCheckpoint) BEFORE the tables are dropped and
+    * rewritten under their existing bucket specs; afterwards
+    * [[query]] answers identically but without the per-query
+    * anti-join. LshIndexSpec pins query-before ≡ query-after. */
+  def purgeDeleted(spark: SparkSession, name: String): Unit =
+    tombstones(spark, name).foreach { tomb =>
+      val bSets = graft.sources.Bucketed.bucketCount(spark, setsTable(name))
+      val bBands = graft.sources.Bucketed.bucketCount(spark, bandsTable(name))
+      val sets = spark.table(setsTable(name))
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = true)
+      val bands = spark.table(bandsTable(name))
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = true)
+      Seq(setsTable(name), bandsTable(name), tombstonesTable(name)).foreach {
+        t => spark.sql(s"DROP TABLE IF EXISTS $t")
+      }
+      graft.sources.Bucketed.writeBucketed(sets, setsTable(name), "doc_id", bSets)
+      graft.sources.Bucketed.writeBucketed(bands, bandsTable(name), "band_key", bBands)
+    }
+
   /** Near-dup pairs between a NEW batch and the stored corpus:
     * candidates from band-key collisions against the stored bands
     * table, deduped BEFORE verification, then exact-Jaccard verified
@@ -175,12 +234,14 @@ object LshIndex {
     // happened to equal its stored partner's id (caught by the ingest
     // soak: feed ids overlapped the seed range and every first-seen
     // near-dup of a same-id seed sailed through the gate).
-    val cands = spark.table(bandsTable(name)).as("a")
-      .join(maybeBroadcast(newBands.as("b")),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cands = excludeDeleted(
+      spark.table(bandsTable(name)).as("a")
+        .join(maybeBroadcast(newBands.as("b")),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct(),
+      name, "doc_a")
     maybeBroadcast(cands)
       .join(spark.table(setsTable(name))
         .select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

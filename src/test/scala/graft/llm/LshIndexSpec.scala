@@ -47,6 +47,36 @@ class LshIndexSpec extends SparkSpec {
     }
   }
 
+  test("delete: tombstoned stored docs stop matching; purge answers identically and shrinks") {
+    val d = base
+    LshIndex.build(d, "lshspec_del")
+    val batch = nearDupBatch(d)
+    val before = pairs(LshIndex.query(batch, "lshspec_del"))
+    assert(before.exists(_._1 % 20 == 0),
+      "fixture needs at least one pair whose stored side will be deleted")
+    import spark.implicits._
+    val victims = d.filter(pmod(col("doc_id"), lit(20)) === 0).select("doc_id")
+    LshIndex.delete(victims, "lshspec_del")
+    val afterDelete = pairs(LshIndex.query(batch, "lshspec_del"))
+    // exactly the victims' pairs vanish — nothing else moves
+    assert(afterDelete === before.filterNot(_._1 % 20 == 0))
+    // idempotent: re-deleting the same ids changes nothing
+    LshIndex.delete(victims, "lshspec_del")
+    assert(pairs(LshIndex.query(batch, "lshspec_del")) === afterDelete)
+    // purge: physical rewrite, identical answers, rows actually gone
+    val rowsBefore = spark.table(LshIndex.setsTable("lshspec_del")).count()
+    LshIndex.purgeDeleted(spark, "lshspec_del")
+    assert(pairs(LshIndex.query(batch, "lshspec_del")) === afterDelete)
+    val rowsAfter = spark.table(LshIndex.setsTable("lshspec_del")).count()
+    assert(rowsAfter < rowsBefore, "purge must drop the tombstoned rows")
+    assert(!spark.catalog.tableExists(
+      LshIndex.tombstonesTable("lshspec_del")),
+      "purge must clear the tombstone table")
+    // deleting a doc with no matches is harmless
+    LshIndex.delete(Seq(999999999L).toDF("doc_id"), "lshspec_del")
+    assert(pairs(LshIndex.query(batch, "lshspec_del")) === afterDelete)
+  }
+
   test("build(A) + append(B) ≡ build(A ∪ B) — per-doc derivations, no trained state") {
     val d = base
     val (a, b) = (d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
