@@ -35,6 +35,7 @@ object AnnIndex {
   def codesTable(name: String): String = name + "_codes"
   def resCodebookTable(name: String): String = name + "_rcodebook"
   def resCodesTable(name: String): String = name + "_rcodes"
+  def tombstonesTable(name: String): String = name + "_tombstones"
 
   /** Build and persist the index: quantize, (optionally Lloyd-refine)
     * the first-`nCentroids` seed centroids, assign every vector to its
@@ -51,8 +52,9 @@ object AnnIndex {
     cents.write.mode("overwrite").format("parquet")
       .saveAsTable(centroidsTable(name))
     // assignment against the STORED centroids, so the two tables can
-    // never disagree about a cell boundary
+    // never disagree about a cell boundary. A rebuild resets deletes.
     val spark = embeddings.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(name)}")
     val assigned = assignCells(vecs, spark.table(centroidsTable(name)))
       .select("vec_id", "qv", "nrm", "cent_id")
     graft.sources.Bucketed.writeBucketed(
@@ -80,7 +82,7 @@ object AnnIndex {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
     val cents = spark.table(centroidsTable(name))
-    val cells = spark.table(cellsTable(name))
+    val cells = live(spark.table(cellsTable(name)), name)
     val probed = cells.join(
         maybeBroadcast(probes(cells, cents, nQueries, nprobe)),
         col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
@@ -135,6 +137,52 @@ object AnnIndex {
       }
     } finally if (withCodes) assigned.unpersist()
   }
+
+  /** DELETE from the index — [[graft.llm.LshIndex.delete]]'s ANN twin,
+    * same right-to-be-forgotten contract: O(|deleted|) tombstones, no
+    * corpus rewrite; every subsequent [[query]]/[[queryPqRes]] excludes
+    * tombstoned vectors from BOTH roles a stored vector plays (query
+    * source and candidate) via a broadcast anti-join, and the
+    * equivalence delete(X)·query ≡ build(corpus − X)·query holds
+    * whenever the centroid/codebook seed vectors survive
+    * (AnnIndexSpec pins it). Idempotent — duplicate tombstones are
+    * absorbed by the read-time distinct. */
+  def delete(vecIds: DataFrame, name: String): Unit =
+    vecIds.select(col("vec_id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(tombstonesTable(name))
+
+  private def tombstones(spark: SparkSession, name: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(tombstonesTable(name)))
+      Some(spark.table(tombstonesTable(name)).select("vec_id").distinct())
+    else None
+
+  /** Anti-join against tombstones (no-op when nothing was deleted);
+    * the delete set is request-sized, so it broadcasts. */
+  private def live(df: DataFrame, name: String): DataFrame =
+    tombstones(df.sparkSession, name).fold(df)(t =>
+      df.join(broadcast(t), Seq("vec_id"), "left_anti"))
+
+  /** Physically drop tombstoned rows from every stored per-vector
+    * table (cells + whichever codes tables this index variant has) and
+    * clear the tombstones — the [[LshIndex.purgeDeleted]] analog, run
+    * on the maintenance cadence. Survivors are materialized BEFORE the
+    * rewrite; answers are unchanged (AnnIndexSpec pins it). The
+    * parameter tables (centroids, codebooks) are untouched — they are
+    * trained state, not per-vector rows. */
+  def purgeDeleted(spark: SparkSession, name: String): Unit =
+    tombstones(spark, name).foreach { tomb =>
+      Seq(cellsTable(name), codesTable(name), resCodesTable(name))
+        .filter(spark.catalog.tableExists).foreach { t =>
+          val buckets = graft.sources.Bucketed.bucketCount(spark, t)
+          val kept = spark.table(t)
+            .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+            .localCheckpoint(eager = true)
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          graft.sources.Bucketed.writeBucketed(kept, t, "cent_id", buckets)
+        }
+      spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(name)}")
+    }
 
   /** The query set's `nprobe` max-cosine stored cells:
     * (query_id, qqv, qnrm, qcent). */
@@ -209,9 +257,9 @@ object AnnIndex {
                  k: Int = 10, nprobe: Int = 1): DataFrame = {
     val subDim = 64 / PqM
     val cents = spark.table(centroidsTable(name))
-    val cells = spark.table(cellsTable(name))
+    val cells = live(spark.table(cellsTable(name)), name)
     val rcb = spark.table(resCodebookTable(name))
-    val encoded = spark.table(resCodesTable(name))
+    val encoded = live(spark.table(resCodesTable(name)), name)
     val qvecs = cells.filter(col("vec_id") < nQueries)
       .select("vec_id", "qv", "nrm")
     val probes = Similarity.resProbes(qvecs, cents, nprobe)
@@ -299,9 +347,9 @@ object AnnIndex {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
     val cents = spark.table(centroidsTable(name))
-    val cells = spark.table(cellsTable(name))
+    val cells = live(spark.table(cellsTable(name)), name)
     val cb = spark.table(codebookTable(name))
-    val codes = spark.table(codesTable(name))
+    val codes = live(spark.table(codesTable(name)), name)
     val subDim = 64 / PqM
     val probeSet = probes(cells, cents, nQueries, nprobe)
       .select("query_id", "qcent")

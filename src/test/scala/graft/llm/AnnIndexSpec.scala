@@ -52,6 +52,47 @@ class AnnIndexSpec extends SparkSpec {
     assert(mm.getInt(0) >= 0 && mm.getInt(1) < Similarity.PqK)
   }
 
+  test("delete ≡ build on the surviving corpus; purge keeps answers, drops rows") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    AnnIndex.build(emb, "annspec_del")
+    val before = rows(AnnIndex.query(spark, "annspec_del"))
+    // victims: stored vectors, never seeds (vec_id < 16) or query
+    // sources (vec_id < 5) — ≡ 3 mod 7 above 100 hits some of the
+    // current top-k so the delete visibly reshapes results
+    val victims = emb.filter(col("vec_id") >= 100 &&
+      pmod(col("vec_id"), lit(7)) === 3).select("vec_id")
+    val victimSet = victims.collect().map(_.getLong(0)).toSet
+    assert(before.exists(r => victimSet(r._2)),
+      "fixture needs a deleted vector inside the pre-delete top-k")
+    AnnIndex.delete(victims, "annspec_del")
+    val after = rows(AnnIndex.query(spark, "annspec_del"))
+    assert(!after.exists(r => victimSet(r._2)))
+    // the gold contract: delete(X) then query ≡ build(corpus − X) then
+    // query — ranks re-close over the survivors, not merely filter
+    AnnIndex.build(emb.join(victims, Seq("vec_id"), "left_anti"),
+      "annspec_del_ref")
+    assert(after === rows(AnnIndex.query(spark, "annspec_del_ref")))
+    // idempotent re-delete; unknown ids harmless
+    AnnIndex.delete(victims, "annspec_del")
+    AnnIndex.delete(Seq(987654321L).toDF("vec_id"), "annspec_del")
+    assert(rows(AnnIndex.query(spark, "annspec_del")) === after)
+    // purge: physical rewrite, identical answers, rows gone, tombstones cleared
+    val cellsBefore = spark.table(AnnIndex.cellsTable("annspec_del")).count()
+    AnnIndex.purgeDeleted(spark, "annspec_del")
+    assert(rows(AnnIndex.query(spark, "annspec_del")) === after)
+    assert(spark.table(AnnIndex.cellsTable("annspec_del")).count()
+      === cellsBefore - victimSet.size)
+    assert(!spark.catalog.tableExists(
+      AnnIndex.tombstonesTable("annspec_del")))
+  }
+
   test("incremental append equals a full rebuild when seeds live in the first batch") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")
