@@ -60,14 +60,31 @@ object CodecBench {
       (name, bytes, writeS, scanS, agg.map(_.getAs[Long]("n")).sum)
     }
     // pass 0 is the warmup (codegen, classloading, page cache) and is
-    // discarded — without it the first variant pays every cold cost
+    // discarded — without it the first variant pays every cold cost.
+    // The timed figure is MIN over `Passes` measured passes, the
+    // repo-wide batch-perf protocol (see Bench's `mins` comment): the
+    // dominant noise source is host CPU-starvation windows, which only
+    // ever INFLATE a pass, so min estimates unthrottled cost. Bytes
+    // are identical across passes (same rows, same codec) — asserted,
+    // not assumed. Passes are interleaved across variants (run(pass)
+    // sweeps all three) so one window can't tax a single variant's
+    // every pass.
     run(0)
-    val results = run(1)
+    val Passes = 3
+    val passes = (1 to Passes).map(run)
+    val results = variants.indices.map { i =>
+      val vp = passes.map(_(i))
+      require(vp.map(_._2).distinct.size == 1,
+        s"${vp.head._1}: bytes varied across passes — nondeterministic write")
+      (vp.head._1, vp.head._2,
+        vp.map(_._3).min, vp.map(_._4).min, vp.head._5)
+    }
     val base = results.head._2.toDouble
     val json = results.map { case (name, bytes, w, s, scanned) =>
       f""""$name":{"bytes":$bytes,"ratio_vs_snappy":${bytes / base}%.4f,"write_sec":$w%.3f,"scan_sec":$s%.3f,"rows_scanned":$scanned}"""
     }.mkString(
-      s"""{"metric":"codec_bench","table":"lineitem","rows":$rows,"sf":"$sfDir",""",
+      s"""{"metric":"codec_bench","table":"lineitem","rows":$rows,""" +
+        s""""passes":$Passes,"timing":"min_of_passes","sf":"$sfDir",""",
       ",", "}")
     println(json)
     try java.nio.file.Files.write(
@@ -78,5 +95,11 @@ object CodecBench {
       System.err.println(s"[codec-bench] artifact write failed: $e")
     }
     spark.stop()
+    // the warmup and measured outputs are scratch — delete the temp
+    // root so repeated runs don't accrete gigabytes under /tmp
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(root.toFile)
   }
 }

@@ -2051,19 +2051,27 @@ object OraclesLlm {
     * position (unmatched characters advance 1 and count as unk), so
     * both formulations terminate in ≤ length(word) steps with the
     * same terminal state. */
-  val wordpieceEncode8: String = {
-    val rounds = 8
+  /** Shared WordPiece oracle prefix: the BPE training CTEs plus the
+    * flat vocab, token occurrences, distinct apply words, and the
+    * all-substrings candidate table over the APPLY words — everything
+    * both the flat and the `##`-namespaced walks consume. The
+    * namespaced walk additionally attests namespaces from the TRAIN
+    * word table `w` (its own `candt` substring table), which is what
+    * makes the cross split meaningful. */
+  private def wordpieceCommonCtes(rounds: Int, trainWhere: String = "",
+                                  applyWhere: String = ""): String = {
     val vocabUnion = (1 to rounds)
       .map(r => s"SELECT lhs || rhs AS piece FROM best$r")
       .mkString("\nUNION ")
-    "WITH RECURSIVE " + bpeCtes(rounds) + ",\n" +
+    bpeCtes(rounds, trainWhere) + ",\n" +
       s"""vocab AS (
          |  SELECT DISTINCT unnest(string_split(token, '')) AS piece FROM w
          |  UNION
          |  $vocabUnion),
          |occ AS (
          |  SELECT doc_id, token, count(*)::BIGINT AS tf
-         |  FROM (SELECT doc_id, unnest(${toksE("text")}) AS token FROM documents)
+         |  FROM (SELECT doc_id, unnest(${toksE("text")}) AS token
+         |        FROM documents$applyWhere)
          |  GROUP BY 1, 2),
          |aw AS (SELECT DISTINCT token FROM occ),
          |cand AS (
@@ -2073,26 +2081,111 @@ object OraclesLlm {
          |          unnest(flatten([[ [p, l]
          |            for l in range(1, length(token) - p + 1) ]
          |            for p in range(length(token))])) AS pl
-         |        FROM aw)),
-         |lp AS (
-         |  SELECT c.token, c.p, max(c.l) AS adv
-         |  FROM cand c JOIN vocab v ON c.piece = v.piece GROUP BY 1, 2),
-         |walk(token, pos, pieces, unks) AS (
-         |  SELECT token, 0, 0::BIGINT, 0::BIGINT FROM aw
-         |  UNION ALL
-         |  SELECT wk.token, wk.pos + coalesce(lp.adv, 1),
-         |         wk.pieces + CASE WHEN lp.adv IS NULL THEN 0 ELSE 1 END,
-         |         wk.unks + CASE WHEN lp.adv IS NULL THEN 1 ELSE 0 END
-         |  FROM walk wk LEFT JOIN lp ON wk.token = lp.token AND wk.pos = lp.p
-         |  WHERE wk.pos < length(wk.token)),
-         |done AS (SELECT token, pieces, unks FROM walk
-         |         WHERE pos >= length(token))
-         |SELECT o.doc_id, sum(o.tf)::BIGINT AS n_tokens,
+         |        FROM aw))""".stripMargin
+  }
+
+  /** The flat greedy walk: longest vocab piece per position, recursive
+    * chain, per-character unk advancement. Defines `lp, walk, done`. */
+  private def wordpieceFlatWalkCtes: String =
+    s"""lp AS (
+       |  SELECT c.token, c.p, max(c.l) AS adv
+       |  FROM cand c JOIN vocab v ON c.piece = v.piece GROUP BY 1, 2),
+       |walk(token, pos, pieces, unks) AS (
+       |  SELECT token, 0, 0::BIGINT, 0::BIGINT FROM aw
+       |  UNION ALL
+       |  SELECT wk.token, wk.pos + coalesce(lp.adv, 1),
+       |         wk.pieces + CASE WHEN lp.adv IS NULL THEN 0 ELSE 1 END,
+       |         wk.unks + CASE WHEN lp.adv IS NULL THEN 1 ELSE 0 END
+       |  FROM walk wk LEFT JOIN lp ON wk.token = lp.token AND wk.pos = lp.p
+       |  WHERE wk.pos < length(wk.token)),
+       |done AS (SELECT token, pieces, unks FROM walk
+       |         WHERE pos >= length(token))""".stripMargin
+
+  /** The `##`-namespaced walk ([[graft.llm.WordPiece.encodeBert]]):
+    * namespace attestation from the training words' substring table
+    * (ns 0 = attested as a word prefix, 1 = attested mid-word), the
+    * per-namespace longest match, and the recursive chain with BERT's
+    * whole-word-[UNK] `bad` flag — recursion stops at the first
+    * unmatched position and the terminal row is either pos ≥ length
+    * (encoded) or bad (one [UNK] piece). Defines `nsv, lpb, walkb,
+    * doneb`. */
+  private def wordpieceBertWalkCtes: String =
+    s"""candt AS (
+       |  SELECT pl[1] AS p, substr(token, pl[1] + 1, pl[2]) AS piece
+       |  FROM (SELECT token,
+       |          unnest(flatten([[ [p, l]
+       |            for l in range(1, length(token) - p + 1) ]
+       |            for p in range(length(token))])) AS pl
+       |        FROM (SELECT token FROM w) tw)),
+       |nsv AS (
+       |  SELECT DISTINCT c.piece,
+       |         CASE WHEN c.p = 0 THEN 0 ELSE 1 END AS ns
+       |  FROM candt c JOIN vocab v ON c.piece = v.piece),
+       |lpb AS (
+       |  SELECT c.token, c.p, max(c.l) AS adv
+       |  FROM cand c JOIN nsv v ON c.piece = v.piece
+       |    AND v.ns = CASE WHEN c.p = 0 THEN 0 ELSE 1 END
+       |  GROUP BY 1, 2),
+       |walkb(token, pos, pieces, bad) AS (
+       |  SELECT token, 0, 0::BIGINT, false FROM aw
+       |  UNION ALL
+       |  SELECT wk.token,
+       |         CASE WHEN lp.adv IS NULL THEN wk.pos
+       |              ELSE wk.pos + lp.adv END,
+       |         wk.pieces + CASE WHEN lp.adv IS NULL THEN 0 ELSE 1 END,
+       |         lp.adv IS NULL
+       |  FROM walkb wk LEFT JOIN lpb lp
+       |    ON wk.token = lp.token AND wk.pos = lp.p
+       |  WHERE wk.pos < length(wk.token) AND NOT wk.bad),
+       |doneb AS (
+       |  SELECT token,
+       |         CASE WHEN bad THEN 1::BIGINT ELSE pieces END AS pieces,
+       |         CASE WHEN bad THEN 1::BIGINT ELSE 0::BIGINT END AS unk_words
+       |  FROM walkb WHERE pos >= length(token) OR bad)""".stripMargin
+
+  val wordpieceEncode8: String =
+    "WITH RECURSIVE " + wordpieceCommonCtes(8) + ",\n" +
+      wordpieceFlatWalkCtes + "\n" +
+      s"""SELECT o.doc_id, sum(o.tf)::BIGINT AS n_tokens,
          |  sum(o.tf * d.pieces)::BIGINT AS n_pieces,
          |  sum(o.tf * d.unks)::BIGINT AS n_unk
          |FROM occ o JOIN done d ON o.token = d.token
          |GROUP BY o.doc_id""".stripMargin
-  }
+
+  /** [[graft.llm.WordPiece.encodeBert]] on the cross split (train
+    * even doc_ids, apply odd — the namespace only binds on held-out
+    * text): the namespaced walk's per-doc totals. */
+  val wordpieceBertEncode8: String =
+    "WITH RECURSIVE " +
+      wordpieceCommonCtes(8, " WHERE doc_id % 2 = 0", " WHERE doc_id % 2 = 1") +
+      ",\n" + wordpieceBertWalkCtes + "\n" +
+      s"""SELECT o.doc_id, sum(o.tf)::BIGINT AS n_tokens,
+         |  sum(o.tf * d.pieces)::BIGINT AS n_pieces,
+         |  sum(o.tf * d.unk_words)::BIGINT AS n_unk_words
+         |FROM occ o JOIN doneb d ON o.token = d.token
+         |GROUP BY o.doc_id""".stripMargin
+
+  /** [[graft.llm.WordPiece.fertilityDiff]] on the same cross split:
+    * both walks over the one shared vocab, corpus-level totals, 1-row
+    * output. */
+  val wordpieceFertilityDiff: String =
+    "WITH RECURSIVE " +
+      wordpieceCommonCtes(8, " WHERE doc_id % 2 = 0", " WHERE doc_id % 2 = 1") +
+      ",\n" + wordpieceFlatWalkCtes + ",\n" + wordpieceBertWalkCtes + ",\n" +
+      s"""flat_t AS (
+         |  SELECT sum(o.tf)::BIGINT AS n_tokens,
+         |         sum(o.tf * d.pieces)::BIGINT AS flat_pieces,
+         |         sum(o.tf * d.unks)::BIGINT AS flat_unks
+         |  FROM occ o JOIN done d ON o.token = d.token),
+         |bert_t AS (
+         |  SELECT sum(o.tf * d.pieces)::BIGINT AS bert_pieces,
+         |         sum(o.tf * d.unk_words)::BIGINT AS n_unk_words
+         |  FROM occ o JOIN doneb d ON o.token = d.token)
+         |SELECT n_tokens, flat_pieces, flat_unks, bert_pieces, n_unk_words,
+         |  ((1000 * flat_pieces) // n_tokens)::BIGINT AS flat_fertility_milli,
+         |  ((1000 * bert_pieces) // n_tokens)::BIGINT AS bert_fertility_milli,
+         |  ((1000 * bert_pieces) // flat_pieces)::BIGINT AS overhead_pm
+         |FROM flat_t, bert_t""".stripMargin
 
   /** Per-source tokenizer fertility ([[graft.llm.Bpe.fertility]]):
     * replay the learned merges over the DISTINCT vocabulary (token

@@ -660,6 +660,24 @@ object SparkEntry {
     // the OTHER industrial tokenizer apply, directly diffable vs BPE
     "wordpiece_encode_8" -> ((s, dir) =>
       graft.llm.WordPiece.encode(docs(s, dir), rounds = 8)),
+    // BERT's real `##` continuation namespace (word-initial vs
+    // continuation pieces, whole-word [UNK]) on the CROSS split —
+    // train even doc_ids, apply odd, the bpe_encode_cross shape —
+    // because on train==apply the namespace is provably inert
+    // (WordPieceSpec pins the coincidence); plus the corpus-level
+    // fertility price of the namespace discipline on held-out text
+    "wordpiece_bert_encode_8" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.llm.WordPiece.encodeBert(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), rounds = 8)
+    }),
+    "wordpiece_fertility_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.llm.WordPiece.fertilityDiff(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), rounds = 8)
+    }),
     // tokenizer application: per-doc compression accounting after the
     // learned merges (train -> apply, one corpus scan each)
     "bpe_encode" -> ((s, dir) => graft.llm.Bpe.encode(docs(s, dir))),
@@ -1038,6 +1056,8 @@ object SparkEntry {
     "bpe_merges_8" -> OraclesLlm.bpeMerges8,
     "bpe_encode_8" -> OraclesLlm.bpeEncode8,
     "wordpiece_encode_8" -> OraclesLlm.wordpieceEncode8,
+    "wordpiece_bert_encode_8" -> OraclesLlm.wordpieceBertEncode8,
+    "wordpiece_fertility_diff" -> OraclesLlm.wordpieceFertilityDiff,
     "bpe_encode_cross" -> OraclesLlm.bpeEncodeCross,
     "bpe_fertility" -> OraclesLlm.bpeFertility,
     "stratified_sample" -> OraclesLlm.stratifiedSample,

@@ -52,9 +52,18 @@ object AnnIndex {
     cents.write.mode("overwrite").format("parquet")
       .saveAsTable(centroidsTable(name))
     // assignment against the STORED centroids, so the two tables can
-    // never disagree about a cell boundary. A rebuild resets deletes.
+    // never disagree about a cell boundary. A rebuild resets deletes —
+    // catalog entry AND any orphaned warehouse directory from a
+    // previous session (the in-memory catalog forgets the table, the
+    // directory survives, and the first delete()'s saveAsTable would
+    // fail with LOCATION_ALREADY_EXISTS; same guard as LshIndex.build)
     val spark = embeddings.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(name)}")
+    val tombLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      tombstonesTable(name).toLowerCase)
+    val tombFs = tombLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tombFs.exists(tombLoc)) tombFs.delete(tombLoc, true)
     val assigned = assignCells(vecs, spark.table(centroidsTable(name)))
       .select("vec_id", "qv", "nrm", "cent_id")
     graft.sources.Bucketed.writeBucketed(
@@ -166,20 +175,22 @@ object AnnIndex {
   /** Physically drop tombstoned rows from every stored per-vector
     * table (cells + whichever codes tables this index variant has) and
     * clear the tombstones — the [[LshIndex.purgeDeleted]] analog, run
-    * on the maintenance cadence. Survivors are materialized BEFORE the
-    * rewrite; answers are unchanged (AnnIndexSpec pins it). The
-    * parameter tables (centroids, codebooks) are untouched — they are
-    * trained state, not per-vector rows. */
+    * on the maintenance cadence; answers are unchanged (AnnIndexSpec
+    * pins it). Fault-tolerant via [[graft.sources.Bucketed
+    * .rewriteInPlace]]'s staged RENAME-RENAME-DROP swap: survivors
+    * write to a staged table while the live one still exists (no
+    * checkpoint to leak or lose with an executor), no crash point
+    * loses the index, and the tombstones drop only after EVERY
+    * per-vector table has swapped — a mid-purge crash leaves queries
+    * correct through the anti-join and the purge reruns. The parameter
+    * tables (centroids, codebooks) are untouched — they are trained
+    * state, not per-vector rows. */
   def purgeDeleted(spark: SparkSession, name: String): Unit =
     tombstones(spark, name).foreach { tomb =>
       Seq(cellsTable(name), codesTable(name), resCodesTable(name))
         .filter(spark.catalog.tableExists).foreach { t =>
-          val buckets = graft.sources.Bucketed.bucketCount(spark, t)
-          val kept = spark.table(t)
-            .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-            .localCheckpoint(eager = true)
-          spark.sql(s"DROP TABLE IF EXISTS $t")
-          graft.sources.Bucketed.writeBucketed(kept, t, "cent_id", buckets)
+          graft.sources.Bucketed.rewriteInPlace(spark, t, "cent_id",
+            _.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
         }
       spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(name)}")
     }

@@ -111,6 +111,9 @@ object LangModel {
       .select(explode(TextFns.tokens(col("text"))).as("token"))
     val uni = trainToks.groupBy("token").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // released after the consumer's action — the three consumers all
+    // live in the returned lazy plan (see graft.Caches)
+    graft.Caches.releaseAfterNextAction(uni)
     val total = uni.agg(sum("cnt").as("n_total"))
     val trainBi = trainDocs
       .select(explode(bigramPairs(TextFns.tokens(col("text")))).as("bg"))
@@ -204,6 +207,10 @@ object LangModel {
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // released after the consumer's action (see graft.Caches): `bi`
+    // feeds the two continuation tables, the type total, and the
+    // score join, all inside the returned lazy plan
+    graft.Caches.releaseAfterNextAction(bi)
     val n1a = bi.groupBy("w1").agg(count(lit(1)).as("n1a"))
     val n1b = bi.groupBy("w2").agg(count(lit(1)).as("n1b"))
     // 1-row stats: T with the loud overflow guard FUSED INTO the

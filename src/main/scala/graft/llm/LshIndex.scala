@@ -163,26 +163,27 @@ object LshIndex {
 
   /** Physically drop tombstoned rows from both bucketed tables and
     * clear the tombstone table — the delete's [[compact]] analog, run
-    * on the same maintenance cadence. The surviving rows are
-    * materialized (localCheckpoint) BEFORE the tables are dropped and
-    * rewritten under their existing bucket specs; afterwards
-    * [[query]] answers identically but without the per-query
-    * anti-join. LshIndexSpec pins query-before ≡ query-after. */
+    * on the same maintenance cadence; afterwards [[query]] answers
+    * identically but without the per-query anti-join. Fault-tolerant
+    * the same way compact is ([[graft.sources.Bucketed
+    * .rewriteInPlace]]): survivors are staged to a `__compact` table
+    * while the live table still exists, then swapped in via
+    * RENAME-RENAME-DROP — no crash point loses the index (the
+    * round-13 DROP-then-rewrite version destroyed it on any failure
+    * between the DROP and the rewrite, and its localCheckpoint of the
+    * survivors both leaked blocks and died with a lost executor).
+    * Tombstones are dropped only AFTER both swaps succeed — a crash
+    * between table rewrites leaves them in place, so queries stay
+    * correct via the anti-join and the purge simply reruns.
+    * LshIndexSpec pins query-before ≡ query-after. */
   def purgeDeleted(spark: SparkSession, name: String): Unit =
     tombstones(spark, name).foreach { tomb =>
-      val bSets = graft.sources.Bucketed.bucketCount(spark, setsTable(name))
-      val bBands = graft.sources.Bucketed.bucketCount(spark, bandsTable(name))
-      val sets = spark.table(setsTable(name))
-        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-        .localCheckpoint(eager = true)
-      val bands = spark.table(bandsTable(name))
-        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-        .localCheckpoint(eager = true)
-      Seq(setsTable(name), bandsTable(name), tombstonesTable(name)).foreach {
-        t => spark.sql(s"DROP TABLE IF EXISTS $t")
-      }
-      graft.sources.Bucketed.writeBucketed(sets, setsTable(name), "doc_id", bSets)
-      graft.sources.Bucketed.writeBucketed(bands, bandsTable(name), "band_key", bBands)
+      Seq(setsTable(name) -> "doc_id", bandsTable(name) -> "band_key")
+        .foreach { case (t, key) =>
+          graft.sources.Bucketed.rewriteInPlace(spark, t, key,
+            _.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+        }
+      spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(name)}")
     }
 
   /** Near-dup pairs between a NEW batch and the stored corpus:

@@ -135,6 +135,9 @@ object SetSimJoin {
     * filter missed would hash-mismatch. */
   def ssjoinExact(docs: DataFrame, minJaccardPm: Int = 800): DataFrame = {
     val sets = sizedSets(docs)
+    // the persist must outlive this builder (all four consumers live
+    // in the RETURNED lazy plan) and die with the caller's action
+    graft.Caches.releaseAfterNextAction(sets)
     verified(sets, candidatePairs(sets, minJaccardPm), minJaccardPm)
   }
 
@@ -156,6 +159,7 @@ object SetSimJoin {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairsFrom(pref, minJaccardPm)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.releaseAfterNextAction(sets, pref, cands)
     val pairs = verified(sets, cands, minJaccardPm)
     def m(name: String, d: DataFrame): DataFrame =
       d.agg(count(lit(1)).as("value")).select(lit(name).as("metric"), col("value"))

@@ -66,6 +66,14 @@ object Skyline {
       .repartitionByRange(parts, col(xCol).desc)
       .withColumn("_pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The persist is CORRECTNESS-bearing here (stable sampled range
+    // boundaries — object scaladoc), so the returned frame is
+    // single-action: the cache is released once the caller's action
+    // completes, and a SECOND action on the same instance would
+    // re-sample boundaries independently per consumer. Rebuild via
+    // pareto2D for another action — the registry/bench/verify
+    // harnesses all do exactly that.
+    graft.Caches.releaseAfterNextAction(ranged)
     // strictly-larger-x running max, within this range partition
     val wLocal = Window.partitionBy("_pid").orderBy(col(xCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)

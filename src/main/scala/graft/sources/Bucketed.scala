@@ -93,7 +93,26 @@ object Bucketed {
     * object store a managed-table rename copies — a deployment there
     * wants a real table format's atomic commit anyway). */
   def compact(spark: SparkSession, table: String, key: String,
-              dedup: Boolean = false, sorted: Boolean = true): Unit = {
+              dedup: Boolean = false, sorted: Boolean = true): Unit =
+    rewriteInPlace(spark, table, key,
+      src => if (dedup) src.dropDuplicates() else src, sorted)
+
+  /** Rewrite a bucketed table in place as `transform(table)` under its
+    * existing bucket spec, one file per non-empty bucket — the shared
+    * staged-swap primitive under [[compact]] (identity-ish transform)
+    * and the purge paths (tombstone anti-join). The staged table is
+    * written while the LIVE table still exists — the transform reads
+    * it lazily during the staged write, so no materialization
+    * (checkpoint) of the survivors is ever needed — and the swap is
+    * RENAME-RENAME-DROP: until the final DROP both copies exist on
+    * disk, so NO crash point loses rows (a failure mid-swap leaves a
+    * recoverable `__old`/`__compact` table; the next call's leftover
+    * cleanup absorbs it). The transform must not CONSUME the table it
+    * rewrites through another live reader mid-swap, and must preserve
+    * the key column's lineage (the repartition references it). */
+  def rewriteInPlace(spark: SparkSession, table: String, key: String,
+                     transform: DataFrame => DataFrame,
+                     sorted: Boolean = true): Unit = {
     val buckets = bucketCount(spark, table)
     val tmp = table + "__compact"
     val old = table + "__old"
@@ -108,8 +127,7 @@ object Bucketed {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     val src = spark.table(table)
-    val rows = (if (dedup) src.dropDuplicates() else src)
-      .repartition(buckets, src(key))
+    val rows = transform(src).repartition(buckets, src(key))
     writeBucketed(rows, tmp, key, buckets, sorted)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
