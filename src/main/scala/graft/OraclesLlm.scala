@@ -1004,16 +1004,27 @@ object OraclesLlm {
     * to — are recomputed from scratch via the shared shingle/band CTE
     * chain over the same sub-corpus (doc_id % 20 < 4). */
   val lshFragStats: String = {
+    // post-purge corpus: the lifecycle deletes the %20 == 1 append
+    // slice and purges, so the final stored rows are the chain over
+    // the sub-corpus MINUS that slice; the pending-tombstone count is
+    // the slice's document count, recomputed independently
     val subCorpus =
       """corpus AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 < 4)""".stripMargin
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 20 < 4 AND doc_id % 20 <> 1)""".stripMargin
     s"""WITH ${minhashCtesOver(subCorpus)}
        |SELECT 'band_rows' AS metric, count(*)::BIGINT AS value FROM bands
        |UNION ALL SELECT 'sets_rows', count(*)::BIGINT FROM sets
        |UNION ALL SELECT 'appends_fragment_files', 1
        |UNION ALL SELECT 'compact_one_file_per_nonempty_bucket', 1
        |UNION ALL SELECT 'rows_preserved_through_compact', 1
-       |UNION ALL SELECT 'avg_file_rows_reconciles', 1""".stripMargin
+       |UNION ALL SELECT 'avg_file_rows_reconciles', 1
+       |UNION ALL SELECT 'tombstones_pending', count(*)::BIGINT
+       |  FROM documents WHERE doc_id % 20 = 1
+       |UNION ALL SELECT 'stats_surface_purge_debt', 1
+       |UNION ALL SELECT 'tombstones_after_purge', 0
+       |UNION ALL SELECT 'purge_one_file_per_nonempty_bucket', 1
+       |UNION ALL SELECT 'purge_drops_rows', 1""".stripMargin
   }
 
   /** Analytic LSH S-curve (Broder/MMDS): detection probability

@@ -464,12 +464,28 @@ object SparkEntry {
       val nonEmpty = s.table(bandsT)
         .select(countDistinct(pmod(hash(col("band_key")), lit(buckets))))
         .collect().head.getLong(0)
-      val setsRows = s.table(LshIndex.setsTable(name)).count()
       def b(x: Boolean) = if (x) 1L else 0L
+      // right-to-be-forgotten leg: delete one appended slice, surface
+      // the PURGE DEBT (n_tombstones in bucketStats — rows every query
+      // still pays an anti-join for), then purge and re-count. The
+      // post-purge row counts are what the oracle recomputes from
+      // scratch over (sub-corpus minus the deleted slice).
+      LshIndex.delete(
+        sub.filter(pmod(col("doc_id"), lit(20)) === 1).select("doc_id"), name)
+      val debt = LshIndex.tombstoneCount(s, name)
+      val statsDebt = LshIndex.bucketStats(s, name)
+        .select("n_tombstones").distinct().collect().head.getLong(0)
+      LshIndex.purgeDeleted(s, name)
+      val debtAfter = LshIndex.tombstoneCount(s, name)
+      val (pFiles, pRows) = Bucketed.fileStats(s, bandsT)
+      val pNonEmpty = s.table(bandsT)
+        .select(countDistinct(pmod(hash(col("band_key")), lit(buckets))))
+        .collect().head.getLong(0)
+      val setsRows = s.table(LshIndex.setsTable(name)).count()
       val s2 = s
       import s2.implicits._
       Seq(
-        ("band_rows", cRows),
+        ("band_rows", pRows),
         ("sets_rows", setsRows),
         ("appends_fragment_files",
           b(fragged.getLong(0) > compacted.getLong(0))),
@@ -477,7 +493,12 @@ object SparkEntry {
           b(compacted.getLong(0) == nonEmpty && cFiles == nonEmpty)),
         ("rows_preserved_through_compact", b(cRows == rowsBefore)),
         ("avg_file_rows_reconciles",
-          b(compacted.getLong(1) == cRows / cFiles))
+          b(compacted.getLong(1) == cRows / cFiles)),
+        ("tombstones_pending", debt),
+        ("stats_surface_purge_debt", b(statsDebt == debt)),
+        ("tombstones_after_purge", debtAfter),
+        ("purge_one_file_per_nonempty_bucket", b(pFiles == pNonEmpty)),
+        ("purge_drops_rows", b(pRows < cRows))
       ).toDF("metric", "value")
     }),
     // analytic S-curve behind the (bands, rows) default — engine-side

@@ -321,7 +321,15 @@ object AnnIndex {
     val nCentroids = spark.table(centroidsTable(name)).count().toInt
     Similarity.cellStatsFromCells(
       spark.table(cellsTable(name)), nCentroids)
+      // purge debt ([[LshIndex.bucketStats]]'s twin column): tombstoned
+      // vectors still physically present in every probed cell
+      .withColumn("n_tombstones", lit(tombstoneCount(spark, name)))
   }
+
+  /** Pending tombstones (0 when no delete has happened, or right
+    * after a purge). */
+  def tombstoneCount(spark: SparkSession, name: String): Long =
+    tombstones(spark, name).fold(0L)(_.count())
 
   /** Collapse append fragmentation: rewrite every APPENDABLE table of
     * the index (cells, and the codes/rcodes halves when present) under

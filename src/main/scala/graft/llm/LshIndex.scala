@@ -290,7 +290,15 @@ object LshIndex {
     bucketStatsOf(spark.table(bandsTable(name)))
       .withColumn("n_files", lit(nFiles))
       .withColumn("avg_file_rows", lit(if (nFiles == 0) 0L else rows / nFiles))
+      // purge debt: tombstoned docs still physically present — every
+      // query pays their anti-join until purgeDeleted reclaims them
+      .withColumn("n_tombstones", lit(tombstoneCount(spark, name)))
   }
+
+  /** Pending tombstones (0 when no delete has happened, or right
+    * after a purge) — the purge-debt signal [[bucketStats]] surfaces. */
+  def tombstoneCount(spark: SparkSession, name: String): Long =
+    tombstones(spark, name).fold(0L)(_.count())
 
   /** [[bucketStats]] over any (doc_id, band, band_key) band relation —
     * shared by the stored-index path and the batch oracle query. Two

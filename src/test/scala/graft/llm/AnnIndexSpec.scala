@@ -93,6 +93,57 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.tombstonesTable("annspec_del")))
   }
 
+  test("lifecycle interleaving: delete·append·query ≡ build(A∖X ∪ B)·query; purge composes; deletes reach appended rows") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    // seeds (vec_id < 16) live in A, so append keeps centroids fixed
+    val a = emb.filter(col("vec_id") < 250)
+    val b = emb.filter(col("vec_id") >= 250)
+    val x = a.filter(col("vec_id") >= 100 &&
+      pmod(col("vec_id"), lit(7)) === 3).select("vec_id")
+    val reference = {
+      AnnIndex.build(
+        a.join(x, Seq("vec_id"), "left_anti").unionByName(b), "annspec_ilref")
+      rows(AnnIndex.query(spark, "annspec_ilref"))
+    }
+    // 1. delete BEFORE append: tombstones must not suppress the batch
+    AnnIndex.build(a, "annspec_il1")
+    AnnIndex.delete(x, "annspec_il1")
+    AnnIndex.append(b, "annspec_il1")
+    assert(rows(AnnIndex.query(spark, "annspec_il1")) == reference)
+    // 2. purge between delete and append: physical rewrite composes
+    AnnIndex.build(a, "annspec_il2")
+    AnnIndex.delete(x, "annspec_il2")
+    AnnIndex.purgeDeleted(spark, "annspec_il2")
+    AnnIndex.append(b, "annspec_il2")
+    assert(rows(AnnIndex.query(spark, "annspec_il2")) == reference)
+    // 3. delete AFTER append reaches the APPENDED rows
+    val y = b.filter(pmod(col("vec_id"), lit(7)) === 2).select("vec_id")
+    val ySet = y.collect().map(_.getLong(0)).toSet
+    assert(reference.exists(r => ySet(r._2)),
+      "fixture needs an appended vector inside the top-k")
+    AnnIndex.delete(y, "annspec_il1")
+    val afterY = rows(AnnIndex.query(spark, "annspec_il1"))
+    assert(!afterY.exists(r => ySet(r._2)))
+    AnnIndex.build(a.join(x, Seq("vec_id"), "left_anti")
+      .unionByName(b.join(y, Seq("vec_id"), "left_anti")), "annspec_ilref2")
+    assert(afterY == rows(AnnIndex.query(spark, "annspec_ilref2")))
+    // purge-debt observability: cellStats surfaces pending tombstones,
+    // purge zeroes them and keeps answers
+    assert(AnnIndex.cellStats(spark, "annspec_il1")
+      .select("n_tombstones").distinct().head().getLong(0) ==
+      AnnIndex.tombstoneCount(spark, "annspec_il1"))
+    assert(AnnIndex.tombstoneCount(spark, "annspec_il1") > 0L)
+    AnnIndex.purgeDeleted(spark, "annspec_il1")
+    assert(AnnIndex.tombstoneCount(spark, "annspec_il1") == 0L)
+    assert(rows(AnnIndex.query(spark, "annspec_il1")) == afterY)
+  }
+
   test("incremental append equals a full rebuild when seeds live in the first batch") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "driver testdata not present")

@@ -94,6 +94,55 @@ class LshIndexSpec extends SparkSpec {
       stored(LshIndex.bandsTable("lshspec_full")))
   }
 
+  test("lifecycle interleaving: delete·append·query ≡ build(A∖X ∪ B)·query; purge composes; deletes reach appended rows") {
+    val d = base
+    val a = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val b = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    // X ⊂ A: half the probe sources (ids ≡ 0 mod 20), so the delete
+    // visibly removes pairs while others survive
+    val x = a.filter(pmod(col("doc_id"), lit(20)) === 0).select("doc_id")
+    val probe = nearDupBatch(d)
+    val reference = {
+      LshIndex.build(
+        a.join(x, Seq("doc_id"), "left_anti").unionByName(b), "lshspec_ref")
+      pairs(LshIndex.query(probe, "lshspec_ref"))
+    }
+    assert(reference.nonEmpty)
+    // 1. delete BEFORE append: tombstones must not suppress the batch
+    LshIndex.build(a, "lshspec_il1")
+    LshIndex.delete(x, "lshspec_il1")
+    LshIndex.append(b, "lshspec_il1")
+    assert(pairs(LshIndex.query(probe, "lshspec_il1")) == reference)
+    // 2. purge between delete and append: physical rewrite composes
+    LshIndex.build(a, "lshspec_il2")
+    LshIndex.delete(x, "lshspec_il2")
+    LshIndex.purgeDeleted(spark, "lshspec_il2")
+    LshIndex.append(b, "lshspec_il2")
+    assert(pairs(LshIndex.query(probe, "lshspec_il2")) == reference)
+    // 3. delete AFTER append reaches the APPENDED rows: tombstone odd
+    //    stored docs (≡ 5 mod 10, all in B) and probe with their dups
+    val oddProbe = d.filter(pmod(col("doc_id"), lit(10)) === 5)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(lit("dup "), col("text")).as("text"))
+    val beforeOdd = pairs(LshIndex.query(oddProbe, "lshspec_il1"))
+    assert(beforeOdd.exists(_._1 % 20 == 5),
+      "fixture needs an appended-side pair to delete")
+    val y = b.filter(pmod(col("doc_id"), lit(20)) === 5).select("doc_id")
+    LshIndex.delete(y, "lshspec_il1")
+    assert(pairs(LshIndex.query(oddProbe, "lshspec_il1")) ==
+      beforeOdd.filterNot(_._1 % 20 == 5))
+    // purge-debt observability: bucketStats surfaces the pending
+    // tombstones, purge zeroes them
+    assert(LshIndex.bucketStats(spark, "lshspec_il1")
+      .select("n_tombstones").distinct().head().getLong(0) ==
+      LshIndex.tombstoneCount(spark, "lshspec_il1"))
+    assert(LshIndex.tombstoneCount(spark, "lshspec_il1") > 0L)
+    LshIndex.purgeDeleted(spark, "lshspec_il1")
+    assert(LshIndex.tombstoneCount(spark, "lshspec_il1") == 0L)
+    assert(pairs(LshIndex.query(oddProbe, "lshspec_il1")) ==
+      beforeOdd.filterNot(_._1 % 20 == 5))
+  }
+
   test("gate flags a near-dup whose batch id EQUALS its stored partner's id") {
     import spark.implicits._
     // the ingest-soak bug: stored and batch ids are different
