@@ -294,6 +294,35 @@ object Oracles {
        |       min(sec) AS session_start, max(sec) AS session_end
        |FROM sessioned GROUP BY user_id, session_id""".stripMargin
 
+  /** Native `session_window` twin ([[graft.ops.Windows
+    * .sessionWindowCounts]]): gaps-and-islands over RAW microsecond
+    * timestamps (no floor-second cast — the one semantic difference
+    * from [[userSessions]]) with the built-in operator's boundary
+    * semantics as pinned empirically in WindowsSpec: an event exactly
+    * at the previous window's end MERGES, i.e. sessions split only on
+    * a strictly greater gap; the emitted end is last-event + gap. */
+  val sessionWindowCounts: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us FROM events
+       |), lagged AS (
+       |  SELECT user_id, us,
+       |    lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+       |  FROM e
+       |), marked AS (
+       |  SELECT user_id, us,
+       |    (CASE WHEN prev IS NULL OR us - prev > 1800000000
+       |      THEN 1 ELSE 0 END)::BIGINT AS new_sess
+       |  FROM lagged
+       |), sessioned AS (
+       |  SELECT user_id, us,
+       |    (sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sid
+       |  FROM marked)
+       |SELECT user_id, min(us) AS session_start_us,
+       |  max(us) + 1800000000 AS session_end_us,
+       |  count(*)::BIGINT AS n_events
+       |FROM sessioned GROUP BY user_id, sid""".stripMargin
+
   /** JSON props stats ([[graft.ops.Windows.eventPropStats]]):
     * schema-on-read extraction of the k key, missing keys counted. */
   val eventPropStats: String =

@@ -1563,6 +1563,88 @@ object OraclesLlm {
        |  (1000 * n_vecs * 16) // total AS skew_pm
        |FROM cc, t""".stripMargin
 
+  /** The append-drift lifecycle (mirrors the `ann_drift_stats` registry
+    * query): per-cell stats of the max-cosine seed assignment after the
+    * build, after each drifted (abs → positive orthant) append, with the
+    * deleted slice surfacing as purge debt, and after a recluster — one
+    * exact Lloyd round over the LIVE corpus from the seeds, the skew
+    * scale switching to the refined (non-empty) centroid count. */
+  val annDriftStats: String =
+    s"""WITH ea AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < 16 OR vec_id % 4 = 0),
+       |eb1 AS (
+       |  SELECT vec_id + 100000 AS vec_id,
+       |    list_transform(embedding, x -> abs(x)) AS embedding
+       |  FROM embeddings WHERE vec_id % 4 = 1),
+       |eb2 AS (
+       |  SELECT vec_id + 200000 AS vec_id,
+       |    list_transform(embedding, x -> abs(x)) AS embedding
+       |  FROM embeddings WHERE vec_id % 4 = 2),
+       |va AS (SELECT vec_id, ${quantE("embedding")} AS qv FROM ea),
+       |vb1 AS (SELECT vec_id, ${quantE("embedding")} AS qv FROM eb1),
+       |vb2 AS (SELECT vec_id, ${quantE("embedding")} AS qv FROM eb2),
+       |seeds AS (SELECT vec_id AS cent_id, qv AS cv FROM va WHERE vec_id < 16),
+       |k1 AS (SELECT * FROM va),
+       |k2 AS (SELECT * FROM va UNION ALL SELECT * FROM vb1),
+       |k3 AS (SELECT * FROM k2 UNION ALL SELECT * FROM vb2),
+       |k4 AS (SELECT * FROM va UNION ALL SELECT * FROM vb2),
+       |a1 AS (SELECT vec_id, cent_id FROM (
+       |  SELECT v.vec_id, s.cent_id, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY ${cosE("v.qv", "s.cv")} DESC, s.cent_id) AS rn
+       |  FROM k1 v, seeds s) WHERE rn = 1),
+       |a2 AS (SELECT vec_id, cent_id FROM (
+       |  SELECT v.vec_id, s.cent_id, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY ${cosE("v.qv", "s.cv")} DESC, s.cent_id) AS rn
+       |  FROM k2 v, seeds s) WHERE rn = 1),
+       |a3 AS (SELECT vec_id, cent_id FROM (
+       |  SELECT v.vec_id, s.cent_id, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY ${cosE("v.qv", "s.cv")} DESC, s.cent_id) AS rn
+       |  FROM k3 v, seeds s) WHERE rn = 1),
+       |r4 AS (
+       |  SELECT v.vec_id, v.qv, s.cent_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosE("v.qv", "s.cv")} DESC, s.cent_id) AS srn
+       |  FROM k4 v, seeds s),
+       |a4s AS (SELECT vec_id, qv, cent_id FROM r4 WHERE srn = 1),
+       |d4 AS (
+       |  SELECT cent_id, u FROM (
+       |    SELECT cent_id,
+       |      unnest([{'p': i, 'd': qv[i+1]} for i in range(len(qv))]) AS u
+       |    FROM a4s)),
+       |m4 AS (
+       |  SELECT cent_id, u.p AS pos,
+       |    floor(sum(u.d)::DOUBLE / count(*)::DOUBLE)::BIGINT AS vdim
+       |  FROM d4 GROUP BY cent_id, u.p),
+       |nc AS (SELECT cent_id, list(vdim ORDER BY pos) AS cv
+       |       FROM m4 GROUP BY cent_id),
+       |a4 AS (SELECT vec_id, cent_id FROM (
+       |  SELECT v.vec_id, c.cent_id, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY ${cosE("v.qv", "c.cv")} DESC, c.cent_id) AS rn
+       |  FROM k4 v, nc c) WHERE rn = 1),
+       |g1 AS (SELECT cent_id, count(*)::BIGINT AS n FROM a1 GROUP BY cent_id),
+       |g2 AS (SELECT cent_id, count(*)::BIGINT AS n FROM a2 GROUP BY cent_id),
+       |g3 AS (SELECT cent_id, count(*)::BIGINT AS n FROM a3 GROUP BY cent_id),
+       |g4 AS (SELECT cent_id, count(*)::BIGINT AS n FROM a4 GROUP BY cent_id)
+       |SELECT '1_post_build' AS stage, cent_id, n AS n_vecs,
+       |  (1000 * n) // t AS share_pm, (1000 * n * 16) // t AS skew_pm,
+       |  0::BIGINT AS n_tombstones
+       |FROM g1, (SELECT sum(n)::BIGINT AS t FROM g1)
+       |UNION ALL
+       |SELECT '2_post_append1', cent_id, n,
+       |  (1000 * n) // t, (1000 * n * 16) // t, 0::BIGINT
+       |FROM g2, (SELECT sum(n)::BIGINT AS t FROM g2)
+       |UNION ALL
+       |SELECT '3_post_append2_deleted', cent_id, n,
+       |  (1000 * n) // t, (1000 * n * 16) // t,
+       |  (SELECT count(*)::BIGINT FROM vb1)
+       |FROM g3, (SELECT sum(n)::BIGINT AS t FROM g3)
+       |UNION ALL
+       |SELECT '4_post_recluster', cent_id, n,
+       |  (1000 * n) // t,
+       |  (1000 * n * (SELECT count(*)::BIGINT FROM nc)) // t, 0::BIGINT
+       |FROM g4, (SELECT sum(n)::BIGINT AS t FROM g4)""".stripMargin
+
   /** The capstone composition (mirrors `Pipeline.trainingPipeline` over
     * the exact-dup-injected corpus): language filter → quality filter →
     * exact dedup keeping the min-id canonical copy → redaction → token

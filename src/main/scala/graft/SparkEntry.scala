@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Country, Sentiment}
-import graft.llm.{Classifier, Dedup, EditDistance, LangModel, LshIndex, Multimodal, Packing, Pipeline, Retrieval, SetSimJoin, Similarity, TextAnalysis}
+import graft.llm.{AnnIndex, Classifier, Dedup, EditDistance, LangModel, LshIndex, Multimodal, Packing, Pipeline, Retrieval, SetSimJoin, Similarity, TextAnalysis}
 import graft.model.WireCodec
 import graft.ops.{Ranges, Relational, Skyline, TrendPipeline, Windows}
 import graft.text.TextOps
@@ -148,6 +148,19 @@ object SparkEntry {
     // the flatMapGroupsWithState custom-state twin, run in batch mode
     "stateful_sessions" -> ((s, dir) =>
       graft.streaming.StatefulSessions.sessionizeBatch(events(s, dir)).toDF()),
+    // the NATIVE session operator (Spark's merging session_window —
+    // the streaming-ready form), flattened to exact epoch-microsecond
+    // bounds. Two semantics pinned by the oracle + WindowsSpec: the
+    // boundary is INCLUSIVE (an event exactly at the previous window's
+    // end merges — splits only on strictly greater gaps, same rule as
+    // the lag/cumsum and flatMapGroupsWithState forms), and the window
+    // carries raw microsecond timestamps, not floor-second casts.
+    "session_window_counts" -> ((s, dir) =>
+      Windows.sessionWindowCounts(events(s, dir))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))),
     "asof_join" -> ((s, dir) => Windows.clickAsofPurchase(events(s, dir))),
     // ---- §3.3 analyst queries over the TPC-H-ish tables ----
     "q1_agg" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -796,6 +809,44 @@ object SparkEntry {
     // rebuild-vs-append decision signal
     "ann_cell_stats" -> ((s, dir) =>
       Similarity.cellStats(Tables.embeddings(s, dir))),
+    // the append-drift lifecycle end-to-end: frozen-centroid appends
+    // from a shifted distribution (abs ⇒ the positive orthant) pile
+    // vectors into few cells; a delete leaves purge debt; recluster
+    // (warm-start Lloyd + reassign + staged swap, subsuming the purge)
+    // rebalances. Four per-cell stat snapshots, one per stage — each
+    // collected eagerly (≤17 rows) because the stored tables mutate
+    // between stages; the oracle recomputes every stage's assignment
+    // (and the Lloyd round) from scratch.
+    "ann_drift_stats" -> ((s, dir) => {
+      val name = "ann_drift_oracle"
+      val emb = Tables.embeddings(s, dir)
+      val a = emb
+        .filter(col("vec_id") < 16 || pmod(col("vec_id"), lit(4)) === 0)
+        .select("vec_id", "embedding")
+      // float abs only — no arithmetic, so any engine reproduces the
+      // drifted batch bit-for-bit
+      def drifted(m: Int, off: Long) =
+        emb.filter(pmod(col("vec_id"), lit(4)) === m)
+          .select((col("vec_id") + off).as("vec_id"),
+            transform(col("embedding"), x => abs(x)).as("embedding"))
+      AnnIndex.build(a, name)
+      def grab(st: String): Seq[(String, Long, Long, Long, Long, Long)] =
+        AnnIndex.cellStats(s, name).collect().toSeq.map(r =>
+          (st, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+      val st1 = grab("1_post_build")
+      AnnIndex.append(drifted(1, 100000L), name)
+      val st2 = grab("2_post_append1")
+      AnnIndex.append(drifted(2, 200000L), name)
+      AnnIndex.delete(drifted(1, 100000L).select("vec_id"), name)
+      val st3 = grab("3_post_append2_deleted")
+      AnnIndex.recluster(s, name, refineIters = 1)
+      val st4 = grab("4_post_recluster")
+      val sess = s
+      import sess.implicits._
+      (st1 ++ st2 ++ st3 ++ st4).toDF(
+        "stage", "cent_id", "n_vecs", "share_pm", "skew_pm", "n_tombstones")
+    }),
     // embedding QC: per-label norm distribution + degenerate count
     "embedding_norm_stats" -> ((s, dir) =>
       Similarity.normStats(Tables.embeddings(s, dir))),
@@ -918,6 +969,7 @@ object SparkEntry {
     "value_outliers" -> Oracles.valueOutliers,
     "rolling_active_users" -> Oracles.rollingActiveUsers,
     "stateful_sessions" -> Oracles.statefulSessions,
+    "session_window_counts" -> Oracles.sessionWindowCounts,
     "asof_join" -> Oracles.asofJoin,
     "q1_agg" -> Oracles.q1Agg,
     "q3_join" -> Oracles.q3Join,
@@ -1113,6 +1165,7 @@ object SparkEntry {
     "ivfpq_topk_res_p3" -> OraclesLlm.ivfPqResTopKP3,
     "ivfpq_recall_res_p3" -> OraclesLlm.ivfPqResRecallP3,
     "ann_cell_stats" -> OraclesLlm.annCellStats,
+    "ann_drift_stats" -> OraclesLlm.annDriftStats,
     "embedding_norm_stats" -> OraclesLlm.embeddingNormStats,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "embedding_near_dup_mp" -> OraclesLlm.embeddingNearDupMp,

@@ -43,6 +43,24 @@ object AnnIndex {
     * this index ever pays. */
   def build(embeddings: DataFrame, name: String, nCentroids: Int = 16,
             refineIters: Int = 0, buckets: Int = 8): Unit = {
+    // a rebuild resets EVERY table of the index — deletes, and any
+    // stale compressed half from a differently-built predecessor —
+    // clearing catalog entries AND orphaned warehouse directories from
+    // a previous session: the in-memory catalog forgets the table but
+    // the directory survives, and the next saveAsTable (even
+    // mode("overwrite"), which is a CREATE to a catalog that has no
+    // entry) would fail with LOCATION_ALREADY_EXISTS. Same guard as
+    // LshIndex.build, extended to the parameter tables.
+    val spark = embeddings.sparkSession
+    Seq(centroidsTable(name), cellsTable(name), tombstonesTable(name),
+        codebookTable(name), codesTable(name),
+        resCodebookTable(name), resCodesTable(name)).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val vecs = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(norm2Q(col("qv")).cast("double")))
@@ -52,18 +70,7 @@ object AnnIndex {
     cents.write.mode("overwrite").format("parquet")
       .saveAsTable(centroidsTable(name))
     // assignment against the STORED centroids, so the two tables can
-    // never disagree about a cell boundary. A rebuild resets deletes —
-    // catalog entry AND any orphaned warehouse directory from a
-    // previous session (the in-memory catalog forgets the table, the
-    // directory survives, and the first delete()'s saveAsTable would
-    // fail with LOCATION_ALREADY_EXISTS; same guard as LshIndex.build)
-    val spark = embeddings.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(name)}")
-    val tombLoc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      tombstonesTable(name).toLowerCase)
-    val tombFs = tombLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (tombFs.exists(tombLoc)) tombFs.delete(tombLoc, true)
+    // never disagree about a cell boundary
     val assigned = assignCells(vecs, spark.table(centroidsTable(name)))
       .select("vec_id", "qv", "nrm", "cent_id")
     graft.sources.Bucketed.writeBucketed(
@@ -195,6 +202,94 @@ object AnnIndex {
       spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(name)}")
     }
 
+  /** Re-run Lloyd over the LIVE stored vectors, warm-started from the
+    * STORED centroids, and rewrite the per-vector tables under the new
+    * assignment — the maintenance answer to append drift: [[append]]
+    * keeps centroids frozen (the invariant that makes appends cheap and
+    * append ≡ rebuild exact), so a sustained run of appends from a
+    * shifted distribution piles vectors into a few hot cells
+    * ([[cellStats]] skew climbs) and every probe into a hot cell scans
+    * a growing fraction of the corpus. recluster is the scheduled
+    * rebalance: ONE corpus-sized Lloyd+assign pass — the same cost
+    * [[build]] paid once — without re-shipping the raw embeddings.
+    *
+    * Exactness (AnnIndexSpec pins it): when the index was built with
+    * refineIters = 0 the stored centroids ARE the seed vectors, so
+    * build(A,0) · append(B) · recluster(r) ≡ build(A∪B, r) — Lloyd
+    * from equal seeds over equal corpora is deterministic. After prior
+    * refinement it is warm-start Lloyd (the production mode: r more
+    * iterations from where the index stands).
+    *
+    * Tombstones: Lloyd trains on LIVE vectors only and the rewrite
+    * keeps only live rows, so recluster SUBSUMES [[purgeDeleted]]; the
+    * tombstones table drops after the swap.
+    *
+    * The PQ codes table needs only a cent_id retag (a global codebook
+    * quantizes the RAW vector — cell moves never invalidate codes):
+    * one vec_id-keyed shuffle of 10-byte code rows, no re-encoding.
+    * A RESIDUAL index cannot recluster — its codes quantize qv − cv,
+    * so new centroids invalidate every stored code AND the residual
+    * codebook's training distribution; that maintenance op IS
+    * [[buildPqRes]], and this fails loudly rather than serving wrong
+    * distances.
+    *
+    * Crash-consistency: every staged table is fully written while the
+    * live ones still serve, then the swaps run back-to-back — the
+    * cross-table inconsistency window shrinks from "minutes of
+    * rewrite" to a few metadata renames. A crash inside that window
+    * leaves centroids/cells from adjacent Lloyd generations: no rows
+    * are lost and queries stay well-defined (probe ranking mixes
+    * generations), and re-running recluster restores consistency. A
+    * truly atomic multi-table swap needs a lakehouse format's
+    * transactional commit — the same boundary [[graft.sources.Bucketed
+    * .compact]] documents. */
+  def recluster(spark: SparkSession, name: String,
+                refineIters: Int = 1): Unit = {
+    require(!spark.catalog.tableExists(resCodebookTable(name)),
+      s"index $name is residual-encoded: recluster would invalidate " +
+        "every stored code (codes quantize qv - cv against the cell " +
+        "centroid) - rebuild with buildPqRes instead")
+    require(refineIters >= 1, "recluster without a Lloyd round is a no-op")
+    import graft.sources.Bucketed
+    val centsT = centroidsTable(name)
+    val cellsT = cellsTable(name)
+    val hasCodes = spark.catalog.tableExists(codesTable(name))
+    val tables = Seq(centsT, cellsT) ++
+      (if (hasCodes) Seq(codesTable(name)) else Nil)
+    tables.foreach(Bucketed.clearStaged(spark, _))
+    // live vectors feed refineIters Lloyd rounds plus the final
+    // reassignment — a genuine multi-consumer, released in finally
+    val vecs = live(spark.table(cellsT), name)
+      .select("vec_id", "qv", "nrm").persist()
+    try {
+      val newCents = (1 to refineIters).foldLeft(spark.table(centsT))(
+        (c, _) => refinedCentroids(vecs, c))
+      newCents.write.mode("overwrite").format("parquet")
+        .saveAsTable(centsT + "__compact")
+      // reassign against the STAGED table read back from disk, so the
+      // swapped pair can never disagree about a cell boundary — the
+      // same discipline build applies
+      val reassigned = assignCells(vecs, spark.table(centsT + "__compact"))
+        .select("vec_id", "qv", "nrm", "cent_id")
+      val cellBuckets = Bucketed.bucketCount(spark, cellsT)
+      Bucketed.writeBucketed(
+        reassigned.repartition(cellBuckets, reassigned("cent_id")),
+        cellsT + "__compact", "cent_id", cellBuckets)
+      if (hasCodes) {
+        val codesT = codesTable(name)
+        val codeBuckets = Bucketed.bucketCount(spark, codesT)
+        val retagged = spark.table(codesT).drop("cent_id")
+          .join(spark.table(cellsT + "__compact").select("vec_id", "cent_id"),
+            Seq("vec_id"))
+        Bucketed.writeBucketed(
+          retagged.repartition(codeBuckets, retagged("cent_id")),
+          codesT + "__compact", "cent_id", codeBuckets)
+      }
+      tables.foreach(Bucketed.swapStaged(spark, _))
+      spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(name)}")
+    } finally vecs.unpersist()
+  }
+
   /** The query set's `nprobe` max-cosine stored cells:
     * (query_id, qqv, qnrm, qcent). */
   private def probes(cells: DataFrame, cents: DataFrame,
@@ -218,10 +313,13 @@ object AnnIndex {
     * like the cells — the full byte-budget index on disk. After this,
     * [[queryPq]] serves without the raw-vector cells table ever being
     * scanned corpus-wide (only the nQueries query rows are read from
-    * it). */
+    * it). `cellRefineIters` Lloyd-refines the IVF centroids only; the
+    * codebook always trains from its seed subvectors (codes quantize
+    * the RAW vector, so cell refinement never invalidates them — the
+    * property [[recluster]] relies on). */
   def buildPq(embeddings: DataFrame, name: String, nCentroids: Int = 16,
-              buckets: Int = 8): Unit = {
-    build(embeddings, name, nCentroids, refineIters = 0, buckets)
+              buckets: Int = 8, cellRefineIters: Int = 0): Unit = {
+    build(embeddings, name, nCentroids, refineIters = cellRefineIters, buckets)
     val spark = embeddings.sparkSession
     val (cb, encoded, _, _) = pqParts(embeddings, nQueries = 0, refineIters = 0)
     cb.write.mode("overwrite").format("parquet")

@@ -108,30 +108,50 @@ object Bucketed {
     * disk, so NO crash point loses rows (a failure mid-swap leaves a
     * recoverable `__old`/`__compact` table; the next call's leftover
     * cleanup absorbs it). The transform must not CONSUME the table it
-    * rewrites through another live reader mid-swap, and must preserve
-    * the key column's lineage (the repartition references it). */
+    * rewrites through another live reader mid-swap, and must keep a
+    * column named `key` in its output (resolved by name, so a
+    * transform may recompute it). */
   def rewriteInPlace(spark: SparkSession, table: String, key: String,
                      transform: DataFrame => DataFrame,
                      sorted: Boolean = true): Unit = {
     val buckets = bucketCount(spark, table)
-    val tmp = table + "__compact"
-    val old = table + "__old"
-    // clear leftovers from a previous crashed swap — catalog entries
-    // AND orphaned warehouse directories (a dropped in-memory catalog
-    // forgets the table but the directory survives across sessions)
-    Seq(tmp, old).foreach { t =>
+    clearStaged(spark, table)
+    val src = spark.table(table)
+    // the key is resolved by NAME on the transformed frame, so the
+    // transform may recompute it (e.g. a re-assignment) — it only has
+    // to keep a column of that name in its output
+    val rows = transform(src)
+    writeBucketed(rows.repartition(buckets, rows(key)),
+      table + "__compact", key, buckets, sorted)
+    swapStaged(spark, table)
+  }
+
+  /** Clear the `__compact`/`__old` leftovers a crashed staged swap can
+    * leave behind — catalog entries AND orphaned warehouse directories
+    * (a dropped in-memory catalog forgets the table but the directory
+    * survives across sessions, and the next staged write would fail
+    * with LOCATION_ALREADY_EXISTS). */
+  def clearStaged(spark: SparkSession, table: String): Unit =
+    Seq(table + "__compact", table + "__old").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    val src = spark.table(table)
-    val rows = transform(src).repartition(buckets, src(key))
-    writeBucketed(rows, tmp, key, buckets, sorted)
-    spark.sql(s"ALTER TABLE $table RENAME TO $old")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    spark.sql(s"DROP TABLE $old")
+
+  /** Swap a fully-written `<table>__compact` into place:
+    * RENAME-RENAME-DROP, so until the final DROP both copies exist on
+    * disk and no crash point loses rows (a failure mid-swap leaves a
+    * recoverable `__old`/`__compact` pair for [[clearStaged]]).
+    * Factored out of [[rewriteInPlace]] so multi-table maintenance ops
+    * (e.g. [[graft.llm.AnnIndex.recluster]]) can stage EVERY table
+    * first and then run all swaps back-to-back — shrinking the
+    * cross-table inconsistency window to metadata renames. */
+  def swapStaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"ALTER TABLE $table RENAME TO ${table}__old")
+    spark.sql(s"ALTER TABLE ${table}__compact RENAME TO $table")
+    spark.sql(s"DROP TABLE ${table}__old")
   }
 
   /** Equi-join of two same-key, same-bucket-count tables — planned

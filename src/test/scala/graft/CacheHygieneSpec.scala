@@ -30,9 +30,16 @@ class CacheHygieneSpec extends SparkSpec {
   test("every registry query drains all persistent RDDs after its action") {
     assume(available, "driver testdata not present")
     graft.functions.GraftExtensions.register(spark)
-    // start from a clean slate so a leak is attributable to one query
+    // start from a clean slate so a leak is attributable to one query.
+    // Suite order is randomized and sibling suites may legitimately
+    // hold test-local persists when this one starts — force-release
+    // them rather than asserting on other suites' internals (the
+    // registry contract under test here is per-QUERY hygiene).
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     assert(Caches.awaitDrained(spark),
-      s"pre-existing persistent RDDs: ${Caches.remainingPersistentRDDs(spark)}")
+      s"pre-existing persistent RDDs survived a forced release: " +
+        s"${Caches.remainingPersistentRDDs(spark)}")
     val leaks = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     SparkEntry.queries.foreach { case (name, fn) =>
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()

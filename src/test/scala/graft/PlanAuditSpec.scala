@@ -190,11 +190,51 @@ class PlanAuditSpec extends SparkSpec {
       case _: org.apache.spark.sql.execution.LocalTableScanExec => true
       case _ => false
     }
-    val allowlisted: Map[String, String] = Map.empty
+    // Domain-bounded exemptions, each with its exact BNL count PINNED
+    // (profiled with graft.JoinProfile — identical at sf0.001/0.01/0.1),
+    // so an EXTRA nested loop sneaking into an exempted query still
+    // fails. The bounds the structural check can't see:
+    //  - probe: Filter(vec_id/doc_id < nQueries literal) on the unique
+    //    id — request-sized (5 rows);
+    //  - params: seed centroids / codebook relations, ≤ 16 / PqM·PqK
+    //    rows by the k-means/PQ constants;
+    //  - median: Filter(rn = (n+1) div 2) over a window — ≤ 1 row.
+    val allowlisted: Map[String, (Int, String)] = Map(
+      "cosine_topk" -> (1, "probe"),
+      "doc_sim_topk" -> (1, "probe"),
+      "hard_negatives" -> (1, "probe"),
+      "funnel_latency" -> (1, "median"),
+      "ann_cell_stats" -> (3, "probe+params"),
+      "embedding_dedup_recall" -> (3, "probe+params (SRP planes)"),
+      "semantic_dedup" -> (6, "probe+params (SRP planes)"),
+      "semantic_dedup_stats" -> (6, "probe+params (SRP planes)"),
+      "ivf_topk" -> (2, "probe+params"),
+      "ivf_topk_p3" -> (2, "probe+params"),
+      "ivf_topk_km" -> (4, "probe+params, ×Lloyd rounds"),
+      "ivf_topk_km2" -> (6, "probe+params, ×Lloyd rounds"),
+      "ivf_recall" -> (3, "probe+params, brute+ivf sides"),
+      "ivf_recall_p3" -> (3, "probe+params, brute+ivf sides"),
+      "ivf_recall_km" -> (5, "probe+params, ×Lloyd rounds"),
+      "ivf_recall_km2" -> (7, "probe+params, ×Lloyd rounds"),
+      "pq_recall" -> (1, "probe+params"),
+      "pq_recall_km" -> (1, "probe+params"),
+      "ivfpq_topk" -> (2, "probe+params"),
+      "ivfpq_topk_p3" -> (2, "probe+params"),
+      "ivfpq_topk_res" -> (5, "probe+params, residual LUT/cross"),
+      "ivfpq_topk_res_p3" -> (5, "probe+params, residual LUT/cross"),
+      "ivfpq_recall" -> (3, "probe+params, brute+pq sides"),
+      "ivfpq_recall_p3" -> (3, "probe+params, brute+pq sides"),
+      "ivfpq_recall_res" -> (6, "probe+params, residual sides"),
+      "ivfpq_recall_res_p3" -> (6, "probe+params, residual sides"))
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.keys.filterNot(allowlisted.contains).foreach { name =>
-      planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
-        .foreach { j =>
+    SparkEntry.queries.keys.foreach { name =>
+      val bnls = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
+      allowlisted.get(name) match {
+        case Some((maxBnls, why)) =>
+          if (bnls.length > maxBnls)
+            offenders += s"$name: ${bnls.length} BNLJs exceed the " +
+              s"allowlisted $maxBnls ($why) — a new nested loop appeared"
+        case None => bnls.foreach { j =>
           val build = j.buildSide match {
             case BuildLeft => j.left
             case BuildRight => j.right
@@ -202,8 +242,69 @@ class PlanAuditSpec extends SparkSpec {
           if (!bounded(build))
             offenders += s"$name: BNLJ whose broadcast side is not row-bounded"
         }
+      }
     }
     assert(offenders.isEmpty, offenders.distinct.mkString("\n"))
+  }
+
+  test("join-strategy pin: shuffle joins are exactly the declared set, at every sf") {
+    assume(available, "driver testdata not present")
+    // The regression this catches: a broadcast side silently outgrowing
+    // the threshold (or a hint lost in a refactor) flips a join to
+    // sort-merge/shuffled-hash — previously only a PLANS.md diff a
+    // human had to notice. Declared below is the full set of queries
+    // that INTENTIONALLY plan shuffle joins (recall audits and rebuild
+    // comparisons joining two corpus-derived sides, the TPC-H big-big
+    // joins, merge/range/cluster ops); everything else must stay
+    // broadcast-only (or joinless). Counts were profiled with
+    // graft.JoinProfile at sf0.001 / sf0.01 / sf0.1 (identical except
+    // the two scale-adaptive queries) and the pin is asserted at EVERY
+    // available sf so a flip at a bigger scale factor fails here too.
+    val expectedSmj = Map(
+      "blocking_comparison" -> 1, "corpus_delta" -> 1,
+      "dedup_clusters" -> 1, "dedup_recall_audit" -> 1,
+      "hybrid_rrf_topk" -> 1, "ivf_recall" -> 1, "ivf_recall_km" -> 1,
+      "ivf_recall_km2" -> 1, "ivf_recall_p3" -> 1, "ivfpq_recall" -> 2,
+      "ivfpq_recall_p3" -> 2, "ivfpq_recall_res" -> 1,
+      "ivfpq_recall_res_p3" -> 1, "ivfpq_topk" -> 1, "ivfpq_topk_p3" -> 1,
+      "leakage_split" -> 2, "merge_upsert" -> 1, "name_clusters" -> 1,
+      "pq_recall" -> 1, "pq_recall_km" -> 1, "q17_small_qty" -> 1,
+      "q5_region_volume" -> 1, "range_join" -> 1, "semantic_dedup" -> 2,
+      "semantic_dedup_stats" -> 2, "snm_multipass_pairs" -> 1,
+      "token_drift" -> 2)
+    // scale-adaptive: their lineitem/orders sides cross the broadcast
+    // threshold between sf0.001 and sf0.1 — the stats-based planner is
+    // SUPPOSED to flip these to sort-merge as the fact tables grow, so
+    // the pin fixes the total join count and the allowed strategies,
+    // not the split between them
+    val scaleAdaptive = Map("q7_volume" -> 5, "q8_market_share" -> 7)
+    val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").filter(d => new java.io.File(d).isDirectory)
+    sfDirs.foreach { dir =>
+      val offenders = scala.collection.mutable.ArrayBuffer[String]()
+      SparkEntry.queries.keys.foreach { name =>
+        graft.functions.GraftExtensions.register(spark)
+        val prof = JoinProfile.profile(
+          SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+        val smj = prof.getOrElse("sort_merge", 0)
+        val shj = prof.getOrElse("shuffled_hash", 0)
+        if (shj != 0)
+          offenders += s"$dir $name: plans $shj shuffled-hash join(s)"
+        scaleAdaptive.get(name) match {
+          case Some(total) =>
+            val joins = prof.values.sum
+            if (joins != total || prof.keySet.exists(
+                k => k != "broadcast_hash" && k != "sort_merge"))
+              offenders += s"$dir $name: joins $prof, expected $total " +
+                "broadcast_hash/sort_merge"
+          case None =>
+            if (smj != expectedSmj.getOrElse(name, 0))
+              offenders += s"$dir $name: $smj sort-merge join(s), " +
+                s"declared ${expectedSmj.getOrElse(name, 0)}"
+        }
+      }
+      assert(offenders.isEmpty, offenders.mkString("\n"))
+    }
   }
 
   test("merge_upsert resolves through one full-outer join, no extra passes") {

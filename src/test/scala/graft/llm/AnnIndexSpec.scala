@@ -340,4 +340,71 @@ class AnnIndexSpec extends SparkSpec {
         joins(bulkPq).contains("ShuffledHashJoin"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoBc)
   }
+
+  test("recluster ≡ rebuild: build(A,0)·append(B)·recluster(r) ≡ build(A∪B,r); subsumes purge") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    val a = emb.filter(col("vec_id") < 250)
+    val b = emb.filter(col("vec_id") >= 250)
+    // plain IVF: stored centroids after build(A, refineIters = 0) ARE
+    // the seed vectors, so warm-start Lloyd = Lloyd from seeds and the
+    // exact-rebuild equivalence holds
+    AnnIndex.build(a, "annspec_rc")
+    AnnIndex.append(b, "annspec_rc")
+    AnnIndex.recluster(spark, "annspec_rc", refineIters = 1)
+    AnnIndex.build(emb, "annspec_rcref", refineIters = 1)
+    assert(rows(AnnIndex.query(spark, "annspec_rc")) ==
+      rows(AnnIndex.query(spark, "annspec_rcref")))
+    assert(rows(AnnIndex.query(spark, "annspec_rc", nprobe = 3)) ==
+      rows(AnnIndex.query(spark, "annspec_rcref", nprobe = 3)))
+    // recluster actually moved centroids (a no-op rebalance would mean
+    // the fixture tests nothing)
+    AnnIndex.build(emb, "annspec_rc0") // refineIters = 0 ⇒ centroids = seeds
+    def cents(name: String) =
+      spark.table(AnnIndex.centroidsTable(name)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(cents("annspec_rc") != cents("annspec_rc0"),
+      "the Lloyd round did not move any centroid")
+    // with a pending delete: Lloyd trains on live rows only, the
+    // rewrite keeps only live rows, and tombstones drop (purge subsumed)
+    val x = emb.filter(col("vec_id") >= 100 &&
+      pmod(col("vec_id"), lit(7)) === 3).select("vec_id")
+    AnnIndex.build(a, "annspec_rcd")
+    AnnIndex.append(b, "annspec_rcd")
+    AnnIndex.delete(x, "annspec_rcd")
+    AnnIndex.recluster(spark, "annspec_rcd", refineIters = 1)
+    AnnIndex.build(emb.join(x, Seq("vec_id"), "left_anti"),
+      "annspec_rcdref", refineIters = 1)
+    assert(rows(AnnIndex.query(spark, "annspec_rcd")) ==
+      rows(AnnIndex.query(spark, "annspec_rcdref")))
+    assert(AnnIndex.tombstoneCount(spark, "annspec_rcd") == 0L)
+    assert(spark.table(AnnIndex.cellsTable("annspec_rcd")).count() ==
+      emb.count() - x.count())
+    // PQ index: codes retag to the new cells (global codebook — codes
+    // never invalidated), and the retagged index answers exactly like
+    // a rebuild whose cells were Lloyd-refined the same r rounds
+    AnnIndex.buildPq(a, "annspec_rcpq")
+    AnnIndex.appendPq(b, "annspec_rcpq")
+    AnnIndex.recluster(spark, "annspec_rcpq", refineIters = 1)
+    AnnIndex.buildPq(emb, "annspec_rcpqref", cellRefineIters = 1)
+    assert(rows(AnnIndex.queryPq(spark, "annspec_rcpq")) ==
+      rows(AnnIndex.queryPq(spark, "annspec_rcpqref")))
+    val cellsTags = spark.table(AnnIndex.cellsTable("annspec_rcpq"))
+      .select("vec_id", "cent_id").distinct()
+    val codeTags = spark.table(AnnIndex.codesTable("annspec_rcpq"))
+      .select("vec_id", "cent_id").distinct()
+    assert(cellsTags.join(codeTags, Seq("vec_id", "cent_id")).count() ==
+      cellsTags.count(), "codes and cells disagree on a cell after recluster")
+    // residual index: centroid moves invalidate residual codes — the
+    // only correct maintenance is a rebuild, and recluster says so
+    AnnIndex.buildPqRes(a, "annspec_rcres")
+    val err = intercept[IllegalArgumentException](
+      AnnIndex.recluster(spark, "annspec_rcres"))
+    assert(err.getMessage.contains("residual"))
+  }
 }

@@ -151,6 +151,44 @@ class WindowsSpec extends SparkSpec {
     assert(viaLag == Set((7L, 2L, 3L), (9L, 1L, 3L)))
   }
 
+  test("session_window pins row-for-row to flatMapGroupsWithState, exact-gap boundary included") {
+    import org.apache.spark.sql.functions.col
+    // Boundary semantics, established EMPIRICALLY (a first draft of this
+    // test assumed an end-exclusive window and failed): Spark's
+    // session_window merges an event landing exactly at the previous
+    // window's end — sessions split only on a STRICTLY greater gap,
+    // identical to the lag/cumsum and flatMapGroupsWithState forms. So
+    // at the same gap value the native operator pins row-for-row to the
+    // state machine, with window.end = last event + gap. This is the
+    // twin validation behind the session_window_counts registry entry.
+    val df = ev(
+      (1L, 7L, 1000L), (2L, 7L, 2800L),        // exact 1800 gap: merges
+      (3L, 7L, 2800L + 1799L),                 // 1799 merges
+      (4L, 9L, 500L), (5L, 9L, 500L + 1801L),  // 1801 splits
+      (6L, 9L, 500L + 1801L))                  // duplicate timestamp
+    def native(gap: String) = Windows.sessionWindowCounts(df, gap)
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        (col("session_window.end").cast("long") - 1800L).as("session_end"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def state(gapSec: Long) = graft.streaming.StatefulSessions
+      .sessionizeBatch(df, gapSec)
+      .collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
+      .toSet
+    assert(native("1800 seconds") == state(1800L))
+    assert(native("1800 seconds") == Set(
+      (7L, 1000L, 4599L, 3L),
+      (9L, 500L, 500L, 1L), (9L, 2301L, 2301L, 2L)))
+    // direction of the boundary: at gapSec 1799 the state machine
+    // splits the exact-1800 pair that the native operator (gap 1800)
+    // keeps — the inclusive boundary is real, not a fixture accident
+    assert(native("1800 seconds") != state(1799L))
+  }
+
   test("eventTypePivot: dense day-by-type matrix with pinned columns") {
     import spark.implicits._
     val df = Seq(
