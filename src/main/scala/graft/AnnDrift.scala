@@ -28,13 +28,15 @@ import graft.llm.AnnIndex
   * drift-then-rebalance curve an operator would alert on.
   *
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01),
-  * DRIFT_ROUNDS (default 6), DRIFT_OUT (artifacts/ANN_DRIFT.json). */
+  * DRIFT_ROUNDS (default 6), DRIFT_RECLUSTER_ITERS (default 1),
+  * DRIFT_OUT (artifacts/ANN_DRIFT.json). */
 object AnnDrift {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val rounds = sys.env.getOrElse("DRIFT_ROUNDS", "6").toInt
+    val lloydIters = sys.env.getOrElse("DRIFT_RECLUSTER_ITERS", "1").toInt
     val out = sys.env.getOrElse("DRIFT_OUT", "artifacts/ANN_DRIFT.json")
     val wh = java.nio.file.Files.createTempDirectory("ann_drift_wh").toString
     val spark = SparkSession.builder()
@@ -77,15 +79,15 @@ object AnnDrift {
       series += snapshot(i)
     }
     val t0 = System.nanoTime()
-    AnnIndex.recluster(spark, name, refineIters = 1)
+    AnnIndex.recluster(spark, name, refineIters = lloydIters)
     val reclusterSec = (System.nanoTime() - t0) / 1e9
     val after = snapshot(rounds + 1)
     val json =
       s"""{"metric":"ann_drift","sf_dir":"$sfDir","rounds":$rounds,""" +
         s""""cpus":$cpus,"drift_series":[${series.mkString(",")}],""" +
-        s""""post_recluster":$after,""" +
+        s""""post_recluster":$after,"recluster_lloyd_iters":$lloydIters,""" +
         s""""recluster_sec":${f"$reclusterSec%.2f"},""" +
-        s""""note":"drift_series[i] = cell stats after i frozen-centroid appends from the |x| orthant; post_recluster = after 1 warm-start Lloyd round (reassign + staged swap); max_share_pm is the worst 1-probe scan fraction"}"""
+        s""""note":"drift_series[i] = cell stats after i frozen-centroid appends from the |x| orthant; post_recluster = after $lloydIters warm-start Lloyd round(s) (reassign + staged swap); max_share_pm is the worst 1-probe scan fraction"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
