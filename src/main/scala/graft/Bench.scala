@@ -38,6 +38,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
+    // Stream-only mode: re-measure just the streaming leg (minutes, not
+    // the full query sweep) — the knob for chasing a clean host window
+    // for the stream figure without re-running 238 queries. Prints a
+    // distinct metric line and never touches BENCH_driver.json.
+    if (sys.env.contains("BENCH_STREAM_ONLY")) {
+      val (tput, median, rates) = streamThroughput(spark, cpus.toInt)
+      val ratesJson = rates.map(r => (math.round(r * 10) / 10.0).toString)
+        .mkString("[", ",", "]")
+      println(s"""{"metric":"stream_only","stream_rows_per_sec":$tput,""" +
+        s""""stream_rows_per_sec_median":$median,""" +
+        s""""stream_batch_rates":$ratesJson,"stream_batches":${rates.length}}""")
+      spark.stop()
+      return
+    }
     // Steady-state warmup: one pass of every query at the smallest scale
     // factor, so JIT/codegen/classloading cost doesn't land on whichever
     // query happens to run first. Nothing from the measured SF is cached.

@@ -93,8 +93,6 @@ object IngestSoak {
           }
         }
     }
-    spark.streams.addListener(listener)
-
     // seed corpus + persisted index: the history the gate checks against
     val seeds = spark.range(nSeeds.toLong)
       .select(col("id").as("doc_id"),
@@ -105,38 +103,77 @@ object IngestSoak {
     val evalDocs = (0L until 20L).toDF("doc_id")
       .select(col("doc_id"), CurateSoak.docText(col("doc_id") + 777000L).as("text"))
 
-    val feed = spark.readStream.format("rate")
-      .option("rowsPerSecond", rate)
-      .option("numPartitions", cpus)
-      .load()
-      .select(
-        // feed ids live above the seed range: LshIndex.append's caller
-        // contract (disjoint ids, like any append-only store) — the
-        // first soak draft violated it and found a real bug for its
-        // trouble (see LshIndex.query's no-id-guard comment)
-        (col("value") + 10000000L).as("doc_id"),
-        // every 20th doc near-dups a SEED doc (history-gate class) —
-        // seed choice is a mixing hash so all nSeeds seeds are hit,
-        // not the 1-in-20 congruence class an affine pick collapses
-        // to; every 17th is quality junk; every 5th duplicates its
-        // block-of-10 anchor (exact-dedup class); rest are fresh
-        when(pmod(col("value"), lit(20)) === 3,
-          concat(lit("dup "),
-            CurateSoak.docText(
-              pmod(xxhash64(col("value")), lit(nSeeds.toLong)) + 555000L)))
-          .when(pmod(col("value"), lit(17)) === 0, lit("x x"))
-          .otherwise(CurateSoak.docText(
-            when(pmod(col("value"), lit(5)) === 0,
-              col("value") - pmod(col("value"), lit(10)))
-              .otherwise(col("value")))).as("text"),
-        col("timestamp").as("event_time"))
+    // the ingest feed, parameterized so the warmup stream below can run
+    // the IDENTICAL pipeline shape against throwaway stores
+    def mkFeed(feedRate: Int, idOffset: Long, seedBase: Long) =
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", feedRate)
+        .option("numPartitions", cpus)
+        .load()
+        .select(
+          // feed ids live above the seed range: LshIndex.append's caller
+          // contract (disjoint ids, like any append-only store) — the
+          // first soak draft violated it and found a real bug for its
+          // trouble (see LshIndex.query's no-id-guard comment)
+          (col("value") + idOffset).as("doc_id"),
+          // every 20th doc near-dups a SEED doc (history-gate class) —
+          // seed choice is a mixing hash so all nSeeds seeds are hit,
+          // not the 1-in-20 congruence class an affine pick collapses
+          // to; every 17th is quality junk; every 5th duplicates its
+          // block-of-10 anchor (exact-dedup class); rest are fresh
+          when(pmod(col("value"), lit(20)) === 3,
+            concat(lit("dup "),
+              CurateSoak.docText(
+                pmod(xxhash64(col("value")), lit(nSeeds.toLong)) + seedBase)))
+            .when(pmod(col("value"), lit(17)) === 0, lit("x x"))
+            .otherwise(CurateSoak.docText(
+              when(pmod(col("value"), lit(5)) === 0,
+                col("value") - pmod(col("value"), lit(10)))
+                .otherwise(col("value")))).as("text"),
+          col("timestamp").as("event_time"))
 
+    // JIT warmup (INGEST_WARMUP_SECONDS > 0): run the same pipeline
+    // against throwaway stores BEFORE the listener attaches, then
+    // discard. Rationale, measured (knee_r14): the first 2-3 cold
+    // batches run ~2.5× slow (JIT of the state store, parquet IO, and
+    // the codegen compiler itself), and because the rate source keeps
+    // producing, their slowness snowballs — each slow batch admits a
+    // bigger backlog slice, growing state and commit time, and at
+    // near-knee rates the run can lock into a degraded ~30 s-latency
+    // equilibrium it never exits. A 120 s unwarmed run therefore
+    // measures the warmup cascade, not the system (the r13/r14
+    // "degraded 20k controls" were largely this). A production stream
+    // runs warm for days; the warmup phase makes the measured window
+    // observe that regime, and the summary records warmup_seconds so
+    // no number hides it.
+    val warmupSeconds = sys.env.getOrElse("INGEST_WARMUP_SECONDS", "0").toInt
+    if (warmupSeconds > 0) {
+      val wSeeds = spark.range(500L)
+        .select(col("id").as("doc_id"),
+          CurateSoak.docText(col("id") + 999000L).as("text"))
+      graft.llm.LshIndex.build(wSeeds, "ingest_warm_idx")
+      val wCorpus = java.nio.file.Files
+        .createTempDirectory("ingest_warm_corpus").toString + "/corpus"
+      val wCkpt =
+        java.nio.file.Files.createTempDirectory("ingest_warm_ckpt").toString
+      val wq = graft.streaming.DocStream
+        .ingest(mkFeed(math.max(rate / 4, 1000), 50000000L, 999000L),
+          evalDocs, "ingest_warm_idx", wCorpus,
+          watermark = watermark, compactEvery = compactEvery)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+        .option("checkpointLocation", wCkpt)
+        .start()
+      try Thread.sleep(warmupSeconds * 1000L)
+      finally scala.util.Try(wq.stop())
+    }
+
+    spark.streams.addListener(listener)
     val corpusDir = java.nio.file.Files.createTempDirectory("ingest_soak_corpus")
       .toString + "/corpus"
     val ckpt = java.nio.file.Files.createTempDirectory("ingest_soak_ckpt").toString
     val q = graft.streaming.DocStream
-      .ingest(feed, evalDocs, "ingest_soak_idx", corpusDir,
-        watermark = watermark, compactEvery = compactEvery)
+      .ingest(mkFeed(rate, 10000000L, 555000L), evalDocs, "ingest_soak_idx",
+        corpusDir, watermark = watermark, compactEvery = compactEvery)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
       .option("checkpointLocation", ckpt)
       .start()
@@ -177,7 +214,7 @@ object IngestSoak {
     val summary =
       s"""{"metric":"ingest_soak","feed_docs_per_sec":$rate,"seconds":$seconds,""" +
       s""""watermark":"$watermark","state_plateau":$statePlateau,""" +
-      s""""compact_every":$compactEvery,""" +
+      s""""compact_every":$compactEvery,"warmup_seconds":$warmupSeconds,""" +
       s""""cpus":$cpus,"seed_docs":$nSeeds,"batches":${rates.length},""" +
       s""""input_rows":$inputRows,"corpus_rows":$corpusRows,""" +
       s""""index_rows":$indexRows,""" +
