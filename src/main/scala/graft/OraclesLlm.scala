@@ -1563,14 +1563,13 @@ object OraclesLlm {
        |  (1000 * n_vecs * 16) // total AS skew_pm
        |FROM cc, t""".stripMargin
 
-  /** The append-drift lifecycle (mirrors the `ann_drift_stats` registry
-    * query): per-cell stats of the max-cosine seed assignment after the
-    * build, after each drifted (abs → positive orthant) append, with the
-    * deleted slice surfacing as purge debt, and after a recluster — one
-    * exact Lloyd round over the LIVE corpus from the seeds, the skew
-    * scale switching to the refined (non-empty) centroid count. */
-  val annDriftStats: String =
-    s"""WITH ea AS (
+  /** Shared CTE chain of the append-drift lifecycle oracles
+    * (`ann_drift_stats`, `ann_maintenance_plan`): the drifted corpus
+    * (abs → positive orthant appends), per-stage seed assignments,
+    * one exact Lloyd round over the live (post-delete) corpus, and the
+    * per-stage per-cell counts g1..g4. */
+  private val annDriftCtes: String =
+    frag(s"""ea AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  WHERE vec_id < 16 OR vec_id % 4 = 0),
        |eb1 AS (
@@ -1625,7 +1624,16 @@ object OraclesLlm {
        |g1 AS (SELECT cent_id, count(*)::BIGINT AS n FROM a1 GROUP BY cent_id),
        |g2 AS (SELECT cent_id, count(*)::BIGINT AS n FROM a2 GROUP BY cent_id),
        |g3 AS (SELECT cent_id, count(*)::BIGINT AS n FROM a3 GROUP BY cent_id),
-       |g4 AS (SELECT cent_id, count(*)::BIGINT AS n FROM a4 GROUP BY cent_id)
+       |g4 AS (SELECT cent_id, count(*)::BIGINT AS n FROM a4 GROUP BY cent_id)""".stripMargin)
+
+  /** The append-drift lifecycle (mirrors the `ann_drift_stats` registry
+    * query): per-cell stats of the max-cosine seed assignment after the
+    * build, after each drifted (abs → positive orthant) append, with the
+    * deleted slice surfacing as purge debt, and after a recluster — one
+    * exact Lloyd round over the LIVE corpus from the seeds, the skew
+    * scale switching to the refined (non-empty) centroid count. */
+  val annDriftStats: String =
+    s"""WITH $annDriftCtes
        |SELECT '1_post_build' AS stage, cent_id, n AS n_vecs,
        |  (1000 * n) // t AS share_pm, (1000 * n * 16) // t AS skew_pm,
        |  0::BIGINT AS n_tombstones
@@ -1644,6 +1652,42 @@ object OraclesLlm {
        |  (1000 * n) // t,
        |  (1000 * n * (SELECT count(*)::BIGINT FROM nc)) // t, 0::BIGINT
        |FROM g4, (SELECT sum(n)::BIGINT AS t FROM g4)""".stripMargin
+
+  /** The maintenance DECISION (mirrors `AnnIndex.maintenancePlan` over
+    * the `ann_maintenance_plan` fixture): per stage, the worst cell's
+    * skew permille, the pending-tombstone permille of physical rows,
+    * and the threshold policy's action (recluster ≥ 2500 skew pm, else
+    * purge ≥ 100 tombstone pm, else none) — integer-exact both sides. */
+  val annMaintenancePlan: String = {
+    def act(skew: String, tomb: String) =
+      s"""CASE WHEN $skew >= 2500 THEN 'recluster'
+         |       WHEN $tomb >= 100 THEN 'purge'
+         |       ELSE 'none' END""".stripMargin
+    s"""WITH $annDriftCtes,
+       |p1 AS (SELECT ((1000 * max(n) * 16) // sum(n))::BIGINT AS skew,
+       |              sum(n)::BIGINT AS total FROM g1),
+       |p3 AS (SELECT ((1000 * max(n) * 16) // sum(n))::BIGINT AS skew,
+       |              sum(n)::BIGINT AS total FROM g3),
+       |p4 AS (SELECT ((1000 * max(n) *
+       |                (SELECT count(*)::BIGINT FROM nc)) // sum(n))::BIGINT AS skew
+       |       FROM g4),
+       |tomb3 AS (SELECT ((1000 * (SELECT count(*)::BIGINT FROM vb1))
+       |                   // (SELECT total FROM p3))::BIGINT AS pm),
+       |tomb1 AS (SELECT ((1000 * (SELECT count(*)::BIGINT FROM ea
+       |                          WHERE vec_id >= 16 AND vec_id % 8 = 4))
+       |                   // (SELECT total FROM p1))::BIGINT AS pm)
+       |SELECT '1_fresh' AS stage, skew AS max_skew_pm,
+       |  0::BIGINT AS tombstone_pm, ${act("skew", "0")} AS action FROM p1
+       |UNION ALL
+       |SELECT '2_drifted_deleted', skew, (SELECT pm FROM tomb3),
+       |  ${act("skew", "(SELECT pm FROM tomb3)")} FROM p3
+       |UNION ALL
+       |SELECT '3_post_recluster', skew, 0::BIGINT,
+       |  ${act("skew", "0")} FROM p4
+       |UNION ALL
+       |SELECT '4_tombstones_only', skew, (SELECT pm FROM tomb1),
+       |  ${act("skew", "(SELECT pm FROM tomb1)")} FROM p1""".stripMargin
+  }
 
   /** The capstone composition (mirrors `Pipeline.trainingPipeline` over
     * the exact-dup-injected corpus): language filter → quality filter →

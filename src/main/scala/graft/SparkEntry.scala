@@ -847,6 +847,47 @@ object SparkEntry {
       (st1 ++ st2 ++ st3 ++ st4).toDF(
         "stage", "cent_id", "n_vecs", "share_pm", "skew_pm", "n_tombstones")
     }),
+    // the maintenance DECISION surface: same drift lifecycle, but what
+    // a scheduler polls — (max_skew_pm, tombstone_pm, action) per
+    // stage, integer-exact so DuckDB reproduces the decision. Stage 3
+    // deliberately shows the threshold-policy caveat the scaladoc
+    // documents: k-means converges to the data's intrinsic clustering,
+    // and the |x|-orthant fixture is intrinsically skewed, so the skew
+    // signal stays above threshold after the rebalance — a production
+    // policy wants hysteresis against a post-recluster baseline.
+    "ann_maintenance_plan" -> ((s, dir) => {
+      val name = "ann_mx_oracle"
+      val emb = Tables.embeddings(s, dir)
+      val a = emb
+        .filter(col("vec_id") < 16 || pmod(col("vec_id"), lit(4)) === 0)
+        .select("vec_id", "embedding")
+      def drifted(m: Int, off: Long) =
+        emb.filter(pmod(col("vec_id"), lit(4)) === m)
+          .select((col("vec_id") + off).as("vec_id"),
+            transform(col("embedding"), x => abs(x)).as("embedding"))
+      def grab(idx: String, st: String): (String, Long, Long, String) = {
+        val r = AnnIndex.maintenancePlan(s, idx).collect().head
+        (st, r.getLong(0), r.getLong(1), r.getString(2))
+      }
+      AnnIndex.build(a, name)
+      val s1 = grab(name, "1_fresh")
+      AnnIndex.append(drifted(1, 100000L), name)
+      AnnIndex.append(drifted(2, 200000L), name)
+      AnnIndex.delete(drifted(1, 100000L).select("vec_id"), name)
+      val s2 = grab(name, "2_drifted_deleted")
+      AnnIndex.recluster(s, name, refineIters = 1)
+      val s3 = grab(name, "3_post_recluster")
+      val name2 = "ann_mx2_oracle"
+      AnnIndex.build(a, name2)
+      AnnIndex.delete(
+        a.filter(col("vec_id") >= 16 && pmod(col("vec_id"), lit(8)) === 4)
+          .select("vec_id"), name2)
+      val s4 = grab(name2, "4_tombstones_only")
+      val sess = s
+      import sess.implicits._
+      Seq(s1, s2, s3, s4).toDF(
+        "stage", "max_skew_pm", "tombstone_pm", "action")
+    }),
     // embedding QC: per-label norm distribution + degenerate count
     "embedding_norm_stats" -> ((s, dir) =>
       Similarity.normStats(Tables.embeddings(s, dir))),
@@ -1166,6 +1207,7 @@ object SparkEntry {
     "ivfpq_recall_res_p3" -> OraclesLlm.ivfPqResRecallP3,
     "ann_cell_stats" -> OraclesLlm.annCellStats,
     "ann_drift_stats" -> OraclesLlm.annDriftStats,
+    "ann_maintenance_plan" -> OraclesLlm.annMaintenancePlan,
     "embedding_norm_stats" -> OraclesLlm.embeddingNormStats,
     "embedding_near_dup" -> OraclesLlm.embeddingNearDup,
     "embedding_near_dup_mp" -> OraclesLlm.embeddingNearDupMp,

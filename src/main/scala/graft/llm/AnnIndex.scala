@@ -429,6 +429,45 @@ object AnnIndex {
   def tombstoneCount(spark: SparkSession, name: String): Long =
     tombstones(spark, name).fold(0L)(_.count())
 
+  /** The maintenance DECISION, not just its signals: one row of
+    * (max_skew_pm, tombstone_pm, action) where action is the highest-
+    * priority maintenance op the stored index currently warrants —
+    * `recluster` when the worst cell holds ≥ `skewThresholdPm`/1000 of
+    * a balanced cell's ideal share (frozen-centroid append drift;
+    * recluster also subsumes the purge), `purge` when pending
+    * tombstones exceed `tombstoneThresholdPm` of physical rows (every
+    * probe pays the anti-join for them), else `none`. This is what a
+    * maintenance scheduler polls; [[cellStats]] stays the full
+    * per-cell diagnostic behind it.
+    *
+    * Integer-exact by construction (permille arithmetic over counts),
+    * so the DuckDB oracle reproduces the decision bit-for-bit.
+    * Thresholds are policy defaults, deliberately simple; a production
+    * policy wants hysteresis against a post-recluster baseline —
+    * k-means converges to the DATA's intrinsic clustering, so on an
+    * intrinsically skewed corpus the skew signal stays high after the
+    * rebalance (the ann_maintenance_plan fixture shows exactly this)
+    * and a threshold-only policy would recluster forever. File
+    * fragmentation (the third real signal) is physical layout the
+    * SQL oracle cannot see — it stays on the [[graft.sources.Bucketed
+    * .fileStats]] surface, exercised by lsh_frag_stats. */
+  def maintenancePlan(spark: SparkSession, name: String,
+                      skewThresholdPm: Long = 2500,
+                      tombstoneThresholdPm: Long = 100): DataFrame = {
+    val nCentroids = spark.table(centroidsTable(name)).count().toInt
+    val nTomb = tombstoneCount(spark, name)
+    spark.table(cellsTable(name))
+      .groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+      .agg(max("n_vecs").as("max_cell"), sum("n_vecs").as("total"))
+      .select(
+        expr(s"(1000 * max_cell * $nCentroids) div total").as("max_skew_pm"),
+        expr(s"(1000 * $nTomb) div total").as("tombstone_pm"))
+      .withColumn("action",
+        when(col("max_skew_pm") >= skewThresholdPm, lit("recluster"))
+          .when(col("tombstone_pm") >= tombstoneThresholdPm, lit("purge"))
+          .otherwise(lit("none")))
+  }
+
   /** Collapse append fragmentation: rewrite every APPENDABLE table of
     * the index (cells, and the codes/rcodes halves when present) under
     * its existing cent_id bucket spec, one file per non-empty bucket
