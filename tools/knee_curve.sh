@@ -1,10 +1,11 @@
 #!/bin/bash
 # Knee refinement for the ingest rate curve: run each rate up to
-# ATTEMPTS times (best attempt wins — the host shows periodic external
-# CPU-starvation windows that inflate latency only, so the best attempt
-# estimates unthrottled capacity; same protocol as the committed
-# attempts_note). An attempt is skipped-and-retried while the 1-min
-# load average is already high (a starvation window in progress).
+# ATTEMPTS times (best attempt wins). Protocol per KNEE_SWEEP_R14.json:
+# a 45 s discarded JIT-warmup stream precedes each measured 150 s run —
+# an unwarmed run's median measures the cold-start backlog cascade, not
+# the system. Genuine host-degradation windows still strike mid-run
+# (probe-clean before and after); best-of-N absorbs them. An attempt is
+# skipped-and-retried while the 1-min load average is already high.
 # Summaries land in $OUTDIR/summary_<rate>_<attempt>.json; merging into
 # artifacts/INGEST_RATE_CURVE.json is a separate explicit step.
 #
@@ -37,8 +38,8 @@ for r in "$@"; do
     wait_for_quiet
     echo "=== rate $r attempt $a ==="
     # a crashed attempt records as failed and the sweep continues
-    INGEST_DOCS_PER_SEC=$r INGEST_SECONDS=120 INGEST_WATERMARK="40 seconds" \
-    INGEST_COMPACT_EVERY=6 INGEST_SEEDS=10000 \
+    INGEST_DOCS_PER_SEC=$r INGEST_SECONDS=150 INGEST_WATERMARK="40 seconds" \
+    INGEST_COMPACT_EVERY=6 INGEST_SEEDS=10000 INGEST_WARMUP_SECONDS=45 \
     INGEST_OUT="$OUTDIR/soak_${r}_${a}.jsonl" INGEST_SUMMARY_OUT="$S" \
     java $ADD_OPENS -Xmx24g -cp "$CP" graft.IngestSoak 2>"$OUTDIR/err_${r}_${a}.log" \
       | tail -1 || echo "[knee] attempt failed (see err_${r}_${a}.log)"

@@ -24,8 +24,8 @@ OUT=artifacts/INGEST_RATE_CURVE.json
 TMP=$(mktemp -d)
 for r in "${RATES[@]}"; do
   echo "=== rate $r docs/s ==="
-  INGEST_DOCS_PER_SEC=$r INGEST_SECONDS=120 INGEST_WATERMARK="40 seconds" \
-  INGEST_COMPACT_EVERY=6 \
+  INGEST_DOCS_PER_SEC=$r INGEST_SECONDS=150 INGEST_WATERMARK="40 seconds" \
+  INGEST_COMPACT_EVERY=6 INGEST_WARMUP_SECONDS=45 \
   INGEST_SEEDS=10000 INGEST_OUT="$TMP/soak_$r.jsonl" \
   INGEST_SUMMARY_OUT="$TMP/summary_$r.json" \
   java $ADD_OPENS -Xmx24g -cp "$CP" graft.IngestSoak 2>/dev/null | tail -1
