@@ -28,6 +28,25 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * INGEST_WATERMARK ("10 minutes"),
   * INGEST_OUT (artifacts/INGEST_SOAK.jsonl).
   *
+  * COMPACTION-COST BOUNDARY (round-14, honest asymptotics): the
+  * in-loop compaction is [[graft.sources.Bucketed.rewriteInPlace]] —
+  * a FULL rewrite of both index tables, O(corpus) per compact, and the
+  * corpus is append-only, so the compact batch's latency grows
+  * LINEARLY with stream lifetime: measured 14.8 s at ~1.5 M corpus
+  * rows and 17.6 s at ~2.7 M inside the green 150 s control
+  * (knee_r14/soakW_20000_a.jsonl, batches 5 and 11). The rated-
+  * capacity verdicts hold for their measured windows, but the compact
+  * spike marches through the 15 s trigger as the corpus grows — a
+  * multi-hour stream at 20 k docs/s would breach p95 regardless of
+  * host. The production design is a generational (hot/cold) index
+  * with the O(corpus) merge running OUTSIDE the trigger: appends land
+  * in a hot table, the trigger swaps hot aside with a metadata rename,
+  * and an async merge folds it into the cold table that never
+  * receives appends (which is what makes the staged swap race-free).
+  * Not built here — the coordination between the trigger loop and the
+  * merge thread's RENAME window is real work — but the boundary and
+  * the numbers are on the record rather than hidden in a max column.
+  *
   * STEADY-STATE NOTE (round-12): a soak shorter than its watermark
   * delay can only ever observe MONOTONE state growth — eviction fires
   * when the event-time horizon passes an entry's window, so with the
