@@ -38,14 +38,17 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * capacity verdicts hold for their measured windows, but the compact
   * spike marches through the 15 s trigger as the corpus grows — a
   * multi-hour stream at 20 k docs/s would breach p95 regardless of
-  * host. The production design is a generational (hot/cold) index
-  * with the O(corpus) merge running OUTSIDE the trigger: appends land
-  * in a hot table, the trigger swaps hot aside with a metadata rename,
-  * and an async merge folds it into the cold table that never
-  * receives appends (which is what makes the staged swap race-free).
-  * Not built here — the coordination between the trigger loop and the
-  * merge thread's RENAME window is real work — but the boundary and
-  * the numbers are on the record rather than hidden in a max column.
+  * host. The fix is the generational (hot/cold) index with the
+  * O(corpus) merge running OUTSIDE the trigger: appends land in a hot
+  * table, the trigger swaps hot aside with a metadata rename
+  * ([[graft.llm.LshIndex.rotateHot]]), a maintenance thread writes
+  * the staged cold∪merging copy ([[LshIndex.mergeStage]] — race-free
+  * because neither input receives writes), and the next trigger
+  * commits with metadata renames ([[LshIndex.mergeCommit]]). The
+  * primitives are built and GenerationalLshSpec pins queryGen ≡ mono
+  * query through every phase (including the staged-uncommitted state
+  * a crashed merge leaves); wiring the maintenance thread into this
+  * soak's foreachBatch loop is the remaining work.
   *
   * STEADY-STATE NOTE (round-12): a soak shorter than its watermark
   * delay can only ever observe MONOTONE state growth — eviction fires

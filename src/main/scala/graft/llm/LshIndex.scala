@@ -222,10 +222,21 @@ object LshIndex {
             maxBroadcastDocs: Long = 4L * 1000 * 1000): DataFrame = {
     val spark = newDocs.sparkSession
     val small = newDocs.count() <= maxBroadcastDocs
+    val newSets = Dedup.shingleSets(newDocs)
+    queryAgainst(newSets, Dedup.lshBands(newSets),
+      spark.table(setsTable(name)), spark.table(bandsTable(name)),
+      name, minJaccardPm, small)
+  }
+
+  /** The probe core, against EXPLICIT stored relations — [[query]]'s
+    * body, factored so the generational read path can run it once per
+    * generation without re-shingling the batch. */
+  private def queryAgainst(newSets: DataFrame, newBands: DataFrame,
+                           storedSets: DataFrame, storedBands: DataFrame,
+                           name: String, minJaccardPm: Int,
+                           small: Boolean): DataFrame = {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
-    val newSets = Dedup.shingleSets(newDocs)
-    val newBands = Dedup.lshBands(newSets)
     // NO doc_id-inequality guard (deliberately unlike minhashDedup's
     // self-join): stored and batch are DIFFERENT relations, so an
     // equal-id pair is either a caller namespace accident or a
@@ -236,7 +247,7 @@ object LshIndex {
     // soak: feed ids overlapped the seed range and every first-seen
     // near-dup of a same-id seed sailed through the gate).
     val cands = excludeDeleted(
-      spark.table(bandsTable(name)).as("a")
+      storedBands.as("a")
         .join(maybeBroadcast(newBands.as("b")),
           col("a.band") === col("b.band") &&
             col("a.band_key") === col("b.band_key"))
@@ -244,7 +255,7 @@ object LshIndex {
         .distinct(),
       name, "doc_a")
     maybeBroadcast(cands)
-      .join(spark.table(setsTable(name))
+      .join(storedSets
         .select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(maybeBroadcast(newSets
         .select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), "doc_b")
@@ -253,6 +264,181 @@ object LshIndex {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter_size"),
         size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("union_size"))
       .filter(col("inter_size") * 1000L >= col("union_size") * minJaccardPm)
+  }
+
+  // ---- generational (hot/cold) layout: the fix for the in-loop
+  // compaction cost boundary (IngestSoak scaladoc). A mono-generation
+  // index pays an O(corpus) rewrite INSIDE the trigger every compact
+  // cadence, and that cost grows linearly with stream lifetime. Here
+  // appends land in a small HOT generation; the trigger path only ever
+  // pays metadata renames ([[rotateHot]], [[mergeCommit]]); the one
+  // O(corpus) pass ([[mergeStage]]) writes a STAGED copy of the cold
+  // generation, which is race-free to run outside the trigger because
+  // cold and merging receive no writes — only hot does. Queries read
+  // every generation and union the verified pairs (ids are disjoint by
+  // the append contract, so the union is disjoint), and
+  // queryGen ≡ query over a mono index of the same corpus EXACTLY
+  // (bands/sets are per-doc derivations — GenerationalLshSpec pins the
+  // equivalence through every lifecycle phase). Remaining work for the
+  // streaming loop itself: driving mergeStage from a maintenance
+  // thread and the commit from the next trigger. ----
+
+  def hotSetsTable(name: String): String = name + "_sets_hot"
+  def hotBandsTable(name: String): String = name + "_bands_hot"
+  def mergingSetsTable(name: String): String = name + "_sets_merging"
+  def mergingBandsTable(name: String): String = name + "_bands_merging"
+
+  /** [[build]] plus an empty hot generation (same bucket specs). Also
+    * clears leftover hot/merging/staged tables from a previous
+    * lifecycle — same orphan guard as build's own tables. */
+  def buildGen(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    Seq(hotSetsTable(name), hotBandsTable(name),
+        mergingSetsTable(name), mergingBandsTable(name)).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    Seq(setsTable(name), bandsTable(name))
+      .foreach(graft.sources.Bucketed.clearStaged(spark, _))
+    build(docs, name, buckets)
+    createEmptyHot(spark, name)
+  }
+
+  private def createEmptyHot(spark: SparkSession, name: String): Unit = {
+    graft.sources.Bucketed.writeBucketed(
+      spark.table(setsTable(name)).limit(0), hotSetsTable(name), "doc_id",
+      graft.sources.Bucketed.bucketCount(spark, setsTable(name)))
+    graft.sources.Bucketed.writeBucketed(
+      spark.table(bandsTable(name)).limit(0), hotBandsTable(name), "band_key",
+      graft.sources.Bucketed.bucketCount(spark, bandsTable(name)))
+  }
+
+  /** Admit a batch into the HOT generation — the only tables the
+    * ingest loop ever writes, so the cold merge can run concurrently.
+    * Same disjoint-ids caller contract as [[append]]. */
+  def appendHot(docs: DataFrame, name: String): Unit = {
+    val sets = Dedup.shingleSets(docs)
+    sets.persist()
+    try {
+      val spark = sets.sparkSession
+      graft.sources.Bucketed.appendBucketed(
+        sets, hotSetsTable(name), "doc_id",
+        graft.sources.Bucketed.bucketCount(spark, hotSetsTable(name)))
+      graft.sources.Bucketed.appendBucketed(
+        Dedup.lshBands(sets), hotBandsTable(name), "band_key",
+        graft.sources.Bucketed.bucketCount(spark, hotBandsTable(name)))
+    } finally sets.unpersist()
+  }
+
+  /** Every live generation's (sets, bands) relations: cold, plus the
+    * merging generation while a merge is in flight, plus hot. */
+  private def generations(spark: SparkSession, name: String)
+      : Seq[(DataFrame, DataFrame)] = {
+    val cold = (spark.table(setsTable(name)), spark.table(bandsTable(name)))
+    val merging =
+      if (spark.catalog.tableExists(mergingSetsTable(name)))
+        Seq((spark.table(mergingSetsTable(name)),
+          spark.table(mergingBandsTable(name))))
+      else Nil
+    val hot =
+      if (spark.catalog.tableExists(hotSetsTable(name)))
+        Seq((spark.table(hotSetsTable(name)),
+          spark.table(hotBandsTable(name))))
+      else Nil
+    cold +: (merging ++ hot)
+  }
+
+  /** [[query]] over every generation: the batch is shingled ONCE (the
+    * dominant batch cost — persisted across the per-generation probe
+    * joins and released after the caller's action), each generation is
+    * probed with its own co-located joins, and the verified pairs
+    * union (disjoint by the id contract). */
+  def queryGen(newDocs: DataFrame, name: String, minJaccardPm: Int = 800,
+               maxBroadcastDocs: Long = 4L * 1000 * 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val small = newDocs.count() <= maxBroadcastDocs
+    val newSets = Dedup.shingleSets(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = Dedup.lshBands(newSets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.releaseAfterNextAction(newSets, newBands)
+    generations(spark, name)
+      .map { case (s, b) =>
+        queryAgainst(newSets, newBands, s, b, name, minJaccardPm, small) }
+      .reduce(_.unionByName(_))
+  }
+
+  /** [[gate]] over every generation — the ingest loop's kept-side form. */
+  def gateGen(batch: DataFrame, name: String, minJaccardPm: Int = 800,
+              maxBroadcastDocs: Long = 4L * 1000 * 1000): DataFrame = {
+    val flagged = queryGen(batch, name, minJaccardPm, maxBroadcastDocs)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val small = batch.count() <= maxBroadcastDocs
+    batch.join(if (small) broadcast(flagged) else flagged,
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Swap the hot generation aside for merging and open a fresh empty
+    * hot — METADATA ONLY (two renames + two empty-table writes), the
+    * operation a trigger can afford at any corpus size. One merge in
+    * flight at a time: a second rotate before [[mergeCommit]] fails
+    * loudly rather than orphaning a generation. */
+  def rotateHot(spark: SparkSession, name: String): Unit = {
+    require(!spark.catalog.tableExists(mergingSetsTable(name)),
+      s"index $name already has a merge in flight - mergeCommit it first")
+    spark.sql(
+      s"ALTER TABLE ${hotSetsTable(name)} RENAME TO ${mergingSetsTable(name)}")
+    spark.sql(
+      s"ALTER TABLE ${hotBandsTable(name)} RENAME TO ${mergingBandsTable(name)}")
+    createEmptyHot(spark, name)
+  }
+
+  /** The one O(corpus) pass, STAGED: write cold ∪ merging to the
+    * staged `__compact` tables without touching the live ones. Safe to
+    * run concurrently with [[appendHot]]/[[queryGen]]/[[gateGen]]
+    * because neither input relation receives writes (appends go to the
+    * fresh hot) and nothing is swapped yet — this is the call a
+    * maintenance thread runs OUTSIDE the trigger. Row-level dedup
+    * rides along (replayed-append garbage collection, as [[compact]]).
+    * Not idempotent-in-flight — rerunning after a crash restarts the
+    * staged write from scratch, which is safe (clearStaged). */
+  def mergeStage(spark: SparkSession, name: String): Unit = {
+    require(spark.catalog.tableExists(mergingSetsTable(name)),
+      s"index $name has no merge in flight - rotateHot first")
+    Seq((setsTable(name), mergingSetsTable(name), "doc_id"),
+        (bandsTable(name), mergingBandsTable(name), "band_key"))
+      .foreach { case (live, merging, key) =>
+        graft.sources.Bucketed.clearStaged(spark, live)
+        val buckets = graft.sources.Bucketed.bucketCount(spark, live)
+        val rows = spark.table(live)
+          .unionByName(spark.table(merging)).dropDuplicates()
+        graft.sources.Bucketed.writeBucketed(
+          rows.repartition(buckets, rows(key)),
+          live + "__compact", key, buckets)
+      }
+  }
+
+  /** Commit a staged merge: swap both staged tables into the cold
+    * generation and drop the merging generation — METADATA ONLY, the
+    * trigger-affordable half. Queries stay correct through every
+    * phase: before the swap they read cold ∪ merging ∪ hot; after it
+    * the same rows live in cold ∪ hot (GenerationalLshSpec pins the
+    * equivalence). A crash between the swaps leaves the standard
+    * recoverable `__old`/`__compact` pair plus the merging tables —
+    * queries keep answering (merging still read), and re-running
+    * mergeStage+mergeCommit converges. */
+  def mergeCommit(spark: SparkSession, name: String): Unit = {
+    require(spark.catalog.tableExists(setsTable(name) + "__compact") &&
+        spark.catalog.tableExists(bandsTable(name) + "__compact"),
+      s"index $name has no staged merge - mergeStage first")
+    graft.sources.Bucketed.swapStaged(spark, setsTable(name))
+    graft.sources.Bucketed.swapStaged(spark, bandsTable(name))
+    Seq(mergingSetsTable(name), mergingBandsTable(name)).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
   }
 
   /** History gate: the KEPT side of [[query]] — the batch rows with NO

@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The generational (hot/cold) index answers EXACTLY like a
+  * mono-generation index over the same corpus, through every lifecycle
+  * phase — the invariant that makes the out-of-trigger merge design
+  * sound: bands/sets are per-doc derivations, so partitioning the
+  * corpus across generations partitions the band collisions, and the
+  * per-generation verified pairs union back to the mono answer
+  * (disjoint ids ⇒ disjoint pairs). The phases deliberately include a
+  * staged-but-uncommitted merge, which is the state a crashed (or
+  * still-running) maintenance thread leaves behind. */
+class GenerationalLshSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("queryGen/gateGen ≡ mono query/gate through rotate, staged merge, and commit") {
+    assume(new java.io.File(sfDir).isDirectory, "driver testdata not present")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val a = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val c = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .filter(col("doc_id") < 400)
+    // probe batch: near-dups of docs from EVERY slice (so each
+    // generation contributes pairs) plus fresh rows
+    val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        concat(lit("dup "), col("text")).as("text"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 5)
+        .select((col("doc_id") + 950000L).as("doc_id"), col("text")))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    def mono(corpus: org.apache.spark.sql.DataFrame, n: String) = {
+      LshIndex.build(corpus, n)
+      (pairs(LshIndex.query(batch, n)), kept(LshIndex.gate(batch, n)))
+    }
+    val (refAB, _) = mono(a.unionByName(b), "lshgen_refab")
+    val (refABC, refKept) = mono(a.unionByName(b).unionByName(c), "lshgen_refabc")
+    assert(refAB.nonEmpty && refABC.size > refAB.size,
+      "fixture must make every generation contribute pairs")
+
+    LshIndex.buildGen(a, "lshgen")
+    LshIndex.appendHot(b, "lshgen")
+    // phase 1: cold=A, hot=B
+    assert(pairs(LshIndex.queryGen(batch, "lshgen")) == refAB)
+    // phase 2: rotate — cold=A, merging=B, hot=∅; answers unchanged
+    LshIndex.rotateHot(spark, "lshgen")
+    assert(pairs(LshIndex.queryGen(batch, "lshgen")) == refAB)
+    // a second rotate before commit must refuse, not orphan a generation
+    val err = intercept[IllegalArgumentException](
+      LshIndex.rotateHot(spark, "lshgen"))
+    assert(err.getMessage.contains("merge in flight"))
+    // phase 3: appends keep landing while the merge is in flight
+    LshIndex.appendHot(c, "lshgen")
+    assert(pairs(LshIndex.queryGen(batch, "lshgen")) == refABC)
+    // phase 4: staged merge written, NOT committed — the state a
+    // running (or crashed) maintenance thread leaves; answers unchanged
+    LshIndex.mergeStage(spark, "lshgen")
+    assert(pairs(LshIndex.queryGen(batch, "lshgen")) == refABC)
+    // phase 5: commit (metadata-only): cold=A∪B, hot=C, merging gone
+    LshIndex.mergeCommit(spark, "lshgen")
+    assert(pairs(LshIndex.queryGen(batch, "lshgen")) == refABC)
+    assert(!spark.catalog.tableExists(LshIndex.mergingSetsTable("lshgen")))
+    assert(spark.table(LshIndex.setsTable("lshgen")).count() ==
+      a.unionByName(b).count())
+    assert(spark.table(LshIndex.hotSetsTable("lshgen")).count() == c.count())
+    // gate parity over the final layout
+    assert(kept(LshIndex.gateGen(batch, "lshgen")) == refKept)
+    // deletes reach every generation (candidate-time exclusion is
+    // per-name, not per-generation): tombstone one cold and one hot
+    // near-dup target and their pairs vanish from queryGen
+    val victims = refABC.map(_._1).take(2).toSeq
+    import spark.implicits._
+    LshIndex.delete(victims.toDF("doc_id"), "lshgen")
+    val afterDel = pairs(LshIndex.queryGen(batch, "lshgen"))
+    assert(afterDel == refABC.filterNot(p => victims.contains(p._1)))
+  }
+
+  test("a second generation cycle composes: rotate+merge again after the first commit") {
+    assume(new java.io.File(sfDir).isDirectory, "driver testdata not present")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val a = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val b = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+    val c = docs.filter(pmod(col("doc_id"), lit(4)) === 2)
+    val batch = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        concat(lit("dup "), col("text")).as("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    LshIndex.build(a.unionByName(b).unionByName(c), "lshgen2_ref")
+    val ref = pairs(LshIndex.query(batch, "lshgen2_ref"))
+    LshIndex.buildGen(a, "lshgen2")
+    LshIndex.appendHot(b, "lshgen2")
+    LshIndex.rotateHot(spark, "lshgen2")
+    LshIndex.mergeStage(spark, "lshgen2")
+    LshIndex.mergeCommit(spark, "lshgen2")
+    LshIndex.appendHot(c, "lshgen2")
+    LshIndex.rotateHot(spark, "lshgen2")
+    LshIndex.mergeStage(spark, "lshgen2")
+    LshIndex.mergeCommit(spark, "lshgen2")
+    assert(pairs(LshIndex.queryGen(batch, "lshgen2")) == ref && ref.nonEmpty)
+    // both cycles folded into cold; hot empty again
+    assert(spark.table(LshIndex.setsTable("lshgen2")).count() ==
+      a.unionByName(b).unionByName(c).count())
+    assert(spark.table(LshIndex.hotSetsTable("lshgen2")).count() == 0L)
+  }
+}
