@@ -52,12 +52,21 @@ object Bench {
       spark.stop()
       return
     }
+    // Subset mode (SPARK_GRAFT_ONLY="a,b,c"): time just the named
+    // queries — the iterate-on-one-operator knob. Skips the stream leg
+    // and never writes BENCH_driver.json, so a partial run can't
+    // masquerade as a round artifact.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      only.fold(SparkEntry.queries)(names =>
+        SparkEntry.queries.view.filterKeys(names).toMap)
     // Steady-state warmup: one pass of every query at the smallest scale
     // factor, so JIT/codegen/classloading cost doesn't land on whichever
     // query happens to run first. Nothing from the measured SF is cached.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
       }
@@ -69,14 +78,14 @@ object Bench {
     // query "measuring" 55 s at median-of-3. Spreading a query's reps
     // across the whole sweep makes a single window cost each query at
     // most one rep, which the median discards.
-    val names = SparkEntry.queries.keys.toVector
+    val names = selected.keys.toVector
     val repRuns = scala.collection.mutable.Map[String, Vector[(Option[String], Double)]]()
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to Reps; name <- names) {
       val t0 = System.nanoTime()
       val outcome =
         try {
-          SparkEntry.queries(name)(spark, sfDir)
+          selected(name)(spark, sfDir)
             .write.mode("overwrite").format("noop").save(); None
         } catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -133,7 +142,9 @@ object Bench {
     val budgetJson = obj(budgetViolations.map { case (k, (sec, b)) =>
       k -> f"""{"sec":$sec%.3f,"budget_sec":$b%.3f}"""
     })
-    val (streamTput, streamMedian, streamRates) = streamThroughput(spark, cpus.toInt)
+    val (streamTput, streamMedian, streamRates) =
+      if (only.isDefined) (0.0, 0.0, Seq.empty[Double])
+      else streamThroughput(spark, cpus.toInt)
     // the per-batch series makes the figure self-diagnosing: a host
     // throttle window shows up as a slow prefix/suffix around normal
     // batches, where a bare median under a capped drain once read as a
@@ -154,7 +165,7 @@ object Bench {
     // launched from another CWD would otherwise write the repo-relative
     // default elsewhere and silently miss the harness); the absolute path
     // is logged either way.
-    try {
+    try if (only.isEmpty) {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS", "artifacts"))
       java.nio.file.Files.createDirectories(out)

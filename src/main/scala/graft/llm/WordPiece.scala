@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   * advances ≥ 1, so `length` steps always suffice; a character with
   * no vocab match — impossible when train ⊇ apply, possible under a
   * split — advances 1 and counts in `n_unk`). Per-word work is
-  * O(len²) candidate substrings, on the DISTINCT vocabulary only;
+  * O(len·maxPieceLen) candidate substrings (lengths beyond the
+  * vocabulary's longest piece can never match, so the explode is
+  * bounded by it — exact, not approximate), on the DISTINCT
+  * vocabulary only;
   * occurrences join the encoded vocabulary afterward — the same
   * distinct-then-join shape as [[Bpe.fertility]], so a 100 TB corpus
   * pays the quadratic only on its (bounded) word list, never per
@@ -51,35 +54,56 @@ object WordPiece {
     // characters come from the LEARNED word table (vocab-sized,
     // already checkpointed by learn) — not from a second tokenize
     // pass over the corpus
+    // one distinct over the union — the inner per-branch distincts the
+    // r14 version ran were redundant shuffles; and wordTable is keyed
+    // by token (learn's groupBy), so its token column IS distinct
     val chars = wordTable
       .select(explode(split(col("token"), "")).as("piece"))
       .filter(length(col("piece")) > 0)
-      .distinct()
-    val merged = rules.map(r => r.lhs + r.rhs).toDF("piece").distinct()
-    (chars.union(merged).distinct(), wordTable.select("token").distinct())
+    val merged = rules.map(r => r.lhs + r.rhs).toDF("piece")
+    (chars.union(merged).distinct(), wordTable.select("token"))
   }
 
   private[llm] def vocab(trainDocs: DataFrame, rounds: Int): DataFrame =
     vocabAndWords(trainDocs, rounds)._1
 
-  /** Every (position, length) substring of every distinct word:
-    * (token, p, l, piece) — the shared candidate table under both the
-    * flat and the namespaced longest-match. */
-  private def substrings(words: DataFrame): DataFrame =
+  /** Longest piece in a vocabulary — the substring explode's length
+    * bound. One scalar collect, noise next to [[Bpe.learn]]'s
+    * per-round collects; empty vocab ⇒ 1 so `sequence` stays valid. */
+  private[llm] def pieceMaxLen(pieces: DataFrame): Int =
+    pieces.agg(coalesce(max(length(col("piece"))), lit(1)))
+      .head().getInt(0).max(1)
+
+  /** Every (position, length ≤ maxLen) substring of every distinct
+    * word: (token, p, l, piece) — the shared candidate table under
+    * both the flat and the namespaced longest-match. `maxLen` is the
+    * vocabulary's longest piece: a candidate longer than every vocab
+    * piece can never survive the vocab join, so the bound is exact —
+    * and it changes the explode's asymptotics from O(len²) per word
+    * to O(len·maxLen). An R-round BPE vocab has only R multi-char
+    * pieces, so maxLen is tiny (≤ R+1) while words run 20+ chars:
+    * measured 2.7 s → 1.3 s on `wordpiece_encode_8` at sf0.1. */
+  private def substrings(words: DataFrame, maxLen: Int): DataFrame =
     words
       .select(col("token"), explode(sequence(lit(0), length(col("token")) - 1)).as("p"))
       .select(col("token"), col("p"),
-        explode(sequence(lit(1), length(col("token")) - col("p"))).as("l"))
+        explode(sequence(lit(1),
+          least(length(col("token")) - col("p"), lit(maxLen)))).as("l"))
       .select(col("token"), col("p"),
         expr("substring(token, p + 1, l)").as("piece"), col("l"))
 
   /** Greedy longest-match encode of every distinct word against a
     * piece vocabulary: one row per word with its piece count and
     * unmatched-character count. */
-  private[llm] def encodeWords(words: DataFrame, pieces: DataFrame): DataFrame = {
-    // every (position, length) substring of every distinct word...
-    val cands = substrings(words)
-    // ...kept iff in vocab; longest match per position
+  private[llm] def encodeWords(words: DataFrame, pieces: DataFrame): DataFrame =
+    encodeWordsFrom(substrings(words, pieceMaxLen(pieces)), words, pieces)
+
+  /** [[encodeWords]] from a prebuilt candidate table — the entry point
+    * for callers that share one substring explode across encoder
+    * variants ([[fertilityDiff]]). */
+  private def encodeWordsFrom(cands: DataFrame, words: DataFrame,
+                              pieces: DataFrame): DataFrame = {
+    // candidates kept iff in vocab; longest match per position
     val longest = cands.join(pieces, "piece")
       .groupBy("token", "p").agg(max("l").as("adv"))
     // per-word step map, then the greedy chain as a length-bounded fold
@@ -109,16 +133,35 @@ object WordPiece {
     * same corpus — every character is a piece). Token-less docs drop,
     * matching [[Bpe.encode]]. */
   def encode(docs: DataFrame, rounds: Int = 8): DataFrame = {
-    val occ = docs
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val words = occ.select("token").distinct()
-    occ.join(encodeWords(words, vocab(docs, rounds)), "token")
+    val (pieces, words) = vocabAndWords(docs, rounds)
+    val maxLen = pieceMaxLen(pieces)
+    // train == apply here, so the distinct word list IS the learned
+    // word table — no second corpus-sized distinct. The apply side is
+    // [[Bpe.encode]]'s exact shape: one exploded corpus scan,
+    // broadcast-joined against the vocab-bounded per-word encode
+    // table, collapsing straight into the per-doc aggregate — the
+    // r14 version's intermediate (doc_id, token) tf-grouping was a
+    // second corpus-sized shuffle buying nothing the broadcast join
+    // didn't already give (measured: 12 → 7 post-learn jobs, and the
+    // extra shuffle is exactly what failed to transfer to the slower
+    // driver host).
+    applyScan(docs, encodeWordsFrom(substrings(words, maxLen), words, pieces))
       .groupBy("doc_id")
-      .agg(sum("tf").as("n_tokens"),
-        sum(col("tf") * col("pieces")).as("n_pieces"),
-        sum(col("tf") * col("unks")).as("n_unk"))
+      .agg(max("n_toks").as("n_tokens"),
+        sum("pieces").as("n_pieces"),
+        sum("unks").as("n_unk"))
   }
+
+  /** The shared apply-side scan: every (doc, token) occurrence of
+    * `docs`, carrying the doc's total token count, inner-joined
+    * against a per-word `encoded` table (vocab-bounded ⇒ broadcast).
+    * Token-less docs drop here, matching [[Bpe.encode]]. */
+  private def applyScan(docs: DataFrame, encoded: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        explode(col("toks")).as("token"))
+      .join(encoded, Seq("token"))
 
   // ---- the BERT `##` continuation namespace --------------------------
   //
@@ -143,7 +186,11 @@ object WordPiece {
     * a corpus pass. */
   private[llm] def namespacedVocab(trainWords: DataFrame,
                                    flat: DataFrame): DataFrame =
-    substrings(trainWords).join(flat, "piece")
+    namespacedVocabBounded(trainWords, flat, pieceMaxLen(flat))
+
+  private def namespacedVocabBounded(trainWords: DataFrame, flat: DataFrame,
+                                     maxLen: Int): DataFrame =
+    substrings(trainWords, maxLen).join(flat, "piece")
       .select(col("piece"),
         when(col("p") === 0, 0).otherwise(1).as("ns"))
       .distinct()
@@ -153,8 +200,14 @@ object WordPiece {
     * unmatched position turns the WHOLE word into one [UNK]
     * (pieces = 1, unk_words = 1) — BERT's `is_bad` contract. */
   private[llm] def encodeWordsBert(words: DataFrame,
-                                   nsVocab: DataFrame): DataFrame = {
-    val cands = substrings(words)
+                                   nsVocab: DataFrame): DataFrame =
+    encodeWordsBertFrom(substrings(words, pieceMaxLen(nsVocab)), words, nsVocab)
+
+  /** [[encodeWordsBert]] from a prebuilt candidate table (shared with
+    * the flat encoder in [[fertilityDiff]]). */
+  private def encodeWordsBertFrom(cands0: DataFrame, words: DataFrame,
+                                  nsVocab: DataFrame): DataFrame = {
+    val cands = cands0
       .withColumn("ns", when(col("p") === 0, 0).otherwise(1))
     val longest = cands.join(nsVocab, Seq("piece", "ns"))
       .groupBy("token", "p").agg(max("l").as("adv"))
@@ -182,10 +235,6 @@ object WordPiece {
         when(col("acc.bad"), 1L).otherwise(lit(0L)).as("unk_words"))
   }
 
-  private def occurrences(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
-    .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-
   /** Per-document BERT-namespaced WordPiece encode of `applyDocs`
     * under a vocabulary (and its namespaces) learned on `trainDocs`:
     * token count, piece count (an [UNK] word contributes exactly 1),
@@ -206,14 +255,24 @@ object WordPiece {
   def encodeBert(trainDocs: DataFrame, applyDocs: DataFrame,
                  rounds: Int): DataFrame = {
     val (flat, trainWords) = vocabAndWords(trainDocs, rounds)
-    val occ = occurrences(applyDocs)
-    val words = occ.select("token").distinct()
-    occ.join(encodeWordsBert(words, namespacedVocab(trainWords, flat)), "token")
+    val maxLen = pieceMaxLen(flat)
+    val words = applyWords(applyDocs)
+    applyScan(applyDocs,
+        encodeWordsBertFrom(substrings(words, maxLen), words,
+          namespacedVocabBounded(trainWords, flat, maxLen)))
       .groupBy("doc_id")
-      .agg(sum("tf").as("n_tokens"),
-        sum(col("tf") * col("pieces")).as("n_pieces"),
-        sum(col("tf") * col("unk_words")).as("n_unk_words"))
+      .agg(max("n_toks").as("n_tokens"),
+        sum("pieces").as("n_pieces"),
+        sum("unk_words").as("n_unk_words"))
   }
+
+  /** Distinct words of the APPLY corpus — the one corpus-sized
+    * distinct a cross-corpus encode cannot avoid (the train-side word
+    * list is free from [[Bpe.learn]]'s table, but held-out words need
+    * their own pass). */
+  private def applyWords(applyDocs: DataFrame): DataFrame =
+    applyDocs
+      .select(explode(TextFns.tokens(col("text"))).as("token")).distinct()
 
   /** Corpus-level comparison of the two WordPiece variants on the
     * same held-out split and ONE shared training run (vocab learned
@@ -223,23 +282,33 @@ object WordPiece {
     * (pieces per 1000 tokens), and the namespace overhead in permille
     * — the price BERT's positional discipline pays in sequence
     * length, UNK-policy effect included (the honest comparison of the
-    * two deployable tokenizers). The final combine is a 1-row × 1-row
-    * join (both sides global aggregates — the plan-audit's
-    * bounded-BNLJ shape). */
+    * two deployable tokenizers). Both variants' per-word results join
+    * into ONE vocab-bounded encode table first, so the corpus pays a
+    * single exploded scan and a single global aggregate — the r14
+    * version ran the corpus join+aggregate twice and then glued the
+    * halves with a 1-row BNL join; the substring candidate table is a
+    * byte-identical subtree under both variants, deduplicated by
+    * ReusedExchange (measured FASTER than an explicit persist — the
+    * cache's serialize/store cost exceeds the recompute). */
   def fertilityDiff(trainDocs: DataFrame, applyDocs: DataFrame,
                     rounds: Int): DataFrame = {
     val (flat, trainWords) = vocabAndWords(trainDocs, rounds)
-    val occ = occurrences(applyDocs)
-    val words = occ.select("token").distinct()
-    val flatTotals = occ.join(encodeWords(words, flat), "token")
-      .agg(sum("tf").as("n_tokens"),
-        sum(col("tf") * col("pieces")).as("flat_pieces"),
-        sum(col("tf") * col("unks")).as("flat_unks"))
-    val bertTotals = occ
-      .join(encodeWordsBert(words, namespacedVocab(trainWords, flat)), "token")
-      .agg(sum(col("tf") * col("pieces")).as("bert_pieces"),
-        sum(col("tf") * col("unk_words")).as("n_unk_words"))
-    flatTotals.join(bertTotals)
+    val maxLen = pieceMaxLen(flat)
+    val words = applyWords(applyDocs)
+    val cands = substrings(words, maxLen)
+    val enc = encodeWordsFrom(cands, words, flat)
+      .select(col("token"), col("pieces").as("fp"), col("unks").as("fu"))
+      .join(encodeWordsBertFrom(cands, words,
+          namespacedVocabBounded(trainWords, flat, maxLen))
+        .select(col("token"), col("pieces").as("bp"),
+          col("unk_words").as("buw")),
+        Seq("token"))
+    applyScan(applyDocs, enc)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("fp").as("flat_pieces"),
+        sum("fu").as("flat_unks"),
+        sum("bp").as("bert_pieces"),
+        sum("buw").as("n_unk_words"))
       .select(col("n_tokens"), col("flat_pieces"), col("flat_unks"),
         col("bert_pieces"), col("n_unk_words"),
         expr("(1000 * flat_pieces) div n_tokens").as("flat_fertility_milli"),
