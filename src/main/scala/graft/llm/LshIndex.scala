@@ -334,21 +334,63 @@ object LshIndex {
   }
 
   /** Every live generation's (sets, bands) relations: cold, plus the
-    * merging generation while a merge is in flight, plus hot. */
+    * merging generation while a merge is in flight, plus hot. Each
+    * optional generation is included only when BOTH its tables exist:
+    * a crash between [[rotateHot]]'s two renames leaves exactly one of
+    * the merging/hot halves behind, and gating on one table alone made
+    * queryGen THROW in that state (r14 advisor finding). In the
+    * half-renamed state the stranded half's rows are invisible until
+    * [[repairGen]] completes the rotate — which the generational
+    * entry points run up front, so in practice the window is the
+    * repair call itself. */
   private def generations(spark: SparkSession, name: String)
       : Seq[(DataFrame, DataFrame)] = {
-    val cold = (spark.table(setsTable(name)), spark.table(bandsTable(name)))
-    val merging =
-      if (spark.catalog.tableExists(mergingSetsTable(name)))
-        Seq((spark.table(mergingSetsTable(name)),
-          spark.table(mergingBandsTable(name))))
+    def both(sets: String, bands: String): Seq[(DataFrame, DataFrame)] =
+      if (spark.catalog.tableExists(sets) && spark.catalog.tableExists(bands))
+        Seq((spark.table(sets), spark.table(bands)))
       else Nil
-    val hot =
-      if (spark.catalog.tableExists(hotSetsTable(name)))
-        Seq((spark.table(hotSetsTable(name)),
-          spark.table(hotBandsTable(name))))
-      else Nil
-    cold +: (merging ++ hot)
+    (spark.table(setsTable(name)), spark.table(bandsTable(name))) +:
+      (both(mergingSetsTable(name), mergingBandsTable(name)) ++
+        both(hotSetsTable(name), hotBandsTable(name)))
+  }
+
+  /** Heal the half-done metadata states a crash can leave, so every
+    * row is visible to [[queryGen]] again — run once at
+    * ingest-loop startup (crash-RECOVERY, not crash-safety: no state
+    * here loses rows, they are just stranded in a skipped generation
+    * until repaired):
+    *
+    *   - [[rotateHot]] died between its two renames → `_sets_merging`
+    *     exists but `_bands_merging` does not, and the hot bands table
+    *     is stranded: finish the rename, then recreate the empty hot
+    *     generation the rotate was about to open.
+    *   - [[mergeCommit]] died after the swaps but before dropping the
+    *     merging generation → both generations hold the merged rows;
+    *     queries stay CORRECT meanwhile ([[queryGenFrom]]'s distinct),
+    *     and the repair is to drop the now-redundant merging tables —
+    *     but only when a completed merge is provable: the staged
+    *     tables consumed (no `__compact` left) AND the merging rows
+    *     all present in cold. Proving containment costs a
+    *     merging-sized anti-join; a plain re-merge (mergeStage +
+    *     mergeCommit) converges to the same end state, so that is
+    *     what the maintenance loop does and this repair only fixes
+    *     the THROWING state. */
+  def repairGen(spark: SparkSession, name: String): Unit = {
+    val ms = spark.catalog.tableExists(mergingSetsTable(name))
+    val mb = spark.catalog.tableExists(mergingBandsTable(name))
+    val hs = spark.catalog.tableExists(hotSetsTable(name))
+    val hb = spark.catalog.tableExists(hotBandsTable(name))
+    if (ms && !mb && hb)
+      spark.sql(s"ALTER TABLE ${hotBandsTable(name)} RENAME TO ${mergingBandsTable(name)}")
+    // recreate whatever hot halves are missing (empty, cold's spec);
+    // a lone surviving half is dropped first so the pair stays in step
+    val hsNow = spark.catalog.tableExists(hotSetsTable(name))
+    val hbNow = spark.catalog.tableExists(hotBandsTable(name))
+    if (!hsNow || !hbNow) {
+      Seq(hotSetsTable(name), hotBandsTable(name))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      createEmptyHot(spark, name)
+    }
   }
 
   /** [[query]] over every generation: the batch is shingled ONCE (the
@@ -357,26 +399,66 @@ object LshIndex {
     * probed with its own co-located joins, and the verified pairs
     * union (disjoint by the id contract). */
   def queryGen(newDocs: DataFrame, name: String, minJaccardPm: Int = 800,
-               maxBroadcastDocs: Long = 4L * 1000 * 1000): DataFrame = {
+               maxBroadcastDocs: Long = 4L * 1000 * 1000): DataFrame =
+    queryGenFrom(newDocs, name, minJaccardPm,
+      newDocs.count() <= maxBroadcastDocs)
+
+  /** [[queryGen]] with the broadcast decision already made — every
+    * internal ACTION (the sizing count) happens in the callers BEFORE
+    * this runs, because the last thing this does is register the
+    * release-after-next-action listener on the batch caches: any
+    * action between that registration and the caller's consuming one
+    * would trip the one-shot listener and un-cache the shingle sets
+    * the probe joins are about to read (the r14 gateGen bug — its
+    * count-after-queryGen paid up to 3× re-shingling per trigger on
+    * exactly the path built to make triggers cheap). */
+  private def queryGenFrom(newDocs: DataFrame, name: String,
+                           minJaccardPm: Int, small: Boolean): DataFrame = {
     val spark = newDocs.sparkSession
-    val small = newDocs.count() <= maxBroadcastDocs
+    val gens = generations(spark, name)
     val newSets = Dedup.shingleSets(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = Dedup.lshBands(newSets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.Caches.releaseAfterNextAction(newSets, newBands)
-    generations(spark, name)
+    val pairs = gens
       .map { case (s, b) =>
         queryAgainst(newSets, newBands, s, b, name, minJaccardPm, small) }
       .reduce(_.unionByName(_))
+    // While a merge is in flight the union CAN double-report a pair in
+    // exactly one crash window: mergeCommit swapped both staged tables
+    // but died before dropping the merging generation — its rows then
+    // live in cold AND merging. The pairs are byte-identical there, so
+    // a full-row distinct restores the no-crash answer; it costs one
+    // result-sized (batch-bounded) shuffle and only when a merging
+    // generation exists at plan time. The repartition is load-bearing:
+    // the per-generation pair frames can inherit the bucketed tables'
+    // HashPartitioning through the verification joins' aliases, and a
+    // union whose children report the same partitioning plans its
+    // dedup aggregate WITHOUT an exchange (partitions concatenate, so
+    // cross-generation duplicates never meet — the mergeStage trap,
+    // see its comment); an explicit repartition makes the clustering
+    // genuine.
+    if (mergingLive(spark, name))
+      pairs.repartition(col("doc_a"), col("doc_b")).dropDuplicates()
+    else pairs
   }
 
-  /** [[gate]] over every generation — the ingest loop's kept-side form. */
+  /** Whether a COMPLETE merging generation is live (both tables — a
+    * half-renamed rotate crash leaves only one; [[repairGen]] heals
+    * it). */
+  private def mergingLive(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(mergingSetsTable(name)) &&
+      spark.catalog.tableExists(mergingBandsTable(name))
+
+  /** [[gate]] over every generation — the ingest loop's kept-side form.
+    * The sizing count runs FIRST (see [[queryGenFrom]]): the next
+    * action after this returns must be the caller's consuming one. */
   def gateGen(batch: DataFrame, name: String, minJaccardPm: Int = 800,
               maxBroadcastDocs: Long = 4L * 1000 * 1000): DataFrame = {
-    val flagged = queryGen(batch, name, minJaccardPm, maxBroadcastDocs)
-      .select(col("doc_b").as("doc_id")).distinct()
     val small = batch.count() <= maxBroadcastDocs
+    val flagged = queryGenFrom(batch, name, minJaccardPm, small)
+      .select(col("doc_b").as("doc_id")).distinct()
     batch.join(if (small) broadcast(flagged) else flagged,
       Seq("doc_id"), "left_anti")
   }
@@ -385,7 +467,11 @@ object LshIndex {
     * hot — METADATA ONLY (two renames + two empty-table writes), the
     * operation a trigger can afford at any corpus size. One merge in
     * flight at a time: a second rotate before [[mergeCommit]] fails
-    * loudly rather than orphaning a generation. */
+    * loudly rather than orphaning a generation. NOT atomic: a crash
+    * between the renames leaves a half-rotated state in which
+    * [[generations]] skips both stranded halves (queries answer from
+    * cold alone, no throw) until [[repairGen]] completes the rotate —
+    * the generational ingest loop runs it at startup. */
   def rotateHot(spark: SparkSession, name: String): Unit = {
     require(!spark.catalog.tableExists(mergingSetsTable(name)),
       s"index $name already has a merge in flight - mergeCommit it first")
@@ -413,8 +499,18 @@ object LshIndex {
       .foreach { case (live, merging, key) =>
         graft.sources.Bucketed.clearStaged(spark, live)
         val buckets = graft.sources.Bucketed.bucketCount(spark, live)
+        // the merging side reads UNBUCKETED: a union of two co-bucketed
+        // scans plans its dedup aggregate with NO exchange (the
+        // concatenated-partitions trap — see [[graft.sources.Bucketed
+        // .readUnbucketed]]), so cross-TABLE duplicates — the
+        // mergeCommit-crash overlap — would survive into the staged
+        // copy (caught by GenerationalLshSpec's double-read case: 501
+        // rows where 334 were correct; an explicit repartition below
+        // the dedup is optimized away as redundant). One unknown-
+        // partitioned child forces the genuine dedup exchange.
         val rows = spark.table(live)
-          .unionByName(spark.table(merging)).dropDuplicates()
+          .unionByName(graft.sources.Bucketed.readUnbucketed(spark, merging))
+          .dropDuplicates()
         graft.sources.Bucketed.writeBucketed(
           rows.repartition(buckets, rows(key)),
           live + "__compact", key, buckets)
@@ -429,7 +525,11 @@ object LshIndex {
     * equivalence). A crash between the swaps leaves the standard
     * recoverable `__old`/`__compact` pair plus the merging tables —
     * queries keep answering (merging still read), and re-running
-    * mergeStage+mergeCommit converges. */
+    * mergeStage+mergeCommit converges. A crash AFTER the swaps but
+    * before the drops leaves the merged rows readable twice (cold and
+    * merging) — [[queryGenFrom]]'s full-row distinct keeps the answer
+    * identical, and re-running mergeStage+mergeCommit converges
+    * (mergeStage's dropDuplicates absorbs the overlap). */
   def mergeCommit(spark: SparkSession, name: String): Unit = {
     require(spark.catalog.tableExists(setsTable(name) + "__compact") &&
         spark.catalog.tableExists(bandsTable(name) + "__compact"),

@@ -154,6 +154,27 @@ object Bucketed {
     spark.sql(s"DROP TABLE ${table}__old")
   }
 
+  /** Read a bucketed table's parquet files WITHOUT the bucket
+    * metadata, so the scan reports UnknownPartitioning.
+    *
+    * Exists for one sharp edge: a UNION of two tables bucketed on the
+    * same key can plan a downstream aggregate with NO exchange — each
+    * child scan reports HashPartitioning(key) and the planner takes
+    * the clustering as satisfied, but the union CONCATENATES the
+    * children's bucket partitions, so equal keys from DIFFERENT tables
+    * never meet and a `dropDuplicates`/`groupBy` over the union
+    * deduplicates only within partitions (observed on Spark 4.1:
+    * byte-identical rows across two co-bucketed tables survived a
+    * full-row distinct; an explicit repartition below the aggregate is
+    * optimized away as redundant). Cross-TABLE aggregation over
+    * bucketed tables must read at least one side through this, which
+    * forces a genuine exchange. Within ONE table the layout is safe —
+    * all copies of a key share a bucket, hence a scan partition. */
+  def readUnbucketed(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString)
+
   /** Equi-join of two same-key, same-bucket-count tables — planned
     * exchange-free (the point of the layout). */
   def colocatedJoin(spark: SparkSession, left: String, right: String,

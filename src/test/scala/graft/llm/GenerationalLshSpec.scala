@@ -82,6 +82,108 @@ class GenerationalLshSpec extends SparkSpec {
     assert(afterDel == refABC.filterNot(p => victims.contains(p._1)))
   }
 
+  test("half-rotated crash state: queries answer (cold only) without throwing; repairGen heals") {
+    assume(new java.io.File(sfDir).isDirectory, "driver testdata not present")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val a = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        concat(lit("dup "), col("text")).as("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    LshIndex.build(a, "lshcrash_refa")
+    val refA = pairs(LshIndex.query(batch, "lshcrash_refa"))
+    LshIndex.build(a.unionByName(b), "lshcrash_refab")
+    val refAB = pairs(LshIndex.query(batch, "lshcrash_refab"))
+    assert(refA.nonEmpty && refAB.size > refA.size,
+      "fixture needs pairs from both generations")
+    LshIndex.buildGen(a, "lshcrash")
+    LshIndex.appendHot(b, "lshcrash")
+    // simulate rotateHot dying between its two renames: sets renamed,
+    // bands not (exactly rotate's first statement)
+    spark.sql(s"ALTER TABLE ${LshIndex.hotSetsTable("lshcrash")} " +
+      s"RENAME TO ${LshIndex.mergingSetsTable("lshcrash")}")
+    // the r14 generations() threw here (merging gated on the sets
+    // table alone); now both stranded halves are skipped — answers
+    // come from cold alone, degraded but correct-for-what-is-visible
+    assert(pairs(LshIndex.queryGen(batch, "lshcrash")) == refA)
+    // repair completes the rotate: B's rows live in the merging
+    // generation again, and a fresh empty hot pair exists
+    LshIndex.repairGen(spark, "lshcrash")
+    assert(pairs(LshIndex.queryGen(batch, "lshcrash")) == refAB)
+    assert(spark.table(LshIndex.hotSetsTable("lshcrash")).count() == 0L)
+    // the interrupted maintenance cycle then converges normally
+    LshIndex.mergeStage(spark, "lshcrash")
+    LshIndex.mergeCommit(spark, "lshcrash")
+    assert(pairs(LshIndex.queryGen(batch, "lshcrash")) == refAB)
+    assert(spark.table(LshIndex.setsTable("lshcrash")).count() ==
+      a.unionByName(b).count())
+  }
+
+  test("commit-crash double-read state: no duplicate pairs; re-merge converges") {
+    assume(new java.io.File(sfDir).isDirectory, "driver testdata not present")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val a = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        concat(lit("dup "), col("text")).as("text"))
+    LshIndex.build(a.unionByName(b), "lshdbl_ref")
+    val ref = LshIndex.query(batch, "lshdbl_ref").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    LshIndex.buildGen(a, "lshdbl")
+    LshIndex.appendHot(b, "lshdbl")
+    LshIndex.rotateHot(spark, "lshdbl")
+    LshIndex.mergeStage(spark, "lshdbl")
+    // simulate mergeCommit dying AFTER both swaps, BEFORE the drops:
+    // run exactly its two swap statements — merged rows now live in
+    // cold AND in the still-present merging generation
+    graft.sources.Bucketed.swapStaged(spark, LshIndex.setsTable("lshdbl"))
+    graft.sources.Bucketed.swapStaged(spark, LshIndex.bandsTable("lshdbl"))
+    assert(spark.catalog.tableExists(LshIndex.mergingSetsTable("lshdbl")))
+    val got = LshIndex.queryGen(batch, "lshdbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.distinct.lengthIs == got.length,
+      "double-read state must not emit duplicate pairs")
+    assert(got.toSet == ref && ref.nonEmpty)
+    // re-running the merge cycle converges (stage's dropDuplicates
+    // absorbs the cold/merging overlap) and clears the merging pair
+    LshIndex.mergeStage(spark, "lshdbl")
+    LshIndex.mergeCommit(spark, "lshdbl")
+    assert(!spark.catalog.tableExists(LshIndex.mergingSetsTable("lshdbl")))
+    assert(spark.table(LshIndex.setsTable("lshdbl")).count() ==
+      a.unionByName(b).count())
+    assert(LshIndex.queryGen(batch, "lshdbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == ref)
+  }
+
+  test("gateGen's shingle caches survive until the consuming action (no premature release)") {
+    assume(new java.io.File(sfDir).isDirectory, "driver testdata not present")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val a = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        concat(lit("dup "), col("text")).as("text"))
+    LshIndex.buildGen(a, "lshcache")
+    val gated = LshIndex.gateGen(batch, "lshcache")
+    // collect() (not a write) so the executed plan we inspect below is
+    // THIS dataset's own QueryExecution
+    gated.collect()
+    // the consuming action's executed plan must READ the registered
+    // batch caches — the r14 gateGen ran its sizing count AFTER
+    // queryGen registered the one-shot release listener, so the caches
+    // were gone before this plan ever ran and every probe re-shingled
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      s"expected cached shingle reads in the executed plan:\n$plan")
+    // and the one-shot listener still releases them afterwards
+    assert(graft.Caches.awaitDrained(spark),
+      "caches must drain after the consuming action: " +
+        graft.Caches.remainingPersistentRDDs(spark).mkString(", "))
+  }
+
   test("a second generation cycle composes: rotate+merge again after the first commit") {
     assume(new java.io.File(sfDir).isDirectory, "driver testdata not present")
     val docs = graft.Tables.documents(spark, sfDir)
