@@ -70,6 +70,14 @@ object Bench {
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
       }
+    // Fixed-work host fingerprint, recorded in the artifact: the r14
+    // driver run measured 4 per-row-compute-heavy queries at 2.6-4.4x
+    // their builder-host budgets with every plan unchanged — a host-
+    // character delta that was invisible because no run carried a
+    // machine-independent work unit. Comparing this probe across two
+    // artifacts separates "the host is slower at sustained compute"
+    // from "the query regressed".
+    val (probeSingle, probePar) = hostProbe(cpus.toInt)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Reps are INTERLEAVED round-robin (all queries once, then again),
     // not back-to-back: the dominant noise source is multi-second
@@ -156,7 +164,8 @@ object Bench {
       case (k, reps) =>
         k -> reps.map(r => f"${r._2}%.3f").mkString("[", ",", "]")
     })
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$minsJson,"errors":$errs,"budget_violations":$budgetJson,"stream_rows_per_sec":$streamTput,"stream_rows_per_sec_median":$streamMedian,"stream_batch_rates":$ratesJson,"stream_batches":${streamRates.length},"runs":$runsJson,"sf":"$sfDir"}"""
+    val probeJson = f"""{"single_sec":$probeSingle%.3f,"parallel_sec":$probePar%.3f,"threads":${cpus.toInt}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$minsJson,"errors":$errs,"budget_violations":$budgetJson,"host_probe":$probeJson,"stream_rows_per_sec":$streamTput,"stream_rows_per_sec_median":$streamMedian,"stream_batch_rates":$ratesJson,"stream_batches":${streamRates.length},"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: the driver captures stdout through
     // a bounded tail buffer, and round 4's committed artifact came back
@@ -177,6 +186,30 @@ object Bench {
       System.err.println(s"[bench] artifact file write failed: $e")
     }
     spark.stop()
+  }
+
+  /** Fixed-work CPU probe: (single-thread seconds, `threads`-way
+    * parallel wall seconds) for an identical integer spin — the
+    * machine fingerprint every bench artifact carries (see the call
+    * site). The spin is JIT-warmed once before timing; ~0.1 s/thread
+    * on an idle modern core. */
+  private def hostProbe(threads: Int): (Double, Double) = {
+    def spin(): Long = {
+      var x = 0L; var i = 0L
+      while (i < 100000000L) { x ^= i * 2654435761L % 1000003L; i += 1 }
+      x
+    }
+    spin() // JIT warm, discarded
+    val t0 = System.nanoTime(); spin()
+    val single = (System.nanoTime() - t0) / 1e9
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val t1 = System.nanoTime()
+      (1 to threads).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = spin()
+      })).foreach(_.get())
+      (single, (System.nanoTime() - t1) / 1e9)
+    } finally pool.shutdown()
   }
 
   /** End-to-end streaming throughput of the full trend pipeline
@@ -255,6 +288,26 @@ object Bench {
         def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
           df.write.mode("overwrite").format("noop").save()
       }
+      // JIT warmup drain (r14 knee postmortem made the warmed protocol
+      // the permanent discipline): one batch-shaped pass over a
+      // throwaway backlog, NOT recorded — the state-store, codegen and
+      // parquet paths all compile here, so the measured batches below
+      // observe the warm regime a long-running stream actually runs in
+      // (unwarmed, the first batch measured ~234 k rows/s against a
+      // ~890 k warm rate — pure warmup dragging the series).
+      val warmFeed = tmp.resolve("warmfeed").toString
+      val warmCkpt = tmp.resolve("warmckpt").toString
+      SyntheticTweets.wireLines(
+        spark.range(0, FeedRowsPerCore * cpus / StreamBatches, 1,
+          wavesPerBatch * cpus).toDF("id"))
+        .write.mode("overwrite").text(warmFeed)
+      val warmRows = TrendStream.trendRows(
+        TweetSource.FileSource(warmFeed,
+          maxFilesPerTrigger = Some(wavesPerBatch * cpus)).load(spark))
+      val wq = TrendStream.writer(warmRows, sink,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        Some(warmCkpt)).start()
+      try wq.awaitTermination(StreamTimeoutMs) finally wq.stop()
       val rows = TrendStream.trendRows(
         TweetSource.FileSource(feedDir,
           maxFilesPerTrigger = Some(wavesPerBatch * cpus)).load(spark))

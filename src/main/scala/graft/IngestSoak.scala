@@ -28,27 +28,28 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * INGEST_WATERMARK ("10 minutes"),
   * INGEST_OUT (artifacts/INGEST_SOAK.jsonl).
   *
-  * COMPACTION-COST BOUNDARY (round-14, honest asymptotics): the
-  * in-loop compaction is [[graft.sources.Bucketed.rewriteInPlace]] —
-  * a FULL rewrite of both index tables, O(corpus) per compact, and the
-  * corpus is append-only, so the compact batch's latency grows
-  * LINEARLY with stream lifetime: measured 14.8 s at ~1.5 M corpus
-  * rows and 17.6 s at ~2.7 M inside the green 150 s control
-  * (knee_r14/soakW_20000_a.jsonl, batches 5 and 11). The rated-
-  * capacity verdicts hold for their measured windows, but the compact
-  * spike marches through the 15 s trigger as the corpus grows — a
-  * multi-hour stream at 20 k docs/s would breach p95 regardless of
-  * host. The fix is the generational (hot/cold) index with the
-  * O(corpus) merge running OUTSIDE the trigger: appends land in a hot
-  * table, the trigger swaps hot aside with a metadata rename
-  * ([[graft.llm.LshIndex.rotateHot]]), a maintenance thread writes
-  * the staged cold∪merging copy ([[LshIndex.mergeStage]] — race-free
-  * because neither input receives writes), and the next trigger
-  * commits with metadata renames ([[LshIndex.mergeCommit]]). The
-  * primitives are built and GenerationalLshSpec pins queryGen ≡ mono
-  * query through every phase (including the staged-uncommitted state
-  * a crashed merge leaves); wiring the maintenance thread into this
-  * soak's foreachBatch loop is the remaining work.
+  * COMPACTION-COST BOUNDARY (round-14, honest asymptotics) AND ITS
+  * FIX (round-15): the mono loop's in-loop compaction is
+  * [[graft.sources.Bucketed.rewriteInPlace]] — a FULL rewrite of both
+  * index tables, O(corpus) per compact INSIDE a trigger, so the
+  * compact batch's latency grows LINEARLY with stream lifetime:
+  * measured 14.8 s at ~1.5 M corpus rows and 17.6 s at ~2.7 M inside
+  * the green 150 s control (knee_r14/soakW_20000_a.jsonl, batches 5
+  * and 11) — a multi-hour stream at 20 k docs/s breaches p95
+  * regardless of host. `INGEST_GENERATIONAL=1` runs the fix:
+  * [[graft.streaming.DocStream.ingestGen]] over the generational
+  * (hot/cold) [[graft.llm.LshIndex]] — appends land in the hot
+  * generation, the trigger pays metadata renames only
+  * ([[graft.llm.LshMaintenance]]: rotate + commit), the O(corpus)
+  * merge stages on a maintenance thread in a low-weight FAIR pool
+  * (this main configures the pools), and the LSM-style
+  * `hotFractionPm` ratio gate keeps total merge work O(N log N)
+  * across the stream's lifetime instead of quadratic. Evidence:
+  * knee_r15/soakGen_20000_*.jsonl — the generational leg runs past
+  * 2× the r14 boundary corpus with no in-trigger O(corpus) batch;
+  * residual merge-window elevation is core CONTENTION (bounded by
+  * the pool weight), not trigger-path work, and sparsens as the
+  * ratio gate spaces merges geometrically.
   *
   * STEADY-STATE NOTE (round-12): a soak shorter than its watermark
   * delay can only ever observe MONOTONE state growth — eviction fires
@@ -77,16 +78,48 @@ object IngestSoak {
     // latency rising 9.9 -> 17 s over 16 uncompacted appends at
     // 20k docs/s even while state rows plateaued
     val compactEvery = sys.env.getOrElse("INGEST_COMPACT_EVERY", "0").toInt
+    // generational mode (INGEST_GENERATIONAL=1): DocStream.ingestGen —
+    // hot-generation appends, metadata-only rotate/commit on the
+    // trigger, the O(corpus) merge on a maintenance thread every
+    // INGEST_ROTATE_EVERY batches. The leg that retires the in-loop
+    // compaction boundary documented above.
+    val generational = sys.env.getOrElse("INGEST_GENERATIONAL", "0") == "1"
+    val rotateEvery = sys.env.getOrElse("INGEST_ROTATE_EVERY", "8").toInt
     val outPath = sys.env.getOrElse("INGEST_OUT", "artifacts/INGEST_SOAK.jsonl")
 
     val wh = java.nio.file.Files.createTempDirectory("ingest_soak_wh").toString
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // generational leg: FAIR scheduling with a low-weight maintenance
+    // pool, so the background O(corpus) merge yields task slots to
+    // trigger jobs instead of occupying all of them for its duration
+    // (under FIFO the first generational soak measured 20-28 s trigger
+    // latencies inside merge windows vs ~13 s outside). Weight 1 vs
+    // the default pool's 8 ≈ the merge gets ~1/9 of contended slots.
+    if (generational) {
+      val pools = java.nio.file.Files.createTempFile("ingest_pools", ".xml")
+      java.nio.file.Files.writeString(pools,
+        """<?xml version="1.0"?>
+          |<allocations>
+          |  <pool name="default">
+          |    <schedulingMode>FIFO</schedulingMode>
+          |    <weight>8</weight><minShare>0</minShare>
+          |  </pool>
+          |  <pool name="maintenance">
+          |    <schedulingMode>FIFO</schedulingMode>
+          |    <weight>1</weight><minShare>0</minShare>
+          |  </pool>
+          |</allocations>
+          |""".stripMargin)
+      builder
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file", pools.toString)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -119,7 +152,8 @@ object IngestSoak {
     val seeds = spark.range(nSeeds.toLong)
       .select(col("id").as("doc_id"),
         CurateSoak.docText(col("id") + 555000L).as("text"))
-    graft.llm.LshIndex.build(seeds, "ingest_soak_idx")
+    if (generational) graft.llm.LshIndex.buildGen(seeds, "ingest_soak_idx")
+    else graft.llm.LshIndex.build(seeds, "ingest_soak_idx")
 
     // tiny static eval corpus for the Bloom gate
     val evalDocs = (0L until 20L).toDF("doc_id")
@@ -170,18 +204,31 @@ object IngestSoak {
     // no number hides it.
     val warmupSeconds = sys.env.getOrElse("INGEST_WARMUP_SECONDS", "0").toInt
     if (warmupSeconds > 0) {
-      val wSeeds = spark.range(500L)
+      // nSeeds warm seeds, not a token 500: the feed's history-gate
+      // class hashes into [0, nSeeds), so a smaller warm index made
+      // ~95% of the warm gate's near-dup references miss — a lighter
+      // join than the measured stream's (r14 advisor finding); with
+      // the same seed count the warm pipeline's gate hit rate matches
+      val wSeeds = spark.range(nSeeds.toLong)
         .select(col("id").as("doc_id"),
           CurateSoak.docText(col("id") + 999000L).as("text"))
-      graft.llm.LshIndex.build(wSeeds, "ingest_warm_idx")
       val wCorpus = java.nio.file.Files
         .createTempDirectory("ingest_warm_corpus").toString + "/corpus"
       val wCkpt =
         java.nio.file.Files.createTempDirectory("ingest_warm_ckpt").toString
-      val wq = graft.streaming.DocStream
-        .ingest(mkFeed(math.max(rate / 4, 1000), 50000000L, 999000L),
-          evalDocs, "ingest_warm_idx", wCorpus,
+      val warmFeed = mkFeed(math.max(rate / 4, 1000), 50000000L, 999000L)
+      val wq = (if (generational) {
+        graft.llm.LshIndex.buildGen(wSeeds, "ingest_warm_idx")
+        graft.streaming.DocStream.ingestGen(warmFeed, evalDocs,
+          "ingest_warm_idx", wCorpus,
+          new graft.llm.LshMaintenance(spark, "ingest_warm_idx"),
+          watermark = watermark, rotateEvery = rotateEvery)
+      } else {
+        graft.llm.LshIndex.build(wSeeds, "ingest_warm_idx")
+        graft.streaming.DocStream.ingest(warmFeed, evalDocs,
+          "ingest_warm_idx", wCorpus,
           watermark = watermark, compactEvery = compactEvery)
+      })
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
         .option("checkpointLocation", wCkpt)
         .start()
@@ -193,9 +240,15 @@ object IngestSoak {
     val corpusDir = java.nio.file.Files.createTempDirectory("ingest_soak_corpus")
       .toString + "/corpus"
     val ckpt = java.nio.file.Files.createTempDirectory("ingest_soak_ckpt").toString
-    val q = graft.streaming.DocStream
-      .ingest(mkFeed(rate, 10000000L, 555000L), evalDocs, "ingest_soak_idx",
-        corpusDir, watermark = watermark, compactEvery = compactEvery)
+    val mainFeed = mkFeed(rate, 10000000L, 555000L)
+    val q = (if (generational)
+      graft.streaming.DocStream.ingestGen(mainFeed, evalDocs,
+        "ingest_soak_idx", corpusDir,
+        new graft.llm.LshMaintenance(spark, "ingest_soak_idx"),
+        watermark = watermark, rotateEvery = rotateEvery)
+    else
+      graft.streaming.DocStream.ingest(mainFeed, evalDocs, "ingest_soak_idx",
+        corpusDir, watermark = watermark, compactEvery = compactEvery))
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
       .option("checkpointLocation", ckpt)
       .start()
@@ -216,9 +269,17 @@ object IngestSoak {
     // "does not keep up" verdict), not crash the sweep.
     val corpusRows = scala.util.Try(spark.read.parquet(corpusDir).count())
       .getOrElse(0L)
-    spark.catalog.refreshTable(graft.llm.LshIndex.setsTable("ingest_soak_idx"))
-    val indexRows =
-      spark.table(graft.llm.LshIndex.setsTable("ingest_soak_idx")).count()
+    // generational layout: admitted docs live across cold ∪ merging ∪
+    // hot (which one depends on where the background merge was at stop)
+    val indexRows = Seq(
+        graft.llm.LshIndex.setsTable("ingest_soak_idx"),
+        graft.llm.LshIndex.mergingSetsTable("ingest_soak_idx"),
+        graft.llm.LshIndex.hotSetsTable("ingest_soak_idx"))
+      .filter(spark.catalog.tableExists)
+      .map { t =>
+        spark.catalog.refreshTable(t)
+        spark.table(t).count()
+      }.sum
     val sorted = rates.sorted
     def pct(p: Double): Double =
       if (sorted.isEmpty) 0.0 else sorted(((sorted.length - 1) * p).toInt)
@@ -236,7 +297,8 @@ object IngestSoak {
     val summary =
       s"""{"metric":"ingest_soak","feed_docs_per_sec":$rate,"seconds":$seconds,""" +
       s""""watermark":"$watermark","state_plateau":$statePlateau,""" +
-      s""""compact_every":$compactEvery,"warmup_seconds":$warmupSeconds,""" +
+      s""""compact_every":$compactEvery,"generational":$generational,""" +
+      s""""rotate_every":$rotateEvery,"warmup_seconds":$warmupSeconds,""" +
       s""""cpus":$cpus,"seed_docs":$nSeeds,"batches":${rates.length},""" +
       s""""input_rows":$inputRows,"corpus_rows":$corpusRows,""" +
       s""""index_rows":$indexRows,""" +
@@ -245,6 +307,10 @@ object IngestSoak {
       s""""batch_latency_p50_ms":${latPct(0.5)},""" +
       s""""batch_latency_p95_ms":${latPct(0.95)},""" +
       s""""batch_latency_max_ms":${latPct(1.0)},""" +
+      // the UNSORTED latency series (tail 60) is the flat-vs-corpus
+      // evidence the generational leg exists to show: under the mono
+      // loop the compact batches march upward with corpus size
+      s""""latency_series_ms":${latencies.takeRight(60).mkString("[", ",", "]")},""" +
       s""""state_rows_series":${stateRows.takeRight(40).mkString("[", ",", "]")},""" +
       s""""state_rows_max":${if (stateRows.isEmpty) -1L else stateRows.max},""" +
       s""""artifact":"$outPath"}"""

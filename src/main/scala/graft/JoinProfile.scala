@@ -56,7 +56,9 @@ object JoinProfile {
         else Some(s""""$name":{${p.toSeq.sorted
           .map { case (k, v) => s""""$k":$v""" }.mkString(",")}}""")
     }
-    val json = s"""{"sf_dir":"$sfDir",${rows.mkString(",")}}"""
+    // build from a Seq of fragments so the no-join-anywhere case stays
+    // valid JSON (a bare interpolation left a trailing comma there)
+    val json = (s""""sf_dir":"$sfDir"""" +: rows).mkString("{", ",", "}")
     println(json)
     out.foreach(o => java.nio.file.Files.write(java.nio.file.Paths.get(o),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))

@@ -1656,13 +1656,21 @@ object OraclesLlm {
   /** The maintenance DECISION (mirrors `AnnIndex.maintenancePlan` over
     * the `ann_maintenance_plan` fixture): per stage, the worst cell's
     * skew permille, the pending-tombstone permille of physical rows,
-    * and the threshold policy's action (recluster ≥ 2500 skew pm, else
-    * purge ≥ 100 tombstone pm, else none) — integer-exact both sides. */
+    * and the action — integer-exact both sides. Stages 1/2/4 observe
+    * indexes that have never reclustered, so the plain ≥ 2500 skew
+    * threshold applies; stages 3/5 observe the RECLUSTERED index,
+    * where the recorded post-rebalance baseline arms the hysteresis
+    * trigger `skew ≥ greatest(2500, baseline × 1250 // 1000)`:
+    * 3_post_recluster stays `none` (intrinsic skew equals the
+    * baseline by construction — the r14 threshold-only policy
+    * reclustered forever here) while 5_redrifted's fresh orthant
+    * append pushes past it and re-triggers. */
   val annMaintenancePlan: String = {
-    def act(skew: String, tomb: String) =
-      s"""CASE WHEN $skew >= 2500 THEN 'recluster'
+    def act(skew: String, tomb: String, threshold: String = "2500") =
+      s"""CASE WHEN $skew >= $threshold THEN 'recluster'
          |       WHEN $tomb >= 100 THEN 'purge'
          |       ELSE 'none' END""".stripMargin
+    val eff = "(SELECT greatest(2500, (skew * 1250) // 1000) FROM p4)"
     s"""WITH $annDriftCtes,
        |p1 AS (SELECT ((1000 * max(n) * 16) // sum(n))::BIGINT AS skew,
        |              sum(n)::BIGINT AS total FROM g1),
@@ -1671,6 +1679,21 @@ object OraclesLlm {
        |p4 AS (SELECT ((1000 * max(n) *
        |                (SELECT count(*)::BIGINT FROM nc)) // sum(n))::BIGINT AS skew
        |       FROM g4),
+       |eb3 AS (
+       |  SELECT vec_id + 300000 AS vec_id,
+       |    list_transform(embedding, x -> abs(x)) AS embedding
+       |  FROM embeddings WHERE vec_id % 4 = 3),
+       |vb3 AS (SELECT vec_id, ${quantE("embedding")} AS qv FROM eb3),
+       |a5 AS (SELECT vec_id, cent_id FROM (
+       |  SELECT v.vec_id, c.cent_id, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY ${cosE("v.qv", "c.cv")} DESC, c.cent_id) AS rn
+       |  FROM vb3 v, nc c) WHERE rn = 1),
+       |g5 AS (SELECT cent_id, count(*)::BIGINT AS n FROM (
+       |  SELECT cent_id FROM a4 UNION ALL SELECT cent_id FROM a5)
+       |  GROUP BY cent_id),
+       |p5 AS (SELECT ((1000 * max(n) *
+       |                (SELECT count(*)::BIGINT FROM nc)) // sum(n))::BIGINT AS skew
+       |       FROM g5),
        |tomb3 AS (SELECT ((1000 * (SELECT count(*)::BIGINT FROM vb1))
        |                   // (SELECT total FROM p3))::BIGINT AS pm),
        |tomb1 AS (SELECT ((1000 * (SELECT count(*)::BIGINT FROM ea
@@ -1683,10 +1706,13 @@ object OraclesLlm {
        |  ${act("skew", "(SELECT pm FROM tomb3)")} FROM p3
        |UNION ALL
        |SELECT '3_post_recluster', skew, 0::BIGINT,
-       |  ${act("skew", "0")} FROM p4
+       |  ${act("skew", "0", eff)} FROM p4
        |UNION ALL
        |SELECT '4_tombstones_only', skew, (SELECT pm FROM tomb1),
-       |  ${act("skew", "(SELECT pm FROM tomb1)")} FROM p1""".stripMargin
+       |  ${act("skew", "(SELECT pm FROM tomb1)")} FROM p1
+       |UNION ALL
+       |SELECT '5_redrifted', skew, 0::BIGINT,
+       |  ${act("skew", "0", eff)} FROM p5""".stripMargin
   }
 
   /** The capstone composition (mirrors `Pipeline.trainingPipeline` over

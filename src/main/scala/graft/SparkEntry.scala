@@ -876,7 +876,14 @@ object SparkEntry {
       AnnIndex.delete(drifted(1, 100000L).select("vec_id"), name)
       val s2 = grab(name, "2_drifted_deleted")
       AnnIndex.recluster(s, name, refineIters = 1)
+      // hysteresis (r15): recluster recorded its post-rebalance skew
+      // baseline, so the still-high intrinsic skew no longer re-triggers
+      // (the r14 threshold-only policy reclustered forever here)...
       val s3 = grab(name, "3_post_recluster")
+      // ...but NEW drift past baseline x 1.25 does: another orthant
+      // slice appended onto the refined layout re-arms the trigger
+      AnnIndex.append(drifted(3, 300000L), name)
+      val s5 = grab(name, "5_redrifted")
       val name2 = "ann_mx2_oracle"
       AnnIndex.build(a, name2)
       AnnIndex.delete(
@@ -885,7 +892,7 @@ object SparkEntry {
       val s4 = grab(name2, "4_tombstones_only")
       val sess = s
       import sess.implicits._
-      Seq(s1, s2, s3, s4).toDF(
+      Seq(s1, s2, s3, s4, s5).toDF(
         "stage", "max_skew_pm", "tombstone_pm", "action")
     }),
     // embedding QC: per-label norm distribution + degenerate count

@@ -36,6 +36,7 @@ object AnnIndex {
   def resCodebookTable(name: String): String = name + "_rcodebook"
   def resCodesTable(name: String): String = name + "_rcodes"
   def tombstonesTable(name: String): String = name + "_tombstones"
+  def baselineTable(name: String): String = name + "_baseline"
 
   /** Build and persist the index: quantize, (optionally Lloyd-refine)
     * the first-`nCentroids` seed centroids, assign every vector to its
@@ -54,7 +55,8 @@ object AnnIndex {
     val spark = embeddings.sparkSession
     Seq(centroidsTable(name), cellsTable(name), tombstonesTable(name),
         codebookTable(name), codesTable(name),
-        resCodebookTable(name), resCodesTable(name)).foreach { t =>
+        resCodebookTable(name), resCodesTable(name),
+        baselineTable(name)).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
@@ -243,6 +245,38 @@ object AnnIndex {
     * truly atomic multi-table swap needs a lakehouse format's
     * transactional commit — the same boundary [[graft.sources.Bucketed
     * .compact]] documents. */
+  /** WHY THERE IS NO GENERATIONAL (HOT/COLD) ANN INDEX — the scope
+    * decision, written down (r15; the LSH twin grew one in
+    * [[LshIndex.buildGen]]):
+    *
+    *   1. The cost class the generational layout fixes does not arise
+    *      here. LSH needed it because the ingest loop's in-trigger
+    *      compact was O(corpus); AnnIndex's per-batch path ([[append]])
+    *      is O(batch) — assign against FROZEN broadcast centroids,
+    *      bucketed append — and its two O(corpus) ops ([[recluster]],
+    *      [[purgeDeleted]]) are already STAGED-SWAP: the corpus-sized
+    *      write happens against live tables that keep serving, and the
+    *      commit is metadata renames. A streaming loop that ever rides
+    *      embeddings through a trigger needs only what the LSH loop's
+    *      [[LshMaintenance]] does — run the staged pass on a
+    *      maintenance thread, commit on a trigger — with NO new layout.
+    *   2. The equivalence theorem that makes the LSH generations SOUND
+    *      does not exist for IVF. LSH bands/sets are per-doc
+    *      deterministic derivations, so partitioning the corpus across
+    *      generations partitions the candidate pairs exactly
+    *      (GenerationalLshSpec pins queryGen ≡ mono query). IVF cell
+    *      assignments depend on TRAINED parameters: a hot generation
+    *      would either freeze stale centroids (its recall silently
+    *      diverges from a mono rebuild) or train its own (per-
+    *      generation probe sets stop being comparable, and merging is
+    *      a retrain — the O(corpus) pass again). A hot/cold ANN split
+    *      is not answer-preserving, so it would be machinery without
+    *      an invariant.
+    *
+    * If that trade ever flips (e.g. an embedding firehose at trigger
+    * cadence with recluster windows measured breaching an SLO), the
+    * port is [[LshMaintenance]]'s shape driving THIS recluster, not a
+    * new table layout. */
   def recluster(spark: SparkSession, name: String,
                 refineIters: Int = 1): Unit = {
     require(!spark.catalog.tableExists(resCodebookTable(name)),
@@ -287,6 +321,21 @@ object AnnIndex {
       }
       tables.foreach(Bucketed.swapStaged(spark, _))
       spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(name)}")
+      // record the post-recluster skew BASELINE — the hysteresis
+      // anchor [[maintenancePlan]] compares against. k-means converges
+      // to the DATA's intrinsic clustering, so on a skewed corpus the
+      // skew signal stays high right after the rebalance; what signals
+      // NEW drift is skew rising past this baseline, not past a fixed
+      // threshold (the r14 fixture showed the threshold-only policy
+      // reclustering forever). One cells-sized aggregate, integer-
+      // exact, 1 row.
+      val nCent = spark.table(centsT).count()
+      spark.table(cellsT)
+        .groupBy("cent_id").agg(count(lit(1)).as("n"))
+        .agg(expr(s"(1000 * max(n) * $nCent) div sum(n)")
+          .cast("long").as("baseline_skew_pm"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(baselineTable(name))
     } finally vecs.unpersist()
   }
 
@@ -442,20 +491,33 @@ object AnnIndex {
     *
     * Integer-exact by construction (permille arithmetic over counts),
     * so the DuckDB oracle reproduces the decision bit-for-bit.
-    * Thresholds are policy defaults, deliberately simple; a production
-    * policy wants hysteresis against a post-recluster baseline —
-    * k-means converges to the DATA's intrinsic clustering, so on an
-    * intrinsically skewed corpus the skew signal stays high after the
-    * rebalance (the ann_maintenance_plan fixture shows exactly this)
-    * and a threshold-only policy would recluster forever. File
-    * fragmentation (the third real signal) is physical layout the
+    *
+    * HYSTERESIS (r15): once a [[recluster]] has recorded its
+    * post-rebalance skew baseline, the recluster trigger becomes
+    * `max_skew_pm ≥ max(skewThresholdPm, baseline × hysteresisPm /
+    * 1000)` — k-means converges to the DATA's intrinsic clustering,
+    * so on a skewed corpus the skew signal stays high right after the
+    * rebalance and the r14 threshold-only policy reclustered forever
+    * (its own fixture showed it: stage 3_post_recluster stayed
+    * `recluster`). What signals NEW drift is skew rising a factor past
+    * what the last rebalance could achieve. A fresh index (no baseline
+    * — never reclustered, or rebuilt) keeps the plain threshold.
+    * File fragmentation (the third real signal) is physical layout the
     * SQL oracle cannot see — it stays on the [[graft.sources.Bucketed
     * .fileStats]] surface, exercised by lsh_frag_stats. */
   def maintenancePlan(spark: SparkSession, name: String,
                       skewThresholdPm: Long = 2500,
-                      tombstoneThresholdPm: Long = 100): DataFrame = {
+                      tombstoneThresholdPm: Long = 100,
+                      hysteresisPm: Long = 1250): DataFrame = {
     val nCentroids = spark.table(centroidsTable(name)).count().toInt
     val nTomb = tombstoneCount(spark, name)
+    // 1-row baseline read — integer floor-div matches DuckDB's `//`
+    val effThreshold =
+      if (spark.catalog.tableExists(baselineTable(name)))
+        math.max(skewThresholdPm,
+          spark.table(baselineTable(name)).head().getLong(0)
+            * hysteresisPm / 1000)
+      else skewThresholdPm
     spark.table(cellsTable(name))
       .groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
       .agg(max("n_vecs").as("max_cell"), sum("n_vecs").as("total"))
@@ -463,7 +525,7 @@ object AnnIndex {
         expr(s"(1000 * max_cell * $nCentroids) div total").as("max_skew_pm"),
         expr(s"(1000 * $nTomb) div total").as("tombstone_pm"))
       .withColumn("action",
-        when(col("max_skew_pm") >= skewThresholdPm, lit("recluster"))
+        when(col("max_skew_pm") >= effThreshold, lit("recluster"))
           .when(col("tombstone_pm") >= tombstoneThresholdPm, lit("purge"))
           .otherwise(lit("none")))
   }

@@ -1,0 +1,160 @@
+package graft.llm
+
+import java.util.concurrent.{ExecutorService, Executors, Future => JFuture}
+
+import org.apache.spark.sql.SparkSession
+
+/** The maintenance driver that puts the generational (hot/cold)
+  * [[LshIndex]] under a streaming ingest loop — the piece that retires
+  * the in-loop-compaction boundary IngestSoak measured (mono-index
+  * compaction is an O(corpus) rewrite INSIDE the trigger, so its batch
+  * latency grows linearly with stream lifetime: 14.8 s at ~1.5 M
+  * corpus rows → 17.6 s at ~2.7 M in the r14 green control).
+  *
+  * Split of labor, by cost class:
+  *   - TRIGGER PATH (called from `foreachBatch`, must stay O(metadata)
+  *     at any corpus size): [[maybeCommit]] — land a finished staged
+  *     merge via [[LshIndex.mergeCommit]]'s renames; [[rotateAndStage]]
+  *     — swap the hot generation aside via [[LshIndex.rotateHot]]'s
+  *     renames and hand the O(corpus) work to the maintenance thread.
+  *   - MAINTENANCE THREAD (one daemon executor, off the trigger):
+  *     [[LshIndex.mergeStage]] — write the staged cold ∪ merging copy.
+  *     Race-free by construction: the trigger only ever writes the
+  *     HOT tables, the stage only ever reads cold + merging and writes
+  *     the staged `__compact` pair, and the commit happens back on the
+  *     trigger thread strictly after the stage future completes.
+  *
+  * One merge in flight at a time ([[rotateAndStage]] is a no-op while
+  * one runs — hot keeps absorbing appends and rotates on a later
+  * trigger). A staging FAILURE surfaces on the next trigger
+  * ([[maybeCommit]] rethrows it): the stream fails loud rather than
+  * letting the hot generation grow unboundedly behind a silently dead
+  * merge; on restart [[recover]] resumes the interrupted merge (the
+  * merging generation is still queryable meanwhile, so answers never
+  * degrade).
+  *
+  * `exec` is injectable so DocStreamSpec can hold the stage back and
+  * drive a merge across several triggers deterministically; production
+  * callers use the default single daemon thread.
+  */
+final class LshMaintenance(
+    spark: SparkSession, name: String,
+    exec: ExecutorService = LshMaintenance.defaultExecutor()) {
+
+  @volatile private var inFlight: JFuture[_] = null
+
+  /** Startup, BEFORE the first trigger: heal half-done metadata states
+    * ([[LshIndex.repairGen]]) and resume an interrupted merge — a
+    * merging generation with no live stage future gets re-staged from
+    * scratch (mergeStage restarts cleanly; a crashed staged write is
+    * cleared by its own clearStaged). */
+  def recover(): Unit = {
+    LshIndex.repairGen(spark, name)
+    if (spark.catalog.tableExists(LshIndex.mergingSetsTable(name)))
+      submitStage()
+  }
+
+  /** Trigger path: if the staged merge finished, commit it — metadata
+    * renames only. Rethrows a staging failure (fail loud; see class
+    * doc). Call at the TOP of each micro-batch so the commit lands on
+    * the first trigger after staging completes.
+    *
+    * `active` is the session the TRIGGER's queries run in —
+    * `foreachBatch` hands over a frame bound to the streaming query's
+    * CLONED session, and committing through any other session leaves
+    * the clone's relation cache pointing at the pre-swap file listing
+    * (the gate then dies with FAILED_READ_FILE.FILE_NOT_EXIST on the
+    * dropped files — caught by DocStreamSpec's real-stream case).
+    * Metadata ops through the reading session invalidate exactly the
+    * cache that matters. */
+  def maybeCommit(active: SparkSession = spark): Unit = {
+    val f = inFlight
+    if (f != null && f.isDone) {
+      inFlight = null
+      f.get() // rethrows a staging failure wrapped in ExecutionException
+      LshIndex.mergeCommit(active, name)
+    }
+  }
+
+  /** Trigger path, on the rotation cadence: swap hot aside (metadata
+    * renames) and kick the off-trigger stage. No-op while a merge is
+    * in flight or an uncommitted merging generation exists. Skips
+    * rotating an EMPTY hot generation — a quiet stream would otherwise
+    * churn no-op merges. Same `active`-session contract as
+    * [[maybeCommit]].
+    *
+    * `hotFractionPm` is the LSM-style size-ratio gate: rotate only
+    * when hot holds at least that permille of cold's rows (two
+    * metadata-cheap parquet counts). Every merge rewrites ALL of cold,
+    * so a fixed-cadence policy pays O(corpus) per cadence forever —
+    * total merge work QUADRATIC in stream lifetime; under a ratio
+    * gate cold grows geometrically between merges, so each row is
+    * rewritten O(log N) times and merges self-sparsen exactly as they
+    * get more expensive (the r15 soak's first generational leg, run
+    * cadence-only at 30 s, spent most of its wall clock merging).
+    * `hotFractionPm = 0` disables the gate (rotate whenever hot is
+    * non-empty — what the deterministic specs use). */
+  def rotateAndStage(active: SparkSession = spark,
+                     hotFractionPm: Long = 0L): Unit =
+    if (inFlight == null &&
+        !active.catalog.tableExists(LshIndex.mergingSetsTable(name))) {
+      val hotRows = active.table(LshIndex.hotSetsTable(name)).count()
+      val due = hotRows > 0 && (hotFractionPm <= 0 ||
+        hotRows * 1000L >=
+          active.table(LshIndex.setsTable(name)).count() * hotFractionPm)
+      if (due) {
+        LshIndex.rotateHot(active, name)
+        submitStage()
+      }
+    }
+
+  /** Whether a merge is currently staged-or-staging — stays true until
+    * a trigger COMMITS it (diagnostics and the soak's series). */
+  def mergeInFlight: Boolean = inFlight != null
+
+  /** Whether the background stage has finished (successfully or not)
+    * and the next trigger's [[maybeCommit]] will act on it. */
+  def stageCompleted: Boolean = {
+    val f = inFlight
+    f != null && f.isDone
+  }
+
+  private def submitStage(): Unit =
+    inFlight = exec.submit(new Runnable {
+      def run(): Unit = {
+        // the merge's jobs go to a dedicated scheduler pool: under
+        // spark.scheduler.mode=FAIR with a low-weight "maintenance"
+        // pool the O(corpus) stage yields cores to trigger jobs
+        // instead of occupying all task slots for its duration (the
+        // r15 soak measured 20-28 s trigger latencies inside merge
+        // windows vs ~13 s outside under FIFO). The property is
+        // thread-local, so only this thread's jobs are tagged; under
+        // the default FIFO scheduler the tag is inert.
+        spark.sparkContext.setLocalProperty(
+          "spark.scheduler.pool", "maintenance")
+        try {
+          // the previous commit's swaps ran in the TRIGGER session;
+          // this session's cached cold-table listing may predate them
+          // — refresh before the corpus-sized read (the merging side
+          // is a fresh path read, no cache to go stale)
+          Seq(LshIndex.setsTable(name), LshIndex.bandsTable(name))
+            .foreach(spark.catalog.refreshTable)
+          LshIndex.mergeStage(spark, name)
+        } finally spark.sparkContext
+          .setLocalProperty("spark.scheduler.pool", null)
+      }
+    })
+
+  /** Stop the maintenance thread (a mid-stage interrupt leaves only a
+    * partial `__compact`, which the next recover()'s re-stage clears). */
+  def close(): Unit = exec.shutdownNow()
+}
+
+object LshMaintenance {
+  private def defaultExecutor(): ExecutorService =
+    Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "lsh-maintenance")
+      t.setDaemon(true)
+      t
+    })
+}

@@ -269,6 +269,103 @@ object DocStream {
           graft.llm.LshIndex.compact(batch.sparkSession, indexName)
       }
 
+  /** [[ingest]] over a GENERATIONAL [[graft.llm.LshIndex]] — the form
+    * that retires [[ingest]]'s one honest scale boundary. The mono
+    * loop's `compactEvery` runs an O(corpus) rewrite INSIDE a trigger,
+    * so that batch's latency grows linearly with stream lifetime
+    * (measured marching 14.8 s → 17.6 s through the r14 green control;
+    * a multi-hour 20 k docs/s stream breaches any trigger SLO
+    * eventually). Here the trigger path pays METADATA ONLY:
+    *
+    *   - every batch starts with [[graft.llm.LshMaintenance
+    *     .maybeCommit]] (renames, if the background stage finished);
+    *   - survivors append to the HOT generation
+    *     ([[graft.llm.LshIndex.appendHot]] — batch-sized, like any
+    *     append);
+    *   - every `rotateEvery` batches — and only once hot holds
+    *     `hotFractionPm` of cold's rows, the LSM-style size-ratio gate
+    *     that keeps total merge work O(N log N) instead of quadratic —
+    *     [[graft.llm.LshMaintenance.rotateAndStage]] swaps hot aside
+    *     (renames) and hands the one O(corpus) merge to the
+    *     maintenance thread, which stages against write-free relations
+    *     while subsequent triggers keep gating and appending. Run the
+    *     session with `spark.scheduler.mode=FAIR` and a low-weight
+    *     `maintenance` pool so the merge yields cores to triggers
+    *     (the stage's jobs are tagged to that pool; inert under FIFO).
+    *
+    * Batch cost is therefore bounded by the batch's own shingling and
+    * band collisions FOREVER, not just between compactions; the merge
+    * still costs O(corpus) but off-trigger, where it contends for
+    * cores instead of stalling the trigger (the soak's generational
+    * leg measures exactly this: flat p95 through corpus sizes where
+    * the mono loop's compact spikes breached the trigger).
+    *
+    * Fragmentation control is the rotate itself: each merge rewrites
+    * cold to one file per bucket, and hot never accumulates more than
+    * `rotateEvery` batches of appends (the mono loop's file-count
+    * creep, bounded by construction).
+    *
+    * Failure/replay contract: identical to [[ingest]] — the corpus
+    * write is an idempotent partition overwrite, the gate self-heals
+    * full replays (a replayed doc collides with its own stored copy in
+    * whichever generation holds it), and a crash midway through
+    * [[graft.llm.LshIndex.appendHot]]'s two writes leaves
+    * byte-identical residue that the next merge's full-row dedup
+    * garbage-collects. Maintenance crash states (half-rotate, staged-
+    * uncommitted, double-read) are healed by [[graft.llm
+    * .LshMaintenance.recover]] at startup, queryable throughout
+    * (GenerationalLshSpec pins each state).
+    *
+    * Caller contract: [[graft.llm.LshIndex.buildGen]] ran once;
+    * `maint` wraps the same index name. */
+  def ingestGen(docs: DataFrame, evalDocs: DataFrame, indexName: String,
+                corpusPath: String, maint: graft.llm.LshMaintenance,
+                watermark: String = "10 minutes",
+                minQuality: Long = 300L,
+                minJaccardPm: Int = 800,
+                rotateEvery: Int = 8,
+                hotFractionPm: Long = 250L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    maint.recover()
+    curate(docs, evalDocs, watermark, minQuality).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchGen(batch, batchId, indexName, corpusPath, maint,
+          minJaccardPm, rotateEvery, hotFractionPm)
+      }
+  }
+
+  /** One micro-batch of [[ingestGen]]'s loop, public for the same
+    * testability reason as [[ingestBatch]] — and so DocStreamSpec can
+    * drive a merge across several triggers with a held-back executor. */
+  def ingestBatchGen(batch: DataFrame, batchId: Long, indexName: String,
+                     corpusPath: String, maint: graft.llm.LshMaintenance,
+                     minJaccardPm: Int = 800, rotateEvery: Int = 8,
+                     hotFractionPm: Long = 250L): Unit = {
+    // commit first: a stage that finished during the previous batch
+    // lands its renames before this batch queries the index (purely an
+    // ordering nicety — queryGen answers identically either side).
+    // Metadata ops go through the BATCH's session (the streaming
+    // query's clone) so the cache the gate reads through is the one
+    // the swap invalidates — see LshMaintenance.maybeCommit's doc.
+    maint.maybeCommit(batch.sparkSession)
+    batch.persist()
+    try {
+      val survivors =
+        graft.llm.LshIndex.gateGen(batch, indexName, minJaccardPm)
+      survivors.persist()
+      try {
+        survivors.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(corpusPath)
+        graft.llm.LshIndex.appendHot(
+          survivors.select("doc_id", "text"), indexName)
+      } finally survivors.unpersist()
+    } finally batch.unpersist()
+    if (rotateEvery > 0 && batchId % rotateEvery == (rotateEvery - 1))
+      maint.rotateAndStage(batch.sparkSession, hotFractionPm)
+  }
+
   /** One micro-batch of [[ingest]]'s `foreachBatch` loop, public so the
     * replay contract is testable: calling it twice with the same
     * (batch, batchId) must leave every stored effect identical to

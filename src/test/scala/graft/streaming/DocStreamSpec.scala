@@ -425,6 +425,176 @@ class DocStreamSpec extends SparkSpec {
         s"once=$once twice=${snapshot()}")
   }
 
+  test("ingestBatchGen: a merge spanning four triggers — gating stays correct through every phase, trigger path never pays the merge") {
+    import graft.llm.{LshIndex, LshMaintenance}
+    val name = "ingestgen_span_idx"
+    val seedText =
+      "the history corpus keeps many distinct tokens and each one is meaningful here " * 3
+    def fresh(i: Int) =
+      s"independent payload number $i with its own vocabulary nobody shares " +
+        s"and unique trailing words alpha$i beta$i gamma$i delta$i " * 3
+    LshIndex.buildGen(Seq((1L, seedText)).toDF("doc_id", "text"), name)
+    val exec = new DeferredExecutor
+    val maint = new LshMaintenance(spark, name, exec)
+    val corpusDir = Files.createTempDirectory("ingestgen_corpus").toString + "/corpus"
+    def runBatch(id: Long, rows: (Long, String)*): Unit =
+      DocStream.ingestBatchGen(rows.toDF("doc_id", "text"), id, name,
+        corpusDir, maint, rotateEvery = 2)
+    // batch 0: near-dup of the SEED (cold gen) drops; fresh survives to hot
+    runBatch(0, (101L, "dup " + seedText), (102L, fresh(1)))
+    // batch 1: near-dup of a HOT survivor drops; cadence (1 % 2 == 1)
+    // rotates hot aside and SUBMITS the merge — which the deferred
+    // executor holds back, so the merge is now in flight
+    runBatch(1, (201L, "dup " + fresh(1)), (202L, fresh(2)))
+    assert(maint.mergeInFlight &&
+      spark.catalog.tableExists(LshIndex.mergingSetsTable(name)))
+    // batch 2: near-dup of a MERGING-generation survivor drops — the
+    // in-flight merge is invisible to gating correctness
+    runBatch(2, (301L, "dup " + fresh(2)), (302L, fresh(3)))
+    // batch 3: cadence hits again but a merge is in flight — rotate is
+    // a no-op (hot keeps absorbing), near-dup of the NEW hot drops
+    runBatch(3, (401L, "dup " + fresh(3)), (402L, fresh(4)))
+    assert(maint.mergeInFlight, "merge must still be in flight (spanned 3 triggers)")
+    assert(spark.catalog.tableExists(LshIndex.mergingSetsTable(name)))
+    // the maintenance thread finally finishes the O(corpus) stage
+    exec.runAll()
+    // batch 4: maybeCommit lands the renames at the TOP of the trigger;
+    // a near-dup of a now-COLD doc still drops, fresh still survives
+    runBatch(4, (501L, "dup " + fresh(1)), (502L, fresh(5)))
+    assert(!maint.mergeInFlight &&
+      !spark.catalog.tableExists(LshIndex.mergingSetsTable(name)))
+    // stored effects: exactly the five fresh docs, partitioned by batch
+    val stored = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored == Set(102L, 202L, 302L, 402L, 502L), s"got $stored")
+    // layout: cold folded seed + the two pre-rotate survivors; the
+    // post-rotate survivors live in hot awaiting the next cycle
+    spark.catalog.refreshTable(LshIndex.setsTable(name))
+    spark.catalog.refreshTable(LshIndex.hotSetsTable(name))
+    assert(spark.table(LshIndex.setsTable(name))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 102L, 202L))
+    assert(spark.table(LshIndex.hotSetsTable(name))
+      .select("doc_id").as[Long].collect().toSet == Set(302L, 402L, 502L))
+    // and the generational layout still answers exactly like a mono
+    // index over everything admitted
+    LshIndex.build(Seq((1L, seedText), (102L, fresh(1)), (202L, fresh(2)),
+      (302L, fresh(3)), (402L, fresh(4)), (502L, fresh(5)))
+      .toDF("doc_id", "text"), name + "_ref")
+    val probe = Seq((901L, "dup " + fresh(2)), (902L, "dup " + fresh(4)),
+      (903L, fresh(9))).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(LshIndex.queryGen(probe, name)) ==
+      pairs(LshIndex.query(probe, name + "_ref")))
+  }
+
+  test("LshMaintenance.recover resumes an interrupted merge after a restart") {
+    import graft.llm.{LshIndex, LshMaintenance}
+    val name = "ingestgen_rec_idx"
+    val a = "the cold generation document with plenty of meaningful tokens inside " * 3
+    val b = "a hot generation document whose words overlap nothing else at all " * 3
+    LshIndex.buildGen(Seq((1L, a)).toDF("doc_id", "text"), name)
+    LshIndex.appendHot(Seq((2L, b)).toDF("doc_id", "text"), name)
+    val exec1 = new DeferredExecutor
+    val maint1 = new LshMaintenance(spark, name, exec1)
+    maint1.rotateAndStage()
+    // "crash": the stage never ran (exec1 holds it); the process dies
+    assert(spark.catalog.tableExists(LshIndex.mergingSetsTable(name)))
+    // restart: a fresh maintenance driver re-stages the orphaned merge
+    val exec2 = new DeferredExecutor
+    val maint2 = new LshMaintenance(spark, name, exec2)
+    maint2.recover()
+    assert(maint2.mergeInFlight, "recover must resume the orphaned merge")
+    exec2.runAll()
+    maint2.maybeCommit()
+    assert(!spark.catalog.tableExists(LshIndex.mergingSetsTable(name)))
+    spark.catalog.refreshTable(LshIndex.setsTable(name))
+    assert(spark.table(LshIndex.setsTable(name))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("ingestGen end-to-end on a real stream: background merges land while triggers flow") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.{LshIndex, LshMaintenance}
+    val name = "ingestgen_stream_idx"
+    val evalDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val seedText =
+      "the history corpus keeps many distinct tokens and each one is meaningful here " * 3
+    def fresh(i: Int) =
+      s"original streaming payload number $i with quite useful words inside " +
+        s"and unique trailing tokens epsilon$i zeta$i eta$i theta$i " * 3
+    LshIndex.buildGen(Seq((1L, seedText)).toDF("doc_id", "text"), name)
+    val maint = new LshMaintenance(spark, name) // REAL daemon executor
+    val corpusDir = Files.createTempDirectory("ingestgen_s_corpus").toString + "/corpus"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    val q = DocStream.ingestGen(docs, evalDocs, name, corpusDir, maint,
+        rotateEvery = 1)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      mem.addData((101L, "dup " + seedText, ts(10)), (102L, fresh(1), ts(20)))
+      q.processAllAvailable()
+      mem.addData((201L, "dup " + fresh(1), ts(30)), (202L, fresh(2), ts(40)))
+      q.processAllAvailable()
+      // let the background stage land, then one more trigger commits it
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (maint.mergeInFlight && !maint.stageCompleted &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(!maint.mergeInFlight || maint.stageCompleted,
+        "background stage never finished")
+      mem.addData((301L, "dup " + fresh(2), ts(50)), (302L, fresh(3), ts(60)))
+      q.processAllAvailable()
+    } finally {
+      q.stop(); maint.close()
+    }
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    val stored = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored == Set(102L, 202L, 302L), s"got $stored")
+    // every admitted doc is in exactly one generation (which generation
+    // depends on where the background merge was when the stream
+    // stopped — cold, merging, or hot are all index-live)
+    def gen(table: String): Set[Long] =
+      if (spark.catalog.tableExists(table)) {
+        spark.catalog.refreshTable(table)
+        spark.table(table).select("doc_id").as[Long].collect().toSet
+      } else Set.empty
+    val cold = gen(LshIndex.setsTable(name))
+    val merging = gen(LshIndex.mergingSetsTable(name))
+    val hot = gen(LshIndex.hotSetsTable(name))
+    assert((cold ++ merging ++ hot) == Set(1L, 102L, 202L, 302L) &&
+      (cold & merging).isEmpty && (cold & hot).isEmpty &&
+      (merging & hot).isEmpty,
+      s"cold=$cold merging=$merging hot=$hot")
+    // and the index still near-dups every admitted doc
+    val probe = Seq((901L, "dup " + seedText), (902L, "dup " + fresh(1)),
+      (903L, "dup " + fresh(2)), (904L, "dup " + fresh(3)))
+      .toDF("doc_id", "text")
+    assert(LshIndex.queryGen(probe, name)
+      .select("doc_b").as[Long].collect().toSet ==
+      Set(901L, 902L, 903L, 904L))
+  }
+
+  /** An ExecutorService that HOLDS submitted tasks until the test
+    * releases them — how a merge is made to span several triggers
+    * deterministically. */
+  private class DeferredExecutor extends java.util.concurrent.AbstractExecutorService {
+    private val q = new java.util.concurrent.ConcurrentLinkedQueue[Runnable]
+    def execute(r: Runnable): Unit = q.add(r)
+    def runAll(): Unit = {
+      var r = q.poll()
+      while (r != null) { r.run(); r = q.poll() }
+    }
+    def shutdown(): Unit = ()
+    def shutdownNow(): java.util.List[Runnable] =
+      java.util.Collections.emptyList[Runnable]()
+    def isShutdown: Boolean = false
+    def isTerminated: Boolean = false
+    def awaitTermination(timeout: Long, unit: java.util.concurrent.TimeUnit): Boolean = true
+  }
+
   test("ingest compactEvery: in-loop GC leaves one file per non-empty bucket and the gate still sees history") {
     implicit val sqlCtx = spark.sqlContext
     import graft.llm.LshIndex

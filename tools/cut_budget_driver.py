@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Regenerate artifacts/BENCH_BUDGET.json from a DRIVER-host basis.
+
+Usage:
+  python3 tools/cut_budget_driver.py <driver_bench_json> <local_new_json> \
+      <local_old_budget_json> [source_note]
+
+Round-15 budget protocol. The r14 record proved per-query budgets cut
+on the builder host do NOT transfer to the driver host for per-row-
+compute-heavy queries (4 violations at 2.6-4.4x with every plan
+unchanged and the builder-local run green). The honest basis is the
+driver's own last recorded bench — the same host class the budgets are
+asserted against (BenchBudgetSpec reads BENCH_driver.json).
+
+For queries the builder CHANGED this round, the driver value is stale;
+same-host RATIOS transfer even when absolutes don't, so those budgets
+are scaled: budget = driver_old_min * (local_new_min / local_old_min).
+The scale is applied only when the local ratio moves more than 30%
+(beyond same-host noise) — everything else keeps the driver figure.
+Queries new this round have no driver basis and are SKIPPED (the
+tripwire ignores missing budgets; they get one next round).
+"""
+import json, sys
+
+driver = json.load(open(sys.argv[1]))
+local_new = json.load(open(sys.argv[2]))
+local_old = json.load(open(sys.argv[3]))
+
+driver_mins = driver.get("mins") or driver["queries"]
+new_mins = local_new.get("mins") or local_new["queries"]
+old_mins = local_old["queries"] if "queries" in local_old and \
+    isinstance(local_old["queries"], dict) and "source" in local_old \
+    else (local_old.get("mins") or local_old["queries"])
+
+note = sys.argv[4] if len(sys.argv) > 4 else (
+    "driver-host r14 min-of-3 (BENCH_driver.json) - the host class "
+    "BenchBudgetSpec asserts against; queries changed in r15 scaled by "
+    "the builder-local min ratio (same-host ratios transfer, absolutes "
+    "don't - see r14 budget violations postmortem)")
+
+out_q, scaled, kept, skipped = {}, [], [], []
+for name, d in sorted(driver_mins.items()):
+    if name not in new_mins:
+        continue  # query removed
+    ratio = None
+    if name in old_mins and old_mins[name] > 0:
+        ratio = new_mins[name] / old_mins[name]
+    if ratio is not None and abs(ratio - 1.0) > 0.30:
+        out_q[name] = round(d * ratio, 3)
+        scaled.append((name, round(d, 3), out_q[name], round(ratio, 2)))
+    else:
+        out_q[name] = round(d, 3)
+        kept.append(name)
+for name in sorted(new_mins):
+    if name not in driver_mins:
+        skipped.append(name)
+
+out = {
+    "source": note,
+    "tolerance": "flagged when recorded min-of-N > 2x budget AND "
+                 "exceeds it by > 1 s (BenchBudgetSpec / Bench budget_violations)",
+    "queries": out_q,
+}
+with open("artifacts/BENCH_BUDGET.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(f"wrote {len(out_q)} budgets ({len(kept)} driver-basis, "
+      f"{len(scaled)} ratio-scaled, {len(skipped)} new-no-budget)")
+for s in scaled:
+    print(f"  scaled {s[0]}: driver {s[1]} -> {s[2]} (local ratio {s[3]})")
+for s in skipped:
+    print(f"  skipped (new): {s}")
