@@ -3,7 +3,7 @@
 
 Usage:
   python3 tools/cut_budget_driver.py <driver_bench_json> <local_new_json> \
-      <local_old_budget_json> [source_note]
+      <local_old_budget_json> --changed q1,q2,... [source_note]
 
 Round-15 budget protocol. The r14 record proved per-query budgets cut
 on the builder host do NOT transfer to the driver host for per-row-
@@ -12,19 +12,27 @@ unchanged and the builder-local run green). The honest basis is the
 driver's own last recorded bench — the same host class the budgets are
 asserted against (BenchBudgetSpec reads BENCH_driver.json).
 
-For queries the builder CHANGED this round, the driver value is stale;
-same-host RATIOS transfer even when absolutes don't, so those budgets
-are scaled: budget = driver_old_min * (local_new_min / local_old_min).
-The scale is applied only when the local ratio moves more than 30%
-(beyond same-host noise) — everything else keeps the driver figure.
+For queries the builder CHANGED this round (--changed, an explicit
+list — ratios on UNCHANGED queries are host noise, not signal), the
+driver value is stale; same-host RATIOS transfer even when absolutes
+don't, so those budgets are scaled:
+budget = driver_old_min * (local_new_min / local_old_min), applied
+when the ratio moves more than 10% — everything else keeps the driver
+figure.
 Queries new this round have no driver basis and are SKIPPED (the
 tripwire ignores missing budgets; they get one next round).
 """
 import json, sys
 
-driver = json.load(open(sys.argv[1]))
-local_new = json.load(open(sys.argv[2]))
-local_old = json.load(open(sys.argv[3]))
+args = list(sys.argv[1:])
+changed = set()
+if "--changed" in args:
+    i = args.index("--changed")
+    changed = set(args[i + 1].split(","))
+    del args[i:i + 2]
+driver = json.load(open(args[0]))
+local_new = json.load(open(args[1]))
+local_old = json.load(open(args[2]))
 
 driver_mins = driver.get("mins") or driver["queries"]
 new_mins = local_new.get("mins") or local_new["queries"]
@@ -32,7 +40,7 @@ old_mins = local_old["queries"] if "queries" in local_old and \
     isinstance(local_old["queries"], dict) and "source" in local_old \
     else (local_old.get("mins") or local_old["queries"])
 
-note = sys.argv[4] if len(sys.argv) > 4 else (
+note = args[3] if len(args) > 3 else (
     "driver-host r14 min-of-3 (BENCH_driver.json) - the host class "
     "BenchBudgetSpec asserts against; queries changed in r15 scaled by "
     "the builder-local min ratio (same-host ratios transfer, absolutes "
@@ -43,9 +51,9 @@ for name, d in sorted(driver_mins.items()):
     if name not in new_mins:
         continue  # query removed
     ratio = None
-    if name in old_mins and old_mins[name] > 0:
+    if name in changed and name in old_mins and old_mins[name] > 0:
         ratio = new_mins[name] / old_mins[name]
-    if ratio is not None and abs(ratio - 1.0) > 0.30:
+    if ratio is not None and abs(ratio - 1.0) > 0.10:
         out_q[name] = round(d * ratio, 3)
         scaled.append((name, round(d, 3), out_q[name], round(ratio, 2)))
     else:
