@@ -401,6 +401,29 @@ object SparkEntry {
           concat(lit("dup "), col("text")).as("text"))
       LshIndex.query(batch, "lsh_oracle")
     }),
+    // the GENERATIONAL read path under the oracle gate, in its
+    // hardest state: cold = slice A (after one full hot cycle),
+    // merging = slice B staged-but-NOT-committed (the state a running
+    // maintenance thread leaves), hot = slice C. queryGen over that
+    // mid-merge layout must reproduce DuckDB's from-scratch band math
+    // over the WHOLE corpus — the queryGen ≡ query theorem
+    // (per-doc-deterministic bands/sets partition the collisions),
+    // here oracle-checked rather than only spec-pinned. Shares
+    // lsh_index_query's oracle verbatim: the generational layout is
+    // exactly supposed to be invisible to answers.
+    "lsh_gen_query" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val name = "lsh_gen_oracle"
+      LshIndex.buildGen(d.filter(pmod(col("doc_id"), lit(3)) === 0), name)
+      LshIndex.appendHot(d.filter(pmod(col("doc_id"), lit(3)) === 1), name)
+      LshIndex.rotateHot(s, name)
+      LshIndex.appendHot(d.filter(pmod(col("doc_id"), lit(3)) === 2), name)
+      LshIndex.mergeStage(s, name) // staged, deliberately uncommitted
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("dup "), col("text")).as("text"))
+      LshIndex.queryGen(batch, name)
+    }),
     // right-to-be-forgotten: tombstoned stored docs stop matching
     // immediately (logical delete, O(|deleted|))
     "lsh_delete_query" -> ((s, dir) => {
@@ -1116,6 +1139,10 @@ object SparkEntry {
     "minhash_dedup" -> OraclesLlm.minhashDedup,
     "dup_degrees" -> OraclesLlm.dupDegrees,
     "lsh_index_query" -> OraclesLlm.lshIndexQuery,
+    // same oracle as lsh_index_query BY DESIGN: the generational
+    // layout (cold + staged-uncommitted merging + hot) must be
+    // invisible to answers
+    "lsh_gen_query" -> OraclesLlm.lshIndexQuery,
     "lsh_delete_query" -> OraclesLlm.lshDeleteQuery,
     "lsh_purge_query" -> OraclesLlm.lshDeleteQuery,
     "lsh_history_gate" -> OraclesLlm.lshHistoryGate,

@@ -285,7 +285,12 @@ class PlanAuditSpec extends SparkSpec {
     // LocalTableScan — pinning their (joinless) plan at three SFs is
     // vacuous while costing corpus-scale work per SF in CI (r14
     // advisor finding); profile them only at the smallest SF
-    val eagerLifecycle = Set("ann_drift_stats", "ann_maintenance_plan")
+    // lsh_gen_query rides along: its constructor runs buildGen + a
+    // full staged merge per SF, while its join shapes are
+    // lsh_index_query's (pinned at every SF) times three generations —
+    // smallest-SF profiling keeps the plan pin without the CI cost
+    val eagerLifecycle =
+      Set("ann_drift_stats", "ann_maintenance_plan", "lsh_gen_query")
     sfDirs.foreach { dir =>
       val offenders = scala.collection.mutable.ArrayBuffer[String]()
       SparkEntry.queries.keys
