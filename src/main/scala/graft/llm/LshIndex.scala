@@ -172,17 +172,40 @@ object LshIndex {
     * round-13 DROP-then-rewrite version destroyed it on any failure
     * between the DROP and the rewrite, and its localCheckpoint of the
     * survivors both leaked blocks and died with a lost executor).
-    * Tombstones are dropped only AFTER both swaps succeed — a crash
+    * Tombstones are dropped only AFTER all swaps succeed — a crash
     * between table rewrites leaves them in place, so queries stay
     * correct via the anti-join and the purge simply reruns.
-    * LshIndexSpec pins query-before ≡ query-after. */
+    * LshIndexSpec pins query-before ≡ query-after.
+    *
+    * GENERATIONAL indexes: every generation's tables are rewritten —
+    * a cold-only purge would drop the tombstones while deleted rows
+    * still sit physically in hot, and those rows would MATCH AGAIN
+    * the moment the anti-join disappeared (resurrection;
+    * GenerationalLshSpec pins the non-resurrection). Refused while a
+    * merge is in flight: the background stage reads cold + merging
+    * concurrently, so a purge racing it could land rewrites the
+    * commit then overwrites with pre-purge rows — after the
+    * tombstones were dropped. Purge between merges (queries are
+    * correct either way via the anti-join; only the PHYSICAL reclaim
+    * waits). */
   def purgeDeleted(spark: SparkSession, name: String): Unit =
     tombstones(spark, name).foreach { tomb =>
-      Seq(setsTable(name) -> "doc_id", bandsTable(name) -> "band_key")
-        .foreach { case (t, key) =>
-          graft.sources.Bucketed.rewriteInPlace(spark, t, key,
-            _.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
-        }
+      require(!spark.catalog.tableExists(mergingSetsTable(name)) &&
+          !spark.catalog.tableExists(mergingBandsTable(name)),
+        s"index $name has a merge in flight - purge after mergeCommit " +
+          "(or repairGen): a purge racing the staged merge would " +
+          "resurrect deleted rows")
+      val gens = Seq(setsTable(name) -> "doc_id",
+          bandsTable(name) -> "band_key") ++
+        (if (spark.catalog.tableExists(hotSetsTable(name)) &&
+             spark.catalog.tableExists(hotBandsTable(name)))
+          Seq(hotSetsTable(name) -> "doc_id",
+            hotBandsTable(name) -> "band_key")
+        else Nil)
+      gens.foreach { case (t, key) =>
+        graft.sources.Bucketed.rewriteInPlace(spark, t, key,
+          _.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+      }
       spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(name)}")
     }
 

@@ -158,6 +158,52 @@ class GenerationalLshSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == ref)
   }
 
+  test("generational purge reaches every generation: no resurrection, and refused mid-merge") {
+    assume(new java.io.File(sfDir).isDirectory, "driver testdata not present")
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val a = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        concat(lit("dup "), col("text")).as("text"))
+    def pairs() = LshIndex.queryGen(batch, "lshpurge").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    LshIndex.buildGen(a, "lshpurge")
+    LshIndex.appendHot(b, "lshpurge")
+    val before = pairs()
+    // victims from BOTH generations: one cold (a: doc_id % 3 == 0) and
+    // one hot (b) near-dup target
+    val coldVictim = before.map(_._1).find(_ % 3 == 0).get
+    val hotVictim = before.map(_._1).find(_ % 3 == 1).get
+    val victims = Seq(coldVictim, hotVictim)
+    LshIndex.delete(victims.toDF("doc_id"), "lshpurge")
+    val expected = before.filterNot(p => victims.contains(p._1))
+    assert(pairs() == expected, "logical delete must hide both victims")
+    // physical purge with the hot victim's rows STILL IN HOT — the r15
+    // bug this test exists for: a cold-only purge dropped the
+    // tombstones while the hot rows stayed physically present, so the
+    // hot victim MATCHED AGAIN the moment the anti-join was gone
+    LshIndex.purgeDeleted(spark, "lshpurge")
+    assert(LshIndex.tombstoneCount(spark, "lshpurge") == 0L)
+    assert(pairs() == expected, "purge must not resurrect deleted docs")
+    val physical = (spark.table(LshIndex.setsTable("lshpurge"))
+      .select("doc_id").as[Long].collect() ++
+      spark.table(LshIndex.hotSetsTable("lshpurge"))
+        .select("doc_id").as[Long].collect()).toSet
+    assert(!victims.exists(physical), "purged rows must be physically gone")
+    // purge mid-merge is refused (a racing stage would resurrect rows)
+    LshIndex.delete(Seq(before.map(_._1).head).toDF("doc_id"), "lshpurge")
+    LshIndex.rotateHot(spark, "lshpurge")
+    val err = intercept[IllegalArgumentException](
+      LshIndex.purgeDeleted(spark, "lshpurge"))
+    assert(err.getMessage.contains("merge in flight"))
+    LshIndex.mergeStage(spark, "lshpurge")
+    LshIndex.mergeCommit(spark, "lshpurge")
+    LshIndex.purgeDeleted(spark, "lshpurge") // between merges: fine
+    assert(LshIndex.tombstoneCount(spark, "lshpurge") == 0L)
+  }
+
   test("gateGen's shingle caches survive until the consuming action (no premature release)") {
     assume(new java.io.File(sfDir).isDirectory, "driver testdata not present")
     val docs = graft.Tables.documents(spark, sfDir)

@@ -118,4 +118,37 @@ class BucketedJoinSpec extends SparkSpec {
     assert(joined.count() ==
       docs.filter(col("lang") === langs.head).count())
   }
+
+  test("TRAP pinned: union of co-bucketed tables plans aggregates with no exchange; readUnbucketed restores correctness") {
+    assume(available, "driver testdata not present")
+    import spark.implicits._
+    // two tables bucketed identically on k, holding byte-identical rows
+    val rows = (0L until 200L).map(i => (i, s"payload_$i")).toDF("k", "v")
+    Bucketed.writeBucketed(rows, "buntrap_a", "k", 4)
+    Bucketed.writeBucketed(rows, "buntrap_b", "k", 4)
+    val union = spark.table("buntrap_a").unionByName(spark.table("buntrap_b"))
+    // the trap, pinned so a Spark upgrade that FIXES it fails here and
+    // lets us drop the workaround: the union's dedup aggregate plans
+    // with NO exchange (each child scan reports HashPartitioning(k, 4)
+    // and the planner takes the clustering as satisfied, but UnionExec
+    // CONCATENATES the children's bucket partitions), so equal rows
+    // from the two tables never meet and a full-row distinct keeps
+    // every cross-table duplicate
+    val trapped = union.dropDuplicates()
+    val exchanges = planNodes(trapped.queryExecution.executedPlan)
+      .collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      "Spark now plans an exchange here - the concatenated-partitions " +
+        "union trap is fixed upstream; readUnbucketed and its call " +
+        "sites (LshIndex.mergeStage) can drop the workaround")
+    assert(trapped.count() == 400L,
+      "cross-table duplicates survived-the-dedup count changed: " +
+        "re-examine the union partitioning behavior")
+    // the documented workaround: read one side without bucket metadata
+    // (UnknownPartitioning) and the planner inserts the real exchange
+    val fixed = spark.table("buntrap_a")
+      .unionByName(Bucketed.readUnbucketed(spark, "buntrap_b"))
+      .dropDuplicates()
+    assert(fixed.count() == 200L)
+  }
 }
