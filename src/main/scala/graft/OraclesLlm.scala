@@ -992,6 +992,25 @@ object OraclesLlm {
        |  (sum((c * (c - 1)) // 2))::BIGINT AS cand_pairs
        |FROM bc GROUP BY band""".stripMargin
 
+  /** Per-generation band-bucket stats ([[graft.llm.LshIndex
+    * .bucketStatsGen]] over the mid-merge fixture): the engine's
+    * generations hold the doc_id % 3 slices (cold = 0 after one hot
+    * cycle, merging = 1 staged-but-uncommitted, hot = 2), so the
+    * oracle recomputes the band chain over the raw documents and tags
+    * each doc's bands with its slice — the stored layout must be
+    * indistinguishable from that from-scratch derivation. */
+  val lshGenStats: String =
+    s"""WITH ${minhashCtesOver("corpus AS (SELECT doc_id, text FROM documents)")},
+       |tagged AS (SELECT
+       |  CASE doc_id % 3 WHEN 0 THEN 'cold' WHEN 1 THEN 'merging'
+       |    ELSE 'hot' END AS gen,
+       |  band, band_key FROM bands),
+       |bc AS (SELECT gen, band, band_key, count(*) AS c
+       |       FROM tagged GROUP BY 1, 2, 3)
+       |SELECT gen, band, count(*) AS n_buckets, max(c) AS max_bucket,
+       |  (sum((c * (c - 1)) // 2))::BIGINT AS cand_pairs
+       |FROM bc GROUP BY 1, 2""".stripMargin
+
   /** Physical-fragmentation lifecycle of the stored LSH index
     * ([[graft.llm.LshIndex.bucketStats]]'s `n_files`/`avg_file_rows`
     * columns through build → 3 appends → compact). File layout itself

@@ -424,6 +424,20 @@ object SparkEntry {
           concat(lit("dup "), col("text")).as("text"))
       LshIndex.queryGen(batch, name)
     }),
+    // the generational maintenance signal over the same mid-merge
+    // fixture: per-generation band-bucket stats (cold=A, merging=B
+    // staged-uncommitted, hot=C — the doc_id % 3 slices), which DuckDB
+    // recomputes from scratch by tagging its band chain with the slice
+    "lsh_gen_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val name = "lsh_genstats_oracle"
+      LshIndex.buildGen(d.filter(pmod(col("doc_id"), lit(3)) === 0), name)
+      LshIndex.appendHot(d.filter(pmod(col("doc_id"), lit(3)) === 1), name)
+      LshIndex.rotateHot(s, name)
+      LshIndex.appendHot(d.filter(pmod(col("doc_id"), lit(3)) === 2), name)
+      LshIndex.mergeStage(s, name) // staged, deliberately uncommitted
+      LshIndex.bucketStatsGen(s, name)
+    }),
     // right-to-be-forgotten: tombstoned stored docs stop matching
     // immediately (logical delete, O(|deleted|))
     "lsh_delete_query" -> ((s, dir) => {
@@ -1143,6 +1157,7 @@ object SparkEntry {
     // layout (cold + staged-uncommitted merging + hot) must be
     // invisible to answers
     "lsh_gen_query" -> OraclesLlm.lshIndexQuery,
+    "lsh_gen_stats" -> OraclesLlm.lshGenStats,
     "lsh_delete_query" -> OraclesLlm.lshDeleteQuery,
     "lsh_purge_query" -> OraclesLlm.lshDeleteQuery,
     "lsh_history_gate" -> OraclesLlm.lshHistoryGate,

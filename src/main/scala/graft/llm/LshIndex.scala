@@ -609,6 +609,27 @@ object LshIndex {
   def tombstoneCount(spark: SparkSession, name: String): Long =
     tombstones(spark, name).fold(0L)(_.count())
 
+  /** [[bucketStats]]' generational form: per-generation band-bucket
+    * occupancy, tagged cold/merging/hot — the maintenance scheduler's
+    * view of WHERE the corpus (and its candidate-pair load) currently
+    * lives. The operative readings: `hot`'s share growing past the
+    * rotation policy's intent says the ratio gate or cadence is
+    * mistuned; a `merging` generation persisting across many readings
+    * says the staged merge is starved (pool weight) or dead (the
+    * stream's next trigger will surface the failure); per-generation
+    * `max_bucket`/`cand_pairs` localize a band-hash collapse to the
+    * recent (hot) slice vs the historical corpus. Three slim
+    * aggregations, each riding its bands table's own bucket key —
+    * no trap-prone cross-table aggregate (the union is the OUTPUT). */
+  def bucketStatsGen(spark: SparkSession, name: String): DataFrame =
+    Seq("cold" -> bandsTable(name), "merging" -> mergingBandsTable(name),
+        "hot" -> hotBandsTable(name))
+      .filter { case (_, t) => spark.catalog.tableExists(t) }
+      .map { case (g, t) =>
+        bucketStatsOf(spark.table(t)).withColumn("gen", lit(g)) }
+      .reduce(_.unionByName(_))
+      .select("gen", "band", "n_buckets", "max_bucket", "cand_pairs")
+
   /** [[bucketStats]] over any (doc_id, band, band_key) band relation —
     * shared by the stored-index path and the batch oracle query. Two
     * slim hash aggregations; the first is on the bands table's own
