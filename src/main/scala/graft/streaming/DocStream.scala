@@ -246,7 +246,16 @@ object DocStream {
     *    tables, and query answers identical to once.
     *
     * Caller contract: [[graft.llm.LshIndex.build]] must have run once
-    * (possibly on an empty seed corpus) before the query starts. */
+    * (possibly on an empty seed corpus) before the query starts.
+    *
+    * SCALE NOTE: prefer [[ingestGen]] for any long-running stream —
+    * this mono loop's `compactEvery` rewrite is O(corpus) INSIDE a
+    * trigger, so its latency grows with stream lifetime (the measured
+    * r15 A/B: this loop collapsed at 330 s / 20 k docs/s while the
+    * generational loop held 97% of feed — `artifacts/
+    * GEN_INGEST_AB_R15.json`). This form stays for bounded backfills
+    * and as the semantics reference the generational loop is proven
+    * against. */
   def ingest(docs: DataFrame, evalDocs: DataFrame, indexName: String,
              corpusPath: String,
              watermark: String = "10 minutes",

@@ -290,7 +290,8 @@ class PlanAuditSpec extends SparkSpec {
     // lsh_index_query's (pinned at every SF) times three generations —
     // smallest-SF profiling keeps the plan pin without the CI cost
     val eagerLifecycle =
-      Set("ann_drift_stats", "ann_maintenance_plan", "lsh_gen_query")
+      Set("ann_drift_stats", "ann_maintenance_plan", "lsh_gen_query",
+        "lsh_gen_stats")
     sfDirs.foreach { dir =>
       val offenders = scala.collection.mutable.ArrayBuffer[String]()
       SparkEntry.queries.keys
