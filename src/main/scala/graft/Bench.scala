@@ -58,6 +58,13 @@ object Bench {
     // masquerade as a round artifact.
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail loudly, not run a partial sweep that
+    // still prints a plausible result line
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       only.fold(SparkEntry.queries)(names =>
         SparkEntry.queries.view.filterKeys(names).toMap)
@@ -188,6 +195,14 @@ object Bench {
     spark.stop()
   }
 
+  /** Sink for [[hostProbe]]'s spin results: a @volatile store is an
+    * observable side effect no JIT may eliminate. Without it, C2 could
+    * dead-code the spin loop after inlining (the results were
+    * discarded), and a near-zero probe would silently corrupt every
+    * probe-normalized cross-host ratio (tools/compare_bench.py divides
+    * by it) — the one number that exists to keep those ratios honest. */
+  @volatile private var probeSink: Long = 0L
+
   /** Fixed-work CPU probe: (single-thread seconds, `threads`-way
     * parallel wall seconds) for an identical integer spin — the
     * machine fingerprint every bench artifact carries (see the call
@@ -197,6 +212,7 @@ object Bench {
     def spin(): Long = {
       var x = 0L; var i = 0L
       while (i < 100000000L) { x ^= i * 2654435761L % 1000003L; i += 1 }
+      probeSink ^= x // keep the work observably live on any JIT
       x
     }
     spin() // JIT warm, discarded

@@ -217,11 +217,19 @@ object IngestSoak {
       val wCkpt =
         java.nio.file.Files.createTempDirectory("ingest_warm_ckpt").toString
       val warmFeed = mkFeed(math.max(rate / 4, 1000), 50000000L, 999000L)
+      // held in a val so it can be CLOSED after the warm stream stops:
+      // stopping the stream does not stop a mid-stage O(corpus) merge
+      // on the maintenance daemon, which would keep contending for
+      // cores into the measured leg's first batches — exactly the
+      // contention the soak is trying to measure cleanly (close()'s
+      // shutdownNow interrupts the stage; the warm index is throwaway)
+      val warmMaint =
+        if (generational) Some(new graft.llm.LshMaintenance(spark, "ingest_warm_idx"))
+        else None
       val wq = (if (generational) {
         graft.llm.LshIndex.buildGen(wSeeds, "ingest_warm_idx")
         graft.streaming.DocStream.ingestGen(warmFeed, evalDocs,
-          "ingest_warm_idx", wCorpus,
-          new graft.llm.LshMaintenance(spark, "ingest_warm_idx"),
+          "ingest_warm_idx", wCorpus, warmMaint.get,
           watermark = watermark, rotateEvery = rotateEvery)
       } else {
         graft.llm.LshIndex.build(wSeeds, "ingest_warm_idx")
@@ -233,7 +241,10 @@ object IngestSoak {
         .option("checkpointLocation", wCkpt)
         .start()
       try Thread.sleep(warmupSeconds * 1000L)
-      finally scala.util.Try(wq.stop())
+      finally {
+        scala.util.Try(wq.stop())
+        warmMaint.foreach(m => scala.util.Try(m.close()))
+      }
     }
 
     spark.streams.addListener(listener)

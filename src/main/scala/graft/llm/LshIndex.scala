@@ -187,7 +187,22 @@ object LshIndex {
     * commit then overwrites with pre-purge rows — after the
     * tombstones were dropped. Purge between merges (queries are
     * correct either way via the anti-join; only the PHYSICAL reclaim
-    * waits). */
+    * waits).
+    *
+    * CONCURRENCY CONTRACT: the merge-in-flight require is a
+    * check-then-act with no lock — it can only be trusted from the
+    * index's SINGLE WRITER. Under a live [[graft.streaming.DocStream
+    * .ingestGen]] stream that writer is the trigger thread: a purge
+    * racing it from another thread could interleave with a rotate
+    * (hot rows escape to merging after the hot-table rewrite already
+    * ran — resurrection, the exact state the require exists to block)
+    * or with an appendHot between the staged read and the swap
+    * (appended rows silently lost). So either call this with the
+    * stream quiescent, or hand it to the stream's own
+    * [[LshMaintenance.requestPurge]], which runs it on the trigger
+    * thread between batches — the same single-writer reasoning
+    * rotate/stage/commit already rely on (LshMaintenanceSpec pins the
+    * deferral around an in-flight merge). */
   def purgeDeleted(spark: SparkSession, name: String): Unit =
     tombstones(spark, name).foreach { tomb =>
       require(!spark.catalog.tableExists(mergingSetsTable(name)) &&
@@ -302,9 +317,10 @@ object LshIndex {
   // the append contract, so the union is disjoint), and
   // queryGen ≡ query over a mono index of the same corpus EXACTLY
   // (bands/sets are per-doc derivations — GenerationalLshSpec pins the
-  // equivalence through every lifecycle phase). Remaining work for the
-  // streaming loop itself: driving mergeStage from a maintenance
-  // thread and the commit from the next trigger. ----
+  // equivalence through every lifecycle phase). [[graft.llm
+  // .LshMaintenance]] drives mergeStage from a maintenance thread and
+  // the commit from the next trigger; [[graft.streaming.DocStream
+  // .ingestGen]] is the loop. ----
 
   def hotSetsTable(name: String): String = name + "_sets_hot"
   def hotBandsTable(name: String): String = name + "_bands_hot"
@@ -513,30 +529,110 @@ object LshIndex {
     * maintenance thread runs OUTSIDE the trigger. Row-level dedup
     * rides along (replayed-append garbage collection, as [[compact]]).
     * Not idempotent-in-flight — rerunning after a crash restarts the
-    * staged write from scratch, which is safe (clearStaged). */
-  def mergeStage(spark: SparkSession, name: String): Unit = {
+    * staged write from scratch, which is safe (clearStaged).
+    *
+    * SLICED, not monolithic (r16): one staged write of all of
+    * cold ∪ merging is a single O(corpus) Spark job, and at 5–9 M
+    * corpus rows the r15 600 s soak measured its 1–2 min window
+    * contending for all 32 cores even at 1/9 FAIR pool weight —
+    * trigger batch p95 spiked to 4.6× the inter-merge latency. The
+    * FAIR scheduler interleaves between JOBS, so the fix is job
+    * granularity: every copy of a key lives in its key's bucket (same
+    * bucket count both tables — required below), so the merge
+    * partitions cleanly into per-bucket slices. Each slice path-reads
+    * exactly one bucket-group's files from both sides
+    * ([[graft.sources.Bucketed.bucketFilesOf]] — file-level pruning,
+    * no read amplification), dedups within the slice (complete: all
+    * copies of a key share its slice), and appends to a `__staging`
+    * table that becomes `__compact` only via the final RENAME — so
+    * `__compact` existing still means "fully staged" and a crash
+    * mid-slices leaves only `__staging` for clearStaged. `slices = 0`
+    * (the default) picks the count ADAPTIVELY: enough slices to bound
+    * each sub-job at ~[[MergeSliceRows]] rows, capped at the bucket
+    * count — so a small merge stays ONE job (per-job scheduling
+    * overhead measured 2× on the sf0.1 oracle lifecycle constructors
+    * when every merge was fully sliced) while a multi-million-row
+    * merge gets bounded slices exactly where the contention lives;
+    * `slices >= 1` forces that count (specs pin sliced ≡ monolithic
+    * with it; the deciding row counts are parquet metadata reads, off
+    * the trigger path). A parse failure of any bucket filename falls
+    * back to the monolithic plan rather than dropping rows. Path
+    * reads report UnknownPartitioning, so every slice's
+    * dedup plans a genuine exchange — immune by construction to the
+    * union-of-co-bucketed-scans trap the monolithic plan must dodge
+    * via [[graft.sources.Bucketed.readUnbucketed]] (cross-table
+    * duplicates silently surviving dropDuplicates; pinned in
+    * BucketedJoinSpec, caught here as 501 rows where 334 were
+    * correct). */
+  /** Target rows per background-merge slice under `slices = 0`
+    * (auto): ~2 M rows keeps each sub-job in the ~10 s class on 32
+    * cores — comparable to a trigger batch, so the FAIR scheduler can
+    * interleave trigger jobs at slice boundaries (the r15 600 s soak's
+    * 35-70 s merge-window spikes were one monolithic all-cores job). */
+  val MergeSliceRows: Long = 2L * 1000 * 1000
+
+  def mergeStage(spark: SparkSession, name: String, slices: Int = 0): Unit = {
     require(spark.catalog.tableExists(mergingSetsTable(name)),
       s"index $name has no merge in flight - rotateHot first")
+    // refresh every input in THIS session, up front: the previous
+    // cycle's commit ran its swaps/drops in the TRIGGER session, and a
+    // re-used table NAME (merging is always `<name>_*_merging`) leaves
+    // this session's relation cache pointing at the previous
+    // generation's deleted files. The monolithic path only needed the
+    // cold refresh (its merging side was a fresh path read); the
+    // sliced path lists merging's files through the catalog too, and
+    // the first real-stream run of an unrefreshed slice read died on
+    // the old generation's uuids (FAILED_READ_FILE.FILE_NOT_EXIST —
+    // DocStreamSpec's real-stream case caught it).
+    Seq(setsTable(name), mergingSetsTable(name),
+        bandsTable(name), mergingBandsTable(name))
+      .foreach(spark.catalog.refreshTable)
     Seq((setsTable(name), mergingSetsTable(name), "doc_id"),
         (bandsTable(name), mergingBandsTable(name), "band_key"))
       .foreach { case (live, merging, key) =>
         graft.sources.Bucketed.clearStaged(spark, live)
         val buckets = graft.sources.Bucketed.bucketCount(spark, live)
-        // the merging side reads UNBUCKETED: a union of two co-bucketed
-        // scans plans its dedup aggregate with NO exchange (the
-        // concatenated-partitions trap — see [[graft.sources.Bucketed
-        // .readUnbucketed]]), so cross-TABLE duplicates — the
-        // mergeCommit-crash overlap — would survive into the staged
-        // copy (caught by GenerationalLshSpec's double-read case: 501
-        // rows where 334 were correct; an explicit repartition below
-        // the dedup is optimized away as redundant). One unknown-
-        // partitioned child forces the genuine dedup exchange.
-        val rows = spark.table(live)
-          .unionByName(graft.sources.Bucketed.readUnbucketed(spark, merging))
-          .dropDuplicates()
-        graft.sources.Bucketed.writeBucketed(
-          rows.repartition(buckets, rows(key)),
-          live + "__compact", key, buckets)
+        require(graft.sources.Bucketed.bucketCount(spark, merging) == buckets,
+          s"$live and $merging disagree on bucket count - per-bucket " +
+            "slicing (and co-location itself) needs one spec")
+        val k =
+          if (slices > 0) math.min(slices, buckets)
+          else {
+            val rows = spark.table(live).count() + spark.table(merging).count()
+            math.min(buckets.toLong,
+              math.max(1L, (rows + MergeSliceRows - 1) / MergeSliceRows)).toInt
+          }
+        val filesBySide =
+          if (k > 1) for {
+            lv <- graft.sources.Bucketed.bucketFilesOf(spark, live)
+            mg <- graft.sources.Bucketed.bucketFilesOf(spark, merging)
+          } yield (lv, mg)
+          else None
+        filesBySide match {
+          case Some((lv, mg)) =>
+            val staging = live + "__staging"
+            graft.sources.Bucketed.writeBucketed(
+              spark.table(live).limit(0), staging, key, buckets)
+            for (slice <- 0 until k) {
+              val paths = (slice until buckets by k)
+                .flatMap(b => lv.getOrElse(b, Nil) ++ mg.getOrElse(b, Nil))
+              if (paths.nonEmpty) {
+                val rows = spark.read.parquet(paths: _*).dropDuplicates()
+                graft.sources.Bucketed.appendBucketed(
+                  rows.repartition(buckets, rows(key)), staging, key, buckets)
+              }
+            }
+            spark.sql(s"ALTER TABLE $staging RENAME TO ${live}__compact")
+          case None =>
+            // monolithic fallback: the merging side reads UNBUCKETED to
+            // force the genuine dedup exchange (the trap above)
+            val rows = spark.table(live)
+              .unionByName(graft.sources.Bucketed.readUnbucketed(spark, merging))
+              .dropDuplicates()
+            graft.sources.Bucketed.writeBucketed(
+              rows.repartition(buckets, rows(key)),
+              live + "__compact", key, buckets)
+        }
       }
   }
 

@@ -35,13 +35,18 @@ import org.apache.spark.sql.SparkSession
   *
   * `exec` is injectable so DocStreamSpec can hold the stage back and
   * drive a merge across several triggers deterministically; production
-  * callers use the default single daemon thread.
+  * callers use the default single daemon thread. `mergeSlices`
+  * forwards to [[LshIndex.mergeStage]] (0 = auto: bounded-row slices,
+  * see its doc; specs force a count to exercise slicing on small
+  * fixtures).
   */
 final class LshMaintenance(
     spark: SparkSession, name: String,
-    exec: ExecutorService = LshMaintenance.defaultExecutor()) {
+    exec: ExecutorService = LshMaintenance.defaultExecutor(),
+    mergeSlices: Int = 0) {
 
   @volatile private var inFlight: JFuture[_] = null
+  @volatile private var purgePending = false
 
   /** Startup, BEFORE the first trigger: heal half-done metadata states
     * ([[LshIndex.repairGen]]) and resume an interrupted merge — a
@@ -74,7 +79,30 @@ final class LshMaintenance(
       f.get() // rethrows a staging failure wrapped in ExecutionException
       LshIndex.mergeCommit(active, name)
     }
+    // a requested purge runs HERE — on the trigger thread, the index's
+    // single writer — and only between merges (purgeDeleted's
+    // check-then-act require is only sound from this thread; see its
+    // concurrency contract). Deferred while a merge is staging or
+    // staged-uncommitted; it lands on the first post-commit trigger.
+    if (purgePending && inFlight == null &&
+        !active.catalog.tableExists(LshIndex.mergingSetsTable(name))) {
+      purgePending = false
+      LshIndex.purgeDeleted(active, name)
+    }
   }
+
+  /** Request a physical purge of tombstoned rows ([[LshIndex
+    * .purgeDeleted]]) from ANY thread, without racing the ingest loop:
+    * the purge itself executes inside the next safe [[maybeCommit]] —
+    * on the trigger thread, between merges. The deliberate cost: the
+    * purge is an O(corpus) rewrite and stalls that one trigger, the
+    * right trade for a rare takedown batch (queries already exclude
+    * the tombstoned docs via the anti-join the moment [[LshIndex
+    * .delete]] ran — only the physical reclaim waits). */
+  def requestPurge(): Unit = purgePending = true
+
+  /** Whether a requested purge has not yet executed. */
+  def purgeIsPending: Boolean = purgePending
 
   /** Trigger path, on the rotation cadence: swap hot aside (metadata
     * renames) and kick the off-trigger stage. No-op while a merge is
@@ -119,6 +147,8 @@ final class LshMaintenance(
     f != null && f.isDone
   }
 
+  private def jobGroup: String = s"lsh-maintenance-$name"
+
   private def submitStage(): Unit =
     inFlight = exec.submit(new Runnable {
       def run(): Unit = {
@@ -129,25 +159,39 @@ final class LshMaintenance(
         // r15 soak measured 20-28 s trigger latencies inside merge
         // windows vs ~13 s outside under FIFO). The property is
         // thread-local, so only this thread's jobs are tagged; under
-        // the default FIFO scheduler the tag is inert.
+        // the default FIFO scheduler the tag is inert. The job group
+        // makes the stage's RUNNING jobs cancellable from close() —
+        // interrupting the thread alone leaves submitted jobs running.
+        spark.sparkContext.setJobGroup(jobGroup,
+          s"LshIndex.mergeStage($name)", interruptOnCancel = true)
         spark.sparkContext.setLocalProperty(
           "spark.scheduler.pool", "maintenance")
         try {
-          // the previous commit's swaps ran in the TRIGGER session;
-          // this session's cached cold-table listing may predate them
-          // — refresh before the corpus-sized read (the merging side
-          // is a fresh path read, no cache to go stale)
-          Seq(LshIndex.setsTable(name), LshIndex.bandsTable(name))
-            .foreach(spark.catalog.refreshTable)
-          LshIndex.mergeStage(spark, name)
-        } finally spark.sparkContext
-          .setLocalProperty("spark.scheduler.pool", null)
+          // mergeStage refreshes its own input tables in this session
+          // (the previous commit's swaps/drops ran in the TRIGGER
+          // session, so both the cold listing AND the re-used merging
+          // table name can be stale here)
+          LshIndex.mergeStage(spark, name, mergeSlices)
+        } finally {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          // thread-local like the pool tag — cleared so an injected
+          // same-thread executor (the specs') doesn't leak the group
+          spark.sparkContext.clearJobGroup()
+        }
       }
     })
 
-  /** Stop the maintenance thread (a mid-stage interrupt leaves only a
-    * partial `__compact`, which the next recover()'s re-stage clears). */
-  def close(): Unit = exec.shutdownNow()
+  /** Stop the maintenance work: interrupt the thread AND cancel the
+    * stage's in-flight Spark jobs (the job group set in submitStage —
+    * a thread interrupt alone leaves already-submitted jobs burning
+    * cores; the r15 warmup leg measured exactly that bleed into the
+    * measured window). A mid-stage kill leaves only a partial
+    * `__staging`/`__compact`, which the next recover()'s re-stage
+    * clears. */
+  def close(): Unit = {
+    exec.shutdownNow()
+    scala.util.Try(spark.sparkContext.cancelJobGroup(jobGroup))
+  }
 }
 
 object LshMaintenance {

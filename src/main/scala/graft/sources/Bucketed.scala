@@ -130,9 +130,13 @@ object Bucketed {
     * leave behind — catalog entries AND orphaned warehouse directories
     * (a dropped in-memory catalog forgets the table but the directory
     * survives across sessions, and the next staged write would fail
-    * with LOCATION_ALREADY_EXISTS). */
+    * with LOCATION_ALREADY_EXISTS). Also clears `__staging`, the
+    * incremental pre-stage a sliced merge builds before renaming it to
+    * `__compact` ([[graft.llm.LshIndex.mergeStage]]) — a crash
+    * mid-slices leaves it incomplete, and unlike `__compact` its
+    * existence must never be read as "ready to swap". */
   def clearStaged(spark: SparkSession, table: String): Unit =
-    Seq(table + "__compact", table + "__old").foreach { t =>
+    Seq(table + "__compact", table + "__old", table + "__staging").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
@@ -152,6 +156,36 @@ object Bucketed {
     spark.sql(s"ALTER TABLE $table RENAME TO ${table}__old")
     spark.sql(s"ALTER TABLE ${table}__compact RENAME TO $table")
     spark.sql(s"DROP TABLE ${table}__old")
+  }
+
+  /** A bucketed table's data files GROUPED BY BUCKET ID, parsed from
+    * the writer's filename convention (`..._00003.c000.snappy.parquet`
+    * — the `_NNNNN` suffix is the bucket id; same regex Spark's own
+    * BucketingUtils.getBucketId uses). `None` when any file fails to
+    * parse — callers must fall back to a whole-table plan rather than
+    * silently dropping rows.
+    *
+    * This is the slice handle for bounded maintenance: every copy of a
+    * key lives in its key's bucket, so any cross-table op whose unit of
+    * correctness is "all rows of a key" (dedup, merge, purge) can run
+    * per bucket — K bounded jobs over path reads instead of one
+    * O(corpus) job — reading exactly one bucket's files from each side
+    * (no read amplification; bucket-pruned at the FILE level, which a
+    * `pmod(hash(key), n)` filter cannot achieve — hash predicates don't
+    * prune bucketed scans). Path reads also report UnknownPartitioning,
+    * so per-slice dedups plan genuine exchanges — immune to the
+    * union-of-co-bucketed-scans trap below by construction. */
+  def bucketFilesOf(spark: SparkSession, table: String)
+      : Option[Map[Int, Seq[String]]] = {
+    val re = """.*_(\d+)(?:\..*)?$""".r
+    val parsed = spark.table(table).inputFiles.toSeq.map { f =>
+      f.substring(f.lastIndexOf('/') + 1) match {
+        case re(id) => Some(id.toInt -> f)
+        case _ => None
+      }
+    }
+    if (parsed.exists(_.isEmpty)) None
+    else Some(parsed.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
   }
 
   /** Read a bucketed table's parquet files WITHOUT the bucket

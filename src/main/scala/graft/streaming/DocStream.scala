@@ -33,8 +33,15 @@ object DocStream {
     docs.withColumn("content_key",
       sha2(graft.llm.TextAnalysis.normalize(col("text")), 256))
 
+  /** Version of the near-dup sketch-key FUNCTION (not its schema):
+    * v2 = the 64-bit two-family sketch. Emitted as a key column so a
+    * checkpoint written by a different key era cannot silently resume
+    * (see [[nearDupGate]]'s upgrade note). */
+  val SketchKeyVersion = 2
+
   /** The near-dup state key: 64-bit two-family sketch + token count
-    * (see [[nearDupGate]] doc). */
+    * (see [[nearDupGate]] doc), plus the constant [[SketchKeyVersion]]
+    * column that pins the key era into the state schema. */
   private def withSketchKey(docs: DataFrame): DataFrame =
     docs
       .withColumn("__ths", graft.llm.TextFns.tokenHashes(col("text")))
@@ -43,6 +50,7 @@ object DocStream {
         shiftleft(graft.llm.Dedup.simhashFromTokenHashes(col("__ths")), 32)
           .bitwiseOR(graft.llm.Dedup.simhashFromTokenHashes(col("__ths2"))))
       .withColumn("sketch_len", size(col("__ths")).cast("long"))
+      .withColumn("sketch_ver", lit(SketchKeyVersion))
       .drop("__ths", "__ths2")
 
   /** Within-watermark NEAR-dup gate: [[dedupDocs]] only kills
@@ -84,18 +92,25 @@ object DocStream {
     * count ride the state store, never text, and the watermark bounds
     * lookback.
     *
-    * Upgrade note: the key VALUES changed when the second family was
-    * added (same schema — long, long), so a query resuming a
-    * checkpoint written by the 32-bit gate resumes WITHOUT error but
-    * its old state entries can never match a new key: near-dups
-    * straddling the upgrade inside one watermark window are admitted,
-    * and stale entries sit in the store until the watermark expires
-    * them. Start a fresh checkpoint on upgrade (or accept that
-    * one-window gap — the batch pass catches what it misses). */
+    * Upgrade note (and why `sketch_ver` is a KEY COLUMN): when the
+    * second family was added (r15), the key VALUES changed under an
+    * unchanged (long, long) schema — a query resuming a checkpoint
+    * written by the 32-bit gate resumed WITHOUT error, but its old
+    * state entries could never match a new key: near-dups straddling
+    * the upgrade inside one watermark window were silently admitted.
+    * The constant [[SketchKeyVersion]] column closes that class the
+    * only way a checkpoint can enforce: it changes the state KEY
+    * SCHEMA, so resuming a pre-version checkpoint now fails loudly at
+    * the state-schema compatibility check instead of degrading
+    * (DocStreamSpec pins the failure). The discipline this buys must
+    * be kept: any future change to the key FUNCTION must change the
+    * key SCHEMA too (rename the version column, e.g. `sketch_ver3`) —
+    * bumping only the literal VALUE recreates the silent one-window
+    * gap, because same-schema checkpoints resume without error. */
   def nearDupGate(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     withSketchKey(docs)
       .withWatermark("event_time", watermark)
-      .dropDuplicatesWithinWatermark("sketch_key", "sketch_len")
+      .dropDuplicatesWithinWatermark("sketch_ver", "sketch_key", "sketch_len")
 
   /** Online quality gate: the stateless [[graft.llm.TextAnalysis]]
     * profile runs per-row on the stream (no state at all), keeping
@@ -186,7 +201,7 @@ object DocStream {
     withSketchKey(withContentKey(clean))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("content_key")
-      .dropDuplicatesWithinWatermark("sketch_key", "sketch_len")
+      .dropDuplicatesWithinWatermark("sketch_ver", "sketch_key", "sketch_len")
       .select("doc_id", "text", "event_time")
   }
 

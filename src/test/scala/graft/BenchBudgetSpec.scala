@@ -26,6 +26,24 @@ class BenchBudgetSpec extends org.scalatest.funsuite.AnyFunSuite {
       "budget values out of sane range")
   }
 
+  test("every registry query has a budget line (a new query cannot ship unguarded)") {
+    // the r15 verdict's finding: the registry's two most expensive new
+    // queries had no budget lines, and Bench silently skips unbudgeted
+    // queries — exactly where a future regression would hide. Exact set
+    // equality both ways: a missing line is an unguarded query, a stale
+    // line is a removed query still asserted against.
+    val budgets = BenchBudget.load(budgetPath)
+    assume(budgets.nonEmpty, "budget file not present in this checkout")
+    val registry = SparkEntry.queries.keySet
+    val unguarded = registry.diff(budgets.keySet)
+    val stale = budgets.keySet.diff(registry)
+    assert(unguarded.isEmpty,
+      s"registry queries with no budget line (cut one from the current " +
+        s"BENCH_driver.json mins): ${unguarded.toSeq.sorted.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"budget lines for queries no longer registered: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("last recorded bench holds every per-query budget (2x + 1s tolerance)") {
     val budgets = BenchBudget.load(budgetPath)
     // min-of-N when the artifact records it; median map otherwise
@@ -39,8 +57,21 @@ class BenchBudgetSpec extends org.scalatest.funsuite.AnyFunSuite {
         sec > 2.0 * b && sec - b > 1.0) =>
         f"$name: $sec%.2fs vs budget ${budgets(name)}%.2fs"
     }
+    // failure diagnosis in ONE line (the r14 budget postmortem took two
+    // days because no run carried a machine-independent work unit): the
+    // artifact's fixed-work host probe over the budget basis's. A
+    // probe_ratio well above 1 says "this host is uniformly slower on
+    // fixed work" — compute-bound queries move by ~that factor without
+    // any plan regressing (tools/compare_bench.py applies the same
+    // normalization across two artifacts).
+    val probeNote = (for {
+      cur <- BenchBudget.loadSection(benchPath, "host_probe").get("parallel_sec")
+      basis <- BenchBudget.loadSection(budgetPath, "basis_host_probe").get("parallel_sec")
+    } yield f"\n  probe_ratio (artifact/basis, 32-way fixed work): ${cur / basis}%.2f" +
+        f" - per-query ratios near this are host character, not regressions")
+      .getOrElse("\n  probe_ratio unavailable (probe missing on one side)")
     assert(violations.isEmpty,
       s"per-query perf regressions vs committed budget:\n  " +
-        violations.mkString("\n  "))
+        violations.mkString("\n  ") + probeNote)
   }
 }

@@ -230,6 +230,58 @@ class GenerationalLshSpec extends SparkSpec {
         graft.Caches.remainingPersistentRDDs(spark).mkString(", "))
   }
 
+  test("sliced mergeStage ≡ monolithic: identical staged rows, bounded files, overlap absorbed both ways") {
+    assume(new java.io.File(sfDir).isDirectory, "driver testdata not present")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val a = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    def prep(n: String): Unit = {
+      LshIndex.buildGen(a, n); LshIndex.appendHot(b, n)
+      LshIndex.rotateHot(spark, n)
+    }
+    def rows(t: String) = spark.table(t).collect().map(_.toString).toSet
+    prep("lshsl_s"); prep("lshsl_m")
+    // the slice handle must cover every file of both bucketed tables
+    val bf = graft.sources.Bucketed.bucketFilesOf(spark,
+      LshIndex.setsTable("lshsl_s"))
+    assert(bf.isDefined && bf.get.values.map(_.size).sum ==
+      spark.table(LshIndex.setsTable("lshsl_s")).inputFiles.length)
+    // slices forced (the auto policy would pick 1 on this tiny
+    // fixture — bounded-row slicing is a scale behavior)
+    LshIndex.mergeStage(spark, "lshsl_s", slices = 8) // fully sliced
+    LshIndex.mergeStage(spark, "lshsl_m", slices = 1) // monolithic fallback plan
+    for (t <- Seq(LshIndex.setsTable _, LshIndex.bandsTable _))
+      assert(rows(t("lshsl_s") + "__compact") == rows(t("lshsl_m") + "__compact"),
+        "sliced and monolithic staged tables must hold identical rows")
+    // the incremental pre-stage must be consumed by the final rename —
+    // __compact existing still means "fully staged"
+    assert(!spark.catalog.tableExists(LshIndex.setsTable("lshsl_s") + "__staging"))
+    LshIndex.mergeCommit(spark, "lshsl_s")
+    LshIndex.mergeCommit(spark, "lshsl_m")
+    val buckets = graft.sources.Bucketed.bucketCount(spark,
+      LshIndex.setsTable("lshsl_s"))
+    // per-bucket appends across slices still land one file per bucket
+    assert(spark.table(LshIndex.setsTable("lshsl_s")).inputFiles.length <= buckets)
+    assert(spark.table(LshIndex.setsTable("lshsl_s")).count() ==
+      a.unionByName(b).count())
+    // the commit-crash cross-table overlap (byte-identical rows in cold
+    // AND merging) must be absorbed by the MONOLITHIC path too — the
+    // default sliced path's overlap case is pinned by the double-read
+    // test above; this closes the fallback plan (the union-of-
+    // co-bucketed-scans trap lives exactly there)
+    LshIndex.appendHot(docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .filter(col("doc_id") < 400), "lshsl_m")
+    LshIndex.rotateHot(spark, "lshsl_m")
+    LshIndex.mergeStage(spark, "lshsl_m", slices = 1)
+    graft.sources.Bucketed.swapStaged(spark, LshIndex.setsTable("lshsl_m"))
+    graft.sources.Bucketed.swapStaged(spark, LshIndex.bandsTable("lshsl_m"))
+    val expect = spark.table(LshIndex.setsTable("lshsl_m")).count()
+    LshIndex.mergeStage(spark, "lshsl_m", slices = 1)
+    LshIndex.mergeCommit(spark, "lshsl_m")
+    assert(spark.table(LshIndex.setsTable("lshsl_m")).count() == expect,
+      "monolithic re-merge must dedup the cold/merging overlap")
+  }
+
   test("a second generation cycle composes: rotate+merge again after the first commit") {
     assume(new java.io.File(sfDir).isDirectory, "driver testdata not present")
     val docs = graft.Tables.documents(spark, sfDir)

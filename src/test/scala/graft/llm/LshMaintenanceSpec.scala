@@ -58,6 +58,33 @@ class LshMaintenanceSpec extends SparkSpec {
     assert(spark.table(LshIndex.setsTable(name)).count() == 25L)
   }
 
+  test("requestPurge defers around an in-flight merge, then runs on the trigger thread") {
+    val name = "lshmaint_purge"
+    LshIndex.buildGen((0L until 20L).map(doc).toDF("doc_id", "text"), name)
+    LshIndex.delete(Seq(3L).toDF("doc_id"), name)
+    val exec = deferred
+    val maint = new LshMaintenance(spark, name, exec)
+    LshIndex.appendHot(Seq(doc(100L)).toDF("doc_id", "text"), name)
+    maint.rotateAndStage(spark, hotFractionPm = 0L)
+    maint.requestPurge()
+    // merge staging (not finished): the purge must DEFER — running it
+    // here would race the staged read (the resurrection window
+    // purgeDeleted's require exists to block)
+    maint.maybeCommit(spark)
+    assert(maint.purgeIsPending && LshIndex.tombstoneCount(spark, name) == 1L,
+      "purge must not run while a merge is in flight")
+    exec.runAll()
+    // first post-commit trigger: commit lands, THEN the purge runs —
+    // same thread, between merges, exactly the contract
+    maint.maybeCommit(spark)
+    assert(!maint.purgeIsPending)
+    assert(LshIndex.tombstoneCount(spark, name) == 0L)
+    spark.catalog.refreshTable(LshIndex.setsTable(name))
+    assert(!spark.table(LshIndex.setsTable(name))
+      .select("doc_id").as[Long].collect().contains(3L),
+      "tombstoned rows must be physically gone after the routed purge")
+  }
+
   test("empty-hot guard and commit ordering with an explicit executor") {
     val name = "lshmaint_empty"
     LshIndex.buildGen((0L until 8L).map(doc).toDF("doc_id", "text"), name)

@@ -115,6 +115,57 @@ class DocStreamSpec extends SparkSpec {
       s"family-1 collision pair ($ta, $tb) must BOTH survive the 64-bit gate; got $kept")
   }
 
+  test("nearDupGate: resuming a pre-version (r15 key-era) checkpoint fails loudly, not silently") {
+    // The r15 32→64-bit key change kept the state KEY SCHEMA at
+    // (long, long), so an old checkpoint resumed WITHOUT error and
+    // silently admitted straddling near-dups for one watermark window.
+    // The sketch_ver key column exists to close that class: replay the
+    // old era here (the exact r15 key — sketch_key, sketch_len, no
+    // version column), then resume the SAME checkpoint through the
+    // current gate and require the state-schema check to refuse it.
+    import org.apache.spark.sql.functions.{col, shiftleft, size}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    mem.addData((1L, "the quick brown fox jumps over the lazy dog", ts(10)))
+    val oldEra = docs
+      .withColumn("__ths", graft.llm.TextFns.tokenHashes(col("text")))
+      .withColumn("__ths2", graft.llm.TextFns.tokenHashes2(col("text")))
+      .withColumn("sketch_key",
+        shiftleft(graft.llm.Dedup.simhashFromTokenHashes(col("__ths")), 32)
+          .bitwiseOR(graft.llm.Dedup.simhashFromTokenHashes(col("__ths2"))))
+      .withColumn("sketch_len", size(col("__ths")).cast("long"))
+      .drop("__ths", "__ths2")
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("sketch_key", "sketch_len")
+    // foreachBatch sinks: recoverable from a checkpoint, which the
+    // memory sink is not (it refuses ANY resume — that failure would
+    // shadow the state-schema check this test exists to pin)
+    val ckpt = Files.createTempDirectory("ckpt_ver").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q1 = oldEra.select("doc_id")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(b.count()); () }
+      .option("checkpointLocation", ckpt).start()
+    q1.awaitTermination(60000)
+    assert(seen.get() == 1L)
+    // resume the same checkpoint under the current (versioned) key
+    mem.addData((2L, "completely unrelated payload about spark plans", ts(20)))
+    val q2 = DocStream.nearDupGate(docs).select("doc_id")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.count(); () }
+      .option("checkpointLocation", ckpt).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(120000); q2.processAllAvailable()
+    }
+    val msg = (ex.getMessage +
+      Option(ex.getCause).map(_.toString).getOrElse("")).toLowerCase
+    assert(msg.contains("schema") || msg.contains("compatib"),
+      s"expected a state-schema incompatibility failure, got: $msg")
+  }
+
   test("qualityGate streams statelessly and keeps only docs above the bar") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
@@ -524,7 +575,10 @@ class DocStreamSpec extends SparkSpec {
       s"original streaming payload number $i with quite useful words inside " +
         s"and unique trailing tokens epsilon$i zeta$i eta$i theta$i " * 3
     LshIndex.buildGen(Seq((1L, seedText)).toDF("doc_id", "text"), name)
-    val maint = new LshMaintenance(spark, name) // REAL daemon executor
+    // REAL daemon executor; slicing forced (auto would pick 1 slice at
+    // this fixture size) so the per-bucket staged merge is exercised
+    // under a live stream, not just the deterministic spec
+    val maint = new LshMaintenance(spark, name, mergeSlices = 8)
     val corpusDir = Files.createTempDirectory("ingestgen_s_corpus").toString + "/corpus"
     val mem = MemoryStream[(Long, String, Timestamp)]
     val docs = mem.toDF().toDF("doc_id", "text", "event_time")
@@ -561,6 +615,16 @@ class DocStreamSpec extends SparkSpec {
         spark.catalog.refreshTable(table)
         spark.table(table).select("doc_id").as[Long].collect().toSet
       } else Set.empty
+    // the stream's commits ran in the streaming CLONE session, so this
+    // session must refresh EVERY table it is about to read — the bands
+    // tables too (queryGen below probes them): an unrefreshed bands
+    // listing here pointed at files commit #1 dropped the moment a
+    // mid-stage close() meant the maintenance thread's own refresh
+    // never reached the bands pair
+    Seq(LshIndex.bandsTable(name), LshIndex.mergingBandsTable(name),
+        LshIndex.hotBandsTable(name))
+      .filter(spark.catalog.tableExists)
+      .foreach(spark.catalog.refreshTable)
     val cold = gen(LshIndex.setsTable(name))
     val merging = gen(LshIndex.mergingSetsTable(name))
     val hot = gen(LshIndex.hotSetsTable(name))

@@ -3,7 +3,7 @@
 
 Usage:
   python3 tools/cut_budget_driver.py <driver_bench_json> <local_new_json> \
-      <local_old_budget_json> --changed q1,q2,... [source_note]
+      <local_old_bench_json> --changed q1,q2,... [source_note]
 
 Round-15 budget protocol. The r14 record proved per-query budgets cut
 on the builder host do NOT transfer to the driver host for per-row-
@@ -34,11 +34,20 @@ driver = json.load(open(args[0]))
 local_new = json.load(open(args[1]))
 local_old = json.load(open(args[2]))
 
+# every ratio input must be a BENCH ARTIFACT from the same (builder)
+# host — a budget file is driver-basis numbers, and a local/driver
+# ratio is exactly the cross-host comparison whose non-transferability
+# this tool exists to avoid (r14 postmortem). Bench artifacts carry
+# "mins" (r13+) or at least "host_probe" (r15+); budget files carry
+# "source" and neither.
+for label, d in (("local_new", local_new), ("local_old", local_old)):
+    assert "mins" in d or "host_probe" in d, (
+        f"{label} must be a bench artifact (has 'mins'/'host_probe'), "
+        "not a budget file: same-host ratios are the whole premise")
+
 driver_mins = driver.get("mins") or driver["queries"]
 new_mins = local_new.get("mins") or local_new["queries"]
-old_mins = local_old["queries"] if "queries" in local_old and \
-    isinstance(local_old["queries"], dict) and "source" in local_old \
-    else (local_old.get("mins") or local_old["queries"])
+old_mins = local_old.get("mins") or local_old["queries"]
 
 note = args[3] if len(args) > 3 else (
     "driver-host r14 min-of-3 (BENCH_driver.json) - the host class "
@@ -69,6 +78,14 @@ out = {
                  "exceeds it by > 1 s (BenchBudgetSpec / Bench budget_violations)",
     "queries": out_q,
 }
+# carry the basis host's fixed-work fingerprint so BenchBudgetSpec can
+# print the artifact/basis probe ratio inside any violation message
+if driver.get("host_probe"):
+    out["basis_host_probe"] = driver["host_probe"]
+    out["basis_host_probe_note"] = (
+        "fixed-work fingerprint of the driver bench these budgets were cut "
+        "from (graft.Bench hostProbe: seconds for a 100M-iteration integer "
+        "spin, single-thread and N-way)")
 with open("artifacts/BENCH_BUDGET.json", "w") as f:
     json.dump(out, f, indent=1)
 print(f"wrote {len(out_q)} budgets ({len(kept)} driver-basis, "
