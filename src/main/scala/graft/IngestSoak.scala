@@ -85,9 +85,30 @@ object IngestSoak {
     // compaction boundary documented above.
     val generational = sys.env.getOrElse("INGEST_GENERATIONAL", "0") == "1"
     val rotateEvery = sys.env.getOrElse("INGEST_ROTATE_EVERY", "8").toInt
+    // index bucket count — the PARALLELISM knob, not just layout: a
+    // bucketed scan cannot split a bucket across tasks, so the gate's
+    // corpus-side probe joins AND the merge's per-bucket write stage
+    // run at most `buckets`-wide. The historical default (8) caps a
+    // multi-million-row corpus at 8 of 32 cores on exactly the paths
+    // that grow with corpus size; at cluster scale buckets are sized
+    // to total cores × a small multiple.
+    val buckets = sys.env.getOrElse("INGEST_BUCKETS", "8").toInt
     val outPath = sys.env.getOrElse("INGEST_OUT", "artifacts/INGEST_SOAK.jsonl")
 
-    val wh = java.nio.file.Files.createTempDirectory("ingest_soak_wh").toString
+    // every temp dir this run creates, deleted at exit: a 600 s 20 k
+    // soak leaves ~5-8 GB of warehouse + corpus + checkpoint, and a
+    // measurement day of accumulated leftovers filled the disk to 100%
+    // (r16: two 32-bucket attempts died on ENOSPC mid-run, one as a
+    // silent 8-minute hang — the numbers measured under that pressure
+    // were re-run). Keep only the artifacts; the stores are evidence
+    // inputs, not evidence.
+    val tempDirs = scala.collection.mutable.ArrayBuffer[String]()
+    def tempDir(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      tempDirs += d
+      d
+    }
+    val wh = tempDir("ingest_soak_wh")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -152,8 +173,8 @@ object IngestSoak {
     val seeds = spark.range(nSeeds.toLong)
       .select(col("id").as("doc_id"),
         CurateSoak.docText(col("id") + 555000L).as("text"))
-    if (generational) graft.llm.LshIndex.buildGen(seeds, "ingest_soak_idx")
-    else graft.llm.LshIndex.build(seeds, "ingest_soak_idx")
+    if (generational) graft.llm.LshIndex.buildGen(seeds, "ingest_soak_idx", buckets)
+    else graft.llm.LshIndex.build(seeds, "ingest_soak_idx", buckets)
 
     // tiny static eval corpus for the Bloom gate
     val evalDocs = (0L until 20L).toDF("doc_id")
@@ -212,10 +233,8 @@ object IngestSoak {
       val wSeeds = spark.range(nSeeds.toLong)
         .select(col("id").as("doc_id"),
           CurateSoak.docText(col("id") + 999000L).as("text"))
-      val wCorpus = java.nio.file.Files
-        .createTempDirectory("ingest_warm_corpus").toString + "/corpus"
-      val wCkpt =
-        java.nio.file.Files.createTempDirectory("ingest_warm_ckpt").toString
+      val wCorpus = tempDir("ingest_warm_corpus") + "/corpus"
+      val wCkpt = tempDir("ingest_warm_ckpt")
       val warmFeed = mkFeed(math.max(rate / 4, 1000), 50000000L, 999000L)
       // held in a val so it can be CLOSED after the warm stream stops:
       // stopping the stream does not stop a mid-stage O(corpus) merge
@@ -227,12 +246,12 @@ object IngestSoak {
         if (generational) Some(new graft.llm.LshMaintenance(spark, "ingest_warm_idx"))
         else None
       val wq = (if (generational) {
-        graft.llm.LshIndex.buildGen(wSeeds, "ingest_warm_idx")
+        graft.llm.LshIndex.buildGen(wSeeds, "ingest_warm_idx", buckets)
         graft.streaming.DocStream.ingestGen(warmFeed, evalDocs,
           "ingest_warm_idx", wCorpus, warmMaint.get,
           watermark = watermark, rotateEvery = rotateEvery)
       } else {
-        graft.llm.LshIndex.build(wSeeds, "ingest_warm_idx")
+        graft.llm.LshIndex.build(wSeeds, "ingest_warm_idx", buckets)
         graft.streaming.DocStream.ingest(warmFeed, evalDocs,
           "ingest_warm_idx", wCorpus,
           watermark = watermark, compactEvery = compactEvery)
@@ -248,9 +267,8 @@ object IngestSoak {
     }
 
     spark.streams.addListener(listener)
-    val corpusDir = java.nio.file.Files.createTempDirectory("ingest_soak_corpus")
-      .toString + "/corpus"
-    val ckpt = java.nio.file.Files.createTempDirectory("ingest_soak_ckpt").toString
+    val corpusDir = tempDir("ingest_soak_corpus") + "/corpus"
+    val ckpt = tempDir("ingest_soak_ckpt")
     val mainFeed = mkFeed(rate, 10000000L, 555000L)
     val q = (if (generational)
       graft.streaming.DocStream.ingestGen(mainFeed, evalDocs,
@@ -310,6 +328,7 @@ object IngestSoak {
       s""""watermark":"$watermark","state_plateau":$statePlateau,""" +
       s""""compact_every":$compactEvery,"generational":$generational,""" +
       s""""rotate_every":$rotateEvery,"warmup_seconds":$warmupSeconds,""" +
+      s""""buckets":$buckets,""" +
       s""""cpus":$cpus,"seed_docs":$nSeeds,"batches":${rates.length},""" +
       s""""input_rows":$inputRows,"corpus_rows":$corpusRows,""" +
       s""""index_rows":$indexRows,""" +
@@ -330,5 +349,12 @@ object IngestSoak {
       val w = new PrintWriter(new File(f)); w.println(summary); w.close()
     }
     spark.stop()
+    tempDirs.foreach { d =>
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(root))
+        scala.util.Try(java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f)))
+    }
   }
 }

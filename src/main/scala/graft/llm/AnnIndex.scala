@@ -143,7 +143,8 @@ object AnnIndex {
     if (withCodes) assigned.persist()
     try {
       graft.sources.Bucketed.appendBucketed(
-        assigned, cellsTable(name), "cent_id", buckets(cellsTable(name)))
+        assigned, cellsTable(name), "cent_id", buckets(cellsTable(name)),
+        onePerBucket = true)
       if (withCodes) {
         val cb = spark.table(codebookTable(name))
         val encoded = Similarity.encodeSub(
@@ -151,7 +152,8 @@ object AnnIndex {
         val codes = encoded.join(
           assigned.select("vec_id", "cent_id"), Seq("vec_id"))
         graft.sources.Bucketed.appendBucketed(
-          codes, codesTable(name), "cent_id", buckets(codesTable(name)))
+          codes, codesTable(name), "cent_id", buckets(codesTable(name)),
+          onePerBucket = true)
       }
     } finally if (withCodes) assigned.unpersist()
   }
@@ -446,12 +448,14 @@ object AnnIndex {
     assigned.persist()
     try {
       graft.sources.Bucketed.appendBucketed(
-        assigned, cellsTable(name), "cent_id", buckets(cellsTable(name)))
+        assigned, cellsTable(name), "cent_id", buckets(cellsTable(name)),
+        onePerBucket = true)
       val encoded = Similarity.encodeRes(
         Similarity.resSubvectors(assigned, cents, subDim),
         spark.table(resCodebookTable(name)))
       graft.sources.Bucketed.appendBucketed(
-        encoded, resCodesTable(name), "cent_id", buckets(resCodesTable(name)))
+        encoded, resCodesTable(name), "cent_id", buckets(resCodesTable(name)),
+        onePerBucket = true)
     } finally assigned.unpersist()
   }
 

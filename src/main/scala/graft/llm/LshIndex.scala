@@ -99,12 +99,16 @@ object LshIndex {
     * dominant cost). The caller should hand over a cached frame. */
   def appendFromSets(sets: DataFrame, name: String): Unit = {
     val spark = sets.sparkSession
+    // onePerBucket: loop-shaped appends must not leave task-count
+    // times bucket-count files per batch (see Bucketed.appendBucketed)
     graft.sources.Bucketed.appendBucketed(
       sets, setsTable(name), "doc_id",
-      graft.sources.Bucketed.bucketCount(spark, setsTable(name)))
+      graft.sources.Bucketed.bucketCount(spark, setsTable(name)),
+      onePerBucket = true)
     graft.sources.Bucketed.appendBucketed(
       Dedup.lshBands(sets), bandsTable(name), "band_key",
-      graft.sources.Bucketed.bucketCount(spark, bandsTable(name)))
+      graft.sources.Bucketed.bucketCount(spark, bandsTable(name)),
+      onePerBucket = true)
   }
 
   /** Collapse append fragmentation: rewrite both bucketed tables under
@@ -365,10 +369,12 @@ object LshIndex {
       val spark = sets.sparkSession
       graft.sources.Bucketed.appendBucketed(
         sets, hotSetsTable(name), "doc_id",
-        graft.sources.Bucketed.bucketCount(spark, hotSetsTable(name)))
+        graft.sources.Bucketed.bucketCount(spark, hotSetsTable(name)),
+        onePerBucket = true)
       graft.sources.Bucketed.appendBucketed(
         Dedup.lshBands(sets), hotBandsTable(name), "band_key",
-        graft.sources.Bucketed.bucketCount(spark, hotBandsTable(name)))
+        graft.sources.Bucketed.bucketCount(spark, hotBandsTable(name)),
+        onePerBucket = true)
     } finally sets.unpersist()
   }
 

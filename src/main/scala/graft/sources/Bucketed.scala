@@ -33,10 +33,24 @@ object Bucketed {
   /** Append rows to an existing bucketed table with the SAME bucket
     * spec — new files land in the matching buckets, so the co-location
     * contract survives incremental loads (Spark rejects a mismatched
-    * spec rather than silently degrading the layout). */
+    * spec rather than silently degrading the layout).
+    *
+    * `onePerBucket` repartitions the rows on the bucket key first, so
+    * the append lands EXACTLY one file per non-empty bucket instead of
+    * one per (task, bucket) pair — unrepartitioned, a 32-task write
+    * into 8 buckets leaves up to 256 files PER APPEND, and a
+    * micro-batch loop's probe/scan cost then grows with batch count
+    * times task count (the r16 32-bucket soak attempt measured the
+    * blow-up: tasks × buckets files per trigger). The flip side is a
+    * batch-sized shuffle and write parallelism capped at the bucket
+    * count — right for a micro-batch append loop (tiny batches, every
+    * file read many times), wrong for a one-shot BULK load (huge
+    * batch, files read once), so it is opt-in. */
   def appendBucketed(df: DataFrame, table: String, key: String,
-                     buckets: Int, sorted: Boolean = true): Unit = {
-    val w: DataFrameWriter[Row] = df.write
+                     buckets: Int, sorted: Boolean = true,
+                     onePerBucket: Boolean = false): Unit = {
+    val rows = if (onePerBucket) df.repartition(buckets, df(key)) else df
+    val w: DataFrameWriter[Row] = rows.write
       .mode("append").format("parquet").bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
