@@ -998,7 +998,18 @@ object OraclesLlm {
     * cycle, merging = 1 staged-but-uncommitted, hot = 2), so the
     * oracle recomputes the band chain over the raw documents and tags
     * each doc's bands with its slice — the stored layout must be
-    * indistinguishable from that from-scratch derivation. */
+    * indistinguishable from that from-scratch derivation.
+    *
+    * `max_bucket_files` — the physical fragmentation column
+    * ([[graft.llm.LshIndex.bucketStatsGen]]) — is exactly 1 for every
+    * generation of this fixture BY THE LAYOUT INVARIANTS, which is
+    * what makes a Spark-physical quantity oracle-checkable: cold is a
+    * fresh build (one file per non-empty bucket by build's
+    * repartition), merging is one `onePerBucket` append onto an
+    * empty hot (zero data files), hot likewise — so the deepest
+    * per-bucket stack everywhere is one file, and any regression in
+    * those invariants (build fragmenting, appends fanning out
+    * tasks×buckets files) breaks the hash. */
   val lshGenStats: String =
     s"""WITH ${minhashCtesOver("corpus AS (SELECT doc_id, text FROM documents)")},
        |tagged AS (SELECT
@@ -1008,7 +1019,8 @@ object OraclesLlm {
        |bc AS (SELECT gen, band, band_key, count(*) AS c
        |       FROM tagged GROUP BY 1, 2, 3)
        |SELECT gen, band, count(*) AS n_buckets, max(c) AS max_bucket,
-       |  (sum((c * (c - 1)) // 2))::BIGINT AS cand_pairs
+       |  (sum((c * (c - 1)) // 2))::BIGINT AS cand_pairs,
+       |  1::BIGINT AS max_bucket_files
        |FROM bc GROUP BY 1, 2""".stripMargin
 
   /** Physical-fragmentation lifecycle of the stored LSH index

@@ -19,6 +19,18 @@ import graft.text.TextOps
 object SparkEntry {
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** Bucket count for the in-query LSH index fixtures below. These
+    * constructors build bounded (≤60 k-row at sf0.1) indexes whose
+    * lifecycle is the thing under test, so buckets are sized to the
+    * DATA, not to cores: [[graft.llm.LshIndex.defaultBuckets]]' cores
+    * rule targets corpus-growing ingest loops where bucket count is
+    * the parallelism ceiling, and on these fixtures it just multiplies
+    * file/job overhead for parallelism the rows cannot fill (same-day
+    * A/B at sf0.1: the cores-wide default cost every lifecycle query
+    * 1.3-1.5×). A real deployment passes a count sized to total
+    * cluster cores × a small multiple. */
+  private val lshOracleBuckets = 8
   private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
 
   /** Flagship (SURVEY §7.2): top hashtags per 15 s batch bucket with mean
@@ -395,7 +407,7 @@ object SparkEntry {
     // from-scratch band math row-for-row
     "lsh_index_query" -> ((s, dir) => {
       val d = docs(s, dir)
-      LshIndex.build(d, "lsh_oracle")
+      LshIndex.build(d, "lsh_oracle", lshOracleBuckets)
       val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 100000L).as("doc_id"),
           concat(lit("dup "), col("text")).as("text"))
@@ -414,7 +426,8 @@ object SparkEntry {
     "lsh_gen_query" -> ((s, dir) => {
       val d = docs(s, dir)
       val name = "lsh_gen_oracle"
-      LshIndex.buildGen(d.filter(pmod(col("doc_id"), lit(3)) === 0), name)
+      LshIndex.buildGen(d.filter(pmod(col("doc_id"), lit(3)) === 0), name,
+        lshOracleBuckets)
       LshIndex.appendHot(d.filter(pmod(col("doc_id"), lit(3)) === 1), name)
       LshIndex.rotateHot(s, name)
       LshIndex.appendHot(d.filter(pmod(col("doc_id"), lit(3)) === 2), name)
@@ -431,7 +444,8 @@ object SparkEntry {
     "lsh_gen_stats" -> ((s, dir) => {
       val d = docs(s, dir)
       val name = "lsh_genstats_oracle"
-      LshIndex.buildGen(d.filter(pmod(col("doc_id"), lit(3)) === 0), name)
+      LshIndex.buildGen(d.filter(pmod(col("doc_id"), lit(3)) === 0), name,
+        lshOracleBuckets)
       LshIndex.appendHot(d.filter(pmod(col("doc_id"), lit(3)) === 1), name)
       LshIndex.rotateHot(s, name)
       LshIndex.appendHot(d.filter(pmod(col("doc_id"), lit(3)) === 2), name)
@@ -442,7 +456,7 @@ object SparkEntry {
     // immediately (logical delete, O(|deleted|))
     "lsh_delete_query" -> ((s, dir) => {
       val d = docs(s, dir)
-      LshIndex.build(d, "lsh_del")
+      LshIndex.build(d, "lsh_del", lshOracleBuckets)
       LshIndex.delete(
         d.filter(pmod(col("doc_id"), lit(20)) === 0).select("doc_id"),
         "lsh_del")
@@ -455,7 +469,7 @@ object SparkEntry {
     // query answer is identical (same oracle)
     "lsh_purge_query" -> ((s, dir) => {
       val d = docs(s, dir)
-      LshIndex.build(d, "lsh_purge")
+      LshIndex.build(d, "lsh_purge", lshOracleBuckets)
       LshIndex.delete(
         d.filter(pmod(col("doc_id"), lit(20)) === 0).select("doc_id"),
         "lsh_purge")
@@ -470,7 +484,7 @@ object SparkEntry {
     // sub-shingle-size docs pass vacuously
     "lsh_history_gate" -> ((s, dir) => {
       val d = docs(s, dir)
-      LshIndex.build(d, "lsh_gate_oracle")
+      LshIndex.build(d, "lsh_gate_oracle", lshOracleBuckets)
       val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 100000L).as("doc_id"),
           concat(lit("dup "), col("text")).as("text"))
@@ -498,7 +512,8 @@ object SparkEntry {
       // thing under test, not data volume — % 20 keeps the bench cost
       // of the three appends proportionate
       val sub = docs(s, dir).filter(pmod(col("doc_id"), lit(20)) < 4)
-      LshIndex.build(sub.filter(pmod(col("doc_id"), lit(20)) === 0), name)
+      LshIndex.build(sub.filter(pmod(col("doc_id"), lit(20)) === 0), name,
+        lshOracleBuckets)
       for (i <- 1 to 3)
         LshIndex.append(sub.filter(pmod(col("doc_id"), lit(20)) === i)
           .select("doc_id", "text"), name)

@@ -50,6 +50,25 @@ object LshIndex {
   def bandsTable(name: String): String = name + "_bands"
   def tombstonesTable(name: String): String = name + "_tombstones"
 
+  /** The SIZING RULE for an index's bucket count, applied when
+    * [[build]]/[[buildGen]] get `buckets = 0` (the default): bucket
+    * count is the index's parallelism ceiling, not just layout — a
+    * bucketed scan cannot split a bucket across tasks, so the gate's
+    * corpus-side probe joins AND the background merge's per-bucket
+    * write stage run at most `buckets`-wide. The r16 soaks measured
+    * the cliff directly: at 20 k docs/s over 600 s, 8 buckets held
+    * 92% of feed with 124 s merge-window batches while 32 buckets
+    * held 95.7% with every batch ≤27 s — identical code, the bucket
+    * count was the knob. So the default is `max(8, session cores)`
+    * (floor 8 keeps tiny fixtures from writing 1-file tables); a
+    * cluster deployment sizes to TOTAL cores × a small multiple,
+    * passed explicitly. */
+  def defaultBuckets(spark: SparkSession): Int =
+    math.max(8, spark.sparkContext.defaultParallelism)
+
+  private def resolveBuckets(spark: SparkSession, buckets: Int): Int =
+    if (buckets > 0) buckets else defaultBuckets(spark)
+
   /** Build and persist the index — the one corpus-sized
     * shingle/signature pass this corpus ever pays. Bands derive from
     * the STORED sets table, so the two tables can never disagree about
@@ -58,9 +77,16 @@ object LshIndex {
     * state is cleared first — including a leftover managed-table
     * directory from a PREVIOUS session, which `saveAsTable` would
     * otherwise refuse (the in-memory catalog forgets the table, the
-    * warehouse directory survives, LOCATION_ALREADY_EXISTS). */
-  def build(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
+    * warehouse directory survives, LOCATION_ALREADY_EXISTS).
+    *
+    * `buckets = 0` (the default) applies [[defaultBuckets]]' sizing
+    * rule. Both writes repartition on the bucket key first, so a
+    * fresh build lands EXACTLY one file per non-empty bucket — the
+    * compacted ideal, and the invariant that keeps
+    * `max_bucket_files` ([[bucketStatsGen]]) a pure append counter. */
+  def build(docs: DataFrame, name: String, buckets: Int = 0): Unit = {
     val spark = docs.sparkSession
+    val n = resolveBuckets(spark, buckets)
     Seq(setsTable(name), bandsTable(name), tombstonesTable(name)).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
@@ -68,11 +94,13 @@ object LshIndex {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+    val sets = Dedup.shingleSets(docs)
     graft.sources.Bucketed.writeBucketed(
-      Dedup.shingleSets(docs), setsTable(name), "doc_id", buckets)
+      sets.repartition(n, sets("doc_id")), setsTable(name), "doc_id", n)
+    val bands = Dedup.lshBands(spark.table(setsTable(name)))
     graft.sources.Bucketed.writeBucketed(
-      Dedup.lshBands(spark.table(setsTable(name))),
-      bandsTable(name), "band_key", buckets)
+      bands.repartition(n, bands("band_key")),
+      bandsTable(name), "band_key", n)
   }
 
   /** Admit a batch into the index: one hashing pass over the NEW docs
@@ -228,6 +256,52 @@ object LshIndex {
       spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(name)}")
     }
 
+  /** MIGRATE a live index to a new bucket count — the operational
+    * answer to the measured fact that bucket count is the index's
+    * parallelism ceiling ([[defaultBuckets]]): an index built at a
+    * historical default would otherwise need a from-scratch rebuild
+    * (re-shingling the whole corpus) to reach the sizing rule, when
+    * the stored sets/bands rows are already exactly what the new
+    * layout needs. Every live generation's table is staged under the
+    * new count ([[graft.sources.Bucketed.rewriteInPlace]]'s
+    * `newBuckets` — identity transform, so this is one
+    * repartition-and-write per table, no hashing pass) and swapped in
+    * via the standard RENAME-RENAME-DROP; hot is rewritten too, so
+    * the next [[rotateHot]]/[[mergeStage]] cycle's bucket-count
+    * equality `require` holds and [[createEmptyHot]] inherits the new
+    * spec from cold. Tombstones are untouched (they are unbucketed
+    * and survive verbatim); queries answer identically before and
+    * after — GenerationalLshSpec pins 8→32 mid-lifecycle with
+    * tombstones live, row-for-row.
+    *
+    * REFUSED while a merge is in flight, same reasoning and same
+    * single-writer contract as [[purgeDeleted]]: the staged merge
+    * path-reads both sides' files per bucket under the OLD count, and
+    * a rebucket swapping tables under it would at best fail the
+    * equality require and at worst slice against a stale listing.
+    * Under a live [[graft.streaming.DocStream.ingestGen]] stream,
+    * route through [[LshMaintenance.requestRebucket]] — it runs this
+    * on the trigger thread between merges. */
+  def rebucket(spark: SparkSession, name: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    require(!spark.catalog.tableExists(mergingSetsTable(name)) &&
+        !spark.catalog.tableExists(mergingBandsTable(name)),
+      s"index $name has a merge in flight - rebucket after mergeCommit " +
+        "(or route through LshMaintenance.requestRebucket): the staged " +
+        "merge slices files under the old bucket count")
+    val tables = Seq(setsTable(name) -> "doc_id",
+        bandsTable(name) -> "band_key") ++
+      (if (spark.catalog.tableExists(hotSetsTable(name)) &&
+           spark.catalog.tableExists(hotBandsTable(name)))
+        Seq(hotSetsTable(name) -> "doc_id",
+          hotBandsTable(name) -> "band_key")
+      else Nil)
+    tables.foreach { case (t, key) =>
+      graft.sources.Bucketed.rewriteInPlace(spark, t, key, identity,
+        newBuckets = newBuckets)
+    }
+  }
+
   /** Near-dup pairs between a NEW batch and the stored corpus:
     * candidates from band-key collisions against the stored bands
     * table, deduped BEFORE verification, then exact-Jaccard verified
@@ -331,10 +405,11 @@ object LshIndex {
   def mergingSetsTable(name: String): String = name + "_sets_merging"
   def mergingBandsTable(name: String): String = name + "_bands_merging"
 
-  /** [[build]] plus an empty hot generation (same bucket specs). Also
+  /** [[build]] plus an empty hot generation (same bucket specs;
+    * `buckets = 0` applies [[defaultBuckets]]' sizing rule). Also
     * clears leftover hot/merging/staged tables from a previous
     * lifecycle — same orphan guard as build's own tables. */
-  def buildGen(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
+  def buildGen(docs: DataFrame, name: String, buckets: Int = 0): Unit = {
     val spark = docs.sparkSession
     Seq(hotSetsTable(name), hotBandsTable(name),
         mergingSetsTable(name), mergingBandsTable(name)).foreach { t =>
@@ -610,8 +685,8 @@ object LshIndex {
           }
         val filesBySide =
           if (k > 1) for {
-            lv <- graft.sources.Bucketed.bucketFilesOf(spark, live)
-            mg <- graft.sources.Bucketed.bucketFilesOf(spark, merging)
+            lv <- graft.sources.Bucketed.bucketFilesOf(spark, live, buckets)
+            mg <- graft.sources.Bucketed.bucketFilesOf(spark, merging, buckets)
           } yield (lv, mg)
           else None
         filesBySide match {
@@ -722,15 +797,40 @@ object LshIndex {
     * `max_bucket`/`cand_pairs` localize a band-hash collapse to the
     * recent (hot) slice vs the historical corpus. Three slim
     * aggregations, each riding its bands table's own bucket key —
-    * no trap-prone cross-table aggregate (the union is the OUTPUT). */
+    * no trap-prone cross-table aggregate (the union is the OUTPUT).
+    *
+    * `max_bucket_files` (per generation, repeated on each band row
+    * like [[bucketStats]]'s table-level columns) is the PHYSICAL
+    * parallelism-pressure signal: the deepest per-bucket file stack of
+    * that generation's bands table. [[build]]/[[compact]]/[[mergeStage]]
+    * leave exactly 1; every `onePerBucket` append adds exactly 1 to
+    * each bucket it touches — so the hot generation's reading counts
+    * appends since the last rotate, and a value far above the rotate
+    * cadence means appends are NOT landing one-file-per-bucket (the
+    * tasks×buckets explosion the r16 soak first observed as a dying
+    * run; now it is a stats-query reading). Driver-side file-listing
+    * math over the scan's own resolved file index — no data read. */
   def bucketStatsGen(spark: SparkSession, name: String): DataFrame =
     Seq("cold" -> bandsTable(name), "merging" -> mergingBandsTable(name),
         "hot" -> hotBandsTable(name))
       .filter { case (_, t) => spark.catalog.tableExists(t) }
       .map { case (g, t) =>
-        bucketStatsOf(spark.table(t)).withColumn("gen", lit(g)) }
+        bucketStatsOf(spark.table(t)).withColumn("gen", lit(g))
+          .withColumn("max_bucket_files", lit(maxBucketFiles(spark, t))) }
       .reduce(_.unionByName(_))
-      .select("gen", "band", "n_buckets", "max_bucket", "cand_pairs")
+      .select("gen", "band", "n_buckets", "max_bucket", "cand_pairs",
+        "max_bucket_files")
+
+  /** Deepest per-bucket file stack of a bucketed table (0 for an
+    * empty table). An unparseable filename falls back to the
+    * whole-table file count — a conservative over-read (as if every
+    * file stacked one bucket), never an under-read that would hide
+    * fragmentation. */
+  private def maxBucketFiles(spark: SparkSession, table: String): Long =
+    graft.sources.Bucketed.bucketFilesOf(spark, table,
+        graft.sources.Bucketed.bucketCount(spark, table))
+      .map(m => if (m.isEmpty) 0L else m.values.map(_.size).max.toLong)
+      .getOrElse(spark.table(table).inputFiles.length.toLong)
 
   /** [[bucketStats]] over any (doc_id, band, band_key) band relation —
     * shared by the stored-index path and the batch oracle query. Two

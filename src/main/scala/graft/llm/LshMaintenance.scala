@@ -47,14 +47,25 @@ final class LshMaintenance(
 
   @volatile private var inFlight: JFuture[_] = null
   @volatile private var purgePending = false
+  @volatile private var rebucketTo = 0
 
   /** Startup, BEFORE the first trigger: heal half-done metadata states
     * ([[LshIndex.repairGen]]) and resume an interrupted merge — a
     * merging generation with no live stage future gets re-staged from
     * scratch (mergeStage restarts cleanly; a crashed staged write is
-    * cleared by its own clearStaged). */
+    * cleared by its own clearStaged).
+    *
+    * Also RE-ARMS a pending purge when tombstones exist: purgePending
+    * is process-local, so a restart between [[requestPurge]] and the
+    * next safe trigger would otherwise silently lose the request —
+    * queries stay correct via the anti-join, but the tombstoned rows'
+    * PHYSICAL reclaim (the right-to-be-forgotten half) would wait
+    * forever with nothing visibly wrong. Tombstones only exist to be
+    * purged eventually, so surviving tombstones at startup ARE the
+    * durable form of the request. */
   def recover(): Unit = {
     LshIndex.repairGen(spark, name)
+    if (LshIndex.tombstoneCount(spark, name) > 0) purgePending = true
     if (spark.catalog.tableExists(LshIndex.mergingSetsTable(name)))
       submitStage()
   }
@@ -79,13 +90,23 @@ final class LshMaintenance(
       f.get() // rethrows a staging failure wrapped in ExecutionException
       LshIndex.mergeCommit(active, name)
     }
-    // a requested purge runs HERE — on the trigger thread, the index's
-    // single writer — and only between merges (purgeDeleted's
-    // check-then-act require is only sound from this thread; see its
-    // concurrency contract). Deferred while a merge is staging or
-    // staged-uncommitted; it lands on the first post-commit trigger.
-    if (purgePending && inFlight == null &&
-        !active.catalog.tableExists(LshIndex.mergingSetsTable(name))) {
+    // a requested rebucket/purge runs HERE — on the trigger thread,
+    // the index's single writer — and only between merges (both ops'
+    // check-then-act requires are only sound from this thread; see
+    // their concurrency contracts). Deferred while a merge is staging
+    // or staged-uncommitted; once the merge commits they run in that
+    // SAME maybeCommit call (the commit above just dropped the merging
+    // tables, so the gate below passes) — at latest, on the first
+    // post-commit trigger. Rebucket first: the purge's rewrite then
+    // already runs at the new parallelism.
+    val safe = inFlight == null &&
+      !active.catalog.tableExists(LshIndex.mergingSetsTable(name))
+    if (rebucketTo > 0 && safe) {
+      val n = rebucketTo
+      rebucketTo = 0
+      LshIndex.rebucket(active, name, n)
+    }
+    if (purgePending && safe) {
       purgePending = false
       LshIndex.purgeDeleted(active, name)
     }
@@ -101,8 +122,27 @@ final class LshMaintenance(
     * .delete]] ran — only the physical reclaim waits). */
   def requestPurge(): Unit = purgePending = true
 
-  /** Whether a requested purge has not yet executed. */
+  /** Whether a requested purge has not yet executed. Unlike the
+    * in-memory flag, the REQUEST is durable: [[recover]] re-arms it
+    * from the surviving tombstones after a restart. */
   def purgeIsPending: Boolean = purgePending
+
+  /** Request a bucket-count migration ([[LshIndex.rebucket]]) from ANY
+    * thread without racing the ingest loop — same routing as
+    * [[requestPurge]]: executes inside the next safe [[maybeCommit]],
+    * on the trigger thread, between merges. The O(corpus) rewrite
+    * stalls that one trigger; afterwards every probe join and merge
+    * slice runs up to the new bucket count wide. NOT re-armed by
+    * [[recover]] (unlike a purge there is no on-disk marker of the
+    * intent) — an operator who restarts mid-request re-requests, and
+    * `lsh_gen_stats`' layout columns show whether it landed. */
+  def requestRebucket(newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    rebucketTo = newBuckets
+  }
+
+  /** Whether a requested rebucket has not yet executed. */
+  def rebucketIsPending: Boolean = rebucketTo > 0
 
   /** Trigger path, on the rotation cadence: swap hot aside (metadata
     * renames) and kick the off-trigger stage. No-op while a merge is

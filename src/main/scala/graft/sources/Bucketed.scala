@@ -124,11 +124,19 @@ object Bucketed {
     * cleanup absorbs it). The transform must not CONSUME the table it
     * rewrites through another live reader mid-swap, and must keep a
     * column named `key` in its output (resolved by name, so a
-    * transform may recompute it). */
+    * transform may recompute it).
+    *
+    * `newBuckets > 0` rewrites under THAT bucket count instead of the
+    * stored spec — the migration primitive under
+    * [[graft.llm.LshIndex.rebucket]] (bucket count is the probe/merge
+    * parallelism ceiling, so a live index sized at a historical
+    * default must be able to move to the measured rule without a
+    * from-scratch rebuild). Same crash contract: the staged copy is
+    * complete under the new spec before any rename runs. */
   def rewriteInPlace(spark: SparkSession, table: String, key: String,
                      transform: DataFrame => DataFrame,
-                     sorted: Boolean = true): Unit = {
-    val buckets = bucketCount(spark, table)
+                     sorted: Boolean = true, newBuckets: Int = 0): Unit = {
+    val buckets = if (newBuckets > 0) newBuckets else bucketCount(spark, table)
     clearStaged(spark, table)
     val src = spark.table(table)
     // the key is resolved by NAME on the transformed frame, so the
@@ -176,8 +184,12 @@ object Bucketed {
     * the writer's filename convention (`..._00003.c000.snappy.parquet`
     * — the `_NNNNN` suffix is the bucket id; same regex Spark's own
     * BucketingUtils.getBucketId uses). `None` when any file fails to
-    * parse — callers must fall back to a whole-table plan rather than
-    * silently dropping rows.
+    * parse — including a digit run that does not fit an Int and a
+    * parsed id outside `[0, buckets)`, which a caller slicing
+    * `0 until buckets` would otherwise silently exclude from every
+    * slice (the contract is "None rather than dropped rows", so the
+    * range check must live HERE, not in each caller's loop bounds).
+    * Callers must fall back to a whole-table plan on None.
     *
     * This is the slice handle for bounded maintenance: every copy of a
     * key lives in its key's bucket, so any cross-table op whose unit of
@@ -189,12 +201,13 @@ object Bucketed {
     * prune bucketed scans). Path reads also report UnknownPartitioning,
     * so per-slice dedups plan genuine exchanges — immune to the
     * union-of-co-bucketed-scans trap below by construction. */
-  def bucketFilesOf(spark: SparkSession, table: String)
+  def bucketFilesOf(spark: SparkSession, table: String, buckets: Int)
       : Option[Map[Int, Seq[String]]] = {
     val re = """.*_(\d+)(?:\..*)?$""".r
     val parsed = spark.table(table).inputFiles.toSeq.map { f =>
       f.substring(f.lastIndexOf('/') + 1) match {
-        case re(id) => Some(id.toInt -> f)
+        case re(id) =>
+          id.toIntOption.filter(i => i >= 0 && i < buckets).map(_ -> f)
         case _ => None
       }
     }

@@ -243,7 +243,8 @@ class GenerationalLshSpec extends SparkSpec {
     prep("lshsl_s"); prep("lshsl_m")
     // the slice handle must cover every file of both bucketed tables
     val bf = graft.sources.Bucketed.bucketFilesOf(spark,
-      LshIndex.setsTable("lshsl_s"))
+      LshIndex.setsTable("lshsl_s"),
+      graft.sources.Bucketed.bucketCount(spark, LshIndex.setsTable("lshsl_s")))
     assert(bf.isDefined && bf.get.values.map(_.size).sum ==
       spark.table(LshIndex.setsTable("lshsl_s")).inputFiles.length)
     // slices forced (the auto policy would pick 1 on this tiny
@@ -309,5 +310,64 @@ class GenerationalLshSpec extends SparkSpec {
     assert(spark.table(LshIndex.setsTable("lshgen2")).count() ==
       a.unionByName(b).unionByName(c).count())
     assert(spark.table(LshIndex.hotSetsTable("lshgen2")).count() == 0L)
+  }
+
+  test("rebucket 8→32 mid-lifecycle: answers row-for-row identical with tombstones live; stats count appends and collapse") {
+    assume(new java.io.File(sfDir).isDirectory, "driver testdata not present")
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val a = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    // two separate hot appends, so max_bucket_files can observe depth 2
+    val b1 = b.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val b2 = b.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        concat(lit("dup "), col("text")).as("text"))
+    def pairs() = LshIndex.queryGen(batch, "lshrb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def statsBy(gen: String) = LshIndex.bucketStatsGen(spark, "lshrb")
+      .filter(col("gen") === gen).select("max_bucket_files").distinct()
+      .as[Long].collect().toSeq
+    LshIndex.buildGen(a, "lshrb", buckets = 8)
+    LshIndex.appendHot(b1, "lshrb")
+    LshIndex.appendHot(b2, "lshrb")
+    // the layout invariants the oracle's constant-1 column rests on:
+    // a fresh build is one file per non-empty bucket; each
+    // onePerBucket append stacks exactly one more
+    assert(statsBy("cold") == Seq(1L), "fresh build must be depth 1")
+    assert(statsBy("hot") == Seq(2L), "two appends must be depth 2")
+    val before = pairs()
+    assert(before.nonEmpty)
+    // a live tombstone rides through the migration
+    val victim = before.map(_._1).head
+    LshIndex.delete(Seq(victim).toDF("doc_id"), "lshrb")
+    val pre = pairs()
+    assert(pre == before.filterNot(_._1 == victim))
+    LshIndex.rebucket(spark, "lshrb", 32)
+    for (t <- Seq(LshIndex.setsTable("lshrb"), LshIndex.bandsTable("lshrb"),
+        LshIndex.hotSetsTable("lshrb"), LshIndex.hotBandsTable("lshrb"))) {
+      spark.catalog.refreshTable(t)
+      assert(graft.sources.Bucketed.bucketCount(spark, t) == 32,
+        s"$t must carry the new bucket spec")
+    }
+    // the rewrite collapses append depth back to 1 under the new spec
+    assert(statsBy("cold") == Seq(1L) && statsBy("hot") == Seq(1L))
+    assert(pairs() == pre, "rebucket must not change any answer")
+    assert(LshIndex.tombstoneCount(spark, "lshrb") == 1L,
+      "tombstones survive the migration verbatim")
+    // the migrated index still runs a full cycle, and a rebucket
+    // mid-merge is refused (the staged merge slices under the old
+    // count)
+    LshIndex.rotateHot(spark, "lshrb")
+    val err = intercept[IllegalArgumentException](
+      LshIndex.rebucket(spark, "lshrb", 8))
+    assert(err.getMessage.contains("merge in flight"))
+    LshIndex.mergeStage(spark, "lshrb", slices = 4)
+    LshIndex.mergeCommit(spark, "lshrb")
+    assert(pairs() == pre, "post-migration merge cycle must not change answers")
+    assert(graft.sources.Bucketed.bucketCount(spark,
+      LshIndex.setsTable("lshrb")) == 32)
   }
 }

@@ -85,6 +85,58 @@ class LshMaintenanceSpec extends SparkSpec {
       "tombstoned rows must be physically gone after the routed purge")
   }
 
+  test("requestRebucket defers around an in-flight merge, then migrates on the trigger thread") {
+    val name = "lshmaint_rb"
+    LshIndex.buildGen((0L until 20L).map(doc).toDF("doc_id", "text"), name, 8)
+    val exec = deferred
+    val maint = new LshMaintenance(spark, name, exec)
+    LshIndex.appendHot(Seq(doc(100L)).toDF("doc_id", "text"), name)
+    maint.rotateAndStage(spark, hotFractionPm = 0L)
+    maint.requestRebucket(16)
+    // merge staging: the migration must DEFER (the staged merge
+    // slices files under the OLD bucket count)
+    maint.maybeCommit(spark)
+    assert(maint.rebucketIsPending &&
+      graft.sources.Bucketed.bucketCount(spark, LshIndex.setsTable(name)) == 8,
+      "rebucket must not run while a merge is in flight")
+    exec.runAll()
+    // post-commit trigger: commit lands, then the migration runs —
+    // same thread, between merges
+    maint.maybeCommit(spark)
+    assert(!maint.rebucketIsPending)
+    Seq(LshIndex.setsTable(name), LshIndex.bandsTable(name),
+        LshIndex.hotSetsTable(name), LshIndex.hotBandsTable(name))
+      .foreach { t =>
+        spark.catalog.refreshTable(t)
+        assert(graft.sources.Bucketed.bucketCount(spark, t) == 16,
+          s"$t must carry the migrated spec")
+      }
+    assert(spark.table(LshIndex.setsTable(name)).count() == 21L,
+      "migration must not lose rows")
+  }
+
+  test("recover re-arms a pending purge from surviving tombstones (restart-durable reclaim)") {
+    import spark.implicits._
+    val name = "lshmaint_rearm"
+    LshIndex.buildGen((0L until 10L).map(doc).toDF("doc_id", "text"), name)
+    LshIndex.delete(Seq(3L).toDF("doc_id"), name)
+    // restart between requestPurge and the next safe trigger: the
+    // volatile flag is gone, but the tombstones ARE the durable request
+    val maint = new LshMaintenance(spark, name, deferred)
+    maint.recover()
+    assert(maint.purgeIsPending,
+      "recover must re-arm the purge while tombstones survive")
+    maint.maybeCommit(spark)
+    assert(!maint.purgeIsPending && LshIndex.tombstoneCount(spark, name) == 0L)
+    spark.catalog.refreshTable(LshIndex.setsTable(name))
+    assert(!spark.table(LshIndex.setsTable(name))
+      .select("doc_id").as[Long].collect().contains(3L))
+    // and with nothing tombstoned, recover arms nothing
+    val maint2 = new LshMaintenance(spark, name, deferred)
+    maint2.recover()
+    assert(!maint2.purgeIsPending)
+  }
+
   test("empty-hot guard and commit ordering with an explicit executor") {
     val name = "lshmaint_empty"
     LshIndex.buildGen((0L until 8L).map(doc).toDF("doc_id", "text"), name)

@@ -641,6 +641,95 @@ class DocStreamSpec extends SparkSpec {
       Set(901L, 902L, 903L, 904L))
   }
 
+  test("requestPurge under a LIVE ingestGen stream: defers in-flight, lands post-commit, gates stay correct throughout") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.{LshIndex, LshMaintenance}
+    val name = "ingestgen_purge_idx"
+    val evalDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val seedText =
+      "the history corpus keeps many distinct tokens and each one is meaningful here " * 3
+    val otherSeed =
+      "a different second seed whose vocabulary shares nothing kappa lambda mu nu xi omicron " * 3
+    def fresh(i: Int) =
+      s"original streaming payload number $i with quite useful words inside " +
+        s"and unique trailing tokens epsilon$i zeta$i eta$i theta$i " * 3
+    LshIndex.buildGen(
+      Seq((1L, seedText), (2L, otherSeed)).toDF("doc_id", "text"), name)
+    val maint = new LshMaintenance(spark, name, mergeSlices = 8)
+    val corpusDir =
+      Files.createTempDirectory("ingestgen_p_corpus").toString + "/corpus"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    val q = DocStream.ingestGen(docs, evalDocs, name, corpusDir, maint,
+        rotateEvery = 1)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      // trigger 1: fresh docs admit (the seed near-dup texts must NOT
+      // appear here — the stream's own exact/sketch dedup state would
+      // then eat their trigger-2 reappearance before the history gate
+      // ever saw it); batch 0 rotates, so a REAL background merge is
+      // in flight afterwards
+      mem.addData((101L, fresh(0), ts(10)), (102L, fresh(1), ts(20)))
+      q.processAllAvailable()
+      assert(maint.mergeInFlight, "batch 0 must have rotated into a merge")
+      // the takedown arrives MID-MERGE: tombstone seed 1, request the
+      // physical reclaim from this (non-trigger) thread
+      LshIndex.delete(Seq(1L).toDF("doc_id"), name)
+      maint.requestPurge()
+      assert(maint.purgeIsPending)
+      // trigger 2: the LOGICAL delete must already act — a near-dup of
+      // the tombstoned seed admits, one of the live seed still drops —
+      // whether or not the purge has landed yet
+      mem.addData((201L, "dup " + seedText, ts(30)),
+        (202L, "dup " + otherSeed, ts(40)))
+      q.processAllAvailable()
+      // drive triggers until the purge lands (stage completes on the
+      // daemon; the first post-commit trigger runs commit THEN purge)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var i = 0L
+      while (maint.purgeIsPending && System.nanoTime() < deadline) {
+        mem.addData((300L + i, fresh(10 + i.toInt), ts(50 + i)))
+        q.processAllAvailable()
+        i += 1
+      }
+      assert(!maint.purgeIsPending,
+        "purge never landed on a post-commit trigger")
+    } finally {
+      q.stop(); maint.close()
+    }
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    // gate decisions were right at every trigger: 201 admitted (seed 1
+    // tombstoned — the logical delete acted), 202 dropped (seed 2
+    // still live)
+    val stored = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored.contains(101L) && stored.contains(102L) &&
+      stored.contains(201L) && !stored.contains(202L), s"got $stored")
+    // the purged doc is PHYSICALLY absent from every generation of
+    // both table families, and the tombstones are gone with it
+    val tables = Seq(
+      LshIndex.setsTable(name), LshIndex.mergingSetsTable(name),
+      LshIndex.hotSetsTable(name), LshIndex.bandsTable(name),
+      LshIndex.mergingBandsTable(name), LshIndex.hotBandsTable(name))
+      .filter(spark.catalog.tableExists)
+    tables.foreach(spark.catalog.refreshTable)
+    for (t <- tables)
+      assert(!spark.table(t).select("doc_id").as[Long].collect().contains(1L),
+        s"purged doc_id 1 still physically present in $t")
+    assert(LshIndex.tombstoneCount(spark, name) == 0L)
+    // and the index still answers: the surviving seed and the admitted
+    // docs match, the purged seed matches nothing
+    val probe = Seq((901L, "dup " + otherSeed), (902L, "dup " + fresh(1)),
+      (903L, "dup " + seedText)).toDF("doc_id", "text")
+    val hits = LshIndex.queryGen(probe, name)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(hits.map(_._2).contains(901L) && hits.map(_._2).contains(902L))
+    assert(!hits.exists(_._1 == 1L), "purged doc must match nothing")
+    // 903 may match 201 (itself an admitted near-dup of the old seed)
+    // but never the purged seed — asserted by the doc_a check above
+  }
+
   /** An ExecutorService that HOLDS submitted tasks until the test
     * releases them — how a merge is made to span several triggers
     * deterministically. */
