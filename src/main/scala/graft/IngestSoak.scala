@@ -88,11 +88,23 @@ object IngestSoak {
     // index bucket count — the PARALLELISM knob, not just layout: a
     // bucketed scan cannot split a bucket across tasks, so the gate's
     // corpus-side probe joins AND the merge's per-bucket write stage
-    // run at most `buckets`-wide. The historical default (8) caps a
-    // multi-million-row corpus at 8 of 32 cores on exactly the paths
-    // that grow with corpus size; at cluster scale buckets are sized
-    // to total cores × a small multiple.
-    val buckets = sys.env.getOrElse("INGEST_BUCKETS", "8").toInt
+    // run at most `buckets`-wide. The r16 historical default (8)
+    // capped a multi-million-row corpus at 8 of 32 cores on exactly
+    // the paths that grow with corpus size (measured: 92% of a 20 k
+    // feed with 124 s merge windows at 8 buckets vs 95.7% with all
+    // batches ≤27 s at 32); the default now follows
+    // LshIndex.defaultBuckets' sizing rule — max(8, cores). At
+    // cluster scale buckets are sized to total cores × a small
+    // multiple, passed explicitly.
+    val buckets = sys.env.get("INGEST_BUCKETS").map(_.toInt)
+      .getOrElse(math.max(8, cpus))
+    // INGEST_REBUCKET_FROM=n seeds the index at n buckets and then
+    // MIGRATES it to `buckets` via LshIndex.rebucket before the
+    // stream starts — the sweep's proof that a live index built at
+    // the historical default reaches the sizing rule without a
+    // from-scratch rebuild (the measured leg then runs entirely on
+    // the migrated layout, so its numbers vouch for it)
+    val rebucketFrom = sys.env.get("INGEST_REBUCKET_FROM").map(_.toInt)
     val outPath = sys.env.getOrElse("INGEST_OUT", "artifacts/INGEST_SOAK.jsonl")
 
     // every temp dir this run creates, deleted at exit: a 600 s 20 k
@@ -173,8 +185,15 @@ object IngestSoak {
     val seeds = spark.range(nSeeds.toLong)
       .select(col("id").as("doc_id"),
         CurateSoak.docText(col("id") + 555000L).as("text"))
-    if (generational) graft.llm.LshIndex.buildGen(seeds, "ingest_soak_idx", buckets)
-    else graft.llm.LshIndex.build(seeds, "ingest_soak_idx", buckets)
+    rebucketFrom match {
+      case Some(from) =>
+        if (generational) graft.llm.LshIndex.buildGen(seeds, "ingest_soak_idx", from)
+        else graft.llm.LshIndex.build(seeds, "ingest_soak_idx", from)
+        graft.llm.LshIndex.rebucket(spark, "ingest_soak_idx", buckets)
+      case None =>
+        if (generational) graft.llm.LshIndex.buildGen(seeds, "ingest_soak_idx", buckets)
+        else graft.llm.LshIndex.build(seeds, "ingest_soak_idx", buckets)
+    }
 
     // tiny static eval corpus for the Bloom gate
     val evalDocs = (0L until 20L).toDF("doc_id")
@@ -266,14 +285,56 @@ object IngestSoak {
       }
     }
 
+    // INGEST_JOB_TIMELINE_OUT: per-JOB timeline of the measured window
+    // (jobId, scheduler pool, start/end) — the direct evidence for the
+    // FAIR-interleaving claim the sliced merge design rests on: under
+    // per-bucket slicing the maintenance pool's O(corpus) merge is K
+    // bounded jobs, and trigger-pool jobs must be observed STARTING
+    // and FINISHING inside the merge window (between slice jobs), not
+    // queued behind one monolithic all-cores job. Registered after
+    // warmup so the timeline covers exactly the measured window.
+    val timelineOut = sys.env.get("INGEST_JOB_TIMELINE_OUT")
+    val jobLog = timelineOut.map { p =>
+      Option(new File(p).getAbsoluteFile.getParentFile).foreach(_.mkdirs())
+      new PrintWriter(new File(p))
+    }
+    val jobStarts =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val pool = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.scheduler.pool")))
+          .getOrElse("default")
+        jobStarts.put(e.jobId, (e.time, pool))
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        Option(jobStarts.remove(e.jobId)).foreach { case (t0, pool) =>
+          jobLog.foreach(l => l.synchronized(l.println(
+            s"""{"job":${e.jobId},"pool":"$pool","start_ms":$t0,""" +
+              s""""end_ms":${e.time}}""")))
+        }
+    }
+    jobLog.foreach(_ => spark.sparkContext.addSparkListener(jobListener))
+
     spark.streams.addListener(listener)
     val corpusDir = tempDir("ingest_soak_corpus") + "/corpus"
     val ckpt = tempDir("ingest_soak_ckpt")
     val mainFeed = mkFeed(rate, 10000000L, 555000L)
+    // held in a val and CLOSED after the stream stops, same reasoning
+    // as the warmup leg's: q.stop() does not stop a mid-stage
+    // O(corpus) merge on the maintenance daemon, which would keep
+    // burning cores through the ground-truth corpus/index counts
+    // below — and a staging failure would otherwise be silently
+    // swallowed with the future
+    val mainMaint =
+      if (generational)
+        Some(new graft.llm.LshMaintenance(spark, "ingest_soak_idx"))
+      else None
     val q = (if (generational)
       graft.streaming.DocStream.ingestGen(mainFeed, evalDocs,
-        "ingest_soak_idx", corpusDir,
-        new graft.llm.LshMaintenance(spark, "ingest_soak_idx"),
+        "ingest_soak_idx", corpusDir, mainMaint.get,
         watermark = watermark, rotateEvery = rotateEvery)
     else
       graft.streaming.DocStream.ingest(mainFeed, evalDocs, "ingest_soak_idx",
@@ -286,8 +347,15 @@ object IngestSoak {
     // EXPECTED way to end a saturated run, not a reason to lose the
     // summary, so swallow it and let the measured series speak
     try Thread.sleep(seconds * 1000L)
-    finally scala.util.Try(q.stop())
+    finally {
+      scala.util.Try(q.stop())
+      mainMaint.foreach(m => scala.util.Try(m.close()))
+    }
     spark.streams.removeListener(listener)
+    jobLog.foreach { l =>
+      spark.sparkContext.removeSparkListener(jobListener)
+      l.synchronized(l.close())
+    }
     log.synchronized(log.close())
 
     // ground truth from the stores the loop wrote. A saturated run can
@@ -328,7 +396,7 @@ object IngestSoak {
       s""""watermark":"$watermark","state_plateau":$statePlateau,""" +
       s""""compact_every":$compactEvery,"generational":$generational,""" +
       s""""rotate_every":$rotateEvery,"warmup_seconds":$warmupSeconds,""" +
-      s""""buckets":$buckets,""" +
+      s""""buckets":$buckets,"rebucket_from":${rebucketFrom.getOrElse(0)},""" +
       s""""cpus":$cpus,"seed_docs":$nSeeds,"batches":${rates.length},""" +
       s""""input_rows":$inputRows,"corpus_rows":$corpusRows,""" +
       s""""index_rows":$indexRows,""" +
