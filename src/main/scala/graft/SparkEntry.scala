@@ -465,6 +465,25 @@ object SparkEntry {
           concat(lit("dup "), col("text")).as("text"))
       LshIndex.query(batch, "lsh_del")
     }),
+    // bucket-count migration mid-lifecycle: rebucket doubles the
+    // index's parallelism ceiling (the bucketed tables are rewritten
+    // under the new count via the staged-swap machinery) and must be
+    // invisible to answers — same oracle as lsh_delete_query, with a
+    // live tombstone riding through the migration. The oracle-checked
+    // form of the op GenerationalLshSpec pins generationally.
+    "lsh_rebucket_query" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val name = "lsh_rebucket_oracle"
+      LshIndex.build(d, name, lshOracleBuckets)
+      LshIndex.delete(
+        d.filter(pmod(col("doc_id"), lit(20)) === 0).select("doc_id"),
+        name)
+      LshIndex.rebucket(s, name, lshOracleBuckets * 2)
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("dup "), col("text")).as("text"))
+      LshIndex.query(batch, name)
+    }),
     // the physical half: purge rewrites without tombstoned rows; the
     // query answer is identical (same oracle)
     "lsh_purge_query" -> ((s, dir) => {
@@ -1174,6 +1193,8 @@ object SparkEntry {
     "lsh_gen_query" -> OraclesLlm.lshIndexQuery,
     "lsh_gen_stats" -> OraclesLlm.lshGenStats,
     "lsh_delete_query" -> OraclesLlm.lshDeleteQuery,
+    // rebucketing is pure layout: the answer is lsh_delete_query's
+    "lsh_rebucket_query" -> OraclesLlm.lshDeleteQuery,
     "lsh_purge_query" -> OraclesLlm.lshDeleteQuery,
     "lsh_history_gate" -> OraclesLlm.lshHistoryGate,
     "lsh_bucket_stats" -> OraclesLlm.lshBucketStats,

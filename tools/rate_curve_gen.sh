@@ -50,8 +50,26 @@ OUT=artifacts/INGEST_RATE_CURVE.json
 TMP=$(mktemp -d)
 mkdir -p knee_r17
 for r in "${RATES[@]}"; do
-  echo "=== host probe before rate $r (gate: parallel <= 1.4s) ==="
-  python3 tools/host_probe.py 1.4 32 | tee "$TMP/probe_$r.json"
+  # two-reading stability gate at parallel <= 1.28 (r17 postmortem:
+  # a single reading at the old 1.4 threshold admitted a degraded
+  # window - probe 0.83/1.40, the r16 discard window's exact shape -
+  # and the 600 s 15k leg collapsed to 49% of feed; a same-day 150 s
+  # A/B on r16-close code collapsed identically, so the host, not the
+  # code. Healthy days read 1.10-1.22 parallel; degraded windows also
+  # WOBBLE, so one clean reading is not enough.)
+  echo "=== host probe before rate $r (gate: two readings, parallel <= 1.28) ==="
+  tries=0
+  until python3 tools/host_probe.py 1.28 32 | tee "$TMP/probe_$r.json" \
+        && sleep 20 \
+        && python3 tools/host_probe.py 1.28 32 | tee "$TMP/probe_${r}_b.json"; do
+    tries=$((tries + 1))
+    if [ "$tries" -ge 8 ]; then
+      echo "host never reached two stable readings <= 1.28 after $tries waits; aborting remaining legs" >&2
+      break 2
+    fi
+    echo "probe over gate; waiting 180s (attempt $tries/8)" >&2
+    sleep 180
+  done
   EXTRA_ENV=()
   if [ "$r" = "20000" ]; then
     # the rebucket-migration leg + job-timeline leg
@@ -89,7 +107,12 @@ def load_probe(path):
 
 rows = []
 for r in rates:
-    d = json.load(open(f"{tmp}/summary_{r}.json"))
+    # a leg skipped by the probe gate's abort has no summary; keep the
+    # completed legs' aggregation instead of losing the whole artifact
+    try:
+        d = json.load(open(f"{tmp}/summary_{r}.json"))
+    except Exception:
+        continue
     rows.append({
         "feed_docs_per_sec": d["feed_docs_per_sec"],
         "seconds": d["seconds"],
@@ -105,6 +128,7 @@ for r in rates:
         "corpus_rows": d["corpus_rows"],
         "state_plateau": d["state_plateau"],
         "host_probe_before": load_probe(f"{tmp}/probe_{r}.json"),
+        "host_probe_before_b": load_probe(f"{tmp}/probe_{r}_b.json"),
         # strict form: ordinary batches hold the 15 s contract
         # (reference: the 15 s micro-batch)
         "holds_15s_trigger_p95": d["batch_latency_p95_ms"] < 15000,
