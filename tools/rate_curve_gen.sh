@@ -175,6 +175,11 @@ doc = {"metric": "ingest_rate_curve",
                "the stream starts, so the rated layout is also the "
                "live-migration product.",
        "rates": rows}
+if not rows:
+    # every leg was gate-aborted: keep the previous rated artifact
+    # rather than replacing it with an empty curve
+    print("no completed legs; leaving", out, "untouched")
+    sys.exit(0)
 open(out, "w").write(json.dumps(doc, indent=1) + "\n")
 print(json.dumps(doc, indent=1))
 EOF
