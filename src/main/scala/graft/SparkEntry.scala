@@ -876,6 +876,17 @@ object SparkEntry {
       Similarity.ivfPqResTopK(Tables.embeddings(s, dir), nprobe = 3)),
     "ivfpq_recall_res_p3" -> ((s, dir) =>
       Similarity.ivfPqResRecall(Tables.embeddings(s, dir), nprobe = 3)),
+    // bucket-count migration on the vector side: AnnIndex.rebucket is
+    // pure layout (cent_id content untouched), so build(8) →
+    // rebucket(16) → query-from-disk must still reproduce the
+    // in-memory ivf_topk oracle row-for-row — the oracle-checked form
+    // of the op AnnIndexSpec pins through the full lifecycle
+    "ann_rebucket_query" -> ((s, dir) => {
+      val name = "ann_rebucket_oracle"
+      AnnIndex.build(Tables.embeddings(s, dir), name, buckets = 8)
+      AnnIndex.rebucket(s, name, 16)
+      AnnIndex.query(s, name)
+    }),
     // index-maintenance observability: per-cell size/share/skew — the
     // rebuild-vs-append decision signal
     "ann_cell_stats" -> ((s, dir) =>
@@ -1290,6 +1301,8 @@ object SparkEntry {
     "ivfpq_recall_res" -> OraclesLlm.ivfPqResRecall,
     "ivfpq_topk_res_p3" -> OraclesLlm.ivfPqResTopKP3,
     "ivfpq_recall_res_p3" -> OraclesLlm.ivfPqResRecallP3,
+    // rebucketing is pure layout: the answer is ivf_topk's
+    "ann_rebucket_query" -> OraclesLlm.ivfTopK,
     "ann_cell_stats" -> OraclesLlm.annCellStats,
     "ann_drift_stats" -> OraclesLlm.annDriftStats,
     "ann_maintenance_plan" -> OraclesLlm.annMaintenancePlan,

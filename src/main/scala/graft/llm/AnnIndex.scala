@@ -206,6 +206,31 @@ object AnnIndex {
       spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(name)}")
     }
 
+  /** MIGRATE a live ANN index to a new bucket count —
+    * [[graft.llm.LshIndex.rebucket]]'s twin for the vector side, and
+    * the same measured rationale: a bucketed scan cannot split a
+    * bucket across tasks, so bucket count caps the full-index
+    * maintenance rewrites ([[recluster]]/[[purgeDeleted]] write
+    * `buckets`-wide) and any un-pruned cells scan, while an index
+    * built at the historical default (8) could otherwise only reach a
+    * cores-sized count by re-quantizing the whole corpus. Every
+    * per-vector bucketed table (cells, and the codes/resCodes halves
+    * when present) is staged under the new count via
+    * [[graft.sources.Bucketed.rewriteInPlace]] (identity transform —
+    * `cent_id` content is untouched, this is pure layout) and swapped
+    * in by the standard RENAME-RENAME-DROP; the parameter tables
+    * (centroids, codebooks) and tombstones are unbucketed and survive
+    * verbatim. Queries answer identically before and after —
+    * AnnIndexSpec pins 8→32 with tombstones live. */
+  def rebucket(spark: SparkSession, name: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    Seq(cellsTable(name), codesTable(name), resCodesTable(name))
+      .filter(spark.catalog.tableExists).foreach { t =>
+        graft.sources.Bucketed.rewriteInPlace(spark, t, "cent_id", identity,
+          newBuckets = newBuckets)
+      }
+  }
+
   /** Re-run Lloyd over the LIVE stored vectors, warm-started from the
     * STORED centroids, and rewrite the per-vector tables under the new
     * assignment — the maintenance answer to append drift: [[append]]

@@ -407,4 +407,45 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.recluster(spark, "annspec_rcres"))
     assert(err.getMessage.contains("residual"))
   }
+
+  test("rebucket 8→32 mid-lifecycle: identical answers with tombstones live; appends and purge inherit the new spec") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not present")
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    val first = emb.filter(col("vec_id") < 400)
+    val rest = emb.filter(col("vec_id") >= 400)
+    AnnIndex.buildPq(first, "annspec_rb", buckets = 8)
+    val victims = emb.filter(col("vec_id") >= 100 &&
+      pmod(col("vec_id"), lit(7)) === 3).select("vec_id")
+    AnnIndex.delete(victims, "annspec_rb")
+    val before = rows(AnnIndex.queryPq(spark, "annspec_rb"))
+    AnnIndex.rebucket(spark, "annspec_rb", 32)
+    for (t <- Seq(AnnIndex.cellsTable("annspec_rb"),
+        AnnIndex.codesTable("annspec_rb"))) {
+      spark.catalog.refreshTable(t)
+      assert(graft.sources.Bucketed.bucketCount(spark, t) == 32,
+        s"$t must carry the migrated spec")
+    }
+    // pure layout: answers identical, tombstones survive verbatim
+    assert(rows(AnnIndex.queryPq(spark, "annspec_rb")) == before)
+    assert(spark.catalog.tableExists(
+      AnnIndex.tombstonesTable("annspec_rb")))
+    // the migrated index still runs its lifecycle: appends land under
+    // the stored (new) spec, purge rewrites at the new parallelism
+    AnnIndex.appendPq(rest, "annspec_rb")
+    AnnIndex.buildPq(emb, "annspec_rb_ref", buckets = 8)
+    AnnIndex.delete(victims, "annspec_rb_ref")
+    val full = rows(AnnIndex.queryPq(spark, "annspec_rb"))
+    assert(full == rows(AnnIndex.queryPq(spark, "annspec_rb_ref")),
+      "append-after-rebucket must equal the never-rebucketed reference")
+    AnnIndex.purgeDeleted(spark, "annspec_rb")
+    assert(rows(AnnIndex.queryPq(spark, "annspec_rb")) == full)
+    assert(graft.sources.Bucketed.bucketCount(spark,
+      AnnIndex.cellsTable("annspec_rb")) == 32,
+      "purge's rewrite must preserve the migrated spec")
+  }
 }
