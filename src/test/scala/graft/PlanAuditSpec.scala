@@ -208,6 +208,11 @@ class PlanAuditSpec extends SparkSpec {
       "embedding_dedup_recall" -> (3, "probe+params (SRP planes)"),
       "semantic_dedup" -> (6, "probe+params (SRP planes)"),
       "semantic_dedup_stats" -> (6, "probe+params (SRP planes)"),
+      // persisted-index read path: probes = Filter(vec_id < 5) ⋈
+      // broadcast(stored centroids, ≤ 16 rows by the k-means k) —
+      // the table-read twin of ivf_topk's probe+params, minus the
+      // in-query seed/refine loops
+      "ann_rebucket_query" -> (1, "probe+params (stored centroids)"),
       "ivf_topk" -> (2, "probe+params"),
       "ivf_topk_p3" -> (2, "probe+params"),
       "ivf_topk_km" -> (4, "probe+params, ×Lloyd rounds"),
