@@ -18,6 +18,16 @@ import graft.text.TextOps
   */
 object SparkEntry {
 
+  /** NOTE on [[Tables.spread]] (the under-split guard, guide §2.5):
+    * it is applied SURGICALLY inside the few operators whose map-side
+    * derivation dominates (LangModel n-gram trainers, Dedup.shingleSets)
+    * — NOT here for every docs consumer. The same-session A/B of a
+    * blanket docs-level spread measured a net LOSS: every broadcast
+    * build over docs pays the extra exchange+stage (bm25_topk
+    * 0.46 → 0.94 s, image_dhash 0.46 → 1.15 s) and every trivial
+    * consumer pays ~70 ms (sample_docs 0.087 → 0.158 s), while the
+    * heavy-derivation wins were already captured by the surgical
+    * placements. */
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
   /** Bucket count for the in-query LSH index fixtures below. These

@@ -14,6 +14,40 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Unsplittable-input guard (optimization guide §2.5 "input skew:
+    * one huge unsplittable file", §6 split sizing), applied SURGICALLY
+    * at operator inputs whose map-side derivation is the query's
+    * dominant cost — never blanket: when the scan yields fewer slices
+    * than the session has cores, every map-side operator above it
+    * (tokenize/shingle/explode, regex chains, partial aggregation)
+    * runs serialized on those few tasks while the rest of the machine
+    * idles. The driver-generated tables are exactly that shape: one
+    * parquet file with ONE row group per table (verified with
+    * pyarrow), so no split config can ever parallelize the read —
+    * measured on kn_surprisal at sf0.1, the two corpus-derivation
+    * broadcast builds ran as 1-task stages of ~5 s CPU each with 31
+    * cores idle.
+    *
+    * When under-split, redistribute ONCE right after the read — on a
+    * production-layout table (100 TB = thousands of splits) the guard
+    * never fires and this is the identity; locally it unlocks
+    * full-width map-side parallelism for one round-robin exchange of
+    * the (column-pruned, filter-pushed — Catalyst pushes both through
+    * a Repartition) scan output. NOT applied inside [[apply]] for all
+    * queries: the same-session A/B measured it a clear LOSS on queries
+    * whose per-row work is cheap (q6_forecast 0.24→1.17 s — the
+    * round-robin exchange plus its retry-determinism sort costs more
+    * than it parallelizes) and a ~2× win on corpus-derivation queries
+    * (kn_surprisal 7.3→3.8 s, bigram_surprisal 5.7→3.0 s), so each
+    * call site is individually measured. Results are unaffected: the
+    * registry bans nondeterministic row functions (no rand()/sample()/
+    * monotonically_increasing_id), and the full oracle record is
+    * re-checked green after every adoption. */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "customer")

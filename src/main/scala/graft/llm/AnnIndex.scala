@@ -356,10 +356,13 @@ object AnnIndex {
       // threshold (the r14 fixture showed the threshold-only policy
       // reclustering forever). One cells-sized aggregate, integer-
       // exact, 1 row.
-      val nCent = spark.table(centsT).count()
+      // the centroid count rides the write's own plan as a 1-row
+      // broadcast (no separate driver count job — guide §1.2)
       spark.table(cellsT)
         .groupBy("cent_id").agg(count(lit(1)).as("n"))
-        .agg(expr(s"(1000 * max(n) * $nCent) div sum(n)")
+        .agg(max("n").as("max_n"), sum("n").as("sum_n"))
+        .join(broadcast(spark.table(centsT).agg(count(lit(1)).as("n_cent"))))
+        .select(expr("(1000 * max_n * n_cent) div sum_n")
           .cast("long").as("baseline_skew_pm"))
         .write.mode("overwrite").format("parquet")
         .saveAsTable(baselineTable(name))
@@ -494,12 +497,28 @@ object AnnIndex {
     * caller parameter — a stale/wrong caller value would silently
     * rescale skew_pm and mask a hot cell. */
   def cellStats(spark: SparkSession, name: String): DataFrame = {
-    val nCentroids = spark.table(centroidsTable(name)).count().toInt
-    Similarity.cellStatsFromCells(
-      spark.table(cellsTable(name)), nCentroids)
-      // purge debt ([[LshIndex.bucketStats]]'s twin column): tombstoned
-      // vectors still physically present in every probed cell
-      .withColumn("n_tombstones", lit(tombstoneCount(spark, name)))
+    // the centroid count and the purge debt ride the RETURNED plan as
+    // 1-row broadcast aggregates instead of driver-side scalar jobs:
+    // the old form paid two extra full actions (a centroids count and
+    // a tombstones count) before the consumer's own — for a signal a
+    // maintenance scheduler polls on a cadence, that is 3× the jobs
+    // (and at scale 3× the query-launch latency) for identical rows
+    // (optimization guide §1.2: remove passes first)
+    val nCent = spark.table(centroidsTable(name))
+      .agg(count(lit(1)).as("n_cent"))
+    val tombs = tombstones(spark, name)
+      .map(_.agg(count(lit(1)).as("n_tombstones")))
+      .getOrElse(spark.range(1).select(lit(0L).as("n_tombstones")))
+    val counts = spark.table(cellsTable(name))
+      .groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+    counts.join(broadcast(counts.agg(sum("n_vecs").as("total"))))
+      .join(broadcast(nCent)).join(broadcast(tombs))
+      .select(col("cent_id"), col("n_vecs"),
+        expr("(1000 * n_vecs) div total").as("share_pm"),
+        expr("(1000 * n_vecs * n_cent) div total").as("skew_pm"),
+        // purge debt ([[LshIndex.bucketStats]]'s twin column):
+        // tombstoned vectors still physically present in every cell
+        col("n_tombstones"))
   }
 
   /** Pending tombstones (0 when no delete has happened, or right
@@ -538,25 +557,46 @@ object AnnIndex {
                       skewThresholdPm: Long = 2500,
                       tombstoneThresholdPm: Long = 100,
                       hysteresisPm: Long = 1250): DataFrame = {
-    val nCentroids = spark.table(centroidsTable(name)).count().toInt
-    val nTomb = tombstoneCount(spark, name)
-    // 1-row baseline read — integer floor-div matches DuckDB's `//`
-    val effThreshold =
+    // every input scalar (centroid count, purge debt, hysteresis
+    // baseline) rides the RETURNED plan as a 1-row broadcast aggregate
+    // instead of a driver-side scalar job: the old form paid THREE
+    // extra full actions before the consumer's own — this is the
+    // decision surface a scheduler polls every cadence tick, so poll
+    // cost is 1 job, not 4 (guide §1.2: remove passes first; §5: the
+    // driver should do almost no data work). Integer arithmetic is
+    // unchanged (all operands non-negative, Long `div` ≡ the old
+    // Scala `*`/`/`), so the oracle-checked decision bits are
+    // identical.
+    val nCent = spark.table(centroidsTable(name))
+      .agg(count(lit(1)).as("n_cent"))
+    val tombs = tombstones(spark, name)
+      .map(_.agg(count(lit(1)).as("n_tomb")))
+      .getOrElse(spark.range(1).select(lit(0L).as("n_tomb")))
+    // hysteresis baseline as a 1-row aggregate: NULL when the index was
+    // never reclustered (no table) — `greatest` skips NULLs, so the
+    // effective threshold falls back to the plain skewThresholdPm,
+    // exactly the old branch
+    val base =
       if (spark.catalog.tableExists(baselineTable(name)))
-        math.max(skewThresholdPm,
-          spark.table(baselineTable(name)).head().getLong(0)
-            * hysteresisPm / 1000)
-      else skewThresholdPm
+        spark.table(baselineTable(name))
+          .agg(max("baseline_skew_pm").as("baseline_skew_pm"))
+      else spark.range(1)
+        .select(lit(null).cast("long").as("baseline_skew_pm"))
     spark.table(cellsTable(name))
       .groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
       .agg(max("n_vecs").as("max_cell"), sum("n_vecs").as("total"))
+      .join(broadcast(nCent)).join(broadcast(tombs)).join(broadcast(base))
       .select(
-        expr(s"(1000 * max_cell * $nCentroids) div total").as("max_skew_pm"),
-        expr(s"(1000 * $nTomb) div total").as("tombstone_pm"))
+        expr("(1000 * max_cell * n_cent) div total").as("max_skew_pm"),
+        expr("(1000 * n_tomb) div total").as("tombstone_pm"),
+        greatest(lit(skewThresholdPm),
+          expr(s"(baseline_skew_pm * $hysteresisPm) div 1000"))
+          .as("eff_threshold"))
       .withColumn("action",
-        when(col("max_skew_pm") >= effThreshold, lit("recluster"))
+        when(col("max_skew_pm") >= col("eff_threshold"), lit("recluster"))
           .when(col("tombstone_pm") >= tombstoneThresholdPm, lit("purge"))
           .otherwise(lit("none")))
+      .drop("eff_threshold")
   }
 
   /** Collapse append fragmentation: rewrite every APPENDABLE table of

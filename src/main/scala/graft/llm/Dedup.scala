@@ -189,7 +189,14 @@ object Dedup {
     * all-[[Prime]] signature — i.e. all of them colliding in every band
     * and passing the Jaccard filter vacuously at 0/0. */
   def shingleSets(docs: DataFrame): DataFrame =
-    docs
+    // under-split guard (guide §2.5; [[graft.Tables.spread]]): the
+    // token/shingle hashing below is the expensive map-side derivation
+    // of the whole MinHash/LSH/set-sim stack, and an under-split input
+    // (single-row-group parquet locally; an unsplittable file anywhere)
+    // serializes it on one task. No-op whenever the scan already has
+    // cores-many slices — incl. every ingest-loop micro-batch, whose
+    // file sources are sized files-per-trigger ≥ cores.
+    graft.Tables.spread(docs)
       // equivalent to size(sh) > 0, but checked on the raw token count
       // BEFORE any hashing: a filter on the projected `sh` would be
       // predicate-pushed below the projection, re-inlining the whole

@@ -36,8 +36,11 @@ object LangModel {
     * documents drop (no rate to score), same contract as
     * [[TextAnalysis.hashVectors]].
     */
-  def unigramSurprisal(docs: DataFrame,
+  def unigramSurprisal(docs0: DataFrame,
                        keepMaxMillibits: Long = 4030L): DataFrame = {
+    // under-split inputs serialize the tokenize+explode map work on one
+    // task (guide §2.5; see [[graft.Tables.spread]]) — redistribute once
+    val docs = graft.Tables.spread(docs0)
     val dt = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("token"))
     val tf = dt.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -104,9 +107,15 @@ object LangModel {
     * sf0.1 — made the query ~25% SLOWER, not faster; the aggregated
     * relation's accurate size stats and partial-agg row reduction
     * beat the saved exchange. The pre-agg stays.) */
-  def bigramSurprisal(trainDocs: DataFrame, scoreDocs: DataFrame,
+  def bigramSurprisal(trainDocs0: DataFrame, scoreDocs0: DataFrame,
                       penaltyBits: Long = 3L,
                       keepMaxMillibits: Long = 4500L): DataFrame = {
+    // both corpora pay a heavy per-doc derivation (tokenize + bigram
+    // explode) before any shuffle; under-split inputs serialize it on
+    // one task (guide §2.5; [[graft.Tables.spread]]). Measured at
+    // sf0.1/local[32]: 5.7 → 3.0 s.
+    val trainDocs = graft.Tables.spread(trainDocs0)
+    val scoreDocs = graft.Tables.spread(scoreDocs0)
     val trainToks = trainDocs
       .select(explode(TextFns.tokens(col("text"))).as("token"))
     val uni = trainToks.groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -197,8 +206,13 @@ object LangModel {
     * collapses to the two slim continuation-diversity tables, one
     * more map-side agg each); the wide joins carry distinct bigrams;
     * `T`/guard ride a 1-row broadcast. */
-  def knSurprisal(trainDocs: DataFrame, scoreDocs: DataFrame,
+  def knSurprisal(trainDocs0: DataFrame, scoreDocs0: DataFrame,
                   keepMaxMillibits: Long = 4500L): DataFrame = {
+    // same under-split guard as [[bigramSurprisal]] (guide §2.5) —
+    // measured at sf0.1/local[32]: 7.3 → 3.8 s (the two broadcast
+    // builds were 1-task stages of ~5 s CPU each, 31 cores idle)
+    val trainDocs = graft.Tables.spread(trainDocs0)
+    val scoreDocs = graft.Tables.spread(scoreDocs0)
     val uni = trainDocs
       .select(explode(TextFns.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c1"))
@@ -270,7 +284,9 @@ object LangModel {
     * reranks). Top-k by occurrence so the report is corpus-size-free;
     * ties broken on the token. */
   def knContinuation(docs: DataFrame, k: Int = 100): DataFrame = {
-    val toks = docs.select(TextFns.tokens(col("text")).as("toks"))
+    // under-split guard (guide §2.5; [[graft.Tables.spread]])
+    val toks = graft.Tables.spread(docs)
+      .select(TextFns.tokens(col("text")).as("toks"))
     val uni = toks.select(explode(col("toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c1"))
     val bi = toks.select(explode(bigramPairs(col("toks"))).as("bg"))
@@ -306,7 +322,9 @@ object LangModel {
     * tail BEFORE the joins. */
   def collocations(docs: DataFrame, minCount: Long = 3L,
                    k: Int = 200): DataFrame = {
-    val toks = docs.select(TextFns.tokens(col("text")).as("toks"))
+    // under-split guard (guide §2.5; [[graft.Tables.spread]])
+    val toks = graft.Tables.spread(docs)
+      .select(TextFns.tokens(col("text")).as("toks"))
     val uni = toks.select(explode(col("toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     val bi = toks.select(explode(bigramPairs(col("toks"))).as("bg"))
@@ -336,7 +354,8 @@ object LangModel {
     * (slim count rows). The two totals ride along as 1-row
     * broadcasts and the output is a single row. */
   def tokenDrift(docsA: DataFrame, docsB: DataFrame): DataFrame = {
-    def counts(d: DataFrame, side: String) = d
+    // under-split guard (guide §2.5; [[graft.Tables.spread]])
+    def counts(d: DataFrame, side: String) = graft.Tables.spread(d)
       .select(explode(TextFns.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as(s"cnt_$side"))
     val ca = counts(docsA, "a")
@@ -381,7 +400,8 @@ object LangModel {
     * it (≤ |sources|² rows per token, |sources| is small); per-source
     * totals and rate masses are |sources|-row broadcasts. */
   def sourceDivergence(docs: DataFrame): DataFrame = {
-    val counts = docs
+    // under-split guard (guide §2.5; [[graft.Tables.spread]])
+    val counts = graft.Tables.spread(docs)
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
     val totals = counts.groupBy("source").agg(sum("cnt").as("total"))

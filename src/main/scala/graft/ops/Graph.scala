@@ -78,8 +78,20 @@ object Graph {
     * under `tol` — the fixed-point contract real deployments want
     * (iterate until stable, never past the cap).
     */
+  /** `assumeNoDangling = true` is PROBLEM KNOWLEDGE the planner cannot
+    * derive (optimization guide §8): for an edge set where every node
+    * has an out-edge BY CONSTRUCTION — any bidirectional set like
+    * [[supplyEdges]], where each s→p ships with p→s — the dangling set
+    * is empty by theorem, so the detection pass (two node-set
+    * distincts + an anti-join + an isEmpty action over the full edge
+    * relation, one full extra job before the first iteration) is pure
+    * waste. The flag skips it; the loop then runs the same slim
+    * DM-free plan the detection would have selected, so results are
+    * identical. Callers without the theorem keep the default and pay
+    * the general check. */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-               checkpointEvery: Int = 5, tol: Double = 0.0): DataFrame = {
+               checkpointEvery: Int = 5, tol: Double = 0.0,
+               assumeNoDangling: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
@@ -102,10 +114,12 @@ object Graph {
     // bidirectional case — `nodes` IS the source set and the loop
     // below skips the dangling-mass term entirely.
     val srcNodes = e.select(col("src").as("node")).distinct()
-    val dangling = e.select(col("dst").as("node")).distinct()
-      .join(srcNodes, Seq("node"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val hasDangling = !dangling.isEmpty
+    val dangling =
+      if (assumeNoDangling) spark.emptyDataFrame.withColumn("node", lit(0L))
+      else e.select(col("dst").as("node")).distinct()
+        .join(srcNodes, Seq("node"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = if (assumeNoDangling) false else !dangling.isEmpty
     val nodes =
       (if (hasDangling) srcNodes.unionByName(dangling) else srcNodes)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -251,7 +265,8 @@ object Graph {
   def pagerankSupply(spark: org.apache.spark.sql.SparkSession,
                      sfDir: String, iterations: Int = 3): DataFrame = {
     val edges = supplyEdges(graft.Tables.lineitem(spark, sfDir))
-    pageRank(edges, iterations)
+    // bidirectional by construction ⇒ no node dangles (see pageRank)
+    pageRank(edges, iterations, assumeNoDangling = true)
       .select(col("node"),
         round(col("rank") * 1e9d).cast("long").as("rank_e9"))
   }
@@ -279,9 +294,12 @@ object Graph {
     * so personalization adds ZERO extra shuffles over the uniform
     * operator. Seeds outside the node set would silently lose
     * teleport mass, so they fail loudly instead. */
+  /** `assumeNoDangling`: same theorem-backed skip as [[pageRank]] —
+    * see its scaladoc; identical results, one less full-edge-set job. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iterations: Int, damping: Double = 0.85,
-                           checkpointEvery: Int = 5): DataFrame = {
+                           checkpointEvery: Int = 5,
+                           assumeNoDangling: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val e = edges.repartition(shufflePartitions, col("src"))
@@ -290,10 +308,12 @@ object Graph {
     val linked = e.join(outDeg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val srcNodes = e.select(col("src").as("node")).distinct()
-    val dangling = e.select(col("dst").as("node")).distinct()
-      .join(srcNodes, Seq("node"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val hasDangling = !dangling.isEmpty
+    val dangling =
+      if (assumeNoDangling) spark.emptyDataFrame.withColumn("node", lit(0L))
+      else e.select(col("dst").as("node")).distinct()
+        .join(srcNodes, Seq("node"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = if (assumeNoDangling) false else !dangling.isEmpty
     val allNodes =
       if (hasDangling) srcNodes.unionByName(dangling) else srcNodes
     val seedSet = seeds.select(col("node")).distinct()
@@ -362,7 +382,8 @@ object Graph {
     val seeds = graft.Tables.supplier(spark, sfDir)
       .filter(pmod(col("s_suppkey"), lit(10)) === 1)
       .select(col("s_suppkey").cast("long").as("node"))
-    personalizedPageRank(edges, seeds, iterations)
+    // bidirectional by construction ⇒ no node dangles (see pageRank)
+    personalizedPageRank(edges, seeds, iterations, assumeNoDangling = true)
       .select(col("node"),
         round(col("rank") * 1e9d).cast("long").as("rank_e9"))
   }

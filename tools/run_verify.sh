@@ -6,7 +6,11 @@ set -euo pipefail
 SF_DIR="${1:-/root/testdata/sf0.01}"
 OUT_DIR="${2:-/tmp/verify_out}"
 cd /root/repo
-sbt -batch compile > /tmp/sbt_compile.log 2>&1 || { tail -40 /tmp/sbt_compile.log; exit 1; }
+# copyResources too: plain-java runs need META-INF/services on the
+# classpath (the graft-wire DataSourceRegister), which `compile` alone
+# does not place into target/classes — without it wire_scan alone fails
+# with DATA_SOURCE_NOT_FOUND while everything else passes.
+sbt -batch "Compile/copyResources" compile > /tmp/sbt_compile.log 2>&1 || { tail -40 /tmp/sbt_compile.log; exit 1; }
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
