@@ -45,7 +45,45 @@ object Tables {
     * re-checked green after every adoption. */
   def spread(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    if (estimatedScanSlices(df).exists(_ < cores)) df.repartition(cores)
+    else df
+  }
+
+  /** Estimated scan-task count of `df`'s leaf file relations, from
+    * catalog/file-index METADATA only — deliberately NOT
+    * `df.rdd.getNumPartitions`: building the RDD fires a
+    * QueryExecutionListener event (funcName "rdd") and runs a real
+    * job, which (a) costs one wasted job per [[spread]] call and
+    * (b) trips one-shot [[Caches.releaseAfterNextAction]] listeners
+    * registered by an earlier operator in the same query — measured as
+    * dedup_recall_audit recomputing its unpersisted shingle table 4×
+    * (3.3 s → 66 s at sf0.1) the moment a sibling operator called
+    * spread after the listener was armed.
+    *
+    * Per file-relation leaf: each file contributes at least one task
+    * and splits at `spark.sql.files.maxPartitionBytes` — the same
+    * quantities FileSourceScanExec's packing uses, minus the open-cost
+    * refinement, which cannot change the under-split verdict (open
+    * cost only PACKS MORE files per task, never splits finer).
+    * `None` (⇒ no repartition) when any leaf is not a file relation —
+    * in-memory batches, cached relations and streaming sources are
+    * already distributed by their producers. */
+  private def estimatedScanSlices(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val maxSplit = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val perLeaf = df.queryExecution.analyzed.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          val files = math.max(1L, fs.location.inputFiles.length.toLong)
+          val bytes = fs.location.sizeInBytes
+          Some(math.max(files, (bytes + maxSplit - 1) / maxSplit))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (perLeaf.isEmpty || perLeaf.contains(None)) None
+    else Some(perLeaf.flatten.sum)
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")

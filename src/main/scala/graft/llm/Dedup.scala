@@ -188,15 +188,21 @@ object Dedup {
     * n-gram Jaccard, and keeping them would give every such doc the
     * all-[[Prime]] signature — i.e. all of them colliding in every band
     * and passing the Jaccard filter vacuously at 0/0. */
-  def shingleSets(docs: DataFrame): DataFrame =
+  def shingleSets(docs: DataFrame, spread: Boolean = true): DataFrame =
     // under-split guard (guide §2.5; [[graft.Tables.spread]]): the
     // token/shingle hashing below is the expensive map-side derivation
     // of the whole MinHash/LSH/set-sim stack, and an under-split input
     // (single-row-group parquet locally; an unsplittable file anywhere)
     // serializes it on one task. No-op whenever the scan already has
     // cores-many slices — incl. every ingest-loop micro-batch, whose
-    // file sources are sized files-per-trigger ≥ cores.
-    graft.Tables.spread(docs)
+    // file sources are sized files-per-trigger ≥ cores. `spread =
+    // false` opts a call site out: [[SetSimJoin.sizedSets]] persists
+    // this frame and its consumers re-shuffle by prefix keys anyway, so
+    // the extra exchange measured a NET LOSS there (ssjoin_exact
+    // 2.73 → 3.32 s, dedup_recall_audit 3.31 → 4.15 s at sf0.1) while
+    // the minhash/LSH family measured a win (minhash_dedup 1.12 →
+    // 0.81 s, ngram_jaccard_pairs 1.03 → 0.76 s) — each site A/B'd.
+    (if (spread) graft.Tables.spread(docs) else docs)
       // equivalent to size(sh) > 0, but checked on the raw token count
       // BEFORE any hashing: a filter on the projected `sh` would be
       // predicate-pushed below the projection, re-inlining the whole

@@ -61,7 +61,10 @@ object SetSimJoin {
     * scan — unpersisted, the corpus re-tokenizes per consumer
     * (measured 4× the whole query's cost at sf0.1). */
   private[llm] def sizedSets(docs: DataFrame): DataFrame =
-    Dedup.shingleSets(docs).withColumn("sz", size(col("sh")))
+    // spread = false: this frame is persisted and every consumer
+    // re-shuffles it by prefix keys, so the under-split spread exchange
+    // buys nothing here and measured a net loss (see shingleSets).
+    Dedup.shingleSets(docs, spread = false).withColumn("sz", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Per-doc prefix postings under the (df ASC, hash ASC) global
