@@ -234,8 +234,15 @@ object Dedup {
     * with exact n-gram Jaccard ≥ minJaccardPm/1000 (integer
     * cross-multiplied — no float compare). Output one row per pair with
     * the exact intersection/union sizes. */
-  def minhashDedup(docs: DataFrame, minJaccardPm: Int = 800): DataFrame = {
-    val sets = shingleSets(docs)
+  def minhashDedup(docs: DataFrame, minJaccardPm: Int = 800): DataFrame =
+    minhashDedupFromSets(shingleSets(docs), minJaccardPm)
+
+  /** [[minhashDedup]] from an already-derived (doc_id, sh) sets frame —
+    * for callers that have ALREADY paid the corpus's shingle pass
+    * ([[graft.llm.SetSimJoin.dedupRecallAudit]] hands over its
+    * persisted exact-join sets table, so the recall audit shingles the
+    * corpus once instead of once per side). Same math, same rows. */
+  def minhashDedupFromSets(sets: DataFrame, minJaccardPm: Int = 800): DataFrame = {
     // Self-join the *same* slim plan (aliases only) — scalar columns
     // through the shuffle; a pair colliding in several bands is deduped
     // BEFORE the Jaccard verification so set-intersection runs once per

@@ -105,14 +105,21 @@ object Pipeline {
                        minQuality: Int = 400): DataFrame = {
     val kept = scored(docs)
       .filter(col("pred_lang") === lang && col("quality") >= minQuality)
-    // slim dedup shuffle: (digest, doc_id) only
-    val winners = kept
-      .select(col("doc_id"),
-        sha2(TextAnalysis.normalize(col("text")), 256).as("content_key"))
-      .groupBy("content_key")
-      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-      .select("doc_id", "n_copies")
-    kept.join(winners, "doc_id")
+    // ONE pass: the previous groupBy(content_key) + join-back-on-doc_id
+    // re-derived the whole lang-id/quality scoring subtree on both
+    // sides (Catalyst has no CSE across a self-join — the scoring map
+    // work ran twice per rep). A window over content_key computes the
+    // same winner rule (min doc_id per digest, copy count) in one
+    // content_key shuffle of already-scored rows, scoring the corpus
+    // once. Same rows out.
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("content_key")
+    kept
+      .withColumn("content_key",
+        sha2(TextAnalysis.normalize(col("text")), 256))
+      .withColumn("n_copies", count(lit(1)).over(byKey))
+      .withColumn("win_id", min("doc_id").over(byKey))
+      .filter(col("doc_id") === col("win_id"))
       .select(col("doc_id"), col("quality"), col("n_copies"),
         TextAnalysis.redact(col("text")).as("clean"))
       .select(col("doc_id"), col("quality"), col("n_copies"),

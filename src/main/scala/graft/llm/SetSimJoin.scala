@@ -183,8 +183,15 @@ object SetSimJoin {
     * linear-shaped (prefix filter / band buckets); the audit itself
     * adds one slim pair-set join and a 2-group aggregate. */
   def dedupRecallAudit(docs: DataFrame, minJaccardPm: Int = 800): DataFrame = {
-    val exact = ssjoinExact(docs, minJaccardPm).select("doc_a", "doc_b")
-    val lsh = Dedup.minhashDedup(docs, minJaccardPm)
+    // ONE shingle pass for both sides: the exact join's persisted
+    // sized-sets table feeds the LSH side too (minus its sz column) —
+    // unshared, the corpus re-tokenized once per side (the shingle
+    // pass is the query's dominant scan at every scale).
+    val sets = sizedSets(docs)
+    graft.Caches.releaseAfterNextAction(sets)
+    val exact = verified(sets, candidatePairs(sets, minJaccardPm), minJaccardPm)
+      .select("doc_a", "doc_b")
+    val lsh = Dedup.minhashDedupFromSets(sets.select("doc_id", "sh"), minJaccardPm)
       .select("doc_a", "doc_b").distinct().withColumn("l", lit(1))
     exact.join(lsh, Seq("doc_a", "doc_b"), "left")
       .groupBy(coalesce(col("l"), lit(0)).as("in_lsh"))

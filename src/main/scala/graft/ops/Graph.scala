@@ -319,16 +319,24 @@ object Graph {
     val seedSet = seeds.select(col("node")).distinct()
     val k = seedSet.count()
     require(k > 0, "personalizedPageRank needs a non-empty seed set")
-    require(seedSet.join(allNodes, Seq("node"), "left_anti").isEmpty,
-      "personalizedPageRank: every seed must be a node of the edge set" +
-        " (a seed outside the graph would silently lose teleport mass)")
     // node relation WITH the teleport weight column — persisted once,
     // read by every iteration's right join
     val nodes = allNodes
       .join(seedSet.withColumn("sv", lit(1.0 / k)), Seq("node"), "left")
       .select(col("node"), coalesce(col("sv"), lit(0.0)).as("sv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count() // materialize the node+weight relation once, up front
+    // Materialize the node+weight relation once, up front — and ride
+    // that same job for the seed-containment check: seeds are distinct
+    // and nodes unique, so |{nodes with sv > 0}| < k iff some seed is
+    // outside the graph (it would silently lose teleport mass). The
+    // previous seedSet-anti-nodes `require` spent a SECOND full
+    // edge-distinct job on the same fact (guide §1.2: don't compute
+    // things twice).
+    val seedsFound = nodes
+      .agg(sum(when(col("sv") > 0.0, 1L).otherwise(0L))).head().getLong(0)
+    require(seedsFound == k,
+      "personalizedPageRank: every seed must be a node of the edge set" +
+        " (a seed outside the graph would silently lose teleport mass)")
 
     var ranks = nodes.select(col("node"), col("sv").as("rank"))
     var ckpts = List.empty[DataFrame]
