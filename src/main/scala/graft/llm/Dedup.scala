@@ -794,7 +794,13 @@ object Dedup {
     * slim by design. */
   def repeatedSpans(docs: DataFrame, k: Int = SpanK,
                     minDocs: Long = 2L): DataFrame = {
+    // the rolling-hash derivation feeds BOTH the repeated-window
+    // aggregate and the hits join (no CSE across branches) — persist
+    // the slim (doc_id, pos, whash) rows so the tokenize + window-hash
+    // scan runs once per query, released after the caller's action
     val wh = windowHashRows(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.releaseAfterNextAction(wh)
     val rep = wh.select(col("whash"), col("doc_id")).distinct()
       .groupBy("whash").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

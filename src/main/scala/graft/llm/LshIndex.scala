@@ -664,6 +664,12 @@ object LshIndex {
     * 35-70 s merge-window spikes were one monolithic all-cores job). */
   val MergeSliceRows: Long = 2L * 1000 * 1000
 
+  /** [[MergeSliceRows]] expressed in stored bytes — the form the auto
+    * slice decision actually reads, from file-index metadata instead
+    * of count() jobs (~32 bytes/row across the slim snappy-parquet
+    * sets/bands tables, measured on the r16 soak states). */
+  val MergeSliceBytes: Long = MergeSliceRows * 32L
+
   def mergeStage(spark: SparkSession, name: String, slices: Int = 0): Unit = {
     require(spark.catalog.tableExists(mergingSetsTable(name)),
       s"index $name has no merge in flight - rotateHot first")
@@ -691,9 +697,23 @@ object LshIndex {
         val k =
           if (slices > 0) math.min(slices, buckets)
           else {
-            val rows = spark.table(live).count() + spark.table(merging).count()
+            // slice-count decision from file-index METADATA (summed
+            // file lengths), not count() jobs: the auto mode used to
+            // spend two full count jobs per table pair (4 per
+            // mergeStage) deciding a heuristic number. ~32 bytes/row
+            // on these slim snappy-parquet tables maps MergeSliceRows
+            // to MergeSliceBytes; the explicit `slices` override (and
+            // the specs that pin sliced ≡ monolithic) are unchanged.
+            val bytes = Seq(live, merging).map { t =>
+              val files = spark.table(t).inputFiles
+              val conf = spark.sparkContext.hadoopConfiguration
+              files.map { f =>
+                val p = new org.apache.hadoop.fs.Path(f)
+                p.getFileSystem(conf).getFileStatus(p).getLen
+              }.sum
+            }.sum
             math.min(buckets.toLong,
-              math.max(1L, (rows + MergeSliceRows - 1) / MergeSliceRows)).toInt
+              math.max(1L, (bytes + MergeSliceBytes - 1) / MergeSliceBytes)).toInt
           }
         val filesBySide =
           if (k > 1) for {

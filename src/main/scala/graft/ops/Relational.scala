@@ -700,8 +700,14 @@ object Relational {
     * engine-deterministic. */
   def basketPairs(spark: SparkSession, sfDir: String,
                   minSupport: Long = 2L, topK: Int = 100): DataFrame = {
+    // four consumers (the order total, the per-item counts and both
+    // self-join sides) re-derive the fact-table distinct without a
+    // persist — the join sides share one exchange via ReuseExchange,
+    // but the differently-keyed aggregates cannot. Slim 2-col rows.
     val items = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.releaseAfterNextAction(items)
     val tot = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val itemCnt = items.groupBy("l_partkey")
       .agg(count(lit(1)).as("item_cnt"))

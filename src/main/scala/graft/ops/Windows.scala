@@ -491,9 +491,15 @@ object Windows {
     * moves (day, sec, delta) rows. */
   def sessionConcurrency(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // three consumers read the sessionized frame (both sweep-event
+    // branches and the per-day session count) and sessionization is
+    // the expensive derivation (per-user sort window over the corpus)
+    // — persist so it runs once, released after the caller's action
     val s = userSessions(events, gapSec)
       .withColumn("day",
         date_format(col("session_start").cast("timestamp"), "yyyy-MM-dd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.releaseAfterNextAction(s)
     val deltas = s.select(col("day"), col("session_start").as("t"),
         lit(1L).as("d"))
       .unionAll(s.select(col("day"), (col("session_end") + 1L).as("t"),
