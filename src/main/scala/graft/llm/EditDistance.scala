@@ -124,7 +124,19 @@ object EditDistance {
     // materialized prefix set instead of recomputing the scan + gram
     // histogram + window lineage twice (the [[Bpe]] pattern; the set
     // is (d·q+1)·|corpus| slim rows — cluster-memory trivial).
+    // EXPLICIT-count repartition before the per-doc windows: the gram
+    // rows are bytes-tiny but CPU-heavy (two sort windows + the
+    // checkpoint write), and AQE's byte-based coalescing folded the
+    // window input to ONE task (measured as a 1.5 s single-task job
+    // with 31 cores idle at sf0.1 — guide §2.5's skew table reads
+    // bytes, not CPU). A user-specified partition count is exempt from
+    // AQE coalescing, so the windows run cores-wide: 4.9 → 3.3 s;
+    // the tiny capped fixture pays ~0.5 s of exchange overhead for
+    // parallelism it cannot fill, the documented trade of sizing to
+    // the production shape.
     val prefix = qg.join(freq, "gram")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .withColumn("hot", col("freq") > gramFreqCap)
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy("hot", "freq", "gram", "pos")))
