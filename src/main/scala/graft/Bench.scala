@@ -172,7 +172,7 @@ object Bench {
         k -> reps.map(r => f"${r._2}%.3f").mkString("[", ",", "]")
     })
     val probeJson = f"""{"single_sec":$probeSingle%.3f,"parallel_sec":$probePar%.3f,"threads":${cpus.toInt}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$minsJson,"errors":$errs,"budget_violations":$budgetJson,"host_probe":$probeJson,"stream_rows_per_sec":$streamTput,"stream_rows_per_sec_median":$streamMedian,"stream_batch_rates":$ratesJson,"stream_batches":${streamRates.length},"runs":$runsJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":${cpus.toInt},"queries":$qs,"mins":$minsJson,"errors":$errs,"budget_violations":$budgetJson,"host_probe":$probeJson,"stream_rows_per_sec":$streamTput,"stream_rows_per_sec_median":$streamMedian,"stream_batch_rates":$ratesJson,"stream_batches":${streamRates.length},"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: the driver captures stdout through
     // a bounded tail buffer, and round 4's committed artifact came back
@@ -180,18 +180,38 @@ object Bench {
     // The directory resolves from SPARK_GRAFT_ARTIFACTS when set (a bench
     // launched from another CWD would otherwise write the repo-relative
     // default elsewhere and silently miss the harness); the absolute path
-    // is logged either way.
+    // is logged either way. A second, cpus-stamped copy
+    // (BENCH_driver_c<cpus>.json) survives the driver's own low-core
+    // re-run, which overwrites BENCH_driver.json and destroyed the
+    // 32-core per-query record in rounds 16-17.
     try if (only.isEmpty) {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS", "artifacts"))
       java.nio.file.Files.createDirectories(out)
-      val file = out.resolve("BENCH_driver.json")
-      java.nio.file.Files.write(file,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[bench] artifact written: ${file.toAbsolutePath}")
+      Seq("BENCH_driver.json", s"BENCH_driver_c${cpus.toInt}.json")
+        .foreach { f =>
+          val file = out.resolve(f)
+          java.nio.file.Files.write(file,
+            (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          System.err.println(s"[bench] artifact written: ${file.toAbsolutePath}")
+        }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact file write failed: $e")
     }
+    // The LAST stdout line is a COMPACT restatement of the full line
+    // above — same keys, same semantics, lower precision, no runs/mins
+    // maps. The driver parses its bounded stdout TAIL: the full line
+    // (243 queries × rep arrays, ~22 KB) has overflowed that buffer
+    // every round since r10 ("parsed": null in each BENCH_r*.json), so
+    // per-query round-over-round comparison and the scaling block came
+    // back empty for 8 rounds. ~5.5 KB is the floor for a line that
+    // still carries all 243 per-query figures (the names alone are
+    // 3.5 KB). Values are the SAME medians the full line reports,
+    // rounded to 10 ms; nothing is measured differently — the full
+    // artifact (reps, mins, budget flags, stream series) is in
+    // BENCH_driver*.json.
+    val qsCompact = obj(results.map { case (k, v) => k -> f"$v%.2f" })
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","cpus":${cpus.toInt},"queries":$qsCompact,"errors":$errs,"host_probe":$probeJson,"stream_rows_per_sec":$streamTput,"stream_rows_per_sec_median":$streamMedian,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -556,15 +556,10 @@ object SparkEntry {
       // reads the real bucketStats column. 3 driver actions per
       // probe → 1, and the post-compact probe doubles as the
       // (cFiles, cRows) read that previously ran separately.
-      def fragCols(): (Long, Long, Long) = {
-        val (f, r) = Bucketed.fileStats(s, bandsT)
-        (f, r, if (f == 0) 0L else r / f)
-      }
-      val fragged = fragCols()
+      val fragged = Bucketed.fileStats(s, bandsT)
       val rowsBefore = fragged._2
       LshIndex.compact(s, name)
-      val compacted = fragCols()
-      val (cFiles, cRows) = (compacted._1, compacted._2)
+      val (cFiles, cRows) = Bucketed.fileStats(s, bandsT)
       val buckets = Bucketed.bucketCount(s, bandsT)
       val nonEmpty = s.table(bandsT)
         .select(countDistinct(pmod(hash(col("band_key")), lit(buckets))))
@@ -578,8 +573,17 @@ object SparkEntry {
       LshIndex.delete(
         sub.filter(pmod(col("doc_id"), lit(20)) === 1).select("doc_id"), name)
       val debt = LshIndex.tombstoneCount(s, name)
-      val statsDebt = LshIndex.bucketStats(s, name)
-        .select("n_tombstones").distinct().collect().head.getLong(0)
+      // ONE real bucketStats read feeds BOTH published-column probes:
+      // the purge-debt column (statsDebt) and the avg_file_rows column
+      // (statsAvg) — the latter restores a genuine reconciliation
+      // against the independent fileStats probe above (r17 had made
+      // that metric compare fileStats to itself — a tautology; r17
+      // advisor finding). Deletes are tombstones, not a bands rewrite,
+      // so the bands-table file math is unchanged since the compact.
+      val statsRow = LshIndex.bucketStats(s, name)
+        .select("n_tombstones", "avg_file_rows").distinct().collect().head
+      val statsDebt = statsRow.getLong(0)
+      val statsAvg = statsRow.getLong(1)
       LshIndex.purgeDeleted(s, name)
       val debtAfter = LshIndex.tombstoneCount(s, name)
       val (pFiles, pRows) = Bucketed.fileStats(s, bandsT)
@@ -593,12 +597,12 @@ object SparkEntry {
         ("band_rows", pRows),
         ("sets_rows", setsRows),
         ("appends_fragment_files",
-          b(fragged._1 > compacted._1)),
+          b(fragged._1 > cFiles)),
         ("compact_one_file_per_nonempty_bucket",
-          b(compacted._1 == nonEmpty && cFiles == nonEmpty)),
+          b(cFiles == nonEmpty)),
         ("rows_preserved_through_compact", b(cRows == rowsBefore)),
         ("avg_file_rows_reconciles",
-          b(compacted._3 == cRows / cFiles)),
+          b(statsAvg == cRows / cFiles)),
         ("tombstones_pending", debt),
         ("stats_surface_purge_debt", b(statsDebt == debt)),
         ("tombstones_after_purge", debtAfter),

@@ -357,7 +357,10 @@ object AnnIndex {
       // reclustering forever). One cells-sized aggregate, integer-
       // exact, 1 row.
       // the centroid count rides the write's own plan as a 1-row
-      // broadcast (no separate driver count job — guide §1.2)
+      // broadcast (no separate driver count job — guide §1.2); the
+      // broadcast builds concurrently with the cells aggregate, which
+      // an r18 tagged-union restructure proved faster than serializing
+      // the count onto the write's critical path
       spark.table(cellsT)
         .groupBy("cent_id").agg(count(lit(1)).as("n"))
         .agg(max("n").as("max_n"), sum("n").as("sum_n"))
@@ -497,27 +500,46 @@ object AnnIndex {
     * caller parameter — a stale/wrong caller value would silently
     * rescale skew_pm and mask a hot cell. */
   def cellStats(spark: SparkSession, name: String): DataFrame = {
-    // the centroid count and the purge debt ride the RETURNED plan as
-    // 1-row broadcast aggregates instead of driver-side scalar jobs:
-    // the old form paid two extra full actions (a centroids count and
-    // a tombstones count) before the consumer's own — for a signal a
-    // maintenance scheduler polls on a cadence, that is 3× the jobs
-    // (and at scale 3× the query-launch latency) for identical rows
-    // (optimization guide §1.2: remove passes first)
+    // TWO-JOB poll plan (optimization guide §1.2: remove passes/jobs
+    // first). The r17 form rode the scalars (centroid count, purge
+    // debt, cells total) as THREE 1-row BROADCAST aggregates — no
+    // separate driver actions, but every BroadcastExchange still
+    // materializes as its own Spark job, so a poll cost 4 jobs of
+    // launch latency and driver gap (the r17 event log put
+    // ann_drift_stats at ~58 jobs/rep, nearly all sub-0.1 s with
+    // ~0.1 s gaps — pure job count). Now: the cells total attaches
+    // via a window over the ≤ n_cent pre-aggregated count rows (which
+    // also drops the broadcast subtree's SECOND scan of the cells
+    // table — the corpus-sized table at scale), and the two foreign
+    // scalars (centroid count, purge debt) pre-aggregate, union, and
+    // ship as ONE broadcast whose job overlaps the cells aggregate.
+    // (Measured rejected alternative: folding everything into one
+    // tagged-union single-job plan cut jobs 4 → 1 but serialized the
+    // side aggregates onto the critical path — a net ~0.4 s loss per
+    // drift rep.) Integer math unchanged (same div exprs over the
+    // same Longs), so the oracle-checked rows are identical.
     val nCent = spark.table(centroidsTable(name))
-      .agg(count(lit(1)).as("n_cent"))
+      .agg(count(lit(1)).as("v")).select(lit("cent").as("tag"), col("v"))
     val tombs = tombstones(spark, name)
-      .map(_.agg(count(lit(1)).as("n_tombstones")))
-      .getOrElse(spark.range(1).select(lit(0L).as("n_tombstones")))
-    val counts = spark.table(cellsTable(name))
+      .map(_.agg(count(lit(1)).as("v"))
+        .select(lit("tomb").as("tag"), col("v")))
+    val side = broadcast((Seq(nCent) ++ tombs)
+      .reduce(_.unionAll(_))
+      .agg(
+        max(when(col("tag") === "cent", col("v"))).as("n_cent"),
+        // purge debt ([[LshIndex.bucketStats]]'s twin column):
+        // tombstoned vectors still physically present in every cell;
+        // 0 when no delete has happened (no tombstones child)
+        coalesce(max(when(col("tag") === "tomb", col("v"))), lit(0L))
+          .as("n_tombstones")))
+    spark.table(cellsTable(name))
       .groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
-    counts.join(broadcast(counts.agg(sum("n_vecs").as("total"))))
-      .join(broadcast(nCent)).join(broadcast(tombs))
+      .withColumn("total",
+        sum("n_vecs").over(Window.partitionBy(lit(1))))
+      .join(side)
       .select(col("cent_id"), col("n_vecs"),
         expr("(1000 * n_vecs) div total").as("share_pm"),
         expr("(1000 * n_vecs * n_cent) div total").as("skew_pm"),
-        // purge debt ([[LshIndex.bucketStats]]'s twin column):
-        // tombstoned vectors still physically present in every cell
         col("n_tombstones"))
   }
 
@@ -567,6 +589,17 @@ object AnnIndex {
     // unchanged (all operands non-negative, Long `div` ≡ the old
     // Scala `*`/`/`), so the oracle-checked decision bits are
     // identical.
+    //
+    // r18 MEASURED AND REJECTED two restructures of this poll (guide
+    // §1.1 — keep the loser out): (a) folding all three scalars into
+    // the main plan as a tagged union-of-aggregates (5 jobs → 1) and
+    // (b) shipping them as ONE pre-unioned broadcast (4 jobs → 2).
+    // Both SERIALIZE the side aggregates — (a) onto the main critical
+    // path, (b) inside one broadcast job's two stage waves — while
+    // the three tiny broadcasts here build CONCURRENTLY with the main
+    // cells aggregate, so the extra "jobs" cost ~no wall time:
+    // ABBA-paired QBench (sf0.1, 32c) measured (a) +0.4 s and
+    // (b) +0.25 s per ann_maintenance_plan rep vs this form.
     val nCent = spark.table(centroidsTable(name))
       .agg(count(lit(1)).as("n_cent"))
     val tombs = tombstones(spark, name)

@@ -838,8 +838,13 @@ object Similarity {
     * [[AnnIndex]]): the same aggregate, but from the stored layout —
     * the form a production deployment actually runs after appends. */
   private[llm] def cellStatsFromCells(cells: DataFrame, nCentroids: Int): DataFrame = {
-    val counts = cells.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
-    counts.join(broadcast(counts.agg(sum("n_vecs").as("total"))))
+    // the corpus total attaches via a window over the ≤ nCentroids
+    // pre-aggregated count rows — one exchange of tiny rows — instead
+    // of a broadcast self-join of the aggregate, whose
+    // BroadcastExchange materialized as a second job per read
+    // (guide §1.2: remove jobs first). Same integer math, same rows.
+    cells.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("total", sum("n_vecs").over(Window.partitionBy(lit(1))))
       .select(col("cent_id"), col("n_vecs"),
         expr("(1000 * n_vecs) div total").as("share_pm"),
         expr(s"(1000 * n_vecs * $nCentroids) div total").as("skew_pm"))

@@ -332,8 +332,12 @@ object Graph {
     // previous seedSet-anti-nodes `require` spent a SECOND full
     // edge-distinct job on the same fact (guide §1.2: don't compute
     // things twice).
+    // coalesce: with an empty edge set the sum aggregates over zero
+    // rows to NULL, and a bare getLong would NPE instead of reaching
+    // the clear require message below (r17 advisor finding)
     val seedsFound = nodes
-      .agg(sum(when(col("sv") > 0.0, 1L).otherwise(0L))).head().getLong(0)
+      .agg(coalesce(sum(when(col("sv") > 0.0, 1L).otherwise(0L)), lit(0L)))
+      .head().getLong(0)
     require(seedsFound == k,
       "personalizedPageRank: every seed must be a node of the edge set" +
         " (a seed outside the graph would silently lose teleport mass)")

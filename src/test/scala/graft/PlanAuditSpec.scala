@@ -124,21 +124,27 @@ class PlanAuditSpec extends SparkSpec {
     // OUTPUT is text — sample_docs, strip_repeated_spans — are not in
     // this list; their shuffles are output-shaped, not key-shaped.)
     //
-    // Exempted, bounded at ONE per plan: a ROUND-ROBIN exchange
-    // carrying text — [[graft.Tables.spread]]'s under-split guard,
-    // which moves the payload bytes exactly once, scan → tokenizer
-    // tasks, before they are hashed away (guide §8's "heavy bytes move
-    // once"; §2.5 input skew). On a production-layout table the guard
-    // never fires and the exchange does not exist; the keyed
-    // (hash/range) shuffles above it stay slim at every scale, which
-    // is the claim this audit protects.
+    // Exempted: ROUND-ROBIN exchanges carrying text —
+    // [[graft.Tables.spread]]'s under-split guard, which moves the
+    // payload bytes scan → tokenizer tasks before they are hashed away
+    // (guide §8's "heavy bytes move once"; §2.5 input skew). On a
+    // production-layout table the guard never fires and the exchange
+    // does not exist; the keyed (hash/range) shuffles above it stay
+    // slim at every scale, which is the claim this audit protects.
+    // The invariant asserted below is per-LINEAGE, not per-plan: no
+    // text-carrying exchange may sit ABOVE another (the same payload
+    // moving twice); SIBLING round-robin exchanges over disjoint
+    // sources are allowed (contamination spreads its train and eval
+    // slices separately), and the per-source count is additionally
+    // bounded by the distinct-text-leaf assertion at the end.
     import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
     Seq("dedup_docs", "minhash_dedup", "simhash_dedup", "chunk_dedup",
       "ngram_jaccard_pairs", "ssjoin_exact", "ssjoin_prefix_stats",
       "contamination", "bloom_contamination",
       "dedup_clusters", "dedup_rate_by_source", "embedding_near_dup",
       "lsh_index_query").foreach { name =>
-      val textExchanges = planOf(name).collect {
+      val nodes = planOf(name)
+      val textExchanges = nodes.collect {
         case e: Exchange if e.output.exists(_.name == "text") => e
       }
       val keyed = textExchanges.filterNot(
@@ -160,6 +166,21 @@ class PlanAuditSpec extends SparkSpec {
           s"$name stacks a text-carrying exchange above another - " +
             "the raw payload must move at most once")
       }
+      // the promised per-source bound: canonically-distinct round-robin
+      // text exchanges may not outnumber the canonically-distinct
+      // text-carrying leaves — each disjoint input may move once, but
+      // two distinct sibling round-robin moves of the SAME source would
+      // be the payload shipped twice without ReuseExchange collapsing it
+      val rrCanon = textExchanges
+        .filter(_.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+        .map(_.canonicalized).distinct
+      val textLeafCanon = nodes
+        .filter(n => n.children.isEmpty && n.output.exists(_.name == "text"))
+        .map(_.canonicalized).distinct
+      assert(rrCanon.size <= textLeafCanon.size,
+        s"$name plans ${rrCanon.size} distinct round-robin text " +
+          s"exchanges over only ${textLeafCanon.size} distinct text " +
+          "leaves - some payload moves twice")
     }
   }
 
