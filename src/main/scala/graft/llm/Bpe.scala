@@ -93,7 +93,12 @@ object Bpe {
     // round-1 harvest below materializes it) cuts the corpus lineage
     // so no later round's plan reaches back to the raw scan, and keeps
     // the vocab-sized table resident for the per-round re-scans.
-    var w = cut(docs.select(explode(tokens(col("text"))).as("token"))
+    // spread unlocks map-side parallelism for the tokenize/explode/
+    // partial-agg (guide §2.5; the r17 LangModel precedent): on the
+    // driver-layout single-file table this pass otherwise runs as ONE
+    // task; identity on production multi-split layouts
+    var w = cut(graft.Tables.spread(docs.select(col("text")))
+      .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .select(col("token"), col("cnt"), chars(col("token")).as("syms")))
     val learned = Vector.newBuilder[MergeRule]
@@ -160,7 +165,7 @@ object Bpe {
   def encode(docs: DataFrame, rounds: Int = 3): DataFrame = {
     val encodedVocab = learn(docs, rounds)._2
       .select(col("token"), size(col("syms")).cast("long").as("token_syms"))
-    docs
+    graft.Tables.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         explode(col("toks")).as("token"))
@@ -188,7 +193,7 @@ object Bpe {
   def fertility(docs: DataFrame, rounds: Int = 3): DataFrame = {
     val encodedVocab = learn(docs, rounds)._2
       .select(col("token"), size(col("syms")).cast("long").as("token_syms"))
-    docs
+    graft.Tables.spread(docs.select(col("source"), col("text")))
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .join(encodedVocab, Seq("token"))
       .groupBy("source")
@@ -241,7 +246,7 @@ object Bpe {
   def encodeWith(docs: DataFrame, rules: Seq[MergeRule],
                  vocab: Option[DataFrame] = None,
                  reliableCheckpoint: Boolean = false): DataFrame = {
-    val bTokens = docs
+    val bTokens = graft.Tables.spread(docs.select(col("text")))
       .select(explode(tokens(col("text"))).as("token")).distinct()
     val tokenSyms = vocab match {
       case Some(v) =>
@@ -258,7 +263,7 @@ object Bpe {
     }
     val encodedVocab = tokenSyms
       .select(col("token"), size(col("syms")).cast("long").as("token_syms"))
-    docs
+    graft.Tables.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         explode(col("toks")).as("token"))

@@ -104,6 +104,10 @@ object EditDistance {
     val q = 2
     require(minLen - q + 1 > d * q,
       s"minLen=$minLen too small for exact q-gram filtering at d=$d")
+    // the heap tiebreak pads pos to two digits (see below)
+    require(titleLen <= 100,
+      s"titleLen=$titleLen: the prefix-selection tiebreak packs pos " +
+        "into two digits")
     val titles = docs
       .select(col("doc_id"), expr(s"substring(text, 1, $titleLen)").as("title"))
       .filter(length(col("title")) >= minLen)
@@ -124,23 +128,43 @@ object EditDistance {
     // materialized prefix set instead of recomputing the scan + gram
     // histogram + window lineage twice (the [[Bpe]] pattern; the set
     // is (d·q+1)·|corpus| slim rows — cluster-memory trivial).
-    // EXPLICIT-count repartition before the per-doc windows: the gram
-    // rows are bytes-tiny but CPU-heavy (two sort windows + the
-    // checkpoint write), and AQE's byte-based coalescing folded the
-    // window input to ONE task (measured as a 1.5 s single-task job
-    // with 31 cores idle at sf0.1 — guide §2.5's skew table reads
-    // bytes, not CPU). A user-specified partition count is exempt from
-    // AQE coalescing, so the windows run cores-wide: 4.9 → 3.3 s;
-    // the tiny capped fixture pays ~0.5 s of exchange overhead for
-    // parallelism it cannot fill, the documented trade of sizing to
-    // the production shape.
-    val prefix = qg.join(freq, "gram")
+    //
+    // r18: the rarest-k selection routes through the custom
+    // [[graft.plans.TopKPerKey]] operator instead of a row_number sort
+    // window — a size-(d·q+1) HEAP per doc, O(n log k) with NO SortExec
+    // over the 31·|corpus| gram rows (the r17 form paid a full
+    // (doc, hot, freq, gram, pos) sort; guide §1.2 step 2: make the
+    // per-task work cheap once the shape is right). The 4-component
+    // order maps onto the operator's (primary DESC, tiebreak ASC)
+    // contract as: primary = −(hot·2⁵¹ + min(freq, 2⁵⁰)) — freq
+    // saturates at 2⁵⁰, which still yields ONE shared total gram order,
+    // and exactness of prefix filtering needs only that all strings
+    // share it, not which order it is (the final stage verifies exact
+    // levenshtein either way); tiebreak = gram ∥ pos as two zero-padded
+    // digits — grams are exactly two codepoints and UTF-8 codepoint
+    // encodings are prefix-free, so binary string order ≡ (gram, pos)
+    // and the tiebreak is key-unique (pos is unique per doc).
+    //
+    // EXPLICIT-count repartition below the heap (r17's fix, kept): the
+    // gram rows are bytes-tiny but CPU-carrying, and AQE's byte-based
+    // coalescing would fold the heap/checkpoint stage to ONE task
+    // (measured r17: a 1.5 s single-task job with 31 cores idle at
+    // sf0.1 — guide §2.5's skew table reads bytes, not CPU). A
+    // user-specified partition count is exempt, and
+    // hashpartitioning(doc_id, cores) satisfies the operator's
+    // ClusteredDistribution so no second exchange appears.
+    val graded = qg.join(freq, "gram")
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
       .withColumn("hot", col("freq") > gramFreqCap)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy("hot", "freq", "gram", "pos")))
-      .filter(col("rk") <= d * q + 1)
+      .withColumn("ordp", -(col("hot").cast("long") * lit(1L << 51) +
+        least(col("freq"), lit(1L << 50))))
+      .withColumn("tb",
+        concat(col("gram"), lpad(col("pos").cast("string"), 2, "0")))
+    val prefix = graft.plans.TopKPerKey
+      .topK(graded, Seq("doc_id"), "ordp", "tb", d * q + 1)
+      // a doc is UNSAFE iff its prefix had to include a hot gram; the
+      // max rides the heap output's doc_id partitioning (no exchange)
       .withColumn("unsafe",
         max(col("hot")).over(Window.partitionBy("doc_id")))
       .select("doc_id", "len", "pos", "gram", "unsafe")

@@ -56,7 +56,14 @@ object Multimodal {
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    // spread BEFORE the generator map (guide §2.5 input skew): the BMP/
+    // WAV encoders below are the expensive per-row work of the whole
+    // media family, and on the driver-layout tables (one parquet file,
+    // one row group) the scan yields a SINGLE task — the r18 event log
+    // showed media_kind_stats as one 0.74 s task with 31 cores idle.
+    // On a production multi-split layout the guard is the identity.
+    graft.Tables.spread(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)].map {
       case (id, text) =>
         val m4 = ((id % 4) + 4) % 4
         val kind = m4 match {

@@ -157,7 +157,10 @@ object WordPiece {
     * against a per-word `encoded` table (vocab-bounded ⇒ broadcast).
     * Token-less docs drop here, matching [[Bpe.encode]]. */
   private def applyScan(docs: DataFrame, encoded: DataFrame): DataFrame =
-    docs
+    // spread: the tokenize/explode otherwise runs on the raw scan's
+    // task count — ONE on the driver-layout tables (guide §2.5; the
+    // r17 LangModel precedent); identity on multi-split layouts
+    graft.Tables.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
         explode(col("toks")).as("token"))
@@ -271,7 +274,7 @@ object WordPiece {
     * list is free from [[Bpe.learn]]'s table, but held-out words need
     * their own pass). */
   private def applyWords(applyDocs: DataFrame): DataFrame =
-    applyDocs
+    graft.Tables.spread(applyDocs.select(col("text")))
       .select(explode(TextFns.tokens(col("text"))).as("token")).distinct()
 
   /** Corpus-level comparison of the two WordPiece variants on the

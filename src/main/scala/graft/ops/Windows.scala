@@ -491,27 +491,46 @@ object Windows {
     * moves (day, sec, delta) rows. */
   def sessionConcurrency(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // three consumers read the sessionized frame (both sweep-event
-    // branches and the per-day session count) and sessionization is
-    // the expensive derivation (per-user sort window over the corpus)
-    // — persist so it runs once, released after the caller's action
+    // r18 restructure (driver r17 measured the r17 persist form at
+    // ×0.73 vs r16 and ANTI-scaling — slower at 32 cores than 8; the
+    // cost was plan width, not recompute):
+    //   - n_sessions is FUSED into the sweep: every session emits
+    //     exactly one +1 delta at its start, so the per-day session
+    //     count is the per-day sum of start-deltas — the third
+    //     consumer of the sessionized frame, its groupBy exchange and
+    //     the broadcast join all disappear (guide §1.2: don't compute
+    //     things twice).
+    //   - the sweep clusters by DAY ONCE: an explicit day-keyed
+    //     repartition below groupBy(day, t) satisfies the clustering
+    //     of the group-by, the running-sum window AND the final
+    //     per-day aggregate (hash(day) clusters every (day, t) group),
+    //     collapsing three differently-keyed exchanges into one
+    //     (guide §2.4: operations keyed the same way share one
+    //     exchange). Explicit count, so AQE's byte-based coalescing
+    //     cannot fold the CPU-carrying sweep to one task.
+    //   - with only the two union branches left reading the sessionized
+    //     frame, the persist cost more than the recompute it saved
+    //     (ReuseExchange already shares the user_id shuffle; paired A/B
+    //     below) — dropped.
     val s = userSessions(events, gapSec)
       .withColumn("day",
         date_format(col("session_start").cast("timestamp"), "yyyy-MM-dd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.Caches.releaseAfterNextAction(s)
     val deltas = s.select(col("day"), col("session_start").as("t"),
         lit(1L).as("d"))
       .unionAll(s.select(col("day"), (col("session_end") + 1L).as("t"),
         lit(-1L).as("d")))
-      .groupBy("day", "t").agg(sum("d").as("net"))
+      .repartition(events.sparkSession.sparkContext.defaultParallelism,
+        col("day"))
+      .groupBy("day", "t")
+      .agg(sum("d").as("net"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("starts"))
     val byDay = Window.partitionBy("day").orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     deltas
       .withColumn("running", sum("net").over(byDay))
       .groupBy("day")
-      .agg(max("running").as("peak_concurrent"))
-      .join(s.groupBy("day").agg(count(lit(1)).as("n_sessions")), "day")
+      .agg(max("running").as("peak_concurrent"),
+        sum("starts").as("n_sessions"))
       .select(col("day"), col("n_sessions"), col("peak_concurrent"))
   }
 
